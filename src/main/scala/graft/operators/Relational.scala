@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Relational operator library over the star schema.
+  *
+  * The reference (`/root/reference/dags/my_data_pipeline.py`) performs no
+  * joins, sorts, set ops, or windows — this module is the north-star
+  * generalization (SURVEY.md §2, "operators the reference does NOT
+  * implement"), built Spark-first:
+  *
+  *  - every query is a declarative DataFrame plan, so Catalyst applies
+  *    predicate pushdown, column pruning, and join selection for free;
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    explicitly `broadcast()` where they are guaranteed small relative
+  *    to the fact tables, avoiding a shuffle of lineitem at any scale;
+  *  - top-k is expressed as `orderBy(...).limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject` — a per-partition heap + driver merge, no
+  *    global sort, O(n) at 100 TB;
+  *  - per-group top-k uses a ranking window (single shuffle on the
+  *    partition key, no self-join);
+  *  - aggregates over money columns use exact decimal accumulation
+  *    ([[graft.functions.Exact]]) — order-independent, so results are
+  *    bit-stable regardless of partitioning/parallelism.
+  *
+  * Every query ends with a total ordering so outputs are deterministic.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy aggregation with a pushed-down date
+    * filter. Generalizes reference A1 (describe) to grouped aggregates. */
+  def pricingSummary(t: Tables): DataFrame = {
+    val li = t.lineitem
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumD2(col("l_quantity")).as("sum_qty"),
+        sumD2(col("l_extendedprice")).as("sum_base_price"),
+        sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("sum_disc_price"),
+        sumProd3D2(col("l_extendedprice"), lit(1) - col("l_discount"),
+          lit(1) + col("l_tax")).as("sum_charge"),
+        avgD2(col("l_quantity")).as("avg_qty"),
+        avgD2(col("l_extendedprice")).as("avg_price"),
+        avgD2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Selective filter + narrow projection — exists to prove scan
+    * pushdown: the physical plan must show PushedFilters on both
+    * predicates and a 4-column ReadSchema. */
+  def filterProject(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_quantity") >= 48 &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: fact-fact join (lineitem x orders, shuffle on
+    * orderkey) with a broadcast customer dimension filter; top-20
+    * revenue orders via TakeOrderedAndProject. */
+  def segmentRevenue(t: Tables): DataFrame = {
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5 shape: 6-table star join — region/nation/customer/supplier
+    * broadcast, orders filtered by date (pushed down), lineitem shuffles
+    * once on l_orderkey. Local-supplier condition (s_nationkey =
+    * c_nationkey) as in Q5. */
+  def regionRevenue(t: Tables): DataFrame = {
+    val nr = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val ordersF = t.orders.filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    t.lineitem
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Global top-k: plans as TakeOrderedAndProject (no full sort). */
+  def topOrders(t: Tables): DataFrame =
+    t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Per-group top-k via ranking window — one shuffle on o_custkey. */
+  def topOrdersPerCustomer(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Multi-distinct aggregation (expand-based distinct aggregates). */
+  def distinctCounts(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations: customers with both F and O orders, minus customers
+    * holding a P order. INTERSECT/EXCEPT plan as aggregate + join —
+    * scale-safe (shuffle on the key only). */
+  def setOpsCustomers(t: Tables): DataFrame = {
+    def keys(status: String) =
+      t.orders.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey"))
+    keys("F").intersect(keys("O")).except(keys("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** ROLLUP grouping sets with NULL subtotal labels folded to 'ALL' so
+    * cross-engine NULL ordering cannot diverge. */
+  def rollupQuantity(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumD2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("ret"), col("status"))
+
+  /** CUBE over events: all grouping-set combinations of (type, day-of-week). */
+  def cubeEvents(t: Tables): DataFrame =
+    t.events
+      .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1)).as("dow"),
+        col("n"), col("sum_value"))
+      .orderBy(col("event_type"), col("dow"))
+
+  /** Left-semi join (EXISTS): customers holding an open ('P') order.
+    * Broadcast the filtered key set — no shuffle of customer. */
+  def customersWithOpenOrders(t: Tables): DataFrame =
+    t.customer.join(
+        broadcast(t.orders.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey"))),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): customers who never placed an urgent
+    * order. */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer.join(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Outer join with null-producing side: order counts per nation
+    * including nations with no customers. */
+  def nationOrderCounts(t: Tables): DataFrame = {
+    val custOrders = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    t.nation
+      .join(custOrders, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Conditional pivot: events long -> wide by event_type. Expressed as
+    * conditional aggregates (what groupBy().pivot desugars to with an
+    * explicit value list) so column names are stable. One shuffle. */
+  def eventsPivotDaily(t: Tables): DataFrame = {
+    def typedSum(tpe: String) =
+      sum(when(col("event_type") === tpe, col("value"))
+        .cast("decimal(18,2)")).cast("double").as(s"${tpe}_value")
+    t.events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(typedSum("click"), typedSum("view"), typedSum("purchase"),
+        typedSum("signup"), typedSum("error"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** JSON scalar extraction over events.props (reference S1/P1 JSON
+    * traversal generalized to a column function). */
+  def jsonExtractAgg(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Date bucketing: monthly order volume (generalizes reference O2's
+    * daily cadence into event-time buckets). */
+  def monthlyOrders(t: Tables): DataFrame =
+    t.orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumD2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+
+  /** String scalar functions — includes the reference's exact
+    * `str.capitalize` semantics (P4, my_data_pipeline.py:69): first char
+    * uppercased, ALL remaining chars lowercased (initcap would also
+    * uppercase after spaces; capitalize does not). */
+  def stringOps(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        concat(upper(substring(col("c_mktsegment"), 1, 1)),
+          lower(substring(col("c_mktsegment"), 2, 1000000)))
+          .as("segment_capitalized"),
+        length(col("c_name")).as("name_len"),
+        replace(col("c_name"), lit("Customer#"), lit("C-")).as("short_name"),
+        substring(col("c_name"), -3, 3).as("name_suffix"))
+      .orderBy(col("c_custkey"))
+
+  /** Cross join (tiny x tiny): region x order-status matrix with counts
+    * via a subsequent left join — exercises the nested-loop path. */
+  def regionStatusMatrix(t: Tables): DataFrame = {
+    val statuses = t.orders.select(col("o_orderstatus")).distinct()
+    t.region.select(col("r_name")).crossJoin(statuses)
+      .orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => pricingSummary(Tables(s, d))),
+    "q02_filter_project" -> ((s, d) => filterProject(Tables(s, d))),
+    "q03_segment_revenue" -> ((s, d) => segmentRevenue(Tables(s, d))),
+    "q04_region_revenue" -> ((s, d) => regionRevenue(Tables(s, d))),
+    "q05_top_orders" -> ((s, d) => topOrders(Tables(s, d))),
+    "q06_topk_per_customer" -> ((s, d) => topOrdersPerCustomer(Tables(s, d))),
+    "q07_distinct_counts" -> ((s, d) => distinctCounts(Tables(s, d))),
+    "q08_setops_customers" -> ((s, d) => setOpsCustomers(Tables(s, d))),
+    "q09_rollup_quantity" -> ((s, d) => rollupQuantity(Tables(s, d))),
+    "q10_cube_events" -> ((s, d) => cubeEvents(Tables(s, d))),
+    "q11_semi_join" -> ((s, d) => customersWithOpenOrders(Tables(s, d))),
+    "q12_anti_join" -> ((s, d) => customersWithoutOrders(Tables(s, d))),
+    "q13_outer_join_counts" -> ((s, d) => nationOrderCounts(Tables(s, d))),
+    "q14_events_pivot" -> ((s, d) => eventsPivotDaily(Tables(s, d))),
+    "q15_json_extract" -> ((s, d) => jsonExtractAgg(Tables(s, d))),
+    "q16_monthly_orders" -> ((s, d) => monthlyOrders(Tables(s, d))),
+    "q17_string_ops" -> ((s, d) => stringOps(Tables(s, d))),
+    "q18_cross_join" -> ((s, d) => regionStatusMatrix(Tables(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_segment_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q04_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q05_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q06_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q07_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q08_setops_customers" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q09_rollup_quantity" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS ret,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY ret, status""".stripMargin,
+    "q10_cube_events" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(dow, -1) AS dow,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events) t
+        |GROUP BY CUBE(event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_outer_join_counts" ->
+      """SELECT n_name, COALESCE(n_orders, 0) AS n_orders FROM nation
+        |LEFT JOIN (
+        |  SELECT c_nationkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey) t
+        |ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "q14_events_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE) AS view_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE) AS signup_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE) AS error_value,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q16_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "q17_string_ops" ->
+      """SELECT c_custkey,
+        |  upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS segment_capitalized,
+        |  length(c_name) AS name_len,
+        |  replace(c_name, 'Customer#', 'C-') AS short_name,
+        |  substr(c_name, length(c_name) - 2, 3) AS name_suffix
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q18_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+        |ORDER BY r_name, o_orderstatus""".stripMargin
+  )
+}
