@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    QueryModule(operators.Relational.queries, operators.Relational.oracleSql)
+    QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
+    QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
+    QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline generalization of the reference's string
+  * handling (P4/F1, `/root/reference/dags/my_data_pipeline.py:69,209`).
+  *
+  * All per-document metrics are narrow map-side projections (no
+  * shuffle); corpus-level rollups shuffle once on their group key.
+  * Pairwise similarity is bounded by candidate buckets — never a full
+  * cross join — so cost is Σ bucket² rather than corpus², which holds
+  * at 100 TB as long as bucket cardinality is bounded (it is: buckets
+  * are (lang, source) here, and MinHash-LSH bands in [[Dedup]]).
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics (pure projection). */
+  def tokenStats(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    t.documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_types"),
+      ((length(col("text")) - size(toks) + 1).cast("double") / size(toks))
+        .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus term frequencies: explode + count, top 30. */
+  def wordFrequencies(t: Tables): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(30)
+
+  /** Heuristic quality scoring: lexical diversity + stopword mass +
+    * length prior (formula in [[graft.functions.TextFunctions]]). */
+  def qualityScores(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, w => w === "a" || w === "the")).cast("double") /
+        nTokens
+    t.documents.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      ttr.as("ttr"),
+      stopRatio.as("stop_ratio"),
+      qualityScore(nTokens, ttr, stopRatio).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus rollup by (lang, source). */
+  def corpusStats(t: Tables): DataFrame =
+    t.documents
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(size(tokens(col("text")))).cast("double") / count(lit(1)))
+          .as("avg_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Exact deduplication: group identical texts, keep the smallest
+    * doc_id as canonical. Hash-groupBy — one shuffle on the md5 key,
+    * which is how exact dedup runs at any scale. */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .groupBy(contentFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  /** Near-duplicate groups by order/multiplicity-insensitive token-set
+    * fingerprint; emits only actual duplicate groups. */
+  def dedupTokenSet(t: Tables): DataFrame =
+    t.documents
+      .groupBy(tokenSetFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("canonical_id"))
+
+  /** Exact 3-gram-shingle Jaccard over candidate pairs bucketed by
+    * (lang, source). The bucket join is the candidate generator (cf.
+    * MinHash-LSH in [[Dedup]] for the unbucketed scale path); the
+    * 0.5 threshold sits in a wide empirical gap of the similarity
+    * distribution, so the cut is stable. */
+  def jaccardPairs(t: Tables): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      shingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Content fingerprints per document (md5 + sha256 + short prefix). */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      sha2(col("text"), 256).as("fp_sha256"),
+      substring(md5(col("text")), 1, 8).as("fp_short"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> ((s, d) => tokenStats(Tables(s, d))),
+    "q21_word_freq" -> ((s, d) => wordFrequencies(Tables(s, d))),
+    "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d))),
+    "q23_corpus_stats" -> ((s, d) => corpusStats(Tables(s, d))),
+    "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
+    "q25_dedup_tokenset" -> ((s, d) => dedupTokenSet(Tables(s, d))),
+    "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d))),
+    "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_types,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q21_word_freq" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |ORDER BY n DESC, word
+        |LIMIT 30""".stripMargin,
+    "q22_quality_scores" ->
+      """SELECT doc_id, n_tokens, ttr, stop_ratio,
+        |  ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the')) AS DOUBLE)
+        |      / len(toks) AS stop_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q23_corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |    AS avg_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY canonical_id""".stripMargin,
+    "q25_dedup_tokenset" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    string_split(text, ' '))), ' ')) AS fp,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+    "q26_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, lang, source, text,
+        |          string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "q27_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+        |  substr(md5(text), 1, 8) AS fp_short
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("jaccard: exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("shingles: 3-grams of a 5-token doc; short docs collapse") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val got = df.select(shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("languageId: profile overlap, tie goes to earliest, none -> und") {
+    val profiles = Map("en" -> Seq("the", "cat"), "es" -> Seq("el", "que"))
+    val df = Seq("the cat sat", "el que canta", "zzz qqq", "the el")
+      .toDF("text")
+    val got = df.select(languageId(col("text"), profiles)).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "und", "en"))
+  }
+
+  test("minhash LSH finds every exact-duplicate pair (j=1 recall is 1)") {
+    val docs = Tables(spark, sf).documents
+      .union(Tables(spark, sf).documents.limit(5)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val exactPairs = docs.alias("a").join(docs.alias("b"),
+        col("a.text") === col("b.text") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.size >= 5)
+    val found = Dedup.minhashDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missing: ${exactPairs.diff(found)}")
+    // and every reported pair really clears the threshold
+    assert(Dedup.minhashDedup(docs).filter(col("jaccard") < 0.5).isEmpty)
+  }
+
+  test("simhash: identical texts collide at hamming 0") {
+    val docs = Tables(spark, sf).documents.limit(20)
+      .union(Tables(spark, sf).documents.limit(3)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val pairs = Dedup.simhashDedup(docs).filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1000000L), (1L, 1000001L), (2L, 1000002L))
+      .subsetOf(pairs))
+  }
+
+  test("dedup_exact partitions the corpus (sum of copies = corpus size)") {
+    val t = Tables(spark, sf)
+    val total = TextAnalysis.dedupExact(t)
+      .agg(sum("n_copies")).head.getLong(0)
+    assert(total == t.documents.count())
+  }
+
+  test("quality score stays in [0,1] and ttr <= 1") {
+    val bad = TextAnalysis.qualityScores(Tables(spark, sf))
+      .filter(col("quality") < 0 || col("quality") > 1 || col("ttr") > 1)
+    assert(bad.isEmpty)
+  }
+}
