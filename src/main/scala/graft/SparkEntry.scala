@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
-    QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql)
+    QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
+    QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Three tiers, in increasing scale-readiness:
+  *
+  *  1. [[cosineTopK]] — brute force: broadcast the (small) query set
+  *     against the full corpus, rank per query. This is the correctness
+  *     baseline and, with a broadcast join + TakeOrdered-style window,
+  *     is actually the right plan whenever |queries| is small: one scan
+  *     of the corpus, no corpus-side shuffle of vectors.
+  *  2. [[annRandomHyperplane]] — sign-random-projection LSH: 16-bit
+  *     signatures from fixed seeded hyperplanes, banded 8x2; candidates
+  *     share a band bucket, then exact rerank. Corpus-side cost is one
+  *     projection pass + bucket join; recall measured in tests.
+  *  3. [[ivfTopK]] — IVF-style coarse quantization: centroids per
+  *     partition cell (the `label` column stands in for a k-means
+  *     assignment), queries probe the `nprobe` nearest cells only.
+  *     At 100 TB this is the layout you'd bake into the table
+  *     (partitionBy(cell)), turning ANN into partition pruning.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** Brute-force exact top-k neighbors for query vectors `vec_id < nQueries`. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = withNorm(embeddings)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val sims = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn"))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** All-pairs similarity join at a threshold chosen inside a wide gap
+    * of the data's similarity distribution. O(n²) verification is fine
+    * at bench scale; the LSH/IVF paths below are the candidate pruners
+    * you switch to when n² stops fitting. */
+  def similarPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val emb = withNorm(embeddings)
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Fixed hyperplanes from a seeded generator — deterministic across
+    * runs and engines; materialized as literal arrays in the plan. */
+  private def hyperplanes(nPlanes: Int): Seq[Column] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(array(Seq.fill(Dim)(lit(rnd.nextGaussian())): _*))
+  }
+
+  /** Sign-random-projection signature: bit k = (v · plane_k) > 0. */
+  def rpSignature(v: Column, planes: Seq[Column]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, p) > 0, shiftleft(lit(1), i)).otherwise(0)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN via banded random-hyperplane LSH + exact rerank. */
+  def annRandomHyperplane(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nPlanes: Int = 16, bands: Int = 8): DataFrame = {
+    val bitsPerBand = nPlanes / bands
+    val planes = hyperplanes(nPlanes)
+    val emb = withNorm(embeddings)
+      .withColumn("sig", rpSignature(col("embedding"), planes))
+    val banded = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          shiftright(col("sig"), bnd * bitsPerBand)
+            .bitwiseAND((1 << bitsPerBand) - 1).as("bk"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val qSide = banded.filter(col("vec_id") < nQueries)
+      .select(col("band"), col("bk"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = banded
+      .join(broadcast(qSide), Seq("band", "bk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qv"), col("qn"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("qv"), col("embedding")), col("qn"),
+          col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Element-wise mean vector per cell: posexplode + groupBy(cell, pos)
+    * — fully distributed, no driver-side vector math. */
+  def centroids(emb: DataFrame, cellCol: String): DataFrame =
+    emb.select(col(cellCol).as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), s => s.getField("m")).as("centroid"))
+
+  /** IVF-style ANN: probe the `nprobe` cells whose centroids are
+    * nearest to the query, exact-rank inside those cells only. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 3)
+      : DataFrame = {
+    val emb = withNorm(embeddings)
+    val cents = centroids(emb, "label")
+      .withColumn("cn", norm(col("centroid")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        cosinePrenormed(dot(col("qv"), col("centroid")), col("qn"),
+          col("cn")).as("csim"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("label").as("cell"),
+        col("embedding"), col("nrm"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(dot(col("qv"), col("embedding")), col("qn"),
+          col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
+    "q32_similar_pairs" -> ((s, d) => similarPairs(Tables(s, d).embeddings)),
+    "q33_ann_rp_lsh" -> ((s, d) => annRandomHyperplane(Tables(s, d).embeddings)),
+    "q34_ann_ivf" -> ((s, d) => ivfTopK(Tables(s, d).embeddings))
+  )
+
+  private def simSql(an: String, bn: String): String =
+    s"(${dotSql(s"$an.embedding", s"$bn.embedding", Dim)}) / " +
+      s"(sqrt(${norm2Sql(s"$an.embedding", Dim)}) * " +
+      s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_cosine_topk" ->
+      s"""SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${simSql("q", "n")} AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${simSql("q", "n")} DESC, n.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10
+         |    AND n.vec_id <> q.vec_id) t
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q32_similar_pairs" ->
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${simSql("a", "b")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${simSql("a", "b")} >= 0.45
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

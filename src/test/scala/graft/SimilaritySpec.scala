@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("dot/cosine basics") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
+    val c = df.select(cosine(col("a"), col("a"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("self-similarity: identical planted vector ranks first") {
+    val emb = t.embeddings
+    val planted = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(999999L))
+    val r = Similarity.cosineTopK(emb.union(planted), nQueries = 10, k = 1)
+      .filter(col("query_id") === 3).head
+    assert(r.getAs[Long]("neighbor_id") == 999999L)
+    assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("RP-LSH ANN recall vs brute force is substantial") {
+    val brute = Similarity.cosineTopK(t.embeddings, 10, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annRandomHyperplane(t.embeddings, 10, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("IVF ANN recall vs brute force is substantial") {
+    val brute = Similarity.cosineTopK(t.embeddings, 10, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(t.embeddings, 10, 5, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("ANN results are always a subset of the corpus and well-ranked") {
+    val ann = Similarity.annRandomHyperplane(t.embeddings, 10, 5)
+    val bad = ann.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5)
+    assert(bad.isEmpty)
+    // ranks are 1..k contiguous
+    val ranks = ann.filter(col("query_id") === 0)
+      .select("rank").as[Int].collect().toSeq
+    assert(ranks == (1 to ranks.size))
+  }
+}
