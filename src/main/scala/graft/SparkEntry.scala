@@ -15,7 +15,9 @@ object SparkEntry {
     QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
-    QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql)
+    QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),
+    QueryModule(operators.Describe.queries, operators.Describe.oracleSql),
+    QueryModule(operators.WaqiParity.queries, operators.WaqiParity.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
