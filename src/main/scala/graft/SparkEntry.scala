@@ -17,7 +17,9 @@ object SparkEntry {
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),
     QueryModule(operators.Describe.queries, operators.Describe.oracleSql),
-    QueryModule(operators.WaqiParity.queries, operators.WaqiParity.oracleSql)
+    QueryModule(operators.WaqiParity.queries, operators.WaqiParity.oracleSql),
+    QueryModule(streaming.StreamingOps.queries, streaming.StreamingOps.oracleSql),
+    QueryModule(multimodal.Multimodal.queries, multimodal.Multimodal.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Event-time processing over the `events` stream — the
+  * generalization of the reference's daily batch cadence (O2,
+  * `/root/reference/dags/airflow_dag.py:27,29`) into Structured
+  * Streaming (SURVEY.md §2, streaming row).
+  *
+  * Every transform here takes a DataFrame that may be EITHER batch or
+  * streaming — identical plans both ways, which is how the operators
+  * are oracle-checked (batch vs DuckDB) while the streaming behavior
+  * (watermark, late-data drop ≈ the reference's catchup=False) is
+  * asserted with MemoryStream in StreamingSpec.
+  *
+  * Scale notes: windowed aggregation state is keyed by
+  * (window, group); the watermark bounds state size. Session windows
+  * use Spark's built-in session_window (merging state), and the
+  * custom sessionizer shows the flatMapGroupsWithState escape hatch
+  * for semantics the built-ins can't express.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time windows with per-type aggregates. */
+  def tumblingCounts(events: DataFrame, width: String = "1 day",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (width 2 days, slide 1 day): each event lands in
+    * two windows. */
+  def slidingCounts(events: DataFrame, width: String = "2 days",
+      slide: String = "1 day", watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Gap-based session windows per user (built-in session_window). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("last_ts"), col("n_events"))
+
+  // --- custom stateful sessionization (flatMapGroupsWithState) -------
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double,
+      event_type: String = "click")
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      n_events: Long)
+
+  /** Streaming sessionizer with explicit state — the
+    * flatMapGroupsWithState escape hatch for semantics the built-in
+    * session_window can't express (e.g. sessions that also close on a
+    * logout event). A session is emitted when a later event from the
+    * same user arrives past the gap; in production you'd add an
+    * EventTimeTimeout so idle sessions flush on watermark advance. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last < gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                out += Session(user, new Timestamp(s.start), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch queries (oracle-checked): same operators, batch input. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_tumbling_daily" -> ((s, d) =>
+      tumblingCounts(Tables(s, d).events)
+        .orderBy("window_start", "event_type")),
+    "q41_sliding_2d" -> ((s, d) =>
+      slidingCounts(Tables(s, d).events).orderBy("window_start")),
+    "q42_session_windows" -> ((s, d) =>
+      sessionWindows(Tables(s, d).events)
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q41_sliding_2d" ->
+      """SELECT window_start, COUNT(*) AS n FROM (
+        |  SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP),
+        |                 CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP)])
+        |    AS window_start, ts
+        |  FROM events) t
+        |WHERE ts >= window_start AND ts < window_start + INTERVAL 2 DAY
+        |GROUP BY window_start
+        |ORDER BY window_start""".stripMargin,
+    "q42_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL 30 MINUTE OR
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+        |  COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

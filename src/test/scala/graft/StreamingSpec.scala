@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window streaming agg over MemoryStream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps
+      .tumblingCounts(mem.toDF(), width = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1.0),
+      Event(1, ts("2024-01-01 10:55:00"), 2.0),
+      Event(2, ts("2024-01-01 11:05:00"), 3.0))
+    q.processAllAvailable()
+    val got = spark.table("tumbling_out")
+      .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(got == Map(ts("2024-01-01 10:00:00") -> 2L,
+      ts("2024-01-01 11:00:00") -> 1L))
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps
+      .tumblingCounts(mem.toDF(), width = "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    mem.addData(Event(1, ts("2024-01-01 10:10:00"), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    mem.addData(Event(1, ts("2024-01-01 13:00:00"), 1.0))
+    q.processAllAvailable()
+    // this event is >30min behind the watermark: must be dropped
+    mem.addData(Event(1, ts("2024-01-01 10:20:00"), 99.0))
+    mem.addData(Event(1, ts("2024-01-01 13:30:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts("2024-01-01 17:00:00"), 1.0))
+    q.processAllAvailable()
+    val got = spark.table("late_out")
+      .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(got(ts("2024-01-01 10:00:00")) == 1L) // late row NOT counted
+  }
+
+  test("custom stateful sessionizer emits gap-separated sessions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    mem.addData(
+      Event(7, ts("2024-01-01 10:00:00"), 1.0),
+      Event(7, ts("2024-01-01 10:10:00"), 1.0),
+      // 40-minute gap -> new session; first session should be emitted
+      Event(7, ts("2024-01-01 10:50:00"), 1.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions_out")
+      .as[StreamingOps.Session].collect()
+    q.stop()
+    assert(got.toSeq == Seq(StreamingOps.Session(7,
+      ts("2024-01-01 10:00:00"), 2)))
+  }
+
+  test("batch session windows match the gaps-and-islands definition") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:29:59"), 1.0), // same session (gap < 30m)
+      (1L, ts("2024-01-01 11:00:00"), 1.0), // 30:01 gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val got = StreamingOps.sessionWindows(events)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 11:00:00"), 1L),
+      (2L, ts("2024-01-01 10:00:00"), 1L)))
+  }
+}
