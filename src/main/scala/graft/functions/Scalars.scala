@@ -11,7 +11,10 @@ object Scalars {
     * uppercased, ALL the rest lowercased. Differs from `initcap`,
     * which capitalizes every word. */
   def capitalize(c: Column): Column =
-    concat(upper(substring(c, 1, 1)), lower(substring(c, 2, 1000000)))
+    // tail length bounded by length(c): Spark's Substring cost is
+    // proportional to the LITERAL length argument, so a "big enough"
+    // constant like 1000000 makes every row pay for a 1MB bound
+    concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
 
   /** Reference keeps `day` as a string (SURVEY.md §1.2); this is the
     * opt-in normalization to a real date. */

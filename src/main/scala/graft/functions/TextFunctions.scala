@@ -38,10 +38,27 @@ object TextFunctions {
       .otherwise(array(text)))
   }
 
+  /** [[shingles]] + lexicographic sort in one custom-expression pass
+    * ([[graft.plans.SortedShinglesExpr]]) — same value as
+    * `array_sort(shingles(text, n))`, ~10x cheaper. Use for every
+    * pairwise-similarity path (pairs with [[jaccardSorted]]). */
+  def sortedShingles(text: Column, n: Int): Column =
+    graft.plans.FastOps.sortedShingles(text, n)
+
   /** Exact Jaccard similarity of two pre-deduplicated string arrays.
     * Integer set sizes -> double division: bit-identical cross-engine. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Jaccard for pre-SORTED deduplicated arrays: one codegen'd merge
+    * pass ([[graft.plans.SortedIntersectSizeExpr]]) instead of two
+    * hash-set builds per pair. |A∪B| = |A|+|B|-|A∩B|, so the value is
+    * identical to [[jaccard]]. Sort once per row with array_sort
+    * before the pair join. */
+  def jaccardSorted(aSorted: Column, bSorted: Column): Column = {
+    val inter = graft.plans.FastOps.sortedIntersectSize(aSorted, bSorted)
+    inter.cast("double") / (size(aSorted) + size(bSorted) - inter)
+  }
 
   /** Token count via BPE-ish approximation: words plus punctuation
     * runs. On the synthetic word bags this equals the word count; on

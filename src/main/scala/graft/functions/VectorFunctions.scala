@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  /** Σ aᵢ·bᵢ in double, left-to-right. Backed by the codegen'd
+    * [[graft.plans.DotProductExpr]] — bit-identical to the
+    * `aggregate(zip_with(...))` fold (see [[dotFold]]) but ~100x
+    * cheaper per evaluation, which dominates all-pairs similarity. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.FastOps.dotProduct(a, b)
+
+  /** The reference implementation of [[dot]] in pure built-ins; kept
+    * for the equivalence test. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   /** Σ aᵢ² in double, left-to-right. */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def norm2(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(norm2(a))
 

@@ -33,7 +33,7 @@ object Dedup {
       : DataFrame = {
     docs
       .select(col("doc_id"),
-        explode(shingles(col("text"), shingleSize)).as("sh"))
+        explode(sortedShingles(col("text"), shingleSize)).as("sh"))
       .select(col("doc_id"), permutedHashes(col("sh"), numPerms).as("hs"))
       .groupBy(col("doc_id"))
       .agg(array((0 until numPerms).map(i =>
@@ -74,11 +74,12 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val sh = docs.select(col("doc_id"),
-      shingles(col("text"), shingleSize).as("sh"))
+      sortedShingles(col("text"), shingleSize).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .select(col("d1"), col("d2"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
   }

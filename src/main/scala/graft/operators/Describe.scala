@@ -25,25 +25,130 @@ object Describe {
 
   /** pandas-describe-compatible stats for the given numeric columns,
     * one output row per column. Stddev is the sample (ddof=1) form
-    * computed from exact decimal sums: sqrt((Σx² - (Σx)²/n)/(n-1)). */
-  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
+    * computed from exact decimal sums: sqrt((Σx² - (Σx)²/n)/(n-1)).
+    *
+    * All columns are aggregated in ONE pass over the table (a single
+    * partial+final aggregate, no per-column rescan); the wide 1-row
+    * result is then exploded to the per-column long layout driver-side
+    * shape. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
       val dec = col(c).cast("decimal(18,2)")
-      val s = sum(dec).cast("double")
-      val s2 = sum(dec * dec).cast("double")
-      val n = count(col(c))
-      df.agg(
-        n.as("n"),
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(dec).cast("double").as(s"${c}__s"),
+        sum(dec * dec).cast("double").as(s"${c}__s2"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        percentile(col(c), lit(0.25)).as(s"${c}__p25"),
+        percentile(col(c), lit(0.5)).as(s"${c}__p50"),
+        percentile(col(c), lit(0.75)).as(s"${c}__p75"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val n = col(s"${c}__n")
+      val s = col(s"${c}__s")
+      val s2 = col(s"${c}__s2")
+      struct(
+        lit(c).as("column"), n.as("n"),
         (s / n).as("mean"),
         sqrt((s2 - s * s / n) / (n - lit(1))).as("stddev"),
-        min(col(c)).cast("double").as("min"),
-        percentile(col(c), lit(0.25)).as("p25"),
-        percentile(col(c), lit(0.5)).as("p50"),
-        percentile(col(c), lit(0.75)).as("p75"),
-        max(col(c)).cast("double").as("max"))
-        .select(lit(c).as("column"), col("n"), col("mean"), col("stddev"),
-          col("min"), col("p25"), col("p50"), col("p75"), col("max"))
-    }.reduce(_.unionAll(_)).orderBy(col("column"))
+        col(s"${c}__min").as("min"), col(s"${c}__p25").as("p25"),
+        col(s"${c}__p50").as("p50"), col(s"${c}__p75").as("p75"),
+        col(s"${c}__max").as("max"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("column"))
+  }
+
+  /** Exact linear-interpolation quantiles via value counts: one
+    * groupBy(value) shuffle (domain-sized, not data-sized) + a
+    * cumulative window over the distinct values, then interpolation of
+    * the <= 2·|probs| boundary values driver-side — the same scalars a
+    * subquery would pull. Matches `percentile`/`quantile_cont` bitwise
+    * (identical h = p(n-1), lo + d·(hi-lo) arithmetic) while avoiding
+    * Percentile's per-partition hashmap of every distinct value.
+    * The window runs over the aggregated DOMAIN (|values| rows); for a
+    * near-continuous column at cluster scale you'd range-partition the
+    * counts and prefix-sum per range instead. */
+  def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double],
+      knownCount: Option[Long] = None): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = knownCount.getOrElse(df.filter(col(c).isNotNull).count())
+    if (n == 0) return probs.map(_ => Double.NaN)
+    val positions = probs.map { p =>
+      val h = p * (n - 1)
+      (h, math.floor(h).toLong, math.ceil(h).toLong)
+    }
+    val wanted = positions.flatMap(x => Seq(x._2, x._3)).distinct.sorted
+    val cum = df.groupBy(col(c).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    // value at 0-based sorted index i is the first v with cum > i
+    val boundary = cum
+      .filter(wanted.map(i => col("cum") > i &&
+        (col("cum") - col("cnt")) <= i).reduce(_ || _))
+      .select(col("v"), col("cnt"), col("cum"))
+      .collect()
+    val at = wanted.map { i =>
+      i -> boundary.find(r =>
+        r.getAs[Long]("cum") > i &&
+          r.getAs[Long]("cum") - r.getAs[Long]("cnt") <= i).get
+        .getAs[Double]("v")
+    }.toMap
+    positions.map { case (h, lo, hi) =>
+      val (vl, vh) = (at(lo), at(hi))
+      vl + (h - lo) * (vh - vl)
+    }
+  }
+
+  /** [[exact]] for big/near-continuous data: moments in one scan,
+    * quartiles via [[exactQuantiles]] (domain-sized counts instead of
+    * Percentile's all-distinct-values hashmap). Values are bit-
+    * identical to [[exact]]; the result is assembled driver-side from
+    * the collected scalars. */
+  def exactLarge(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val aggs = cols.flatMap { c =>
+      val dec = col(c).cast("decimal(18,2)")
+      Seq(count(col(c)), sum(dec).cast("double"),
+        sum(dec * dec).cast("double"), min(col(c)).cast("double"),
+        max(col(c)).cast("double"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = cols.sorted.map { c =>
+      val b = cols.indexOf(c) * 5
+      val n = r.getLong(b)
+      val s = r.getDouble(b + 1)
+      val s2 = r.getDouble(b + 2)
+      val qs = exactQuantiles(df, c, Seq(0.25, 0.5, 0.75), Some(n))
+      org.apache.spark.sql.Row(c, n, s / n,
+        math.sqrt((s2 - s * s / n) / (n - 1)), r.getDouble(b + 3),
+        qs(0), qs(1), qs(2), r.getDouble(b + 4))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mean",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("stddev",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("min",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p25",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p50",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p75",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("max",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 
   /** Spark-native approximate path (percentile_approx under the hood). */
   def fast(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -69,7 +174,7 @@ object Describe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_describe_lineitem" ->
-      ((s, d) => exact(Tables(s, d).lineitem, LineitemCols))
+      ((s, d) => exactLarge(Tables(s, d).lineitem, LineitemCols))
   )
 
   private def describeSql(c: String): String =

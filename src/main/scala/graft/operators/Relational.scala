@@ -241,8 +241,7 @@ object Relational {
     t.customer
       .select(
         col("c_custkey"),
-        concat(upper(substring(col("c_mktsegment"), 1, 1)),
-          lower(substring(col("c_mktsegment"), 2, 1000000)))
+        graft.functions.Scalars.capitalize(col("c_mktsegment"))
           .as("segment_capitalized"),
         length(col("c_name")).as("name_len"),
         replace(col("c_name"), lit("Customer#"), lit("C-")).as("short_name"),

@@ -95,9 +95,11 @@ object TextAnalysis {
     * 0.5 threshold sits in a wide empirical gap of the similarity
     * distribution, so the cut is stable. */
   def jaccardPairs(t: Tables): DataFrame = {
+    // sorted once per doc -> each pair evaluation is a single
+    // zero-allocation merge pass (SortedIntersectSizeExpr)
     val docs = t.documents.select(
       col("doc_id"), col("lang"), col("source"),
-      shingles(col("text"), 3).as("sh"))
+      sortedShingles(col("text"), 3).as("sh"))
     val a = docs.select(col("lang"), col("source"),
       col("doc_id").as("d1"), col("sh").as("sh1"))
     val b = docs.select(col("lang"), col("source"),
@@ -105,7 +107,7 @@ object TextAnalysis {
     a.join(b, Seq("lang", "source"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        jaccard(col("sh1"), col("sh2")).as("jaccard"))
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }

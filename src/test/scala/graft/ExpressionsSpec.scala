@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  test("DotProductExpr is bit-identical to the higher-order fold") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < 5 && col("j") < 20)
+    val diff = pairs.select(
+        VectorFunctions.dot(col("a"), col("b")).as("fast"),
+        VectorFunctions.dotFold(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")) // bitwise-exact equality
+    assert(diff.isEmpty)
+  }
+
+  test("DotProductExpr handles mixed float/double arrays") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(0.5, 0.25, 2.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b")))
+      .head.getDouble(0) == 1 * 0.5 + 2 * 0.25 + 3 * 2.0)
+  }
+
+  test("sortedIntersectSize equals size(array_intersect) on sorted sets") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"),
+        array_sort(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val pairs = docs.select(col("doc_id").as("i"), col("sh").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("j"), col("sh").as("b")))
+      .filter(col("i") < 10 && col("j") < 30)
+    val diff = pairs.select(
+        graft.plans.FastOps.sortedIntersectSize(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("slow"),
+        TextFunctions.jaccardSorted(col("a"), col("b")).as("jfast"),
+        TextFunctions.jaccard(col("a"), col("b")).as("jslow"))
+      .filter(col("fast") =!= col("slow") || col("jfast") =!= col("jslow"))
+    assert(diff.isEmpty)
+  }
+
+  test("null inputs propagate null") {
+    val df = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(VectorFunctions.dot(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+}
