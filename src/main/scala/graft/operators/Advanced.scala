@@ -124,7 +124,23 @@ object Advanced {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
 
+  /** Typed-Aggregator UDAF surface: discount-weighted mean price per
+    * return flag (zero-weight rows excluded so both engines avoid the
+    * 0/0 case). Values match the oracle bitwise because the buffer is
+    * exact scaled-integer arithmetic (see
+    * [[graft.functions.WeightedMean]]). */
+  def weightedMeanPrice(t: Tables): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    t.lineitem
+      .filter(col("l_discount") > 0)
+      .groupBy(col("l_returnflag"))
+      .agg(wm(col("l_extendedprice"), col("l_discount"))
+        .as("discount_weighted_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_weighted_mean" -> ((s, d) => weightedMeanPrice(Tables(s, d))),
     "q19_grouping_sets" -> ((s, d) => orderGroupingSets(Tables(s, d))),
     "q46_asof_join" -> ((s, d) => asofOrders(Tables(s, d))),
     "q47_range_join" -> ((s, d) => purchaseErrorPairs(Tables(s, d))),
@@ -133,6 +149,16 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q51_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS discount_weighted_price
+        |FROM lineitem
+        |WHERE l_discount > 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q19_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
