@@ -14,6 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
     QueryModule(operators.Advanced.queries, operators.Advanced.oracleSql),
+    QueryModule(operators.FunctionBreadth.queries,
+      operators.FunctionBreadth.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),

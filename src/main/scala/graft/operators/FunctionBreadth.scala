@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+
+/** Scalar / date / window / reshape function breadth — the library's
+  * coverage of the everyday expression surface (each function used in
+  * at least one oracle-checked query).
+  *
+  * Deliberately excluded from oracle checks: transcendentals
+  * (log/exp/pow) whose libm implementations are not guaranteed
+  * correctly-rounded across engines — sqrt IS IEEE-exact and is used
+  * in Describe/Similarity. */
+object FunctionBreadth {
+
+  /** Math + conditional scalars over lineitem. */
+  def mathScalars(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") <= 2000)
+      .select(
+        col("l_orderkey"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        round(col("l_extendedprice") / 1000, 1).as("price_k"),
+        floor(col("l_quantity") / 7).as("qty_div7"),
+        ceil(col("l_extendedprice") / 10000).as("price_ceil_10k"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        signum(col("l_quantity") - 25).as("dev_sign"),
+        when(col("l_quantity") >= 40, "high")
+          .when(col("l_quantity") >= 15, "mid")
+          .otherwise("low").as("qty_band"),
+        nullif(col("l_discount"), lit(0.0)).as("nonzero_disc"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+          .as("disc_or_flag"))
+      .orderBy(col("l_orderkey"))
+
+  /** Date/time scalar functions over orders. */
+  def dateScalars(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow0"), // 0=Sunday
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** Window-function suite over orders per customer: offsets, ranks,
+    * running (decimal-exact) sums, distribution functions. */
+  def windowSuite(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRunning = w.rowsBetween(Window.unboundedPreceding, 0)
+    t.orders
+      .filter(col("o_custkey") <= 300)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        row_number().over(w).as("rn"),
+        rank().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderstatus"))).as("status_rank"),
+        dense_rank().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderstatus"))).as("status_dense_rank"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wRunning)
+          .cast("double").as("running_total"),
+        first(col("o_orderkey")).over(wRunning).as("first_key"),
+        max(col("o_totalprice")).over(wRunning).as("running_max"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Wide -> long unpivot of the four lineitem measures (stack). */
+  def unpivotMeasures(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(4,
+          'quantity', l_quantity,
+          'extendedprice', l_extendedprice,
+          'discount', l_discount,
+          'tax', l_tax) as (measure, value)"""))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_math_scalars" -> ((s, d) => mathScalars(Tables(s, d))),
+    "q53_date_scalars" -> ((s, d) => dateScalars(Tables(s, d))),
+    "q54_window_suite" -> ((s, d) => windowSuite(Tables(s, d))),
+    "q55_unpivot" -> ((s, d) => unpivotMeasures(Tables(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_math_scalars" ->
+      """SELECT l_orderkey,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  round(l_extendedprice / 1000, 1) AS price_k,
+        |  floor(l_quantity / 7) AS qty_div7,
+        |  ceil(l_extendedprice / 10000) AS price_ceil_10k,
+        |  l_orderkey % 7 AS key_mod7,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate,
+        |  CASE WHEN l_quantity - 25 > 0 THEN 1.0
+        |       WHEN l_quantity - 25 < 0 THEN -1.0 ELSE 0.0 END AS dev_sign,
+        |  CASE WHEN l_quantity >= 40 THEN 'high'
+        |       WHEN l_quantity >= 15 THEN 'mid' ELSE 'low' END AS qty_band,
+        |  nullif(l_discount, 0.0) AS nonzero_disc,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag
+        |FROM lineitem
+        |WHERE l_linenumber = 1 AND l_orderkey <= 2000
+        |ORDER BY l_orderkey""".stripMargin,
+    "q53_date_scalars" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) AS dow0,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS days_to_2002
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q54_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus)
+        |    AS status_rank,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus)
+        |    AS status_dense_rank,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  FIRST_VALUE(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS first_key,
+        |  MAX(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS running_max
+        |FROM orders
+        |WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q55_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |    l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+  )
+}

@@ -29,6 +29,15 @@ object WaqiParity {
       Flatten.perPollutant(
         WaqiSource.ok(WaqiSource.parse(s.createDataset(WaqiFixtures.all))),
         "pm25").orderBy("country", "day")
+    }),
+    // same flatten, but the payloads arrive through the DataSource V2
+    // table (one input partition per city) instead of a local Dataset
+    "q63_waqi_dsv2_source" -> ((s, _) => {
+      import s.implicits._
+      val raw = s.read.format("graft.sources.WaqiTableProvider").load()
+        .as[(String, String)]
+      Flatten.longFormat(WaqiSource.ok(WaqiSource.parse(raw)),
+        WaqiSource.Pollutants).orderBy("pollutant", "country", "day")
     })
   )
 
