@@ -91,12 +91,44 @@ object Multimodal {
         sha2(concat(col("media_id").cast("string"), lit(":"),
           col("frame_ts_ms").cast("string")), 256))
 
+  /** Per-partition BATCHED decode — the Scala analog of a Python
+    * `mapInPandas` decode UDF: rows stream through in groups of
+    * `batchSize` so a real codec can amortize model/codec setup per
+    * batch (exactly the shape a GPU feature extractor needs). The
+    * decode itself is the same deterministic stub. */
+  def decodeBatched(media: DataFrame, dim: Int = 16, batchSize: Int = 64)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // REAL IMPLEMENTATION: load codec/model ONCE per batch here.
+          batch.map { case (id, bytes) =>
+            val feat = Array.tabulate(dim) { i =>
+              // same fake as decodeStub: hash-derived "pixels"
+              val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+                .hashUnsafeBytes(bytes,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  bytes.length, i)
+              (Math.floorMod(h, 256) / 255.0f)
+            }
+            (id, feat)
+          }
+        }
+      }.toDF("media_id", "feature")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_features" -> ((s, d) =>
       extractFeatures(syntheticMedia(Tables(s, d))).orderBy("media_id")),
     "q45_video_frame_sample" -> ((s, d) =>
       sampleFrames(syntheticMedia(Tables(s, d)))
-        .orderBy("media_id", "frame_ts_ms"))
+        .orderBy("media_id", "frame_ts_ms")),
+    "q56_multimodal_batched_decode" -> ((s, d) =>
+      decodeBatched(syntheticMedia(Tables(s, d))).orderBy("media_id"))
   )
 
   val oracleSql: Map[String, String] = Map()

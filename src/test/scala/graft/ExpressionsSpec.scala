@@ -49,4 +49,22 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = df.select(VectorFunctions.dot(col("a"), col("b"))).head
     assert(r.isNullAt(0))
   }
+
+  test("RewriteDotProductRule rewrites the naive fold into DotProductExpr") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val naive = emb.select(
+      VectorFunctions.dotFold(col("embedding"), col("embedding")).as("d"))
+    val rewritten =
+      graft.plans.RewriteDotProductRule(naive.queryExecution.analyzed)
+    val found = rewritten.expressions.flatMap(_.collect {
+      case e: graft.plans.DotProductExpr => e
+    })
+    assert(found.nonEmpty, s"no DotProductExpr in:\n$rewritten")
+    // and the rewritten plan computes the same values
+    val viaRule =
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
+    val a = viaRule.orderBy("d").collect().map(_.getDouble(0)).toSeq
+    val b = naive.orderBy("d").collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
 }
