@@ -16,6 +16,7 @@ object SparkEntry {
     QueryModule(operators.Advanced.queries, operators.Advanced.oracleSql),
     QueryModule(operators.FunctionBreadth.queries,
       operators.FunctionBreadth.oracleSql),
+    QueryModule(operators.TpchShapes.queries, operators.TpchShapes.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),

@@ -102,6 +102,37 @@ object StreamingOps {
       }
   }
 
+  /** Streaming deduplication: exactly-once per `idCols` with state
+    * bounded by the watermark — the streaming form of
+    * TextAnalysis.dedupExact (late duplicates beyond the watermark are
+    * not guaranteed dropped; upstream replay inside it is). */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour",
+      idCols: Seq[String] = Seq("user_id", "ts")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: errors within `windowMinutes` after
+    * a purchase by the same user — the streaming form of
+    * Advanced.purchaseErrorPairs. Both sides carry watermarks so join
+    * state is evicted once event time passes the interval bound. */
+  def purchaseErrorStream(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("error_ts") >= col("purchase_ts") &&
+        col("error_ts") <=
+          col("purchase_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("error_ts"))
+  }
+
   /** Batch queries (oracle-checked): same operators, batch input. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_tumbling_daily" -> ((s, d) =>

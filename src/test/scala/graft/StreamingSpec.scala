@@ -93,4 +93,41 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 11:00:00"), 1L),
       (2L, ts("2024-01-01 10:00:00"), 1L)))
   }
+
+  test("streaming dedup drops exact duplicates within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1.0), // dup in same batch
+      Event(2, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1.0)) // dup later
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("stream-stream interval join pairs purchases with close errors") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.purchaseErrorStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1.0, "purchase"),
+      Event(1, ts("2024-01-01 10:10:00"), 1.0, "error"),   // within 30m
+      Event(1, ts("2024-01-01 11:30:00"), 1.0, "error"),   // too late
+      Event(2, ts("2024-01-01 10:05:00"), 1.0, "error"))   // other user
+    q.processAllAvailable()
+    val got = spark.table("ssjoin_out")
+      .select("user_id", "error_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, ts("2024-01-01 10:10:00"))))
+  }
 }
