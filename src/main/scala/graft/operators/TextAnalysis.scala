@@ -112,6 +112,22 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Sketch-based corpus cardinalities: HyperLogLog++ estimates of
+    * unique documents (by content fingerprint) and unique tokens, per
+    * source — the O(1)-memory scale path for "how much is duplicated?"
+    * before running full dedup. relativeSD 0.01 ≈ 1% standard error;
+    * the estimate-vs-exact bound is asserted in tests (rows-only for
+    * the oracle: DuckDB's HLL constants differ). */
+  def corpusCardinalitySketch(t: Tables): DataFrame =
+    t.documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text")), 0.01)
+          .as("approx_unique_docs"),
+        countDistinct(md5(col("text"))).as("exact_unique_docs"))
+      .orderBy(col("source"))
+
   /** Content fingerprints per document (md5 + sha256 + short prefix). */
   def fingerprints(t: Tables): DataFrame =
     t.documents.select(
@@ -129,7 +145,9 @@ object TextAnalysis {
     "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
     "q25_dedup_tokenset" -> ((s, d) => dedupTokenSet(Tables(s, d))),
     "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d))),
-    "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d)))
+    "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
+    "q65_cardinality_sketch" ->
+      ((s, d) => corpusCardinalitySketch(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(

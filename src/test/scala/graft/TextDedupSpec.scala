@@ -74,4 +74,14 @@ class TextDedupSpec extends AnyFunSuite {
       .filter(col("quality") < 0 || col("quality") > 1 || col("ttr") > 1)
     assert(bad.isEmpty)
   }
+
+  test("HLL sketch estimates unique docs within 5% of exact") {
+    val r = TextAnalysis.corpusCardinalitySketch(Tables(spark, sf))
+    r.collect().foreach { row =>
+      val approx = row.getAs[Long]("approx_unique_docs").toDouble
+      val exact = row.getAs[Long]("exact_unique_docs").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
 }
