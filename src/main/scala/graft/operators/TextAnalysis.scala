@@ -128,6 +128,37 @@ object TextAnalysis {
         countDistinct(md5(col("text"))).as("exact_unique_docs"))
       .orderBy(col("source"))
 
+  /** Stratified sampling by language — seeded `sampleBy`, the
+    * training-mix rebalancer (e.g. cap English at 20%, keep all of the
+    * low-resource strata). Deterministic for a fixed seed; rows-only
+    * for the oracle (engine-specific PRNG). */
+  def stratifiedSample(t: Tables,
+      fractions: Map[String, Double] =
+        Map("en" -> 0.2, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0,
+          "zh" -> 1.0),
+      seed: Long = 42L): DataFrame =
+    t.documents.stat.sampleBy("lang", fractions, seed)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Token-budget batch packing: documents in doc_id order are packed
+    * greedily into batches of at most ~`budget` tokens (running
+    * cumulative token count, batch = floor(cum / budget)) — the shape
+    * used to build context-length-bounded training shards. Exact
+    * integer arithmetic -> oracle-checkable. At scale the window runs
+    * per shard-key partition instead of one global ordering. */
+  def tokenBatches(t: Tables, budget: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.documents
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id",
+        floor((col("cum_tokens") - 1) / budget).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints per document (md5 + sha256 + short prefix). */
   def fingerprints(t: Tables): DataFrame =
     t.documents.select(
@@ -147,7 +178,9 @@ object TextAnalysis {
     "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d))),
     "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
     "q65_cardinality_sketch" ->
-      ((s, d) => corpusCardinalitySketch(Tables(s, d)))
+      ((s, d) => corpusCardinalitySketch(Tables(s, d))),
+    "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
+    "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,6 +253,15 @@ object TextAnalysis {
       """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
         |  substr(md5(text), 1, 8) AS fp_short
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q67_token_batches" ->
+      """SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS cum_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - 1) / 5000) AS BIGINT) AS batch_id
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -130,4 +130,51 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == Set((1L, ts("2024-01-01 10:10:00"))))
   }
+
+  test("file-source stream with checkpoint: AvailableNow equals batch") {
+    // events.parquet is TIMESTAMP(NANOS); declare ts as long and
+    // rebuild micros, exactly like Tables.events does for batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    // the file stream source requires a DIRECTORY of files
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamingOps.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; compare against
+    // the batch plan restricted to those same windows
+    val streamed = spark.read.parquet(outDir)
+    val batch = StreamingOps.tumblingCounts(
+      Tables(spark, "/root/testdata/sf0.001").events)
+    val maxClosed = streamed.agg(max("window_start")).head.getTimestamp(0)
+    val expected = batch.filter(col("window_start") <= maxClosed)
+    assert(streamed.count() > 0)
+    assert(streamed.except(expected).isEmpty &&
+      expected.except(streamed).isEmpty)
+  }
 }
