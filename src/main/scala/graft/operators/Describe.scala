@@ -177,12 +177,19 @@ object Describe {
       ((s, d) => exactLarge(Tables(s, d).lineitem, LineitemCols))
   )
 
+  // DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded for
+  // values whose scaled magnitude exceeds 2^53 (observed 1-ulp error on
+  // the sf0.1 sum of squares); the VARCHAR round-trip IS correctly
+  // rounded and therefore bit-matches Spark's BigDecimal.doubleValue.
+  private def d(expr: String): String =
+    s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
+
   private def describeSql(c: String): String =
     s"""SELECT '$c' AS "column", COUNT($c) AS n,
-       |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c) AS mean,
-       |  sqrt((CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-       |    - CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
-       |      * CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c))
+       |  ${d(s"SUM(CAST($c AS DECIMAL(18,2)))")} / COUNT($c) AS mean,
+       |  sqrt((${d(s"SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)))")}
+       |    - ${d(s"SUM(CAST($c AS DECIMAL(18,2)))")}
+       |      * ${d(s"SUM(CAST($c AS DECIMAL(18,2)))")} / COUNT($c))
        |    / (COUNT($c) - 1)) AS stddev,
        |  CAST(MIN($c) AS DOUBLE) AS min,
        |  quantile_cont($c, 0.25) AS p25,
