@@ -82,7 +82,25 @@ object TpchShapes {
       .orderBy(col("cntrycode"))
   }
 
+  /** TPC-H Q6 shape, served through the SQL-TEXT interface: the
+    * library's tables registered as temp views and the query executed
+    * with `spark.sql` — the surface a SQL-only user consumes. Same
+    * Catalyst plan as the DataFrame form (pushdown included). */
+  def forecastRevenueSql(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM graft_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_sql_forecast_revenue" -> ((s, d) => forecastRevenueSql(s, d)),
     "q57_priority_shipments" -> ((s, d) => priorityShipments(Tables(s, d))),
     "q58_promo_revenue" -> ((s, d) => promoRevenueShare(Tables(s, d))),
     "q59_brand_revenue" -> ((s, d) => brandRevenue(Tables(s, d))),
@@ -90,6 +108,14 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q68_sql_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q57_priority_shipments" ->
       """SELECT l_linestatus,
         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format breadth: parquet / ORC / JSON / CSV round-trips
+  * through the same DataFrame path the JSON air-quality source uses. */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001").documents
+
+  private def roundTrip(fmt: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_$fmt").toString + "/out"
+    val w = docs.write.mode("overwrite").options(opts)
+    w.format(fmt).save(dir)
+    var r = spark.read.options(opts).format(fmt)
+    val back = (fmt match {
+      case "csv" | "json" => r.schema(docs.schema).load(dir)
+      case _ => r.load(dir)
+    }).select(docs.columns.map(col): _*)
+    assert(back.count() == docs.count(), s"$fmt count")
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty,
+      s"$fmt values")
+  }
+
+  test("parquet round trip")(roundTrip("parquet"))
+  test("orc round trip")(roundTrip("orc"))
+  test("json round trip")(roundTrip("json"))
+  test("csv round trip")(
+    roundTrip("csv", Map("header" -> "true", "quote" -> "\"",
+      "escape" -> "\"")))
+}
