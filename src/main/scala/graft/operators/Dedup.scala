@@ -60,14 +60,19 @@ object Dedup {
     * 31-word-vocabulary synthetic corpus (high baseline similarity).
     */
   def minhashDedup(docs: DataFrame, shingleSize: Int = 3,
-      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.5)
-      : DataFrame = {
+      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     val rowsPerBand = numPerms / bands
     val sigs = minhashSignatures(docs, shingleSize, numPerms)
-    val buckets = sigs
+    val buckets0 = sigs
       .select(col("doc_id"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // scale guard: a degenerate band value (near-constant corpus) would
+    // turn the bucket self-join quadratic; cap bucket population —
+    // members of an over-full bucket still pair via their other bands,
+    // and truly identical docs are caught by exact dedup upstream
+    val buckets = capBuckets(buckets0, Seq("band", "bh"), maxBucket)
     val candidates = buckets.alias("x")
       .join(buckets.alias("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -82,6 +87,19 @@ object Dedup {
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Drop every bucket whose population exceeds `maxBucket` (computed
+    * with one count-window over the bucket key — no extra shuffle
+    * beyond the one the self-join needs anyway). */
+  private def capBuckets(buckets: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    buckets
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
   }
 
   /** 64-bit SimHash over the token multiset: per-bit signed vote
@@ -106,15 +124,21 @@ object Dedup {
   /** SimHash near-dup pairs: 4x16-bit chunk LSH (pigeonhole: any pair
     * with hamming distance <= 3 shares at least one exact chunk), then
     * exact hamming via bit_count(xor). */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val sh = simhashes(docs)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    val chunks0 = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("ck"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    // same quadratic-bucket guard as MinHash banding (weakens the
+    // pigeonhole guarantee only for over-full buckets, which a real
+    // corpus hits exactly when exact-dup groups should have been
+    // collapsed first)
+    val chunks = capBuckets(chunks0, Seq("chunk", "ck"), maxBucket)
     chunks.alias("x").join(chunks.alias("y"), Seq("chunk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
