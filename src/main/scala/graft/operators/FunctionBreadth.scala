@@ -99,7 +99,42 @@ object FunctionBreadth {
           'tax', l_tax) as (measure, value)"""))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
 
+  /** Correlation + least-squares regression of extendedprice on
+    * quantity, per returnflag — built from exact decimal moments
+    * rather than the engine's streaming `corr` (whose co-moment
+    * updates are order-dependent and so never hash-stable). All six
+    * sums are exact; the closed-form formulas then run in double,
+    * identically in both engines. */
+  def corrRegression(t: Tables): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        (col("sy") / col("n") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) *
+            (col("sx") / col("n"))).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
     "q52_math_scalars" -> ((s, d) => mathScalars(Tables(s, d))),
     "q53_date_scalars" -> ((s, d) => dateScalars(Tables(s, d))),
     "q54_window_suite" -> ((s, d) => windowSuite(Tables(s, d))),
@@ -107,6 +142,28 @@ object FunctionBreadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q69_corr_regression" -> {
+      // VARCHAR round-trip: DuckDB's direct decimal->double cast is not
+      // correctly rounded past 2^53 scaled (see q01/q50)
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      val sx = d("SUM(CAST(l_quantity AS DECIMAL(18,2)))")
+      val sy = d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")
+      val sxy = d("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))")
+      val sxx = d("SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))")
+      val syy = d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))")
+      s"""SELECT l_returnflag, n,
+         |  (n * sxy - sx * sy)
+         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |    AS corr_qty_price,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |  sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)
+         |    AS intercept
+         |FROM (
+         |  SELECT l_returnflag, COUNT(*) AS n, $sx AS sx, $sy AS sy,
+         |    $sxy AS sxy, $sxx AS sxx, $syy AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "q52_math_scalars" ->
       """SELECT l_orderkey,
         |  abs(l_quantity - 25) AS abs_dev,
