@@ -133,8 +133,34 @@ object FunctionBreadth {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Grouped exact percentiles (linear interpolation, matching
+    * quantile_cont bitwise — same arithmetic as Describe). */
+  def groupedPercentiles(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Deterministic array aggregation: per-order sorted line numbers
+    * and distinct part keys (collect_list/set are unordered by
+    * contract; array_sort makes the result hash-stable). */
+  def collectLines(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_orderkey") <= 200)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+        array_sort(collect_set(col("l_partkey"))).as("part_keys"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
+    "q70_grouped_percentiles" -> ((s, d) => groupedPercentiles(Tables(s, d))),
+    "q71_collect_arrays" -> ((s, d) => collectLines(Tables(s, d))),
     "q52_math_scalars" -> ((s, d) => mathScalars(Tables(s, d))),
     "q53_date_scalars" -> ((s, d) => dateScalars(Tables(s, d))),
     "q54_window_suite" -> ((s, d) => windowSuite(Tables(s, d))),
@@ -164,6 +190,24 @@ object FunctionBreadth {
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },
+    "q70_grouped_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q71_collect_arrays" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_linenumber)) AS line_numbers,
+        |  list_sort(list(DISTINCT l_partkey)) AS part_keys,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey <= 200
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     "q52_math_scalars" ->
       """SELECT l_orderkey,
         |  abs(l_quantity - 25) AS abs_dev,
