@@ -69,7 +69,7 @@ object TpchShapes {
     * ordered — scalar subquery + anti-join + substring bucketing. */
   def globalSalesOpportunity(t: Tables): DataFrame = {
     val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
-      .agg(avgD2(col("c_acctbal"))).head.getDouble(0)
+      .agg(avgD2(col("c_acctbal"))).head().getDouble(0)
     val code = substring(col("c_name"), -1, 1) // last digit of the name
     t.customer
       .filter(code.isin("1", "3", "5", "7", "9") &&
