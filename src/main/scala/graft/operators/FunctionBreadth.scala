@@ -157,7 +157,27 @@ object FunctionBreadth {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
 
+  /** Map-typed column surface: events.props parsed to map<string,long>
+    * (first-class MapType per SURVEY §1.2), with key/value extraction
+    * and map construction round-trip. */
+  def mapOps(t: Tables): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType))
+    t.events
+      .filter(col("event_id") <= 2000)
+      .select(
+        col("event_id"),
+        map_keys(m).as("prop_keys"),
+        element_at(m, "k").as("k_value"),
+        size(m).as("n_props"),
+        map_values(m).as("prop_values"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_map_ops" -> ((s, d) => mapOps(Tables(s, d))),
     "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
     "q70_grouped_percentiles" -> ((s, d) => groupedPercentiles(Tables(s, d))),
     "q71_collect_arrays" -> ((s, d) => collectLines(Tables(s, d))),
@@ -190,6 +210,16 @@ object FunctionBreadth {
          |  FROM lineitem GROUP BY l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },
+    "q72_map_ops" ->
+      """SELECT event_id,
+        |  json_keys(props) AS prop_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+        |  len(json_keys(props)) AS n_props,
+        |  [CAST(json_extract_string(props, '$.k') AS BIGINT)]
+        |    AS prop_values
+        |FROM events
+        |WHERE event_id <= 2000
+        |ORDER BY event_id""".stripMargin,
     "q70_grouped_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
