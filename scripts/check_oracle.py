@@ -6,14 +6,19 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 Runs each oracle_sql.json query in DuckDB against the parquet tables in
 sfDir, loads the Spark-written parquet from verifyOutDir/<name>/, sorts
 columns by name and rows by all values, and compares EXACTLY (bitwise
-for floats). Any diff here would be a hash mismatch at the driver.
+for floats). The driver's checker goes through pandas, so dtype KIND
+matters: an int column vs a float column fails even when the values
+compare equal in Python (DuckDB HUGEINT -> float64 is the classic
+trap). int32 vs int64 is fine (both kind 'i'), matching the driver.
 """
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -21,16 +26,36 @@ TABLES = [
 ]
 
 
-def norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+def cell(x):
+    """Normalize a cell for exact comparison: floats bitwise
+    (NaN == NaN, -0.0 != 0.0), everything else by (type-kind, str)."""
+    if x is None:
+        return ("null",)
+    if isinstance(x, float):
+        return ("f", struct.pack(">d", x))
+    if isinstance(x, (int,)):
+        return ("i", x)
+    return ("o", str(x))
 
 
-def key(row):
-    return tuple(
-        (x is None, str(type(x)), str(x)) for x in row
-    )
+def frame_rows(df):
+    rows = []
+    for r in df.itertuples(index=False, name=None):
+        rows.append(tuple(cell(None if x is pd.NaT else x) for x in r))
+    return sorted(rows)
+
+
+def kindsig(df):
+    out = []
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out.append("i" if k in "iu" else k)
+    return out
+
+
+def to_py(df):
+    """itertuples yields numpy scalars; convert to python for cell()."""
+    return df.astype(object).where(pd.notnull(df), None)
 
 
 def main():
@@ -50,26 +75,39 @@ def main():
             continue
         name = d.name
         got = con.execute(
-            f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
-        got_cols = [c[0] for c in con.description]
+            f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
+            # driver still sorts rows-only results -> must be sortable
+            try:
+                got.sort_values(by=list(got.columns))
+            except Exception as e:
+                print(f"FAIL {name}: rows-only result unsortable: {e}")
+                n_fail += 1
+                continue
             rows_only.append((name, len(got)))
             continue
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [c[0] for c in con.description]
+            exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != "
+                  f"{sorted(exp.columns)}")
             n_fail += 1
             continue
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = sorted([tuple(norm(r[i]) for i in gi) for r in got], key=key)
-        e = sorted([tuple(norm(r[i]) for i in ei) for r in exp], key=key)
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if kindsig(got) != kindsig(exp):
+            print(f"FAIL {name}: dtype kinds differ "
+                  f"(cols {list(got.columns)}): spark {kindsig(got)} "
+                  f"{[str(t) for t in got.dtypes]} vs duckdb {kindsig(exp)} "
+                  f"{[str(t) for t in exp.dtypes]}")
+            n_fail += 1
+            continue
+        g = frame_rows(to_py(got))
+        e = frame_rows(to_py(exp))
         if g == e:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
@@ -78,16 +116,16 @@ def main():
             print(f"FAIL {name}: {len(g)} vs {len(e)} rows")
             for i, (a, b) in enumerate(zip(g, e)):
                 if a != b:
-                    print(f"  first diff at row {i} (cols {sorted(got_cols)}):")
+                    print(f"  first diff at row {i} "
+                          f"(cols {list(got.columns)}):")
                     print(f"    spark : {a}")
                     print(f"    duckdb: {b}")
-                    for x, y in zip(a, b):
-                        if x != y and isinstance(x, float) and isinstance(y, float):
-                            print(f"    float delta: {x!r} vs {y!r} = {x - y}")
                     break
             else:
                 if len(g) != len(e):
-                    print(f"    extra rows start: {g[len(e):len(e)+2] if len(g)>len(e) else e[len(g):len(g)+2]}")
+                    longer = g if len(g) > len(e) else e
+                    print(f"    extra rows start: "
+                          f"{longer[min(len(g), len(e)):][:2]}")
     for name, n in rows_only:
         print(f"ROWS-ONLY {name}: {n} rows")
     print(f"\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only")

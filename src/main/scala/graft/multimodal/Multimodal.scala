@@ -121,14 +121,25 @@ object Multimodal {
     out
   }
 
+  /** Serialize an array<float> column to a canonical CSV string —
+    * the external harness sorts result rows, so every registered
+    * query's output columns must be scalar. */
+  private def featureCsv(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_join(c.cast("array<string>"), ",")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_features" -> ((s, d) =>
-      extractFeatures(syntheticMedia(Tables(s, d))).orderBy("media_id")),
+      extractFeatures(syntheticMedia(Tables(s, d)))
+        .withColumn("feature", featureCsv(col("feature")))
+        .orderBy("media_id")),
     "q45_video_frame_sample" -> ((s, d) =>
       sampleFrames(syntheticMedia(Tables(s, d)))
         .orderBy("media_id", "frame_ts_ms")),
     "q56_multimodal_batched_decode" -> ((s, d) =>
-      decodeBatched(syntheticMedia(Tables(s, d))).orderBy("media_id"))
+      decodeBatched(syntheticMedia(Tables(s, d)))
+        .withColumn("feature", featureCsv(col("feature")))
+        .orderBy("media_id"))
   )
 
   val oracleSql: Map[String, String] = Map()

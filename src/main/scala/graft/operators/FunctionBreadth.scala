@@ -146,20 +146,27 @@ object FunctionBreadth {
 
   /** Deterministic array aggregation: per-order sorted line numbers
     * and distinct part keys (collect_list/set are unordered by
-    * contract; array_sort makes the result hash-stable). */
+    * contract; array_sort makes the result hash-stable). The query
+    * surface serializes the arrays to canonical CSV strings so every
+    * output column is scalar — array-typed result columns are not
+    * comparable by the external oracle harness. */
   def collectLines(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_orderkey") <= 200)
       .groupBy(col("l_orderkey"))
       .agg(
-        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
-        array_sort(collect_set(col("l_partkey"))).as("part_keys"),
+        array_join(array_sort(collect_list(col("l_linenumber")))
+          .cast("array<string>"), ",").as("line_numbers"),
+        array_join(array_sort(collect_set(col("l_partkey")))
+          .cast("array<string>"), ",").as("part_keys"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
 
   /** Map-typed column surface: events.props parsed to map<string,long>
     * (first-class MapType per SURVEY §1.2), with key/value extraction
-    * and map construction round-trip. */
+    * and map construction round-trip. Keys/values are serialized to
+    * canonical CSV strings in the output (scalar columns only — the
+    * external oracle harness cannot sort array cells). */
   def mapOps(t: Tables): DataFrame = {
     val m = from_json(col("props"),
       org.apache.spark.sql.types.MapType(
@@ -169,10 +176,11 @@ object FunctionBreadth {
       .filter(col("event_id") <= 2000)
       .select(
         col("event_id"),
-        map_keys(m).as("prop_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("prop_keys"),
         element_at(m, "k").as("k_value"),
         size(m).as("n_props"),
-        map_values(m).as("prop_values"))
+        array_join(map_values(m).cast("array<string>"), ",")
+          .as("prop_values"))
       .orderBy(col("event_id"))
   }
 
@@ -212,11 +220,11 @@ object FunctionBreadth {
     },
     "q72_map_ops" ->
       """SELECT event_id,
-        |  json_keys(props) AS prop_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-        |  len(json_keys(props)) AS n_props,
-        |  [CAST(json_extract_string(props, '$.k') AS BIGINT)]
-        |    AS prop_values
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+        |  array_to_string([CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT)], ',') AS prop_values
         |FROM events
         |WHERE event_id <= 2000
         |ORDER BY event_id""".stripMargin,
@@ -231,8 +239,10 @@ object FunctionBreadth {
         |ORDER BY l_returnflag""".stripMargin,
     "q71_collect_arrays" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_linenumber)) AS line_numbers,
-        |  list_sort(list(DISTINCT l_partkey)) AS part_keys,
+        |  array_to_string(list_sort(list(l_linenumber)), ',')
+        |    AS line_numbers,
+        |  array_to_string(list_sort(list(DISTINCT l_partkey)), ',')
+        |    AS part_keys,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_orderkey <= 200
@@ -242,13 +252,14 @@ object FunctionBreadth {
       """SELECT l_orderkey,
         |  abs(l_quantity - 25) AS abs_dev,
         |  round(l_extendedprice / 1000, 1) AS price_k,
-        |  floor(l_quantity / 7) AS qty_div7,
-        |  ceil(l_extendedprice / 10000) AS price_ceil_10k,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+        |  CAST(ceil(l_extendedprice / 10000) AS BIGINT) AS price_ceil_10k,
         |  l_orderkey % 7 AS key_mod7,
         |  greatest(l_discount, l_tax) AS max_rate,
         |  least(l_discount, l_tax) AS min_rate,
-        |  CASE WHEN l_quantity - 25 > 0 THEN 1.0
-        |       WHEN l_quantity - 25 < 0 THEN -1.0 ELSE 0.0 END AS dev_sign,
+        |  CAST(CASE WHEN l_quantity - 25 > 0 THEN 1.0
+        |       WHEN l_quantity - 25 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE)
+        |    AS dev_sign,
         |  CASE WHEN l_quantity >= 40 THEN 'high'
         |       WHEN l_quantity >= 15 THEN 'mid' ELSE 'low' END AS qty_band,
         |  nullif(l_discount, 0.0) AS nonzero_disc,

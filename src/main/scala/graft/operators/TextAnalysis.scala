@@ -144,18 +144,52 @@ object TextAnalysis {
   /** Token-budget batch packing: documents in doc_id order are packed
     * greedily into batches of at most ~`budget` tokens (running
     * cumulative token count, batch = floor(cum / budget)) — the shape
-    * used to build context-length-bounded training shards. Exact
-    * integer arithmetic -> oracle-checkable. At scale the window runs
-    * per shard-key partition instead of one global ordering. */
-  def tokenBatches(t: Tables, budget: Int = 5000): DataFrame = {
+    * used to build context-length-bounded training shards.
+    *
+    * Two-phase distributed prefix sum (no global single-reducer
+    * window): range-partition by doc_id, cumulative-sum WITHIN each
+    * partition in parallel, then add each partition's starting offset
+    * (a prefix over the per-partition totals — rows = #partitions, so
+    * the tiny global window there is O(parallelism), not O(data)).
+    * Range partitioning orders partition ids by doc_id range, so
+    * local_cum + offset equals the global running sum exactly —
+    * identical greedy semantics, oracle-checkable, and the heavy
+    * window runs on all cores. */
+  def tokenBatches(t: Tables, budget: Int = 5000,
+      numShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    t.documents
+    // shard id is a pure function of doc_id (contiguous id ranges), so
+    // shard order == doc_id order and ONE hash shuffle clusters the
+    // window. Dense ids -> even shards; a skewed id space would call
+    // for repartitionByRange instead (same two-phase algebra).
+    val counted = t.documents
       .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val bounds = counted.agg(
+      (floor(max(col("doc_id")) / numShards) + 1).as("shard_w"))
+    val sharded = counted.crossJoin(broadcast(bounds))
+      .withColumn("shard_id", floor(col("doc_id") / col("shard_w")))
+      .drop("shard_w")
+    val wLocal = Window.partitionBy(col("shard_id"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sharded
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // per-shard totals: #rows == numShards, so the unpartitioned
+    // prefix window below is over a provably tiny relation
+    val wOffsets = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard_id"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .select(col("shard_id"),
+        coalesce(sum(col("shard_total")).over(wOffsets), lit(0L))
+          .as("shard_offset"))
+    local
+      .join(broadcast(offsets), Seq("shard_id"))
+      .withColumn("cum_tokens", col("local_cum") + col("shard_offset"))
       .withColumn("batch_id",
         floor((col("cum_tokens") - 1) / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("batch_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -212,7 +246,7 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
     "q23_corpus_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS sum_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
         |    AS avg_tokens
         |FROM documents
@@ -256,10 +290,11 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
     "q67_token_batches" ->
       """SELECT doc_id, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-        |    AS cum_tokens,
-        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) - 1) / 5000) AS BIGINT) AS batch_id
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1) / 5000) AS BIGINT)
+        |    AS batch_id
         |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin

@@ -68,12 +68,15 @@ object TpchShapes {
     * average) in selected "country code" name suffixes who never
     * ordered — scalar subquery + anti-join + substring bucketing. */
   def globalSalesOpportunity(t: Tables): DataFrame = {
+    // scalar subquery as a broadcast cross join: stays one job / one
+    // plan (no driver-side action splitting the lineage)
     val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
-      .agg(avgD2(col("c_acctbal"))).head().getDouble(0)
+      .agg(avgD2(col("c_acctbal")).as("avg_bal"))
     val code = substring(col("c_name"), -1, 1) // last digit of the name
     t.customer
+      .crossJoin(broadcast(avgBal))
       .filter(code.isin("1", "3", "5", "7", "9") &&
-        col("c_acctbal") > avgBal)
+        col("c_acctbal") > col("avg_bal"))
       .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
@@ -118,10 +121,10 @@ object TpchShapes {
         |  AND l_quantity < 24""".stripMargin,
     "q57_priority_shipments" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
