@@ -62,45 +62,98 @@ object Describe {
   }
 
   /** Exact linear-interpolation quantiles via value counts: one
-    * groupBy(value) shuffle (domain-sized, not data-sized) + a
-    * cumulative window over the distinct values, then interpolation of
-    * the <= 2·|probs| boundary values driver-side — the same scalars a
-    * subquery would pull. Matches `percentile`/`quantile_cont` bitwise
-    * (identical h = p(n-1), lo + d·(hi-lo) arithmetic) while avoiding
-    * Percentile's per-partition hashmap of every distinct value.
-    * The window runs over the aggregated DOMAIN (|values| rows); for a
-    * near-continuous column at cluster scale you'd range-partition the
-    * counts and prefix-sum per range instead. */
+    * groupBy(value) shuffle (domain-sized, not data-sized), then a
+    * range-partitioned distributed prefix sum over the distinct values
+    * ([[rankedBoundary]]) to locate the <= 2·|probs| boundary values,
+    * interpolated driver-side — the same scalars a subquery would pull.
+    * Matches `percentile`/`quantile_cont` bitwise (identical
+    * h = p(n-1), lo + d·(hi-lo) arithmetic) while avoiding both
+    * Percentile's per-partition hashmap of every distinct value AND any
+    * single-reducer global window: the cumulative sum runs per range
+    * bucket in parallel, with per-bucket offsets (one tiny collect of
+    * #buckets rows) added back. The counts frame is persisted across
+    * the two jobs (bucket totals, boundary probe) so the base table is
+    * scanned once. */
   def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double],
       knownCount: Option[Long] = None): Seq[Double] = {
-    import org.apache.spark.sql.expressions.Window
-    val n = knownCount.getOrElse(df.filter(col(c).isNotNull).count())
-    if (n == 0) return probs.map(_ => Double.NaN)
-    val positions = probs.map { p =>
-      val h = p * (n - 1)
-      (h, math.floor(h).toLong, math.ceil(h).toLong)
-    }
-    val wanted = positions.flatMap(x => Seq(x._2, x._3)).distinct.sorted
-    val cum = df.groupBy(col(c).cast("double").as("v"))
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-    // value at 0-based sorted index i is the first v with cum > i
-    val boundary = cum
-      .filter(wanted.map(i => col("cum") > i &&
-        (col("cum") - col("cnt")) <= i).reduce(_ || _))
-      .select(col("v"), col("cnt"), col("cum"))
+      .persist()
+    try {
+      val n = knownCount.getOrElse(
+        counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0))
+      if (n == 0) return probs.map(_ => Double.NaN)
+      val positions = probs.map { p =>
+        val h = p * (n - 1)
+        (h, math.floor(h).toLong, math.ceil(h).toLong)
+      }
+      val wanted = positions.flatMap(x => Seq(x._2, x._3)).distinct.sorted
+      // value at 0-based sorted index i is the first v with cum > i
+      val boundary = rankedBoundary(counts, wanted)
+        .filter(wanted.map(i => col("cum") > i &&
+          (col("cum") - col("cnt")) <= i).reduce(_ || _))
+        .select(col("v"), col("cnt"), col("cum"))
+        .collect()
+      val at = wanted.map { i =>
+        i -> boundary.find(r =>
+          r.getAs[Long]("cum") > i &&
+            r.getAs[Long]("cum") - r.getAs[Long]("cnt") <= i).get
+          .getAs[Double]("v")
+      }.toMap
+      positions.map { case (h, lo, hi) =>
+        val (vl, vh) = (at(lo), at(hi))
+        vl + (h - lo) * (vh - vl)
+      }
+    } finally counts.unpersist(false)
+  }
+
+  /** Distributed running rank over distinct-value counts, with NO
+    * global window: split the value domain into ~equi-depth range
+    * buckets (approx_percentile boundaries, collected once and embedded
+    * as LITERALS so bucket id is a deterministic pure function of `v`
+    * — consistent across jobs by construction), cumulative-sum WITHIN
+    * each bucket in parallel, and add each bucket's starting offset — a
+    * driver-side prefix over the per-bucket totals (#buckets rows,
+    * O(parallelism)). Only the buckets that can contain a wanted rank
+    * are probed, so the boundary job touches a |wanted|-bounded subset.
+    * Returns rows with `v`, `cnt` and the exact global running count
+    * `cum`. */
+  private[graft] def rankedBoundary(counts: DataFrame, wanted: Seq[Long],
+      parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bnds = Option(
+        counts.agg(approx_percentile(col("v"),
+          array((1 until parts).map(i => lit(i.toDouble / parts)): _*),
+          lit(10000)).as("q")).head().getSeq[Double](0))
+      .getOrElse(Seq.empty).distinct.sorted
+    val bucketCol =
+      if (bnds.isEmpty) lit(0)
+      else size(filter(typedLit(bnds), x => x <= col("v")))
+    val bucketed = counts.withColumn("b", bucketCol)
+    val totals = bucketed.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("bc"))
       .collect()
-    val at = wanted.map { i =>
-      i -> boundary.find(r =>
-        r.getAs[Long]("cum") > i &&
-          r.getAs[Long]("cum") - r.getAs[Long]("cnt") <= i).get
-        .getAs[Double]("v")
-    }.toMap
-    positions.map { case (h, lo, hi) =>
-      val (vl, vh) = (at(lo), at(hi))
-      vl + (h - lo) * (vh - vl)
+      .map(r => (r.getAs[Int]("b"), r.getAs[Long]("bc")))
+      .sortBy(_._1)
+    var running = 0L
+    val offsets = totals.map { case (b, bc) =>
+      val o = (b, running, bc); running += bc; o
     }
+    val needed = offsets.collect {
+      case (b, off, bc) if wanted.exists(i => i >= off && i < off + bc) =>
+        (b, off)
+    }
+    if (needed.isEmpty) return bucketed.filter(lit(false))
+      .withColumn("cum", lit(0L))
+    val offExpr = element_at(
+      map(needed.flatMap { case (b, off) => Seq(lit(b), lit(off)) }: _*),
+      col("b"))
+    val wLocal = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .filter(col("b").isin(needed.map(_._1): _*))
+      .withColumn("cum", sum(col("cnt")).over(wLocal) + offExpr)
   }
 
   /** [[exact]] for big/near-continuous data: moments in one scan,
