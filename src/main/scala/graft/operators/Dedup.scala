@@ -103,22 +103,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token multiset: per-bit signed vote
-    * weighted by term frequency, one groupBy per corpus. */
+    * weighted by term frequency. Votes are accumulated per token
+    * OCCURRENCE by [[graft.functions.SimhashVotes]] (mathematically
+    * identical to weighting distinct tokens by their count), so the
+    * whole corpus needs ONE explode + ONE groupBy(doc_id) — no
+    * (doc_id, token) TF pre-aggregation, and the 64 per-bit vote
+    * columns collapse into a single typed buffer. */
   def simhashes(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val votes = udaf(graft.functions.SimhashVotes)
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    val agg = tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sim.as("simhash"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4x16-bit chunk LSH (pigeonhole: any pair
