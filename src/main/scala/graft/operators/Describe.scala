@@ -61,106 +61,150 @@ object Describe {
       .orderBy(col("column"))
   }
 
-  /** Exact linear-interpolation quantiles via value counts: one
-    * groupBy(value) shuffle (domain-sized, not data-sized), then a
-    * range-partitioned distributed prefix sum over the distinct values
-    * ([[rankedBoundary]]) to locate the <= 2·|probs| boundary values,
-    * interpolated driver-side — the same scalars a subquery would pull.
-    * Matches `percentile`/`quantile_cont` bitwise (identical
-    * h = p(n-1), lo + d·(hi-lo) arithmetic) while avoiding both
-    * Percentile's per-partition hashmap of every distinct value AND any
-    * single-reducer global window: the cumulative sum runs per range
-    * bucket in parallel, with per-bucket offsets (one tiny collect of
-    * #buckets rows) added back. The counts frame is persisted across
-    * the two jobs (bucket totals, boundary probe) so the base table is
-    * scanned once. */
+  /** Exact linear-interpolation quantiles for ONE column — thin
+    * wrapper over [[exactQuantilesMulti]] (`knownCount` is advisory
+    * only; the shared counts pass derives n for free). */
   def exactQuantiles(df: DataFrame, c: String, probs: Seq[Double],
-      knownCount: Option[Long] = None): Seq[Double] = {
-    val counts = df.filter(col(c).isNotNull)
-      .groupBy(col(c).cast("double").as("v"))
+      knownCount: Option[Long] = None): Seq[Double] =
+    exactQuantilesMulti(df, Seq(c), probs)(c)
+
+  /** Exact linear-interpolation quantiles for MANY columns in one
+    * shared pass. The columns are stacked into long format
+    * `(name, v)`, value-counted with a single domain-sized
+    * groupBy(name, v) shuffle, and the <= 2·|probs| boundary values per
+    * column are located by a distributed running rank
+    * ([[rankedBoundaryMulti]]) — no per-column rescans, no global
+    * window, 3 jobs total for ANY number of columns. Interpolation is
+    * lo + d·(hi-lo), the same arithmetic as DuckDB `quantile_cont`
+    * (and mathematically equal to Spark `percentile`'s weighted form,
+    * though the two can differ by 1 ulp on non-integral positions).
+    * Columns that are entirely NULL map to NaN quantiles. */
+  private[graft] def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, Seq[Double]] = {
+    if (probs.isEmpty) return cols.map(_ -> Seq.empty[Double]).toMap
+    val counts = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.name").as("name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      val n = knownCount.getOrElse(
-        counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0))
-      if (n == 0) return probs.map(_ => Double.NaN)
-      val positions = probs.map { p =>
-        val h = p * (n - 1)
-        (h, math.floor(h).toLong, math.ceil(h).toLong)
-      }
-      val wanted = positions.flatMap(x => Seq(x._2, x._3)).distinct.sorted
-      // value at 0-based sorted index i is the first v with cum > i
-      val boundary = rankedBoundary(counts, wanted)
-        .filter(wanted.map(i => col("cum") > i &&
-          (col("cum") - col("cnt")) <= i).reduce(_ || _))
-        .select(col("v"), col("cnt"), col("cum"))
+      val parts = math.max(32,
+        2 * df.sparkSession.sparkContext.defaultParallelism)
+      // ONE agg job over the cached counts: per-column row count and
+      // ~equi-depth (in the value DOMAIN) bucket boundaries.
+      val meta = counts.groupBy(col("name"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          approx_percentile(col("v"),
+            array((1 until parts).map(i => lit(i.toDouble / parts)): _*),
+            lit(10000)).as("q"))
         .collect()
-      val at = wanted.map { i =>
-        i -> boundary.find(r =>
-          r.getAs[Long]("cum") > i &&
-            r.getAs[Long]("cum") - r.getAs[Long]("cnt") <= i).get
-          .getAs[Double]("v")
-      }.toMap
-      positions.map { case (h, lo, hi) =>
-        val (vl, vh) = (at(lo), at(hi))
-        vl + (h - lo) * (vh - vl)
+        .map(r => r.getAs[String]("name") ->
+          (r.getAs[Long]("n"),
+            Option(r.getSeq[Double](r.fieldIndex("q")))
+              .getOrElse(Seq.empty).distinct.sorted))
+        .toMap
+      val positions = meta.map { case (nm, (n, _)) =>
+        nm -> probs.map { p =>
+          val h = p * (n - 1)
+          (h, math.floor(h).toLong, math.ceil(h).toLong)
+        }
       }
+      val wanted = positions.map { case (nm, pos) =>
+        nm -> pos.flatMap(x => Seq(x._2, x._3)).distinct.sorted
+      }
+      val boundary = rankedBoundaryMulti(
+          counts, wanted, meta.map { case (nm, (_, b)) => nm -> b })
+        .filter(wanted.map { case (nm, ws) =>
+          col("name") === nm && ws.map(i => col("cum") > i &&
+            (col("cum") - col("cnt")) <= i).reduce(_ || _)
+        }.reduce(_ || _))
+        .select(col("name"), col("v"), col("cnt"), col("cum"))
+        .collect()
+      cols.map { nm =>
+        nm -> (positions.get(nm) match {
+          case None => probs.map(_ => Double.NaN) // all-NULL column
+          case Some(pos) =>
+            // value at 0-based sorted index i is the first v with cum > i
+            val at = wanted(nm).map { i =>
+              i -> boundary.find(r => r.getAs[String]("name") == nm &&
+                r.getAs[Long]("cum") > i &&
+                r.getAs[Long]("cum") - r.getAs[Long]("cnt") <= i).get
+                .getAs[Double]("v")
+            }.toMap
+            pos.map { case (h, lo, hi) =>
+              val (vl, vh) = (at(lo), at(hi))
+              vl + (h - lo) * (vh - vl)
+            }
+        })
+      }.toMap
     } finally counts.unpersist(false)
   }
 
-  /** Distributed running rank over distinct-value counts, with NO
-    * global window: split the value domain into ~equi-depth range
-    * buckets (approx_percentile boundaries, collected once and embedded
-    * as LITERALS so bucket id is a deterministic pure function of `v`
-    * — consistent across jobs by construction), cumulative-sum WITHIN
-    * each bucket in parallel, and add each bucket's starting offset — a
-    * driver-side prefix over the per-bucket totals (#buckets rows,
-    * O(parallelism)). Only the buckets that can contain a wanted rank
-    * are probed, so the boundary job touches a |wanted|-bounded subset.
-    * Returns rows with `v`, `cnt` and the exact global running count
-    * `cum`. */
-  private[graft] def rankedBoundary(counts: DataFrame, wanted: Seq[Long],
-      parts: Int = 32): DataFrame = {
+  /** Distributed running rank over per-column distinct-value counts
+    * `(name, v, cnt)`, with NO global window: each column's value
+    * domain is split into range buckets by the caller-supplied
+    * boundaries (embedded as LITERALS so bucket id is a deterministic
+    * pure function of (name, v) — consistent across jobs by
+    * construction), the cumulative sum runs WITHIN each (name, bucket)
+    * in parallel, and each bucket's starting offset — a driver-side
+    * prefix over the per-bucket totals (#buckets rows,
+    * O(columns·parallelism)) — is added back. Only buckets that can
+    * contain a wanted rank are probed, so the final window touches a
+    * |wanted|-bounded subset of buckets. Returns rows with `name`,
+    * `v`, `cnt` and the exact per-column running count `cum`. */
+  private[graft] def rankedBoundaryMulti(counts: DataFrame,
+      wanted: Map[String, Seq[Long]],
+      bnds: Map[String, Seq[Double]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bnds = Option(
-        counts.agg(approx_percentile(col("v"),
-          array((1 until parts).map(i => lit(i.toDouble / parts)): _*),
-          lit(10000)).as("q")).head().getSeq[Double](0))
-      .getOrElse(Seq.empty).distinct.sorted
-    val bucketCol =
-      if (bnds.isEmpty) lit(0)
-      else size(filter(typedLit(bnds), x => x <= col("v")))
-    val bucketed = counts.withColumn("b", bucketCol)
-    val totals = bucketed.groupBy(col("b"))
+    val names = bnds.keys.toSeq.sorted
+    // per-name boundary arrays as one map literal; bucket id = #bounds <= v
+    // (the higher-order filter runs on the domain-sized counts, not data)
+    val bndMap = map(names.flatMap(nm =>
+      Seq(lit(nm), typedLit(bnds(nm)))): _*)
+    val bucketed = counts.withColumn("b",
+      coalesce(size(filter(try_element_at(bndMap, col("name")),
+        x => x <= col("v"))), lit(0)))
+    val totals = bucketed.groupBy(col("name"), col("b"))
       .agg(sum(col("cnt")).as("bc"))
       .collect()
-      .map(r => (r.getAs[Int]("b"), r.getAs[Long]("bc")))
-      .sortBy(_._1)
-    var running = 0L
-    val offsets = totals.map { case (b, bc) =>
-      val o = (b, running, bc); running += bc; o
-    }
-    val needed = offsets.collect {
-      case (b, off, bc) if wanted.exists(i => i >= off && i < off + bc) =>
-        (b, off)
+      .map(r => (r.getAs[String]("name"), r.getAs[Int]("b"),
+        r.getAs[Long]("bc")))
+      .groupBy(_._1)
+    val needed = totals.toSeq.flatMap { case (nm, ts) =>
+      var running = 0L
+      ts.sortBy(_._2).flatMap { case (_, b, bc) =>
+        val off = running; running += bc
+        val want = wanted.getOrElse(nm, Seq.empty)
+        if (want.exists(i => i >= off && i < off + bc)) Some((nm, b, off))
+        else None
+      }
     }
     if (needed.isEmpty) return bucketed.filter(lit(false))
       .withColumn("cum", lit(0L))
-    val offExpr = element_at(
-      map(needed.flatMap { case (b, off) => Seq(lit(b), lit(off)) }: _*),
-      col("b"))
-    val wLocal = Window.partitionBy(col("b")).orderBy(col("v"))
+    def key(nm: String, b: Column) = concat(lit(nm + "#"), b.cast("string"))
+    val keyCol = concat(col("name"), lit("#"), col("b").cast("string"))
+    val offExpr = try_element_at(
+      map(needed.flatMap { case (nm, b, off) =>
+        Seq(key(nm, lit(b)), lit(off))
+      }: _*), keyCol)
+    val wLocal = Window.partitionBy(col("name"), col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed
-      .filter(col("b").isin(needed.map(_._1): _*))
+      .filter(keyCol.isin(needed.map { case (nm, b, _) => s"$nm#$b" }: _*))
       .withColumn("cum", sum(col("cnt")).over(wLocal) + offExpr)
   }
 
-  /** [[exact]] for big/near-continuous data: moments in one scan,
-    * quartiles via [[exactQuantiles]] (domain-sized counts instead of
-    * Percentile's all-distinct-values hashmap). Values are bit-
-    * identical to [[exact]]; the result is assembled driver-side from
-    * the collected scalars. */
+  /** [[exact]] for big/near-continuous data: moments for ALL columns
+    * in one scan, quartiles for ALL columns in one shared
+    * [[exactQuantilesMulti]] pass (domain-sized counts instead of
+    * Percentile's all-distinct-values hashmap) — 4 jobs total
+    * regardless of column count. Values are bit-identical to
+    * [[exact]]; the result is assembled driver-side from the collected
+    * scalars. */
   def exactLarge(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val aggs = cols.flatMap { c =>
@@ -170,12 +214,13 @@ object Describe {
         max(col(c)).cast("double"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val quartiles = exactQuantilesMulti(df, cols, Seq(0.25, 0.5, 0.75))
     val rows = cols.sorted.map { c =>
       val b = cols.indexOf(c) * 5
       val n = r.getLong(b)
       val s = r.getDouble(b + 1)
       val s2 = r.getDouble(b + 2)
-      val qs = exactQuantiles(df, c, Seq(0.25, 0.5, 0.75), Some(n))
+      val qs = quartiles(c)
       org.apache.spark.sql.Row(c, n, s / n,
         math.sqrt((s2 - s * s / n) / (n - 1)), r.getDouble(b + 3),
         qs(0), qs(1), qs(2), r.getDouble(b + 4))

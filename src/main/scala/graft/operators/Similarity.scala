@@ -21,11 +21,12 @@ import graft.functions.VectorFunctions._
   *     signatures from fixed seeded hyperplanes, banded 8x2; candidates
   *     share a band bucket, then exact rerank. Corpus-side cost is one
   *     projection pass + bucket join; recall measured in tests.
-  *  3. [[ivfTopK]] — IVF-style coarse quantization: centroids per
-  *     partition cell (the `label` column stands in for a k-means
-  *     assignment), queries probe the `nprobe` nearest cells only.
-  *     At 100 TB this is the layout you'd bake into the table
-  *     (partitionBy(cell)), turning ANN into partition pruning.
+  *  3. [[ivfTopK]] — IVF coarse quantization: a spherical k-means
+  *     quantizer trained in-engine ([[kmeansCentroids]], Lloyd rounds
+  *     as DataFrame ops) assigns each vector to a cell; queries probe
+  *     the `nprobe` nearest cells only. At 100 TB this is the layout
+  *     you'd bake into the table (partitionBy(cell)), turning ANN
+  *     into partition pruning.
   */
 object Similarity {
 
@@ -121,6 +122,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Spherical k-means coarse quantizer, trained as DataFrame ops:
+    * seed centroids are the first k vectors by `vec_id`
+    * (deterministic), then `iters` Lloyd rounds of
+    * assign-by-max-cosine (crossJoin against the BROADCAST k×Dim
+    * centroid set, `max_by` argmax — one map-side pass over the
+    * corpus, no shuffle of the vectors themselves) and re-center
+    * (element-wise mean via [[centroids]], fully distributed). Between
+    * rounds only the k centroid arrays (k·Dim doubles — model
+    * parameters, not data) are collected, which also truncates the
+    * iteration's lineage. Returns (cell, centroid). */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, cents)
+        .join(corpus, "vec_id")
+        .select(col("cell"), col("embedding"))
+      val rows = centroids(assigned, "cell").collect()
+      cents = spark.range(1).select(explode(array(rows.toSeq.map { r =>
+          struct(lit(r.getAs[Int]("cell")).as("cell"),
+            typedLit(r.getAs[Seq[Double]]("centroid")).as("centroid"))
+        }: _*)).as("e"))
+        .select(col("e.cell").as("cell"), col("e.centroid").as("centroid"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: one broadcast crossJoin + argmax
+    * (`max_by` over a (csim, -cell) ordering struct — ties go to the
+    * smallest cell id, so the assignment is total and deterministic). */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(
+        cents.withColumn("cn", norm(col("centroid")))))
+      .select(col("vec_id"), col("cell"),
+        cosinePrenormed(dot(col("embedding"), col("centroid")),
+          col("nrm"), col("cn")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"),
+        struct(col("csim"), (-col("cell")).as("nc"))).as("cell"))
+
   /** Element-wise mean vector per cell: posexplode + groupBy(cell, pos)
     * — fully distributed, no driver-side vector math. */
   def centroids(emb: DataFrame, cellCol: String): DataFrame =
@@ -134,13 +178,18 @@ object Similarity {
       .select(col("cell"),
         transform(col("pm"), s => s.getField("m")).as("centroid"))
 
-  /** IVF-style ANN: probe the `nprobe` cells whose centroids are
-    * nearest to the query, exact-rank inside those cells only. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5, nprobe: Int = 3)
-      : DataFrame = {
-    val emb = withNorm(embeddings)
-    val cents = centroids(emb, "label")
+  /** IVF ANN: a trained spherical-k-means coarse quantizer
+    * ([[kmeansCentroids]]) partitions the corpus into cells; queries
+    * probe only the `nprobe` cells whose centroids are nearest, and
+    * exact-rank inside those cells. At 100 TB the cell assignment is
+    * the layout you'd bake into the table (partitionBy(cell)), turning
+    * ANN into partition pruning. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 3, cells: Int = 16, iters: Int = 3): DataFrame = {
+    val emb = withNorm(embeddings).persist()
+    val cents = kmeansCentroids(emb, cells, iters)
       .withColumn("cn", norm(col("centroid")))
+    val celled = emb.join(assignCells(emb, cents), "vec_id")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
@@ -155,7 +204,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    emb.select(col("vec_id").as("neighbor_id"), col("label").as("cell"),
+    try celled.select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding"), col("nrm"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -166,6 +215,7 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
+    finally emb.unpersist(false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -120,12 +120,15 @@ object TextAnalysis {
     * the oracle: DuckDB's HLL constants differ). */
   def corpusCardinalitySketch(t: Tables): DataFrame =
     t.documents
+      // hash once BEFORE the aggregate: a multi-distinct agg plans an
+      // Expand (×3 row duplication here), and an md5 over full document
+      // text inside the agg would be re-evaluated per duplicate row
+      .select(col("source"), md5(col("text")).as("h"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(md5(col("text")), 0.01)
-          .as("approx_unique_docs"),
-        countDistinct(md5(col("text"))).as("exact_unique_docs"))
+        approx_count_distinct(col("h"), 0.01).as("approx_unique_docs"),
+        countDistinct(col("h")).as("exact_unique_docs"))
       .orderBy(col("source"))
 
   /** Stratified sampling by language — seeded `sampleBy`, the
