@@ -17,6 +17,8 @@ object SparkEntry {
     QueryModule(operators.FunctionBreadth.queries,
       operators.FunctionBreadth.oracleSql),
     QueryModule(operators.TpchShapes.queries, operators.TpchShapes.oracleSql),
+    QueryModule(operators.ScalePatterns.queries,
+      operators.ScalePatterns.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),

@@ -80,7 +80,9 @@ object Describe {
     * though the two can differ by 1 ulp on non-integral positions).
     * Columns that are entirely NULL map to NaN quantiles. */
   private[graft] def exactQuantilesMulti(df: DataFrame, cols: Seq[String],
-      probs: Seq[Double]): Map[String, Seq[Double]] = {
+      probs: Seq[Double],
+      hints: Map[String, (Long, Double, Double)] = Map.empty)
+      : Map[String, Seq[Double]] = {
     if (probs.isEmpty) return cols.map(_ -> Seq.empty[Double]).toMap
     val counts = df
       .select(explode(array(cols.map(c =>
@@ -93,26 +95,43 @@ object Describe {
     try {
       val parts = math.max(32,
         2 * df.sparkSession.sparkContext.defaultParallelism)
-      // ONE agg job over the cached counts: per-column row count and
-      // ~equi-depth (in the value DOMAIN) bucket boundaries.
-      val meta = counts.groupBy(col("name"))
-        .agg(
-          sum(col("cnt")).as("n"),
-          approx_percentile(col("v"),
-            array((1 until parts).map(i => lit(i.toDouble / parts)): _*),
-            lit(10000)).as("q"))
-        .collect()
-        .map(r => r.getAs[String]("name") ->
-          (r.getAs[Long]("n"),
-            Option(r.getSeq[Double](r.fieldIndex("q")))
-              .getOrElse(Seq.empty).distinct.sorted))
-        .toMap
-      val positions = meta.map { case (nm, (n, _)) =>
+      // Per-column row count and range-bucket boundaries. When the
+      // caller already holds (n, min, max) — exactLarge's moments pass
+      // does — the boundaries are uniform-width splits of [min, max]
+      // computed for free (skew in the VALUE DOMAIN can unbalance the
+      // per-bucket windows, but never past one bucket's share of the
+      // domain). Otherwise ONE agg job over the cached counts derives
+      // n and ~equi-depth (in the domain) boundaries. */
+      val meta: Map[String, (Long, Seq[Double])] =
+        if (cols.forall(hints.contains))
+          cols.map { c =>
+            val (n, mn, mx) = hints(c)
+            val w = (mx - mn) / parts
+            val b = if (n == 0 || !(w > 0)) Seq.empty[Double]
+              else (1 until parts).map(i => mn + i * w)
+            c -> (n, b.distinct.sorted)
+          }.toMap
+        else counts.groupBy(col("name"))
+          .agg(
+            sum(col("cnt")).as("n"),
+            approx_percentile(col("v"),
+              array((1 until parts).map(i => lit(i.toDouble / parts)): _*),
+              lit(10000)).as("q"))
+          .collect()
+          .map(r => r.getAs[String]("name") ->
+            (r.getAs[Long]("n"),
+              Option(r.getSeq[Double](r.fieldIndex("q")))
+                .getOrElse(Seq.empty).distinct.sorted))
+          .toMap
+      // n == 0 (all-NULL column) falls through to the NaN path below
+      val positions = meta.collect { case (nm, (n, _)) if n > 0 =>
         nm -> probs.map { p =>
           val h = p * (n - 1)
           (h, math.floor(h).toLong, math.ceil(h).toLong)
         }
       }
+      if (positions.isEmpty)
+        return cols.map(_ -> probs.map(_ => Double.NaN)).toMap
       val wanted = positions.map { case (nm, pos) =>
         nm -> pos.flatMap(x => Seq(x._2, x._3)).distinct.sorted
       }
@@ -214,7 +233,15 @@ object Describe {
         max(col(c)).cast("double"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val quartiles = exactQuantilesMulti(df, cols, Seq(0.25, 0.5, 0.75))
+    // (n, min, max) from the moments row → the quantile pass can
+    // bucket on uniform ranges with no boundary-estimation job
+    val hints = cols.map { c =>
+      val b = cols.indexOf(c) * 5
+      c -> (r.getLong(b),
+        if (r.isNullAt(b + 3)) 0.0 else r.getDouble(b + 3),
+        if (r.isNullAt(b + 4)) 0.0 else r.getDouble(b + 4))
+    }.toMap
+    val quartiles = exactQuantilesMulti(df, cols, Seq(0.25, 0.5, 0.75), hints)
     val rows = cols.sorted.map { c =>
       val b = cols.indexOf(c) * 5
       val n = r.getLong(b)

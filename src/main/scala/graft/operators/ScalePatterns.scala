@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.functions.TextFunctions.tokens
+
+/** Scale-technique patterns exercised as oracle-checkable queries:
+  * each is a standard 100 TB mitigation whose OUTPUT must be
+  * bit-identical to the naive plan, so the oracle proves the rewrite
+  * is semantics-preserving.
+  *
+  *  - [[saltedSkewJoin]] — hot-key mitigation for large⨝large joins:
+  *    salt the probe side, replicate the build side ×salts.
+  *  - [[distinctiveTerms]] — per-document term scoring (tf/df). The
+  *    ratio is a single IEEE division (no transcendental), so the
+  *    score — unlike a log-idf — is bit-comparable across engines;
+  *    the ranking semantics match tf-idf's monotonicity per doc.
+  *  - [[quantizeInt8]] — symmetric int8 embedding quantization, the
+  *    4×-compression layout for ANN at scale; integer codes are exact
+  *    cross-engine (scale division + multiply + floor, all correctly
+  *    rounded IEEE ops).
+  */
+object ScalePatterns {
+
+  /** Skew-resistant large⨝large join via [[Skew.saltedJoin]]: each
+    * lineitem row carries a salt and the orders side is replicated
+    * ×salts, so one hot l_orderkey fans out over `salts` reducers
+    * instead of one. The result is provably identical to the unsalted
+    * join (the salt only routes rows), which is exactly what the
+    * oracle — running the UNSALTED SQL — proves. */
+  def saltedSkewJoin(t: Tables, salts: Int = 8): DataFrame = {
+    val li = t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+      col("l_discount"))
+    val ords = t.orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    Skew.saltedJoin(li, ords, "l_orderkey", salts)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Top-k distinctive terms per document: tf (term count in doc) over
+    * df (documents containing the term), ranked per doc. Two
+    * domain-sized shuffles (doc×term counts, then term doc-frequency)
+    * + one join; the per-doc window partitions by doc_id (never
+    * global). */
+  def distinctiveTerms(t: Tables, k: Int = 3): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Symmetric int8 quantization of the embedding column:
+    * scale = 127 / max|v|, code_i = floor(v_i·scale + 0.5) — explicit
+    * half-up rounding (engine `round` half-even/half-away semantics
+    * differ; floor(x+0.5) doesn't). Codes serialize to a canonical
+    * CSV string so the output is scalar-typed for the checker. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    emb
+      .withColumn("scale", when(m > 0, lit(127.0) / m).otherwise(lit(1.0)))
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("embedding"), x =>
+          floor(x.cast("double") * col("scale") + lit(0.5)).cast("string")),
+          ",").as("qvec"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_salted_skew_join" -> ((s, d) => saltedSkewJoin(Tables(s, d))),
+    "q74_distinctive_terms" -> ((s, d) => distinctiveTerms(Tables(s, d))),
+    "q75_embedding_quantize" ->
+      ((s, d) => quantizeInt8(Tables(s, d).embeddings))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle runs the UNSALTED join — passing proves the salted
+    // rewrite is semantics-preserving
+    "q73_salted_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q74_distinctive_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT f.doc_id, f.term, f.tf, d.df,
+        |    CAST(f.tf AS DOUBLE) / d.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY f.doc_id
+        |      ORDER BY CAST(f.tf AS DOUBLE) / d.df DESC, f.term) AS rank
+        |  FROM tf f JOIN df d ON f.term = d.term)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM scored WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q75_embedding_quantize" ->
+      """SELECT vec_id, scale,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+        |      AS VARCHAR)), ',') AS qvec
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS scale
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_aggregate(list_transform(embedding,
+        |        x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+        |    FROM embeddings))
+        |ORDER BY vec_id""".stripMargin
+  )
+}

@@ -69,3 +69,50 @@ final class ConsoleReportSink extends ReportSink {
     println(s"=== $subject ===\n$body")
   }
 }
+
+/** K6 proper: the reference emails the describe() report over SMTP
+  * (`/root/reference/dags/my_data_pipeline.py:178-197`, smtplib). No
+  * mail library ships with Spark, so this is a minimal RFC 5321
+  * client over a plain socket: HELO / MAIL FROM / RCPT TO / DATA with
+  * dot-stuffing (RFC 5321 §4.5.2) and CRLF line endings. Plaintext
+  * only — credentials/TLS are deployment concerns layered outside the
+  * trait. Exercised in tests against an in-process stub SMTP server. */
+final class SmtpReportSink(host: String, port: Int, from: String,
+    to: Seq[String]) extends ReportSink {
+  import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+  import java.nio.charset.StandardCharsets.US_ASCII
+
+  override def send(subject: String, body: String): Unit = {
+    val socket = new java.net.Socket(host, port)
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(socket.getInputStream, US_ASCII))
+      val out = new BufferedWriter(
+        new OutputStreamWriter(socket.getOutputStream, US_ASCII))
+      def expect(codes: Int*): Unit = {
+        // multiline replies continue while char 4 is '-' ("250-...")
+        var line = in.readLine()
+        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+          line = in.readLine()
+        require(line != null && codes.exists(c => line.startsWith(c.toString)),
+          s"unexpected SMTP reply: $line (wanted ${codes.mkString("/")})")
+      }
+      def cmd(s: String, codes: Int*): Unit = {
+        out.write(s); out.write("\r\n"); out.flush(); expect(codes: _*)
+      }
+      expect(220)
+      cmd("HELO graft", 250)
+      cmd(s"MAIL FROM:<$from>", 250)
+      to.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
+      cmd("DATA", 354)
+      val lines = Seq(s"From: $from", s"To: ${to.mkString(", ")}",
+        s"Subject: $subject", "") ++ body.split("\n", -1).toSeq
+      lines.foreach { l =>
+        out.write(if (l.startsWith(".")) "." + l else l) // dot-stuffing
+        out.write("\r\n")
+      }
+      out.write(".\r\n"); out.flush(); expect(250)
+      cmd("QUIT", 221)
+    } finally socket.close()
+  }
+}

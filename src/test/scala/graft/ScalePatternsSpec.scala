@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScalePatterns
+
+class ScalePatternsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("salted join output equals the unsalted join") {
+    val salted = ScalePatterns.saltedSkewJoin(t)
+    val plain = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"))
+    val s = salted.select("o_orderpriority", "n_lines").collect().toSet
+    val p = plain.collect().toSet
+    assert(s == p)
+  }
+
+  test("salted join replicates the build side across salt partitions") {
+    // the join keys must include the salt: a hot l_orderkey's rows land
+    // in `salts` different hash partitions, not one
+    val plan = ScalePatterns.saltedSkewJoin(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), plan)
+  }
+
+  test("distinctive terms are ranked 1..k per doc with score = tf/df") {
+    val out = ScalePatterns.distinctiveTerms(t, k = 3)
+    val byDoc = out.groupBy("doc_id").agg(
+      collect_list(col("rank")).as("ranks"),
+      min(col("score")).as("mn"))
+    val bad = byDoc.filter(size(col("ranks")) > 3)
+    assert(bad.isEmpty)
+    val r = out.filter(col("rank") === 1).limit(1).head
+    assert(r.getAs[Double]("score") ==
+      r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+  }
+
+  test("int8 quantization reconstructs within half a quantization step") {
+    val q = ScalePatterns.quantizeInt8(t.embeddings)
+      .select(col("vec_id"), col("scale"),
+        transform(split(col("qvec"), ","), s => s.cast("double")).as("codes"))
+      .join(t.embeddings, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        zip_with(col("codes"), col("embedding"),
+          (c, v) => abs(c / col("scale") - v.cast("double"))).as("errs"))
+      .select(col("vec_id"), col("scale"), array_max(col("errs")).as("maxerr"))
+    val bad = q.filter(col("maxerr") > lit(0.5000001) / col("scale"))
+    assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
+    // codes stay in int8 range
+    val out = ScalePatterns.quantizeInt8(t.embeddings)
+      .select(explode(split(col("qvec"), ",")).as("cs"))
+      .select(col("cs").cast("int").as("c"))
+      .agg(min("c"), max("c")).head
+    assert(out.getInt(0) >= -128 && out.getInt(1) <= 127)
+  }
+}
