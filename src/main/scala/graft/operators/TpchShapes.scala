@@ -102,15 +102,186 @@ object TpchShapes {
         |  AND l_quantity < 24""".stripMargin)
   }
 
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    * correlated `l_quantity < 0.2 * (SELECT AVG ... WHERE same part)`
+    * subquery, decorrelated explicitly: the per-part threshold is a
+    * groupBy over ONLY the brand's lineitems (semi-join first — the
+    * per-part average is unchanged by filtering part keys), then a
+    * join back. Exercises the aggregate-decorrelation path with the
+    * filter pushed below the correlated aggregate. */
+  def smallQuantityRevenue(t: Tables, brand: String = "Brand#11"): DataFrame = {
+    val brandLines = t.lineitem
+      .join(broadcast(t.part.filter(col("p_brand") === brand)
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val thresholds = brandLines
+      .groupBy(col("l_partkey").as("tp"))
+      .agg((avgD2(col("l_quantity")) * 0.2).as("qty_threshold"))
+    brandLines
+      .join(thresholds, col("l_partkey") === col("tp"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg((sumD2(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q15 shape: the top-revenue supplier(s) for a quarter — a
+    * grouped revenue view + a scalar MAX subquery, decorrelated as a
+    * broadcast cross join so ties are kept and the plan stays one
+    * job. */
+  def topSupplier(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape (adapted to this schema's dates): suppliers who
+    * were the SOLE late shipper on a multi-supplier finished order
+    * ("late" = shipped more than 90 days after the order date — the
+    * schema has no commit/receipt dates). The reference shape's
+    * EXISTS / NOT EXISTS pair decorrelates into one per-(order,
+    * supplier) aggregate + one per-order aggregate + a join — no
+    * correlated rescans of lineitem. */
+  def soleLateSupplier(t: Tables): DataFrame = {
+    val li = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("late"))
+    val perSupplier = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("sup_late"))
+    val perOrder = perSupplier.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_sup"), sum(col("sup_late")).as("n_late"))
+    perSupplier.join(perOrder, "l_orderkey")
+      .filter(col("sup_late") === 1 && col("n_sup") > 1 &&
+        col("n_late") === 1)
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q7 shape: bilateral trade volume by year between two
+    * nations — a 6-table star join (lineitem ⨝ orders ⨝ customer ⨝
+    * supplier ⨝ nation ×2). Both nation dims broadcast; the
+    * fact-to-fact joins (lineitem→orders on orderkey) shuffle on
+    * their keys once. */
+  def nationTradeVolume(t: Tables, n1: String = "NATION_3",
+      n2: String = "NATION_7"): DataFrame = {
+    val suppNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custNation = t.customer
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_nation_trade" -> ((s, d) => nationTradeVolume(Tables(s, d))),
     "q68_sql_forecast_revenue" -> ((s, d) => forecastRevenueSql(s, d)),
     "q57_priority_shipments" -> ((s, d) => priorityShipments(Tables(s, d))),
     "q58_promo_revenue" -> ((s, d) => promoRevenueShare(Tables(s, d))),
     "q59_brand_revenue" -> ((s, d) => brandRevenue(Tables(s, d))),
-    "q64_sales_opportunity" -> ((s, d) => globalSalesOpportunity(Tables(s, d)))
+    "q64_sales_opportunity" -> ((s, d) => globalSalesOpportunity(Tables(s, d))),
+    "q76_small_qty_revenue" -> ((s, d) => smallQuantityRevenue(Tables(s, d))),
+    "q77_top_supplier" -> ((s, d) => topSupplier(Tables(s, d))),
+    "q78_sole_late_supplier" -> ((s, d) => soleLateSupplier(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q79_nation_trade" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS volume
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    EXTRACT(year FROM l_shipdate) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        |     OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q76_small_qty_revenue" ->
+      """WITH brand_lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11'),
+        |th AS (
+        |  SELECT l_partkey AS tp,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) / COUNT(*) * 0.2 AS qty_threshold
+        |  FROM brand_lines GROUP BY l_partkey)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM brand_lines b JOIN th ON b.l_partkey = th.tp
+        |WHERE b.l_quantity < th.qty_threshold""".stripMargin,
+    "q77_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q78_sole_late_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_supplier AS (
+        |  SELECT l_orderkey, l_suppkey, MAX(late) AS sup_late
+        |  FROM li GROUP BY l_orderkey, l_suppkey),
+        |per_order AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_sup, SUM(sup_late) AS n_late
+        |  FROM per_supplier GROUP BY l_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_supplier p
+        |JOIN per_order o ON p.l_orderkey = o.l_orderkey
+        |JOIN supplier ON p.l_suppkey = s_suppkey
+        |WHERE p.sup_late = 1 AND o.n_sup > 1 AND o.n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q68_sql_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
