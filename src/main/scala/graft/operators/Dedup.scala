@@ -161,10 +161,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns pairwise matches into KEEP/DROP decisions (similarity
+    * is not transitive, so near-dup groups are components, not
+    * equivalence classes of any single key). Iterative min-label
+    * propagation: every node adopts the smallest label among itself
+    * and its neighbors until a fixpoint — O(component diameter)
+    * rounds, each one join + one groupBy, all distributed (at massive
+    * scale the same algebra with large-star/small-star halves the
+    * round count; dup-graph diameters are tiny in practice). The
+    * result (node -> min doc_id of its component) is deterministic
+    * regardless of execution order. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    try {
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
+          .groupBy(col("a").as("id"))
+          .agg(min(col("bl")).as("nl"))
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label")))
+              .as("label"))
+          .persist()
+        changed = updated
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(false)
+        labels = updated
+        i += 1
+      }
+      // materialize the (node -> component) result and truncate its
+      // lineage — it spans every iteration's plan, whose intermediate
+      // caches are about to be released; the result itself is
+      // node-count-sized (dup-graph nodes, not the corpus)
+      val out = labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      out
+    } finally edges.unpersist(false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
-    "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents))
+    "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),
+    "q82_dup_clusters" ->
+      ((s, d) => dupClusters(minhashDedup(Tables(s, d).documents)))
   )
 
   val oracleSql: Map[String, String] = Map()

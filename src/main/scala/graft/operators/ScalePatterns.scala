@@ -32,7 +32,7 @@ object ScalePatterns {
     * instead of one. The result is provably identical to the unsalted
     * join (the salt only routes rows), which is exactly what the
     * oracle — running the UNSALTED SQL — proves. */
-  def saltedSkewJoin(t: Tables, salts: Int = 8): DataFrame = {
+  def saltedSkewJoin(t: Tables, salts: Int = 4): DataFrame = {
     val li = t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
       col("l_discount"))
     val ords = t.orders.select(col("o_orderkey").as("l_orderkey"),
@@ -84,7 +84,57 @@ object ScalePatterns {
       .orderBy(col("vec_id"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the shape that
+    * turns long documents into context-length-bounded training
+    * samples. Pure per-row generate (tokenize → explode chunk
+    * indices → slice), no shuffle at all: the plan is a single
+    * narrow pass over the corpus. Chunk count per doc is
+    * 1 + ceil(max(0, n-chunk)/stride), so every token is covered and
+    * consecutive chunks overlap by chunk-stride tokens. */
+  def chunkDocuments(t: Tables, chunk: Int = 50, stride: Int = 40)
+      : DataFrame = {
+    val nChunks = lit(1) + floor(
+      (greatest(size(col("toks")) - chunk, lit(0)) + (stride - 1))
+        / lit(stride.toDouble)).cast("int")
+    t.documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk)))
+          .as("n_chunk_toks"),
+        array_join(
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk)),
+          " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** PII redaction over text columns: emails and phone numbers to
+    * typed placeholders via regexp (patterns kept in the common
+    * Java-regex/RE2 subset so the semantics are engine-portable). The
+    * synthetic corpus contains no PII, so the query plants a
+    * deterministic contact line per document first — the oracle
+    * applies the same plant + scrub, proving the redaction semantics
+    * rather than a no-op. */
+  def piiScrub(t: Tables): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or "),
+      lit("555-010-"), lpad(col("doc_id").cast("string"), 4, "0"))
+    t.documents
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit("<EMAIL>")),
+          lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit("<PHONE>")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_doc_chunks" -> ((s, d) => chunkDocuments(Tables(s, d))),
+    "q81_pii_scrub" -> ((s, d) => piiScrub(Tables(s, d))),
     "q73_salted_skew_join" -> ((s, d) => saltedSkewJoin(Tables(s, d))),
     "q74_distinctive_terms" -> ((s, d) => distinctiveTerms(Tables(s, d))),
     "q75_embedding_quantize" ->
@@ -92,6 +142,34 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q80_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    1 + CAST(floor((GREATEST(len(string_split(text, ' ')) - 50, 0)
+        |      + 39) / 40.0) AS INT) AS n_chunks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id, chunk_id * 40 AS chunk_start,
+        |  len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50))
+        |    AS n_chunk_toks,
+        |  array_to_string(
+        |    list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ')
+        |    AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q81_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || doc_id || '@mail.example.com or '
+        |        || '555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // the oracle runs the UNSALTED join — passing proves the salted
     // rewrite is semantics-preserving
     "q73_salted_skew_join" ->

@@ -84,4 +84,34 @@ class TextDedupSpec extends AnyFunSuite {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("dupClusters: components of a chain + triangle + isolated pair") {
+    // chain 1-2-3-4 (not pairwise similar — tests transitivity),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters on the corpus dup graph: labels are component minima") {
+    val pairs = graft.operators.Dedup.minhashDedup(
+      Tables(spark, sf).documents)
+    val clusters = graft.operators.Dedup.dupClusters(pairs)
+    // every cluster_id is itself a member of the cluster, and is the min
+    val byCluster = clusters.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("mn"))
+      .filter(col("cluster_id") =!= col("mn"))
+    assert(byCluster.isEmpty)
+    // every edge endpoint pair shares a component
+    val e = pairs.select(col("d1"), col("d2"))
+      .join(clusters.select(col("doc_id").as("d1"),
+        col("cluster_id").as("c1")), "d1")
+      .join(clusters.select(col("doc_id").as("d2"),
+        col("cluster_id").as("c2")), "d2")
+      .filter(col("c1") =!= col("c2"))
+    assert(e.isEmpty)
+  }
 }
