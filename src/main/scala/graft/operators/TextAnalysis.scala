@@ -106,6 +106,12 @@ object TextAnalysis {
       col("doc_id").as("d2"), col("sh").as("sh2"))
     a.join(b, Seq("lang", "source"))
       .filter(col("d1") < col("d2"))
+      // size filter (provably lossless at threshold t): J(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes
+      // differ by more than 2x can never reach J >= 0.5 — skip the
+      // merge-intersect for them with two cheap codegen'd size reads
+      .filter(least(size(col("sh1")), size(col("sh2"))) * 2 >=
+        greatest(size(col("sh1")), size(col("sh2"))))
       .select(col("d1"), col("d2"),
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

@@ -42,6 +42,28 @@ class ScalePatternsSpec extends AnyFunSuite {
       r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
   }
 
+  test("doc chunking is a pure narrow pass — no Exchange in the plan") {
+    val plan = ScalePatterns.chunkDocuments(t)
+      .queryExecution.executedPlan.toString
+    // the orderBy sorts, but nothing before the final sort shuffles:
+    // exactly one Exchange (the sort's range partitioning), none for
+    // the chunk generation itself
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+    assert(plan.contains("Generate"), plan) // the explode of chunk ids
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val out = ScalePatterns.chunkDocuments(t, chunk = 50, stride = 40)
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    // total chunked tokens per doc = n + (chunks-1)*overlap
+    val agg = out.groupBy("doc_id").agg(
+      sum(col("n_chunk_toks")).as("tot"), count(lit(1)).as("chunks"))
+    val bad = agg.join(docs, "doc_id")
+      .filter(col("tot") =!= col("n") + (col("chunks") - 1) * 10)
+    assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
+  }
+
   test("int8 quantization reconstructs within half a quantization step") {
     val q = ScalePatterns.quantizeInt8(t.embeddings)
       .select(col("vec_id"), col("scale"),
