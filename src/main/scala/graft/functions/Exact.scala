@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * drift across 100 TB of partials), at the cost of decimal math in the
   * partial aggregate — still codegen'd, still map-side combinable.
   *
-  * The matching DuckDB SQL fragments live in [[graft.Oracle]].
+  * The matching DuckDB SQL fragments live in each operator module's
+  * `oracleSql` map (pattern: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS
+  * DOUBLE)`, with a VARCHAR round-trip for sums whose scaled magnitude
+  * can exceed 2^53).
   */
 object Exact {
 
