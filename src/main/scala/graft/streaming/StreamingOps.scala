@@ -133,8 +133,40 @@ object StreamingOps {
         col("error_ts"))
   }
 
+  /** The event-type taxonomy dimension — config-as-data (the
+    * reference's city/pollutant lists are the same pattern,
+    * my_data_pipeline.py:16,19): a tiny in-memory dim every engine
+    * replicates for free. */
+  def eventTaxonomy(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("signup", "conversion"), ("purchase", "conversion"),
+      ("error", "reliability")).toDF("event_type", "category")
+  }
+
+  /** Stream-static enrichment: the (unbounded) fact joined to a
+    * static broadcast dimension — stateless, no watermark required;
+    * Spark re-plans the static side per micro-batch. Works unchanged
+    * on a batch frame, which is what the oracle checks. */
+  def enrichWithTaxonomy(events: DataFrame): DataFrame =
+    events.join(broadcast(eventTaxonomy(events.sparkSession)),
+      Seq("event_type"), "left")
+
+  /** Batch twin of the enrichment stream: daily event counts and
+    * value by taxonomy category. */
+  def categoryDaily(events: DataFrame): DataFrame =
+    enrichWithTaxonomy(events)
+      .groupBy(window(col("ts"), "1 day").getField("start")
+        .as("window_start"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("window_start"), col("category"))
+
   /** Batch queries (oracle-checked): same operators, batch input. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_stream_enrich_category" -> ((s, d) =>
+      categoryDaily(Tables(s, d).events)),
     "q40_tumbling_daily" -> ((s, d) =>
       tumblingCounts(Tables(s, d).events)
         .orderBy("window_start", "event_type")),
@@ -146,6 +178,17 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q83_stream_enrich_category" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  category, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |LEFT JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+        |    ('signup', 'conversion'), ('purchase', 'conversion'),
+        |    ('error', 'reliability')) AS dim(event_type, category)
+        |  USING (event_type)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, category""".stripMargin,
     "q40_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |  event_type, COUNT(*) AS n,

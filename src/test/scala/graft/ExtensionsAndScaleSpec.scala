@@ -87,6 +87,28 @@ class ExtensionsAndScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("TPC-H hard shapes broadcast their dims and avoid cartesian joins") {
+    import graft.operators.TpchShapes
+    // q79: both nation dims (and the supplier-nation composite) must
+    // plan as broadcast joins; the only non-broadcast join is the
+    // fact-fact lineitem-orders shuffle
+    val p79 = TpchShapes.nationTradeVolume(t)
+      .queryExecution.executedPlan.toString
+    assert(p79.contains("BroadcastHashJoin"), p79)
+    assert(!p79.contains("CartesianProduct"), p79)
+    // q76: the brand part filter is broadcast below the correlated
+    // aggregate; no cartesian anywhere
+    val p76 = TpchShapes.smallQuantityRevenue(t)
+      .queryExecution.executedPlan.toString
+    assert(p76.contains("BroadcastHashJoin"), p76)
+    assert(!p76.contains("CartesianProduct"), p76)
+    // q77: the scalar MAX joins back as a broadcast nested loop over
+    // ONE row — never a cartesian of two real relations
+    val p77 = TpchShapes.topSupplier(t)
+      .queryExecution.executedPlan.toString
+    assert(!p77.contains("CartesianProduct"), p77)
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = t.documents

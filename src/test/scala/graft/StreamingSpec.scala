@@ -34,6 +34,26 @@ class StreamingSpec extends AnyFunSuite {
       ts("2024-01-01 11:00:00") -> 1L))
   }
 
+  test("stream-static enrichment joins the broadcast taxonomy per batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.enrichWithTaxonomy(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1.0, "purchase"),
+      Event(2, ts("2024-01-01 10:06:00"), 2.0, "error"),
+      Event(3, ts("2024-01-01 10:07:00"), 3.0, "unknown_type"))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select("user_id", "category").as[(Long, Option[String])]
+      .collect().toMap
+    q.stop()
+    // left join: known types map to their category, unknown stays null
+    assert(got == Map(1L -> Some("conversion"), 2L -> Some("reliability"),
+      3L -> None))
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
