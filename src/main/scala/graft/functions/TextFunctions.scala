@@ -19,6 +19,18 @@ object TextFunctions {
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
 
+  /** BPE-style pre-tokenization regex (the GPT-2 pattern's shape,
+    * restricted to the Java-regex/RE2 common subset): a token is an
+    * optionally-space-prefixed letter run, digit run, or punctuation
+    * run. Unlike whitespace split this counts "can't" as 3 pieces and
+    * "3.14" as 3 — the granularity a byte-pair encoder's pre-splitter
+    * feeds the merge table. */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** BPE-ish pre-tokens of `text` (codegen'd regexp_extract_all). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Canonical content fingerprint: md5 of the raw text. */
   def contentFingerprint(text: Column): Column = md5(text)
 

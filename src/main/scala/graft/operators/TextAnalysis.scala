@@ -118,6 +118,20 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Token counting, whitespace vs BPE-ish: the two granularities a
+    * training pipeline budgets with (raw words vs pre-tokenizer
+    * pieces). The corpus is bare lowercase words, so a punctuated tail
+    * is planted per document (cf. q81's planted PII) to make the two
+    * counts provably diverge — the oracle runs the identical plant +
+    * both tokenizations. */
+  def bpeTokenCounts(t: Tables): DataFrame = {
+    val planted = concat(col("text"), lit(" it's v2, pi=3.14!"))
+    t.documents.select(col("doc_id"),
+        size(tokens(planted)).as("n_ws_tokens"),
+        size(bpeTokens(planted)).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch-based corpus cardinalities: HyperLogLog++ estimates of
     * unique documents (by content fingerprint) and unique tokens, per
     * source — the O(1)-memory scale path for "how much is duplicated?"
@@ -222,11 +236,20 @@ object TextAnalysis {
     "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
     "q65_cardinality_sketch" ->
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),
+    "q84_bpe_token_count" -> ((s, d) => bpeTokenCounts(Tables(s, d))),
     "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q84_bpe_token_count" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text || ' it''s v2, pi=3.14!', ' '))
+         |    AS n_ws_tokens,
+         |  len(regexp_extract_all(text || ' it''s v2, pi=3.14!',
+         |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -85,6 +85,18 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokens splits contractions, numbers, and punctuation runs") {
+    val df = Seq("it's pi=3.14, ok!").toDF("text")
+    val got = df.select(graft.functions.TextFunctions.bpeTokens(col("text")))
+      .head.getSeq[String](0)
+    // letter / digit / punctuation runs, space glued to the next token
+    assert(got == Seq("it", "'", "s", " pi", "=", "3", ".", "14", ",",
+      " ok", "!"))
+    // whitespace tokenization sees only 3 words
+    assert(df.select(size(graft.functions.TextFunctions.tokens(col("text"))))
+      .head.getInt(0) == 3)
+  }
+
   test("dupClusters: components of a chain + triangle + isolated pair") {
     // chain 1-2-3-4 (not pairwise similar — tests transitivity),
     // triangle 10-11-12, pair 20-21
