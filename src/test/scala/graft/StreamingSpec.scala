@@ -151,6 +151,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, ts("2024-01-01 10:10:00"))))
   }
 
+  test("foreachBatch idempotent sink: replayed batch leaves no duplicates") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_")
+    val out = dir.resolve("data").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.idempotentParquetStream(mem.toDF(), out, ckpt)
+      .start()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts("2024-01-01 10:01:00"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == 2)
+    // simulate checkpoint-recovery replay: batch 1 is delivered again
+    // (possibly with identical content) — the overwrite keeps the sink
+    // exactly-once
+    val replay = Seq(Event(2, ts("2024-01-01 10:01:00"), 2.0)).toDF()
+    StreamingOps.writeBatchIdempotent(replay, 1L, out)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(spark.read.parquet(out).select(sum(col("value")))
+      .head.getDouble(0) == 3.0)
+  }
+
   test("file-source stream with checkpoint: AvailableNow equals batch") {
     // events.parquet is TIMESTAMP(NANOS); declare ts as long and
     // rebuild micros, exactly like Tables.events does for batch
