@@ -46,7 +46,9 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall $recall")
+    // measured 0.86 (sf0.001) / 0.84 (sf0.01) with the trained k-means
+    // quantizer at nprobe=3/16 cells; 0.6 leaves seed/data margin
+    assert(recall >= 0.6, s"recall $recall")
   }
 
   test("ANN results are always a subset of the corpus and well-ranked") {
