@@ -1,12 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Exact._
 import graft.functions.TextFunctions.tokens
+import graft.functions.ZOrder
 
 /** Scale-technique patterns exercised as oracle-checkable queries:
   * each is a standard 100 TB mitigation whose OUTPUT must be
@@ -132,7 +133,46 @@ object ScalePatterns {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order clustered write: range-partition + sort by the Morton
+    * code of (xCol, yCol) so each output file covers a small rectangle
+    * of the 2-D key space — per-file min/max stats then prune scans
+    * filtered on EITHER column (the lakehouse OPTIMIZE ZORDER layout).
+    * See [[graft.functions.ZOrder]]; file-level pruning quality is
+    * spec-measured against a single-key sort. */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      files: Int = 8): Unit = {
+    // normalize both dimensions to the full 16-bit lane first —
+    // interleaving RAW values lets the wider-domain column dominate
+    // the high bits and the curve degenerates to a single-key sort
+    // (real lakes use rank bucketing; min/max scaling is the
+    // one-small-job approximation)
+    val r = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo) ((c.cast("double") - lo) / (hi - lo) * 65535.0)
+        .cast("long")
+      else lit(0L)
+    df.withColumn("__z", ZOrder.zValue(
+        norm(col(xCol), r.getDouble(0), r.getDouble(1)),
+        norm(col(yCol), r.getDouble(2), r.getDouble(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The Morton codes themselves, exposed as an oracle-checkable
+    * query (identical shift/mask arithmetic in DuckDB). */
+  def zOrderValues(t: Tables): DataFrame =
+    t.lineitem.filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        ZOrder.zValue(col("l_orderkey"), col("l_partkey")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_zorder_values" -> ((s, d) => zOrderValues(Tables(s, d))),
     "q80_doc_chunks" -> ((s, d) => chunkDocuments(Tables(s, d))),
     "q81_pii_scrub" -> ((s, d) => piiScrub(Tables(s, d))),
     "q73_salted_skew_join" -> ((s, d) => saltedSkewJoin(Tables(s, d))),
@@ -142,6 +182,12 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_zorder_values" ->
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         |  ${ZOrder.zValueSql("l_orderkey", "l_partkey")} AS z
+         |FROM lineitem
+         |WHERE l_orderkey < 1000
+         |ORDER BY z, l_orderkey, l_partkey, l_linenumber""".stripMargin,
     "q80_doc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -64,6 +64,51 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
   }
 
+  test("z-order layout tightens per-file ranges on the second dimension") {
+    import graft.operators.ScalePatterns
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
+    val li = t.lineitem.select("l_orderkey", "l_partkey")
+    val files = 8
+    // baseline: single-key sort — files are tight on orderkey but each
+    // spans nearly the full partkey domain
+    li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir.resolve("single").toString)
+    ScalePatterns.zOrderWrite(li, "l_orderkey", "l_partkey",
+      dir.resolve("zorder").toString, files)
+    def meanPartkeyRange(path: String): Double = {
+      val fs = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val ranges = fs.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("l_partkey")) - min(col("l_partkey"))).head
+        r.getLong(0).toDouble
+      }
+      ranges.sum / ranges.length
+    }
+    val single = meanPartkeyRange(dir.resolve("single").toString)
+    val zed = meanPartkeyRange(dir.resolve("zorder").toString)
+    // Morton clustering must cut the per-file partkey span well below
+    // the single-sort layout's (which is ~the whole domain per file)
+    assert(zed < single * 0.7, s"zorder=$zed single=$single")
+  }
+
+  test("z-values are monotone within each dimension slice") {
+    import graft.functions.ZOrder
+    val df = spark.range(0, 4).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 4).select(col("id").as("y")))
+      .select(col("x"), col("y"),
+        ZOrder.zValue(col("x"), col("y")).as("z"))
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // interleave of (x,y) in [0,4)^2 is the standard 16-cell Morton curve
+    assert(rows((0L, 0L)) == 0L && rows((1L, 0L)) == 1L &&
+      rows((0L, 1L)) == 2L && rows((1L, 1L)) == 3L &&
+      rows((2L, 2L)) == 12L && rows((3L, 3L)) == 15L)
+    // fixing y, z increases with x (and vice versa)
+    for (y <- 0L to 3L; x <- 0L to 2L)
+      assert(rows((x, y)) < rows((x + 1, y)))
+  }
+
   test("int8 quantization reconstructs within half a quantization step") {
     val q = ScalePatterns.quantizeInt8(t.embeddings)
       .select(col("vec_id"), col("scale"),
