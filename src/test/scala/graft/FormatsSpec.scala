@@ -32,4 +32,22 @@ class FormatsSpec extends AnyFunSuite {
   test("csv round trip")(
     roundTrip("csv", Map("header" -> "true", "quote" -> "\"",
       "escape" -> "\"")))
+
+  test("schema evolution: mergeSchema unifies old and new writers") {
+    // v1 files lack the column a later writer added — the reader must
+    // surface the union schema with nulls for pre-evolution rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    docs.select(col("doc_id"), col("lang"))
+      .write.parquet(s"$dir/v=1")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v=1", s"$dir/v=2")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    val n = docs.count()
+    assert(merged.count() == 2 * n)
+    assert(merged.filter(col("n_chars").isNull).count() == n)
+    assert(merged.filter(col("n_chars").isNotNull).count() == n)
+  }
 }
