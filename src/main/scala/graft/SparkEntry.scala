@@ -20,6 +20,7 @@ object SparkEntry {
     QueryModule(operators.ScalePatterns.queries,
       operators.ScalePatterns.oracleSql),
     QueryModule(operators.Quality.queries, operators.Quality.oracleSql),
+    QueryModule(operators.Merge.queries, operators.Merge.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),

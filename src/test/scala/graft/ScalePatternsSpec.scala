@@ -93,6 +93,28 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(zed < single * 0.7, s"zorder=$zed single=$single")
   }
 
+  test("mergeOnRead picks the newest version per key, deltas beat base") {
+    import graft.operators.Merge
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "v", "version")
+    val delta1 = Seq((2L, "b2", 2L), (4L, "d", 2L)).toDF("id", "v", "version")
+    val delta2 = Seq((2L, "b3", 3L)).toDF("id", "v", "version")
+    val got = Merge.mergeOnRead(Seq(base, delta1, delta2),
+        Seq("id"), "version")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("upsert: updates replace, inserts append, untouched rows survive") {
+    import graft.operators.Merge
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val updates = Seq((2L, "B"), (3L, "C")).toDF("id", "v")
+    val got = Merge.upsert(base, updates, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+  }
+
   test("z-values are monotone within each dimension slice") {
     import graft.functions.ZOrder
     val df = spark.range(0, 4).select(col("id").as("x"))
