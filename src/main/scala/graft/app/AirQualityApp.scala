@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Describe, Flatten, Reshape}
 import graft.pipeline.Pipeline
-import graft.sinks.{ConsoleReportSink, Sinks}
+import graft.sinks.{ConsoleReportSink, ReportSink, Sinks, SmtpReportSink}
 import graft.sources.{WaqiFixtures, WaqiSource}
 
 /** The reference pipeline end-to-end (SURVEY.md §3.1 trace):
@@ -23,7 +23,21 @@ object AirQualityApp {
       nErrors: Long,
       reports: Seq[(String, String)])
 
-  def run(spark: SparkSession, outDir: Option[String] = None): Result = {
+  /** The report transport is pluggable (K6): console by default, or
+    * real SMTP when SMTP_HOST is configured — mirroring the
+    * reference's enviar_email without hardwiring a relay
+    * (my_data_pipeline.py:178-197). */
+  def defaultReporter(): ReportSink =
+    sys.env.get("SMTP_HOST") match {
+      case Some(host) => new SmtpReportSink(host,
+        sys.env.getOrElse("SMTP_PORT", "25").toInt,
+        sys.env.getOrElse("SMTP_FROM", "graft@localhost"),
+        sys.env.getOrElse("SMTP_TO", "ops@localhost").split(",").toSeq)
+      case None => new ConsoleReportSink
+    }
+
+  def run(spark: SparkSession, outDir: Option[String] = None,
+      reporter0: Option[ReportSink] = None): Result = {
     import spark.implicits._
     val payloads = spark.createDataset(WaqiFixtures.all)
     val parsed = WaqiSource.parse(payloads)
@@ -35,7 +49,7 @@ object AirQualityApp {
     val tables = WaqiSource.Pollutants.map(p =>
       p -> Flatten.perPollutant(okRows, p)).toMap
 
-    val reporter = new ConsoleReportSink
+    val reporter = reporter0.getOrElse(defaultReporter())
     Pipeline.withRetry(retries = 1, delayMs = 100) {
       tables.foreach { case (p, df) =>
         val statCols = df.columns.filter(_.endsWith("_avg")) ++
@@ -47,7 +61,11 @@ object AirQualityApp {
     }
     outDir.foreach(dir =>
       Sinks.parquetPartitioned(long, s"$dir/air_quality", "pollutant"))
-    Result(long, tables, nErrors, reporter.sent.toSeq)
+    val sent = reporter match {
+      case c: ConsoleReportSink => c.sent.toSeq
+      case _ => Seq.empty
+    }
+    Result(long, tables, nErrors, sent)
   }
 
   def main(args: Array[String]): Unit = {
