@@ -267,8 +267,9 @@ object Describe {
   /** [[exact]] for big/near-continuous data: moments for ALL columns
     * in one scan, quartiles for ALL columns in one shared
     * [[exactQuantilesMulti]] pass (domain-sized counts instead of
-    * Percentile's all-distinct-values hashmap) — 4 jobs total
-    * regardless of column count. Values are bit-identical to
+    * Percentile's all-distinct-values hashmap) — 3 jobs total
+    * regardless of column count (the moments row supplies the n/min/
+    * max hints, so no boundary-estimation job runs). Values are bit-identical to
     * [[exact]]; the result is assembled driver-side from the collected
     * scalars. */
   def exactLarge(df: DataFrame, cols: Seq[String]): DataFrame = {
