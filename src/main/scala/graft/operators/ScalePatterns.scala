@@ -171,7 +171,40 @@ object ScalePatterns {
       .orderBy(col("z"), col("l_orderkey"), col("l_partkey"),
         col("l_linenumber"))
 
+  /** Fixed-width histogram of a numeric column — the distribution
+    * report a data-prep pipeline renders per feature. Pure arithmetic
+    * bucketing (floor((v-lo)/w), clamped to the last bucket), one
+    * groupBy — identical in any engine. */
+  def histogram(df: DataFrame, c: String, lo: Double, width: Double,
+      buckets: Int): DataFrame =
+    df.select(least(floor((col(c).cast("double") - lo) / width),
+        lit(buckets - 1L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Winsorization: clip a column to its exact [p01, p99] — standard
+    * outlier taming before training-statistics. The cut points come
+    * from the distributed counts+rank quantile machinery
+    * ([[Describe.exactQuantilesMulti]]), whose weighted interpolation
+    * is bit-identical to DuckDB `quantile_cont` — which is precisely
+    * what the oracle checks. */
+  def winsorize(t: Tables): DataFrame = {
+    val q = Describe.exactQuantilesMulti(t.lineitem,
+      Seq("l_extendedprice"), Seq(0.01, 0.99))("l_extendedprice")
+    t.lineitem.filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        least(greatest(col("l_extendedprice"), lit(q(0))), lit(q(1)))
+          .as("clipped"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_price_histogram" -> ((s, d) =>
+      histogram(Tables(s, d).lineitem, "l_extendedprice",
+        lo = 900.0, width = 5205.0, buckets = 20)),
+    "q89_winsorize" -> ((s, d) => winsorize(Tables(s, d))),
     "q85_zorder_values" -> ((s, d) => zOrderValues(Tables(s, d))),
     "q80_doc_chunks" -> ((s, d) => chunkDocuments(Tables(s, d))),
     "q81_pii_scrub" -> ((s, d) => piiScrub(Tables(s, d))),
@@ -182,6 +215,23 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q88_price_histogram" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        |  SELECT CAST(LEAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+        |    / 5205.0), 19) AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "q89_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+        |         quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  LEAST(GREATEST(l_extendedprice, lo), hi) AS clipped
+        |FROM lineitem, b
+        |WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q85_zorder_values" ->
       s"""SELECT l_orderkey, l_partkey, l_linenumber,
          |  ${ZOrder.zValueSql("l_orderkey", "l_partkey")} AS z

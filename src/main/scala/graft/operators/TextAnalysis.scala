@@ -100,18 +100,19 @@ object TextAnalysis {
     val docs = t.documents.select(
       col("doc_id"), col("lang"), col("source"),
       sortedShingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh"))) // once per doc, not per pair
     val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("d1"), col("sh").as("sh1"))
+      col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = docs.select(col("lang"), col("source"),
-      col("doc_id").as("d2"), col("sh").as("sh2"))
+      col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     a.join(b, Seq("lang", "source"))
       .filter(col("d1") < col("d2"))
       // size filter (provably lossless at threshold t): J(A,B) <=
       // min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes
       // differ by more than 2x can never reach J >= 0.5 — skip the
-      // merge-intersect for them with two cheap codegen'd size reads
-      .filter(least(size(col("sh1")), size(col("sh2"))) * 2 >=
-        greatest(size(col("sh1")), size(col("sh2"))))
+      // merge-intersect for them with two precomputed size reads
+      .filter(least(col("n1"), col("n2")) * 2 >=
+        greatest(col("n1"), col("n2")))
       .select(col("d1"), col("d2"),
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
