@@ -200,7 +200,29 @@ object ScalePatterns {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Per-user ordered event sequences — the session-history feature a
+    * behavioral model trains on: each user's events as one
+    * chronologically-ordered CSV of types plus span stats. Ordering is
+    * made total by sorting (ts, event_id) structs before joining
+    * (collect_list alone is order-nondeterministic across retries and
+    * partitionings). One groupBy shuffle; sequences cap at the
+    * per-user event count, so state is bounded by the heaviest user,
+    * not the table. */
+  def userSequences(events: DataFrame, maxUsers: Int = 100): DataFrame =
+    events.filter(col("user_id") < maxUsers)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          s => s.getField("event_type")), ",").as("sequence"),
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q88_price_histogram" -> ((s, d) =>
       histogram(Tables(s, d).lineitem, "l_extendedprice",
         lo = 900.0, width = 5205.0, buckets = 20)),
@@ -215,6 +237,16 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q90_user_sequences" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS first_ts,
+        |  MAX(ts) AS last_ts
+        |FROM events
+        |WHERE user_id < 100
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q88_price_histogram" ->
       """SELECT bucket, COUNT(*) AS n FROM (
         |  SELECT CAST(LEAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
