@@ -36,10 +36,18 @@ object Bench {
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Full-name per-query timings on stderr for humans (above); the
+    // stdout JSON uses the short qNN keys and 3-decimal values so the
+    // ONE line stays well under the driver's 2000-char stdout tail
+    // window — rounds 1-4 exceeded it and the driver recorded
+    // `parsed: null` every time.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + num(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Describe, Flatten, Reshape}
 import graft.pipeline.Pipeline
-import graft.sinks.{ConsoleReportSink, ReportSink, Sinks, SmtpReportSink}
+import graft.sinks.{ConsoleReportSink, RecordingReportSink, ReportSink, Sinks, SmtpReportSink}
 import graft.sources.{WaqiFixtures, WaqiSource}
 
 /** The reference pipeline end-to-end (SURVEY.md §3.1 trace):
@@ -49,7 +49,10 @@ object AirQualityApp {
     val tables = WaqiSource.Pollutants.map(p =>
       p -> Flatten.perPollutant(okRows, p)).toMap
 
-    val reporter = reporter0.getOrElse(defaultReporter())
+    // Record (subject, body) pairs regardless of transport — with an
+    // SMTP or injected sink, Result.reports used to come back empty,
+    // indistinguishable from "no reports produced".
+    val reporter = new RecordingReportSink(reporter0.getOrElse(defaultReporter()))
     Pipeline.withRetry(retries = 1, delayMs = 100) {
       tables.foreach { case (p, df) =>
         val statCols = df.columns.filter(_.endsWith("_avg")) ++
@@ -61,11 +64,7 @@ object AirQualityApp {
     }
     outDir.foreach(dir =>
       Sinks.parquetPartitioned(long, s"$dir/air_quality", "pollutant"))
-    val sent = reporter match {
-      case c: ConsoleReportSink => c.sent.toSeq
-      case _ => Seq.empty
-    }
-    Result(long, tables, nErrors, sent)
+    Result(long, tables, nErrors, reporter.sent.toSeq)
   }
 
   def main(args: Array[String]): Unit = {

@@ -199,6 +199,15 @@ object Dedup {
         labels = updated
         i += 1
       }
+      // A component with diameter > maxIters would exit here only
+      // partially merged — surface it rather than silently returning
+      // split clusters (real dup-graph diameters are tiny; hitting
+      // this means the pair graph is pathological).
+      if (changed > 0)
+        System.err.println(
+          s"[graft] dupClusters: min-label propagation did NOT reach a " +
+            s"fixpoint in $maxIters iterations ($changed labels still " +
+            "changing); returned clusters may be partially merged")
       // materialize the (node -> component) result and truncate its
       // lineage — it spans every iteration's plan, whose intermediate
       // caches are about to be released; the result itself is

@@ -134,20 +134,25 @@ object FunctionBreadth {
   }
 
   /** Grouped exact percentiles (linear interpolation, matching
-    * quantile_cont bitwise — same lo + d·(hi-lo) arithmetic). Routed
-    * through [[Describe.groupedExactQuantiles]]'s counts +
+    * quantile_cont bitwise — the weighted `(1-d)*lo + d*hi` form; the
+    * algebraically-equal `lo + d*(hi-lo)` drifts 1 ulp whenever `d`
+    * is inexact). Routed through
+    * [[Describe.groupedExactQuantiles]]'s counts +
     * distributed-rank machinery instead of Spark's `percentile`
     * aggregate, which holds every distinct value of every group in
     * per-partition hashmaps (VERDICT round-1's last remaining
-    * 100x-scale risk). */
+    * 100x-scale risk). A (group, column) whose values are all NULL
+    * has no quantiles and surfaces as NaN rather than a crash. */
   def groupedPercentiles(t: Tables): DataFrame = {
     val spark = t.lineitem.sparkSession
     val qs = Describe.groupedExactQuantiles(t.lineitem, "l_returnflag",
       Seq("l_quantity", "l_extendedprice"), Seq(0.5, 0.9))
+    def at(g: String, c: String, i: Int): Double =
+      qs.get((g, c)).map(_(i)).getOrElse(Double.NaN)
     val rows = qs.keys.map(_._1).toSeq.distinct.sorted.map { g =>
       org.apache.spark.sql.Row(g,
-        qs((g, "l_quantity"))(0), qs((g, "l_quantity"))(1),
-        qs((g, "l_extendedprice"))(0), qs((g, "l_extendedprice"))(1))
+        at(g, "l_quantity", 0), at(g, "l_quantity", 1),
+        at(g, "l_extendedprice", 0), at(g, "l_extendedprice", 1))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("l_returnflag",

@@ -21,11 +21,25 @@ object Merge {
 
   /** Copy-on-write upsert: rows of `updates` replace same-key rows of
     * `base`; unmatched update keys are inserts. Both legs shuffle on
-    * `keys` once; no driver-side state. */
+    * `keys` once; no driver-side state.
+    *
+    * `updates` must be unique per key — with no version column there
+    * is no "newest" to pick, so duplicate update keys would all
+    * survive the union. Callers whose update stream can carry
+    * duplicates pass `precedence`: the highest value per key wins
+    * (mergeOnRead-style row_number dedup) before the merge. */
   def upsert(base: DataFrame, updates: DataFrame,
-      keys: Seq[String]): DataFrame =
-    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates)
+      keys: Seq[String], precedence: Option[String] = None): DataFrame = {
+    val deduped = precedence match {
+      case None => updates
+      case Some(p) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(p).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    base.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(deduped)
+  }
 
   /** Read-time reconciliation of base + deltas: every row carries a
     * `version`; the newest version per key wins (ties broken by the

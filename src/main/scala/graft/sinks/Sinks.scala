@@ -70,6 +70,17 @@ final class ConsoleReportSink extends ReportSink {
   }
 }
 
+/** Records every (subject, body) pair while delegating to any real
+  * transport, so callers can observe what was sent regardless of
+  * whether reports went to console, SMTP, or an injected sink. */
+final class RecordingReportSink(inner: ReportSink) extends ReportSink {
+  val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  override def send(subject: String, body: String): Unit = {
+    sent += ((subject, body))
+    inner.send(subject, body)
+  }
+}
+
 /** K6 proper: the reference emails the describe() report over SMTP
   * (`/root/reference/dags/my_data_pipeline.py:178-197`, smtplib). No
   * mail library ships with Spark, so this is a minimal RFC 5321
@@ -78,13 +89,29 @@ final class ConsoleReportSink extends ReportSink {
   * only — credentials/TLS are deployment concerns layered outside the
   * trait. Exercised in tests against an in-process stub SMTP server. */
 final class SmtpReportSink(host: String, port: Int, from: String,
-    to: Seq[String]) extends ReportSink {
+    to: Seq[String], timeoutMs: Int = 10000) extends ReportSink {
   import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
   import java.nio.charset.StandardCharsets.US_ASCII
 
+  // Header values and envelope addresses are single-line by protocol;
+  // an embedded CR/LF would let a caller inject extra headers or SMTP
+  // commands, so reject rather than silently rewrite.
+  private def requireNoCrlf(what: String, v: String): String = {
+    require(!v.exists(c => c == '\r' || c == '\n'),
+      s"$what must not contain CR/LF: ${v.take(40)}")
+    v
+  }
+  requireNoCrlf("from address", from)
+  to.foreach(requireNoCrlf("rcpt address", _))
+
   override def send(subject: String, body: String): Unit = {
-    val socket = new java.net.Socket(host, port)
+    requireNoCrlf("subject", subject)
+    val socket = new java.net.Socket()
     try {
+      // A hung relay must not block the pipeline (send() sits inside
+      // the app's withRetry wrapper): bound both connect and reads.
+      socket.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      socket.setSoTimeout(timeoutMs)
       val in = new BufferedReader(
         new InputStreamReader(socket.getInputStream, US_ASCII))
       val out = new BufferedWriter(

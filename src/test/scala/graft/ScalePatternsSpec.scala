@@ -115,6 +115,17 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a", 2L -> "B", 3L -> "C"))
   }
 
+  test("upsert with precedence dedups duplicate update keys, highest wins") {
+    import graft.operators.Merge
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "version")
+    val updates = Seq((2L, "B1", 1L), (2L, "B2", 2L), (3L, "C", 1L))
+      .toDF("id", "v", "version")
+    val got = Merge.upsert(base, updates, Seq("id"), Some("version"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // without the precedence dedup both (2,B1) and (2,B2) would survive
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "C"))
+  }
+
   test("z-values are monotone within each dimension slice") {
     import graft.functions.ZOrder
     val df = spark.range(0, 4).select(col("id").as("x"))

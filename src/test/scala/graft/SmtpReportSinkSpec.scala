@@ -54,6 +54,10 @@ class SmtpReportSinkSpec extends AnyFunSuite {
       val r = graft.app.AirQualityApp.run(SharedSession.spark,
         outDir = None, reporter0 = Some(sink))
       assert(r.nErrors >= 0)
+      // Result.reports is captured by the recording wrapper even when
+      // the transport is SMTP, not just for the console sink
+      assert(r.reports.size == 4)
+      assert(r.reports.map(_._1).forall(_.startsWith("Air quality summary")))
       val subjects = stub.synchronized {
         stub.data.filter(_.startsWith("Subject: ")).toList
       }
@@ -63,6 +67,23 @@ class SmtpReportSinkSpec extends AnyFunSuite {
       assert(subjects.forall(_.startsWith("Subject: Air quality summary:")),
         subjects)
       assert(stub.synchronized(stub.data.exists(_.contains("mean"))))
+    } finally stub.server.close()
+  }
+
+  test("rejects CR/LF in subject and addresses (header injection)") {
+    intercept[IllegalArgumentException] {
+      new SmtpReportSink("h", 25, "a@b.c\r\nRCPT TO:<evil@x>", Seq("d@e.f"))
+    }
+    intercept[IllegalArgumentException] {
+      new SmtpReportSink("h", 25, "a@b.c", Seq("d@e.f\nX-Inject: 1"))
+    }
+    val stub = new SmtpStub
+    try {
+      val sink = new SmtpReportSink("127.0.0.1", stub.server.getLocalPort,
+        "a@b.c", Seq("d@e.f"))
+      intercept[IllegalArgumentException] {
+        sink.send("subj\r\nBcc: hidden@x", "body")
+      }
     } finally stub.server.close()
   }
 
