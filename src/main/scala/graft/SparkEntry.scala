@@ -20,6 +20,9 @@ object SparkEntry {
     QueryModule(operators.ScalePatterns.queries,
       operators.ScalePatterns.oracleSql),
     QueryModule(operators.Quality.queries, operators.Quality.oracleSql),
+    QueryModule(operators.Behavioral.queries, operators.Behavioral.oracleSql),
+    QueryModule(operators.CorpusSignals.queries,
+      operators.CorpusSignals.oracleSql),
     QueryModule(operators.Merge.queries, operators.Merge.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream behavioral analytics over the `events` table — the
+  * query family a product/growth pipeline runs daily (cohort
+  * retention, conversion funnels, SCD-2 history, gap-filled daily
+  * series). The reference's dataflow is batch-ETL over small API
+  * payloads; these are the shapes the same pipeline needs once the
+  * source is an event log (SURVEY.md §2 north-star).
+  *
+  * Scale notes: every query here is groupBy/join/window on `user_id`
+  * — one hash partitioning that AQE can reuse across stages. Nothing
+  * materializes per-user state on the driver, and the per-user
+  * windows are keyed (never global), so the plans survive a
+  * 1000-executor fan-out unchanged.
+  */
+object Behavioral {
+
+  /** Weekly cohort retention: users bucketed by the week of their
+    * first event; for each (cohort week, whole weeks since first
+    * event) the count of distinct active users. Two shuffles (first
+    * event per user; cohort/offset rollup), both on keys that scale
+    * with |users|, not |events|. */
+  def cohortRetention(t: Tables): DataFrame = {
+    val d = t.events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val coh = d.groupBy(col("user_id").as("cuid"))
+      .agg(min(col("day")).as("cday"))
+    d.join(coh, d("user_id") === coh("cuid"))
+      .select(
+        to_date(date_trunc("week", col("cday"))).as("cohort_week"),
+        // integer DIV, not `/` (which is double division in Spark)
+        expr("CAST(datediff(day, cday) DIV 7 AS BIGINT)").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Conversion funnel view → click → purchase with per-stage
+    * conversion windows (click within 1 h of first view, purchase
+    * within 24 h of that click). Each stage is a keyed join + min —
+    * the ordered-sequence semantics live in the ts predicates, so no
+    * per-user event array is ever collected. */
+  def funnel(t: Tables): DataFrame = {
+    val e = t.events
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.ts") >= col("v.vt") &&
+        col("e.ts") <= col("v.vt") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+      .filter(col("e.ts") >= col("c.ct") &&
+        col("e.ts") <= col("c.ct") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("pt"))
+    v.agg(count(lit(1)).as("stage_view"))
+      .crossJoin(c.agg(count(lit(1)).as("stage_click")))
+      .crossJoin(p.agg(count(lit(1)).as("stage_purchase")))
+  }
+
+  /** SCD Type-2 history of each user's event_type "state": collapse
+    * consecutive same-type events into validity intervals
+    * [valid_from, valid_to) with an is_current flag on the open one.
+    * Change detection and interval stitching are both keyed windows
+    * over (user_id) — the classic dimension-build shape, fully
+    * distributed. */
+  def scd2UserState(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = t.events.filter(col("user_id") < 50)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+        col("event_id"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      .drop("event_id")
+  }
+
+  /** Gap-filled daily series: per-user event counts on EVERY day
+    * between that user's first and last event (missing days as 0)
+    * plus a running total. The dense calendar comes from
+    * `sequence()` + explode — generated distributedly next to each
+    * user's row, never on the driver — and the cumulative sum is a
+    * keyed window. */
+  def gapFilledDaily(t: Tables): DataFrame = {
+    val d = t.events.filter(col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = d.groupBy(col("user_id").as("suid"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("suid"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    span.join(d, span("suid") === d("user_id") && span("day") === d("day"), "left")
+      .select(span("suid").as("user_id"), span("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .withColumn("cum_events",
+        sum(col("n_events")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_cohort_retention" -> ((s, d) => cohortRetention(Tables(s, d))),
+    "q94_funnel" -> ((s, d) => funnel(Tables(s, d))),
+    "q95_scd2_user_state" -> ((s, d) => scd2UserState(Tables(s, d))),
+    "q99_gap_filled_daily" -> ((s, d) => gapFilledDaily(Tables(s, d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q93_cohort_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |coh AS (SELECT user_id AS cuid, min(day) AS cday FROM d GROUP BY 1)
+        |SELECT CAST(date_trunc('week', cday) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', cday, day)//7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d JOIN coh ON d.user_id = coh.cuid
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q94_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |           WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id=v.user_id
+        |      WHERE e.event_type='click' AND e.ts >= v.vt
+        |        AND e.ts <= v.vt + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id=c.user_id
+        |      WHERE e.event_type='purchase' AND e.ts >= c.ct
+        |        AND e.ts <= c.ct + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS stage_view,
+        |       CAST((SELECT count(*) FROM c) AS BIGINT) AS stage_click,
+        |       CAST((SELECT count(*) FROM p) AS BIGINT) AS stage_purchase""".stripMargin,
+    "q95_scd2_user_state" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id < 50),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM chg ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q99_gap_filled_daily" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE user_id < 20 GROUP BY 1,2),
+        |span AS (
+        |  SELECT user_id AS suid,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM d GROUP BY user_id)
+        |SELECT suid AS user_id, CAST(span.day AS DATE) AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+        |  CAST(sum(coalesce(n, 0))
+        |    OVER (PARTITION BY suid ORDER BY span.day) AS BIGINT) AS cum_events
+        |FROM span LEFT JOIN d
+        |  ON d.user_id = span.suid AND d.day = CAST(span.day AS DATE)
+        |ORDER BY user_id, day""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level curation signals for LLM training data that go beyond
+  * per-doc quality scores (TextAnalysis): repetition statistics in the
+  * style of the Gopher rules (Rae et al. 2021, arXiv:2112.11446 —
+  * repeated-n-gram fractions mark low-quality/boilerplate text) and a
+  * benchmark-contamination sweep (n-gram overlap against an eval set,
+  * the decontamination step of GPT-3/PaLM-style training pipelines).
+  *
+  * Scale notes: both queries explode documents into (doc, n-gram)
+  * rows and aggregate/join on the n-gram — shuffle volume is
+  * O(tokens), the same order as reading the corpus, with no global
+  * collection point. At 100 TB the contamination join keys would be
+  * 64-bit n-gram hashes instead of strings (the eval side stays tiny
+  * and broadcastable); here the join carries the literal strings so
+  * the DuckDB oracle can state the identical query.
+  */
+object CorpusSignals {
+
+  /** Word-level repetition signals per document: duplicate-token
+    * fraction and the share of the most frequent bigram among all
+    * bigram occurrences. High values of either flag degenerate /
+    * boilerplate docs a pretraining filter should drop. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("t"))
+    val base = toks.select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+      // element_at is 1-based, like the oracle's list indexing
+      expr("transform(sequence(1, size(t)-1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))").as("bgs"))
+    val bgTop = base.select(col("doc_id").as("bdoc"), explode(col("bgs")).as("b"))
+      .groupBy(col("bdoc"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("bdoc"))
+      .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
+        .as("top_bigram_frac"))
+    base.join(bgTop, base("doc_id") === bgTop("bdoc"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_word_frac"),
+        col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark contamination: training docs (source != evalSource)
+    * that share at least one 5-gram with any eval doc, with how many
+    * eval docs they collide with and how many distinct 5-grams leak.
+    * The eval side of the join is a tiny distinct-n-gram set — at
+    * scale it broadcasts and the sweep is one pass over the corpus. */
+  def contamination(docs: DataFrame, evalSource: String = "src0"): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t)-4), i -> concat(" +
+            "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+            "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+            "element_at(t, i+4)))"))).as("g"))
+    val g = grams(docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("t")))
+    val ev = g.filter(col("source") === evalSource)
+      .select(col("g"), col("doc_id").as("eval_doc")).distinct()
+    val tr = g.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("eval_doc")).as("n_eval_docs"),
+        count_distinct(col("g")).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_repetition_signals" -> ((s, d) =>
+      repetitionSignals(Tables(s, d).documents)),
+    "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q91_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |         len(list_distinct(t)) AS n_distinct,
+        |         list_transform(generate_series(1, len(t)-1),
+        |           i -> t[i] || ' ' || t[i+1]) AS bgs
+        |  FROM toks),
+        |bgc AS (
+        |  SELECT doc_id AS bdoc, b, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(bgs) AS b FROM base) GROUP BY 1,2),
+        |bgtop AS (
+        |  SELECT bdoc, CAST(max(n) AS DOUBLE)/CAST(sum(n) AS DOUBLE)
+        |    AS top_bigram_frac
+        |  FROM bgc GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+        |    AS dup_word_frac,
+        |  top_bigram_frac
+        |FROM base JOIN bgtop ON base.doc_id = bgtop.bdoc
+        |ORDER BY doc_id""".stripMargin,
+    "q92_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])))
+        |      AS g
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g, doc_id AS eval_doc FROM grams
+        |       WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, g FROM grams WHERE source <> 'src0')
+        |SELECT tr.doc_id AS doc_id,
+        |       CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs,
+        |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

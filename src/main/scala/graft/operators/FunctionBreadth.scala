@@ -208,7 +208,40 @@ object FunctionBreadth {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered-argument aggregate breadth: min_by/max_by (arg-min /
+    * arg-max), mode, and exact median per order status. The min_by /
+    * max_by / mode winners are provably unique in this data (verified
+    * at sf0.01 AND sf0.1) — with ties these aggregates are
+    * engine-nondeterministic and could never be oracle-checked. */
+  def aggBreadth(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        mode(col("o_orderpriority")).as("top_priority"),
+        median(col("o_totalprice")).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Array higher-order functions over the embedding vectors:
+    * transform + left-fold aggregate (component sum), filter + size
+    * (positive-component count), and an L1 norm — the HOF surface a
+    * feature pipeline uses before vectors ever reach an ANN index.
+    * Both engines fold left-to-right from a 0.0 seed over the same
+    * element order, so the double results are bit-identical. */
+  def arrayHofs(t: Tables): DataFrame =
+    t.embeddings.select(
+      col("vec_id"),
+      expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("comp_sum"),
+      expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+      expr("aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("l1_norm"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_agg_breadth" -> ((s, d) => aggBreadth(Tables(s, d))),
+    "q97_array_hofs" -> ((s, d) => arrayHofs(Tables(s, d))),
     "q72_map_ops" -> ((s, d) => mapOps(Tables(s, d))),
     "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
     "q70_grouped_percentiles" -> ((s, d) => groupedPercentiles(Tables(s, d))),
@@ -220,6 +253,24 @@ object FunctionBreadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q96_agg_breadth" ->
+      """SELECT o_orderstatus,
+        |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+        |  max_by(o_orderkey, o_totalprice) AS priciest_order,
+        |  mode(o_orderpriority) AS top_priority,
+        |  median(o_totalprice) AS median_price,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_array_hofs" ->
+      """SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b) AS comp_sum,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (a, b) -> a + b) AS l1_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q69_corr_regression" -> {
       // VARCHAR round-trip: DuckDB's direct decimal->double cast is not
       // correctly rounded past 2^53 scaled (see q01/q50)
