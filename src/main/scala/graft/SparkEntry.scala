@@ -23,6 +23,7 @@ object SparkEntry {
     QueryModule(operators.Behavioral.queries, operators.Behavioral.oracleSql),
     QueryModule(operators.CorpusSignals.queries,
       operators.CorpusSignals.oracleSql),
+    QueryModule(operators.Sketches.queries, operators.Sketches.oracleSql),
     QueryModule(operators.Merge.queries, operators.Merge.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),

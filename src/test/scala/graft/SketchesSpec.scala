@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Describe, Sketches}
+
+/** The sketch family's guarantees, pinned against exact computation
+  * on the sf0.001 tables (rows-only queries q98/q100 have no SQL
+  * oracle — these bounds are their correctness story). */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSession.spark
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("CMS estimates never undercount, and overcount within 2N/w") {
+    val events = t.events
+    val n = events.count()
+    val sketch = Sketches.cmsSketch(events, "user_id",
+      Sketches.Depth, Sketches.Width)
+    // total mass in every depth row equals N (sketch is a partition
+    // of the input per depth)
+    val mass = sketch.groupBy("depth").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(mass.forall(_ == n), s"per-depth mass $mass != $n")
+    val exact = events.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(sketch,
+      exact.select("k"), Sketches.Depth, Sketches.Width)
+    val joined = est.join(exact, "k")
+      .select(col("k"), col("est"), col("exact")).collect()
+    joined.foreach { r =>
+      val (est, ex) = (r.getLong(1), r.getLong(2))
+      assert(est >= ex, s"CMS undercounted key ${r.get(0)}: $est < $ex")
+      // standard bound: P[err > 2N/w] <= (1/2)^depth per key; with
+      // deterministic xxhash64 seeds this either holds or it doesn't —
+      // no flake. 2N/w at sf0.001 ~ 2*6000/512.
+      assert(est - ex <= 2 * n / Sketches.Width,
+        s"CMS error ${est - ex} above 2N/w for key ${r.get(0)}")
+    }
+    assert(joined.nonEmpty)
+  }
+
+  test("CMS heavy hitters contain the true top keys") {
+    val exactTop = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val got = Sketches.cmsHeavyHitters(t)
+      .collect().map(_.getLong(0)).toSet
+    // one-sided error can only promote keys INTO the top list, never
+    // evict a genuinely heavy one below a light one by more than the
+    // error bound — the true top-5 must survive inside the top-20
+    assert(exactTop.subsetOf(got), s"missing ${exactTop.diff(got)}")
+  }
+
+  test("approx quantiles sit within the GK rank-error band of exact") {
+    val li = t.lineitem
+    val approx = Sketches.approxQuantiles(t).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // accuracy=10000 -> rank error 1e-4; bound each approx value by
+    // the exact quantiles at p +/- 0.001 (10x slack, still tight)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val lo = Describe.groupedExactQuantiles(li, "l_returnflag",
+      Seq("l_extendedprice"), ps.map(_ - 0.001))
+    val hi = Describe.groupedExactQuantiles(li, "l_returnflag",
+      Seq("l_extendedprice"), ps.map(_ + 0.001))
+    approx.foreach { case (flag, vals) =>
+      val l = lo((flag, "l_extendedprice"))
+      val h = hi((flag, "l_extendedprice"))
+      ps.indices.foreach { i =>
+        assert(vals(i) >= l(i) && vals(i) <= h(i),
+          s"$flag p=${ps(i)}: approx ${vals(i)} outside [${l(i)}, ${h(i)}]")
+      }
+    }
+    assert(approx.size == 3)
+  }
+}
