@@ -110,7 +110,24 @@ object Behavioral {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Throttle dedup: drop events that repeat the same (user, type)
+    * within 5 minutes of the previous occurrence — the bot-traffic /
+    * double-fire cleanup step before behavioral aggregation. One
+    * keyed window; timestamps compared as exact epoch micros so both
+    * engines apply the identical integer predicate. */
+  def throttleDedup(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >= 300000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_event_throttle" -> ((s, d) => throttleDedup(Tables(s, d))),
     "q93_cohort_retention" -> ((s, d) => cohortRetention(Tables(s, d))),
     "q94_funnel" -> ((s, d) => funnel(Tables(s, d))),
     "q95_scd2_user_state" -> ((s, d) => scd2UserState(Tables(s, d))),
@@ -118,6 +135,16 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_event_throttle" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts
+        |FROM o WHERE prev IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev) >= 300000000
+        |ORDER BY event_id""".stripMargin,
     "q93_cohort_retention" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |coh AS (SELECT user_id AS cuid, min(day) AS cday FROM d GROUP BY 1)

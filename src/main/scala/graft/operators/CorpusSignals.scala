@@ -75,10 +75,47 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (90/5/5) by hashing the
+    * stable document id through md5 — the split a doc lands in never
+    * changes as the corpus grows, unlike row_number- or rand()-based
+    * splits, and any engine reproduces it (md5 is md5 everywhere).
+    * Pure narrow projection: no shuffle at any scale. */
+  def datasetSplit(docs: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100).as("bucket")
+    docs.select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted index build: term → document frequency + the posting
+    * list of the first 20 doc ids (serialized CSV so the oracle can
+    * compare it). One explode + one (term)-keyed window + one groupBy
+    * — posting lists are truncated per term BEFORE collecting, so no
+    * unbounded array ever materializes (the classic index-build
+    * mistake at corpus scale). */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val td = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    td.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(when(col("rn") <= 20,
+          col("doc_id")))).cast("array<string>"), ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
-    "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents))
+    "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
+    "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
+    "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -120,6 +157,27 @@ object CorpusSignals {
         |       CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs,
         |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams
         |FROM tr JOIN ev ON tr.g = ev.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_dataset_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |         AS BIGINT) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q102_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    FILTER (WHERE rn <= 20) AS postings
+        |FROM (SELECT term, doc_id,
+        |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM td)
+        |GROUP BY term ORDER BY term""".stripMargin
   )
 }
