@@ -63,14 +63,15 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Jaccard for pre-SORTED deduplicated arrays: one codegen'd merge
-    * pass ([[graft.plans.SortedIntersectSizeExpr]]) instead of two
-    * hash-set builds per pair. |A∪B| = |A|+|B|-|A∩B|, so the value is
-    * identical to [[jaccard]]. Sort once per row with array_sort
-    * before the pair join. */
-  def jaccardSorted(aSorted: Column, bSorted: Column): Column = {
-    val inter = graft.plans.FastOps.sortedIntersectSize(aSorted, bSorted)
-    inter.cast("double") / (size(aSorted) + size(bSorted) - inter)
-  }
+    * pass ([[graft.plans.SortedJaccardExpr]]) instead of two hash-set
+    * builds per pair — and, unlike the composed
+    * `intersect / (sizes - intersect)` form, the merge runs ONCE even
+    * when Catalyst pushes a threshold filter on this value into a
+    * join condition. |A∪B| = |A|+|B|-|A∩B|, so the value is identical
+    * to [[jaccard]]. Sort once per row with array_sort before the
+    * pair join. */
+  def jaccardSorted(aSorted: Column, bSorted: Column): Column =
+    graft.plans.FastOps.sortedJaccard(aSorted, bSorted)
 
   /** Token count via BPE-ish approximation: words plus punctuation
     * runs. On the synthetic word bags this equals the word count; on

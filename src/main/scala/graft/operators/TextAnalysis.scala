@@ -106,13 +106,13 @@ object TextAnalysis {
     val b = docs.select(col("lang"), col("source"),
       col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     a.join(b, Seq("lang", "source"))
-      .filter(col("d1") < col("d2"))
-      // size filter (provably lossless at threshold t): J(A,B) <=
-      // min(|A|,|B|)/max(|A|,|B|), so pairs whose shingle-set sizes
-      // differ by more than 2x can never reach J >= 0.5 — skip the
-      // merge-intersect for them with two precomputed size reads
-      .filter(least(col("n1"), col("n2")) * 2 >=
-        greatest(col("n1"), col("n2")))
+      // one filter, cheap conjuncts in evaluation order: the pair
+      // orientation check and the lossless size filter (J(A,B) <=
+      // min(|A|,|B|)/max(|A|,|B|), so at t=0.5 a >2x size gap can
+      // never qualify) must both run BEFORE the merge-pass jaccard
+      // that Catalyst pushes into this join's condition
+      .filter(col("d1") < col("d2") &&
+        least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")))
       .select(col("d1"), col("d2"),
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

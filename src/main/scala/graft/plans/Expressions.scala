@@ -197,6 +197,71 @@ case class SortedShinglesExpr(child: Expression, n: Int)
       : Expression = copy(child = newChild)
 }
 
+/** Jaccard similarity of two LEXICOGRAPHICALLY SORTED, de-duplicated
+  * string arrays in ONE merge pass: |A∩B| / (|A|+|B|-|A∩B|) with the
+  * intersect counted once. The composed form
+  * `intersect / (sizes - intersect)` plants TWO SortedIntersectSizeExpr
+  * nodes; when Catalyst pushes a jaccard threshold into a join
+  * condition (exactly what happens in the q26 bucket join) each
+  * candidate pair then pays the merge twice — this expression makes
+  * the pushed-down predicate single-pass. Division and comparison are
+  * IEEE-exact, so results are bit-identical to the composed form. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_jaccard expects array<string> inputs")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c.toDouble / (na + nb - c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = (double) $c / ($na + $nb - $c);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the custom expressions. */
 object FastOps {
   def dotProduct(a: Column, b: Column): Column =
@@ -205,6 +270,10 @@ object FastOps {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectSizeExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedJaccardExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def sortedShingles(text: Column, n: Int): Column =
