@@ -126,8 +126,27 @@ object Behavioral {
       .orderBy(col("event_id"))
   }
 
+  /** First-order transition matrix over event types: for each
+    * (event_type, next_event_type) the raw count and the conditional
+    * probability P(next | current). Next-event pairing is a keyed
+    * window; the probability denominator is a window sum over exact
+    * BIGINT counts, so the double division is identical cross-engine. */
+  def eventTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("event_type"))
+    t.events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(wp).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_event_throttle" -> ((s, d) => throttleDedup(Tables(s, d))),
+    "q106_event_transitions" -> ((s, d) => eventTransitions(Tables(s, d))),
     "q93_cohort_retention" -> ((s, d) => cohortRetention(Tables(s, d))),
     "q94_funnel" -> ((s, d) => funnel(Tables(s, d))),
     "q95_scd2_user_state" -> ((s, d) => scd2UserState(Tables(s, d))),
@@ -135,6 +154,16 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q106_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type, lead(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS DOUBLE) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q103_event_throttle" ->
       """WITH o AS (
         |  SELECT event_id, user_id, event_type, ts,

@@ -202,7 +202,39 @@ object TpchShapes {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Q5-adjacent share-of-total analytics: nation revenue, its share
+    * of the region total, and the within-region rank — the
+    * ratio_to_report pattern. The region total is a WINDOW sum over
+    * the per-nation DECIMAL subtotals (order-independent, so exact;
+    * a double window-sum would be partition-order-nondeterministic),
+    * cast to double only at the edge. All dims broadcast; the only
+    * data-sized shuffle is the nation rollup. */
+  def revenueShare(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perNation = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("rev_dec"))
+    val w = Window.partitionBy(col("r_name"))
+    val wRank = w.orderBy(col("rev_dec").desc, col("n_name"))
+    perNation
+      .withColumn("region_dec", sum(col("rev_dec")).over(w))
+      .withColumn("rnk", rank().over(wRank))
+      .select(col("r_name"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("region_dec").cast("double").as("region_revenue"),
+        (col("rev_dec").cast("double") / col("region_dec").cast("double"))
+          .as("share"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy(col("r_name"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_revenue_share" -> ((s, d) => revenueShare(Tables(s, d))),
     "q79_nation_trade" -> ((s, d) => nationTradeVolume(Tables(s, d))),
     "q68_sql_forecast_revenue" -> ((s, d) => forecastRevenueSql(s, d)),
     "q57_priority_shipments" -> ((s, d) => priorityShipments(Tables(s, d))),
@@ -215,6 +247,26 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_revenue_share" -> {
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""WITH pn AS (
+         |  SELECT r_name, n_name,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY 1, 2)
+         |SELECT r_name, n_name, ${d("rev_dec")} AS revenue,
+         |  ${d("SUM(rev_dec) OVER (PARTITION BY r_name)")} AS region_revenue,
+         |  ${d("rev_dec")} /
+         |    ${d("SUM(rev_dec) OVER (PARTITION BY r_name)")} AS share,
+         |  CAST(rank() OVER (PARTITION BY r_name
+         |    ORDER BY rev_dec DESC, n_name) AS INTEGER) AS rnk
+         |FROM pn ORDER BY r_name, rnk""".stripMargin
+    },
     "q79_nation_trade" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
