@@ -120,6 +120,21 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Same top-3-per-customer answer as [[topOrdersPerCustomer]], but
+    * through the custom [[graft.plans.TopKPerKeyPlan]] operator:
+    * k-bounded heaps per key BEFORE the shuffle, so only candidate
+    * rows ever cross the exchange (the window form shuffles the whole
+    * table). The oracle states the row_number semantics — passing it
+    * proves the custom physical operator implements them exactly. */
+  def topOrdersPerCustomerFast(t: Tables): DataFrame =
+    graft.plans.TopK.perKey(
+      t.orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice")),
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** Multi-distinct aggregation (expand-based distinct aggregates). */
   def distinctCounts(t: Tables): DataFrame =
     t.lineitem.groupBy(col("l_returnflag"))
@@ -263,6 +278,8 @@ object Relational {
     "q04_region_revenue" -> ((s, d) => regionRevenue(Tables(s, d))),
     "q05_top_orders" -> ((s, d) => topOrders(Tables(s, d))),
     "q06_topk_per_customer" -> ((s, d) => topOrdersPerCustomer(Tables(s, d))),
+    "q107_topk_custom_operator" -> ((s, d) =>
+      topOrdersPerCustomerFast(Tables(s, d))),
     "q07_distinct_counts" -> ((s, d) => distinctCounts(Tables(s, d))),
     "q08_setops_customers" -> ((s, d) => setOpsCustomers(Tables(s, d))),
     "q09_rollup_quantity" -> ((s, d) => rollupQuantity(Tables(s, d))),
@@ -338,6 +355,14 @@ object Relational {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q107_topk_custom_operator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q07_distinct_counts" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
