@@ -25,29 +25,26 @@ object CorpusSignals {
   /** Word-level repetition signals per document: duplicate-token
     * fraction and the share of the most frequent bigram among all
     * bigram occurrences. High values of either flag degenerate /
-    * boilerplate docs a pretraining filter should drop. */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), " ").as("t"))
-    val base = toks.select(
-      col("doc_id"),
-      size(col("t")).cast("long").as("n_tokens"),
-      size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-      // element_at is 1-based, like the oracle's list indexing
-      expr("transform(sequence(1, size(t)-1), " +
-        "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))").as("bgs"))
-    val bgTop = base.select(col("doc_id").as("bdoc"), explode(col("bgs")).as("b"))
-      .groupBy(col("bdoc"), col("b")).agg(count(lit(1)).as("n"))
-      .groupBy(col("bdoc"))
-      .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
-        .as("top_bigram_frac"))
-    base.join(bgTop, base("doc_id") === bgTop("bdoc"))
-      .select(col("doc_id"), col("n_tokens"),
-        ((col("n_tokens") - col("n_distinct")).cast("double") /
-          col("n_tokens").cast("double")).as("dup_word_frac"),
-        col("top_bigram_frac"))
+    * boilerplate docs a pretraining filter should drop.
+    *
+    * All four counts are row-local, so they come from ONE pass of
+    * [[graft.plans.BigramStatsExpr]] — no explode, no (doc, bigram)
+    * shuffle; the only exchange is the presentation sort. The oracle
+    * (and CorpusSignalsSpec) states the exploded groupBy form,
+    * proving the fused expression computes the same fractions
+    * bit-for-bit. Docs with zero bigrams are dropped like the
+    * exploded form's inner join dropped them. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.FastOps.bigramStats(col("text")).as("s"))
+      .filter(col("s.n_bigrams") > 0)
+      .select(col("doc_id"),
+        col("s.n_tokens").cast("long").as("n_tokens"),
+        ((col("s.n_tokens") - col("s.n_distinct")).cast("double") /
+          col("s.n_tokens").cast("double")).as("dup_word_frac"),
+        (col("s.max_bigram").cast("double") /
+          col("s.n_bigrams").cast("double")).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
-  }
 
   /** Benchmark contamination: training docs (source != evalSource)
     * that share at least one 5-gram with any eval doc, with how many

@@ -262,6 +262,54 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-document repetition statistics in ONE local pass: token count,
+  * distinct-token count, the highest bigram multiplicity, and the
+  * bigram total. The compositional form (explode bigrams → groupBy
+  * (doc, bigram) → max/sum) shuffles O(tokens) rows for what is a
+  * strictly row-local computation — with this expression the
+  * repetition-signals query is a narrow projection and the only
+  * exchange left is the presentation sort. Returns a 4-int struct;
+  * all downstream fractions divide these exact ints, so results are
+  * bit-identical to the exploded form. */
+case class BigramStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_bigram", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bigram_stats expects a string input")
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val distinct = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    val bigrams = new java.util.HashMap[UTF8String, Int]()
+    var maxRun = 0
+    i = 0
+    while (i + 1 < toks.length) {
+      val bg = UTF8String.concatWs(space, toks(i), toks(i + 1))
+      val c = bigrams.merge(bg, 1, (a, b) => a + b)
+      if (c > maxRun) maxRun = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length, distinct.size, maxRun, math.max(toks.length - 1, 0))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Column-API entry points for the custom expressions. */
 object FastOps {
   def dotProduct(a: Column, b: Column): Column =
@@ -279,4 +327,8 @@ object FastOps {
   def sortedShingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(SortedShinglesExpr(
       GraftColumnBridge.expression(text), n))
+
+  def bigramStats(text: Column): Column =
+    GraftColumnBridge.column(BigramStatsExpr(
+      GraftColumnBridge.expression(text)))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusSignals
+
+/** The fused one-pass BigramStatsExpr must reproduce the exploded
+  * groupBy formulation bit-for-bit, and the repetition-signals plan
+  * must stay narrow (the whole point of fusing it). */
+class CorpusSignalsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSession.spark
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001").documents
+
+  test("bigram stats match the exploded groupBy form bit-for-bit") {
+    val exploded = {
+      val base = docs.select(col("doc_id"),
+        split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+          expr("transform(sequence(1, size(t)-1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))")
+            .as("bgs"))
+      val top = base
+        .select(col("doc_id").as("bdoc"), explode(col("bgs")).as("b"))
+        .groupBy(col("bdoc"), col("b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("bdoc"))
+        .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
+          .as("top_bigram_frac"))
+      base.join(top, base("doc_id") === top("bdoc"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double")).as("dup_word_frac"),
+          col("top_bigram_frac"))
+    }
+    val a = exploded.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val b = CorpusSignals.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("single-token docs have no bigrams and are dropped, not divided by zero") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only"), (2L, "a a")).toDF("doc_id", "text")
+    val got = CorpusSignals.repetitionSignals(tiny).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(got.head.getDouble(2) == 0.5) // dup_word_frac of "a a"
+    assert(got.head.getDouble(3) == 1.0) // its single bigram is the top one
+  }
+
+  test("repetition-signals plan has no exchange besides the final sort") {
+    val plan = CorpusSignals.repetitionSignals(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+    assert(!plan.contains("Generate"), s"explode survived the fusion:\n$plan")
+  }
+}
