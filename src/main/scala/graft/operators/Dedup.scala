@@ -180,9 +180,18 @@ object Dedup {
       .withColumn("label", col("id"))
       .persist()
     try {
-      var changed = 1L
+      // Convergence via the label-sum invariant: labels only ever
+      // DECREASE, so the fixpoint is reached exactly when the sum of
+      // all labels stops falling — one aggregate per round instead of
+      // the labels-vs-labels join the old changed-count needed.
+      // decimal(38,0) so 10^12-scale ids times 10^9 nodes cannot wrap.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head
+          .getDecimal(0)
+      var prevSum = labelSum(labels)
+      var changed = true
       var i = 0
-      while (changed > 0 && i < maxIters) {
+      while (changed && i < maxIters) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
           .groupBy(col("a").as("id"))
@@ -192,9 +201,9 @@ object Dedup {
             least(col("label"), coalesce(col("nl"), col("label")))
               .as("label"))
           .persist()
-        changed = updated
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).count()
+        val newSum = labelSum(updated)
+        changed = newSum.compareTo(prevSum) != 0
+        prevSum = newSum
         labels.unpersist(false)
         labels = updated
         i += 1
@@ -203,11 +212,11 @@ object Dedup {
       // partially merged — surface it rather than silently returning
       // split clusters (real dup-graph diameters are tiny; hitting
       // this means the pair graph is pathological).
-      if (changed > 0)
+      if (changed)
         System.err.println(
           s"[graft] dupClusters: min-label propagation did NOT reach a " +
-            s"fixpoint in $maxIters iterations ($changed labels still " +
-            "changing); returned clusters may be partially merged")
+            s"fixpoint in $maxIters iterations (label sum still falling); " +
+            "returned clusters may be partially merged")
       // materialize the (node -> component) result and truncate its
       // lineage — it spans every iteration's plan, whose intermediate
       // caches are about to be released; the result itself is
