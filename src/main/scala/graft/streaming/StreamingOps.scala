@@ -102,6 +102,36 @@ object StreamingOps {
       }
   }
 
+  /** Streaming throttle — the stateful-stream twin of
+    * [[graft.operators.Behavioral.throttleDedup]]: per (user, type),
+    * pass an event only if at least `minGapMs` elapsed since the last
+    * PASSED one. Unlike the batch lag() form (gap vs previous raw
+    * event) this is kept-based rate limiting, the semantics only
+    * per-key running state can express — exactly the
+    * flatMapGroupsWithState niche. State is one timestamp per key. */
+  def throttleStream(events: Dataset[Event], minGapMs: Long = 300000L)
+      : Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[Event]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (last == Long.MinValue || t - last >= minGapMs) {
+              out += e
+              last = t
+            }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Streaming deduplication: exactly-once per `idCols` with state
     * bounded by the watermark — the streaming form of
     * TextAnalysis.dedupExact (late duplicates beyond the watermark are

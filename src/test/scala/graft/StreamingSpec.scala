@@ -97,6 +97,36 @@ class StreamingSpec extends AnyFunSuite {
       ts("2024-01-01 10:00:00"), 2)))
   }
 
+  test("stateful throttle passes only events >= minGap after the last PASSED one") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val throttled = StreamingOps.throttleStream(mem.toDS(),
+      minGapMs = 5 * 60 * 1000)
+    val q = throttled.writeStream.outputMode("append")
+      .format("memory").queryName("throttle_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1.0), // pass (first)
+      Event(1, ts("2024-01-01 10:03:00"), 1.0), // drop (< 5m after 10:00)
+      // kept-based semantics: 10:06 is >= 5m after the last PASSED
+      // event (10:00) even though it is < 5m after the dropped 10:03
+      Event(1, ts("2024-01-01 10:06:00"), 1.0), // pass
+      Event(2, ts("2024-01-01 10:01:00"), 1.0)) // pass (own key)
+    q.processAllAvailable()
+    // state persists across micro-batches
+    mem.addData(
+      Event(1, ts("2024-01-01 10:08:00"), 1.0), // drop (< 5m after 10:06)
+      Event(1, ts("2024-01-01 10:11:00"), 1.0)) // pass
+    q.processAllAvailable()
+    val got = spark.table("throttle_out").as[Event].collect()
+      .map(e => (e.user_id, e.ts)).sortBy(x => (x._1, x._2.getTime)).toSeq
+    q.stop()
+    assert(got == Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:06:00")),
+      (1L, ts("2024-01-01 10:11:00")),
+      (2L, ts("2024-01-01 10:01:00"))))
+  }
+
   test("batch session windows match the gaps-and-islands definition") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
