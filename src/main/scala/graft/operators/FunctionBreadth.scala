@@ -87,6 +87,30 @@ object FunctionBreadth {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Time-RANGE rolling window + IGNORE NULLS carry-forward — the two
+    * window features [[windowSuite]] doesn't reach: a 30-day
+    * rolling order total via rangeBetween over an epoch-day ordering
+    * (tie rows are peers, identically in both engines), and
+    * last-observation-carried-forward of the most recent finished
+    * order's price via last(ignoreNulls). Decimal window sums keep
+    * the rolling totals exact. */
+  def rollingRange(t: Tables): DataFrame = {
+    val o = t.orders.filter(col("o_custkey") <= 300)
+      .withColumn("day_num",
+        datediff(col("o_orderdate"), lit("1970-01-01")))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, Window.currentRow)
+    val wRows = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(wRange)
+        .cast("double").as("rolling_30d_total"),
+      last(when(col("o_orderstatus") === "F", col("o_totalprice")),
+        ignoreNulls = true).over(wRows).as("last_finished_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Wide -> long unpivot of the four lineitem measures (stack). */
   def unpivotMeasures(t: Tables): DataFrame =
     t.lineitem
@@ -241,6 +265,7 @@ object FunctionBreadth {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_agg_breadth" -> ((s, d) => aggBreadth(Tables(s, d))),
+    "q108_rolling_range" -> ((s, d) => rollingRange(Tables(s, d))),
     "q97_array_hofs" -> ((s, d) => arrayHofs(Tables(s, d))),
     "q72_map_ops" -> ((s, d) => mapOps(Tables(s, d))),
     "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
@@ -253,6 +278,24 @@ object FunctionBreadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q108_rolling_range" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    o_orderstatus,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS day_num
+        |  FROM orders WHERE o_custkey <= 300)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_num
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR)
+        |    AS DOUBLE) AS rolling_30d_total,
+        |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+        |    IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_finished_price
+        |FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q96_agg_breadth" ->
       """SELECT o_orderstatus,
         |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
