@@ -126,6 +126,27 @@ object Behavioral {
       .orderBy(col("event_id"))
   }
 
+  /** Point-in-time lookup join: each purchase event joined to the
+    * SCD-2 state interval that covers its timestamp — the dimension
+    * enrichment every feature pipeline needs against a versioned
+    * dimension ("what was the user's state WHEN this happened", not
+    * "what is it now"). Keyed on user_id with a per-user interval
+    * predicate; because [[scd2UserState]]'s intervals partition each
+    * user's timeline, every fact matches exactly once. */
+  def pointInTimeJoin(t: Tables): DataFrame = {
+    val scd = scd2UserState(t).select(col("user_id").as("suid"),
+      col("event_type").as("state"), col("valid_from"), col("valid_to"))
+    val purchases = t.events
+      .filter(col("event_type") === "purchase" && col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases.join(scd,
+      purchases("user_id") === scd("suid") &&
+        scd("valid_from") <= purchases("ts") &&
+        (scd("valid_to").isNull || purchases("ts") < scd("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("state"))
+      .orderBy(col("event_id"))
+  }
+
   /** First-order transition matrix over event types: for each
     * (event_type, next_event_type) the raw count and the conditional
     * probability P(next | current). Next-event pairing is a keyed
@@ -147,6 +168,7 @@ object Behavioral {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_event_throttle" -> ((s, d) => throttleDedup(Tables(s, d))),
     "q106_event_transitions" -> ((s, d) => eventTransitions(Tables(s, d))),
+    "q109_pit_join" -> ((s, d) => pointInTimeJoin(Tables(s, d))),
     "q93_cohort_retention" -> ((s, d) => cohortRetention(Tables(s, d))),
     "q94_funnel" -> ((s, d) => funnel(Tables(s, d))),
     "q95_scd2_user_state" -> ((s, d) => scd2UserState(Tables(s, d))),
@@ -154,6 +176,26 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q109_pit_join" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id < 50),
+        |scd AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM o WHERE prev IS NULL OR event_type <> prev),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 50)
+        |SELECT p.event_id, p.user_id, p.ts, s.state
+        |FROM purchases p JOIN scd s
+        |  ON p.user_id = s.user_id
+        | AND s.valid_from <= p.ts
+        | AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
     "q106_event_transitions" ->
       """WITH s AS (
         |  SELECT event_type, lead(event_type) OVER
