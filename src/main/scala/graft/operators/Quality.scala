@@ -47,11 +47,51 @@ object Quality {
     checks.reduce(_ union _).orderBy(col("check"))
   }
 
+  /** Statistical outlier detection: events whose value sits more than
+    * 3 population standard deviations from its event-type mean. The
+    * moments are exact decimal sums (events.value is 2dp, so the cast
+    * is lossless) cast to double once — both engines then evaluate
+    * the identical z-expression, and the 3.0 cut sits in an empirical
+    * gap of ~1e-3 at both SFs, far beyond 1-ulp concerns. At scale
+    * this is one pass for moments (map-side combinable) + one
+    * broadcast-stats scan — the shape of every z-score/anomaly sweep. */
+  def valueOutliers(t: Tables): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val stats = t.events.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("s1"),
+        sum(v * v).cast("double").as("s2"))
+      .select(col("et"), (col("s1") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+    t.events.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_value_outliers" -> ((s, d) => valueOutliers(Tables(s, d))),
     "q86_quality_report" -> ((s, d) => dataQualityReport(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q110_value_outliers" -> {
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""WITH m AS (
+         |  SELECT event_type AS et, COUNT(*) AS n,
+         |    ${d("SUM(CAST(value AS DECIMAL(18,2)))")} AS s1,
+         |    ${d("SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))")} AS s2
+         |  FROM events GROUP BY 1),
+         |stats AS (
+         |  SELECT et, s1/n AS mu,
+         |    sqrt(s2/n - (s1/n)*(s1/n)) AS sigma FROM m)
+         |SELECT event_id, event_type, value, (value - mu)/sigma AS z
+         |FROM events JOIN stats ON event_type = et
+         |WHERE abs((value - mu)/sigma) > 3
+         |ORDER BY event_id""".stripMargin
+    },
     "q86_quality_report" ->
       """SELECT * FROM (
         |  SELECT 'lineitem_orderkey_null' AS check, COUNT(*) AS violations

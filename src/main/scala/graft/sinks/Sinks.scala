@@ -52,6 +52,27 @@ object Sinks {
   /** K5: console sink. */
   def console(df: DataFrame, numRows: Int = 20): Unit =
     df.show(numRows, truncate = false)
+
+  /** Small-files compaction — the lake-maintenance pass every
+    * streaming/incremental writer eventually needs (thousands of
+    * KB-sized files turn scans into metadata storms at 100 TB).
+    * Rewrites `inDir` into `outDir` with file count sized from the
+    * actual input bytes. Writing to a separate directory keeps the
+    * operation atomic-by-rename for the caller; a table format
+    * (Iceberg/Delta) would do the swap transactionally. Returns the
+    * output file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .coalesce(nFiles) // no shuffle: merges input splits
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }
 
 /** F1+K6: the emailed describe() report becomes a pluggable trait —
