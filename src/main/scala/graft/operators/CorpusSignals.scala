@@ -107,7 +107,23 @@ object CorpusSignals {
       .orderBy(col("term"))
   }
 
+  /** Deterministic N-per-group sample: the first `n` docs per
+    * language under an md5 ordering — reproducible on any engine and
+    * stable as the corpus grows (a doc's hash never changes), unlike
+    * TABLESAMPLE. Runs on the custom top-k-per-key operator, so the
+    * per-group selection prunes map-side instead of shuffling every
+    * row — hash-ordered top-k IS uniform sampling. */
+  def groupSample(docs: DataFrame, n: Int = 5): DataFrame =
+    graft.plans.TopK.perKey(
+      docs.select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h")),
+      Seq("lang"),
+      Seq("h" -> false, "doc_id" -> false),
+      k = n)
+      .orderBy(col("lang"), col("h"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_group_sample" -> ((s, d) => groupSample(Tables(s, d).documents)),
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
@@ -116,6 +132,13 @@ object CorpusSignals {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q111_group_sample" ->
+      """SELECT lang, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, h, doc_id""".stripMargin,
     "q91_repetition_signals" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),

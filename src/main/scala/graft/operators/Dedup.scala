@@ -230,7 +230,27 @@ object Dedup {
     } finally edges.unpersist(false)
   }
 
+  /** Entity resolution by fuzzy name match: candidate pairs blocked
+    * on nation (the blocking key bounds the pair space — same role
+    * the (lang, source) buckets play for jaccard pairs), verified by
+    * levenshtein edit distance. Classic record-linkage shape: at
+    * scale the blocking key is the whole candidate generator, and the
+    * codegen'd levenshtein is the per-pair verify. */
+  def fuzzyNameMatches(t: Tables, maxDist: Int = 1): DataFrame = {
+    val a = t.customer.select(col("c_nationkey").as("nk"),
+      col("c_custkey").as("id1"), col("c_name").as("n1"))
+    val b = t.customer.select(col("c_nationkey").as("nk"),
+      col("c_custkey").as("id2"), col("c_name").as("n2"))
+    a.join(b, Seq("nk"))
+      .filter(col("id1") < col("id2") &&
+        levenshtein(col("n1"), col("n2")) <= maxDist)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("n1"), col("n2")).as("dist"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d))),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),
@@ -238,5 +258,13 @@ object Dedup {
       ((s, d) => dupClusters(minhashDedup(Tables(s, d).documents)))
   )
 
-  val oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] = Map(
+    "q112_fuzzy_match" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin
+  )
 }
