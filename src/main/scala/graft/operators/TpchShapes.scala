@@ -233,7 +233,30 @@ object TpchShapes {
       .orderBy(col("r_name"), col("rnk"))
   }
 
+  /** Q2 shape: the correlated "supplier with the minimum cost for
+    * this part" subquery, decorrelated into a keyed window min — one
+    * shuffle on partkey instead of a per-part subquery. Exact decimal
+    * sums make the unit price bit-stable; ties on the minimum price
+    * resolve to the smallest suppkey, so the answer is deterministic
+    * regardless of how many suppliers tie. */
+  def cheapestSupplierPerPart(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = t.lineitem
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .as("unit_price"))
+    ps.withColumn("best", min(col("unit_price"))
+        .over(Window.partitionBy(col("pk"))))
+      .filter(col("unit_price") === col("best"))
+      .groupBy(col("pk").as("p_partkey"))
+      .agg(min(col("sk")).as("cheapest_supp"),
+        min(col("unit_price")).as("unit_price"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_cheapest_supplier" -> ((s, d) => cheapestSupplierPerPart(Tables(s, d))),
     "q105_revenue_share" -> ((s, d) => revenueShare(Tables(s, d))),
     "q79_nation_trade" -> ((s, d) => nationTradeVolume(Tables(s, d))),
     "q68_sql_forecast_revenue" -> ((s, d) => forecastRevenueSql(s, d)),
@@ -247,6 +270,22 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_cheapest_supplier" -> {
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    ${d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")} /
+         |    ${d("SUM(CAST(l_quantity AS DECIMAL(18,2)))")} AS unit_price
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (
+         |  SELECT pk, sk, unit_price,
+         |    min(unit_price) OVER (PARTITION BY pk) AS best
+         |  FROM ps)
+         |SELECT pk AS p_partkey, CAST(min(sk) AS BIGINT) AS cheapest_supp,
+         |  min(unit_price) AS unit_price
+         |FROM w WHERE unit_price = best
+         |GROUP BY pk ORDER BY pk""".stripMargin
+    },
     "q105_revenue_share" -> {
       def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
       s"""WITH pn AS (
