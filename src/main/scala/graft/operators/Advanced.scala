@@ -139,7 +139,47 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ROLLUP over the (year, month) time hierarchy with grouping()
+    * indicators — subtotal rows per year and a grand total in one
+    * pass (Expand-based, same shuffle as the plain aggregate). */
+  def timeRollup(t: Tables): DataFrame =
+    t.orders
+      .select(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        col("o_totalprice"))
+      .rollup(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("mo")).cast("int").as("g_mo"))
+      .select(col("yr").cast("int"), col("mo").cast("int"),
+        col("n_orders"), col("revenue"), col("g_yr"), col("g_mo"))
+      .orderBy(col("g_yr"), col("g_mo"), col("yr").asc_nulls_first,
+        col("mo").asc_nulls_first)
+
+  /** Pivot with MULTIPLE aggregates per pivot value (count + exact
+    * sum per event type) — one Expand-free pivot plan producing
+    * `{value}_{alias}` columns; the oracle states the same table with
+    * FILTERed aggregates. Counts are coalesced to 0 to match SQL
+    * count semantics on absent combinations. */
+  def pivotMultiAgg(t: Tables): DataFrame =
+    t.events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("view", "purchase"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum"))
+      .select(col("day"),
+        coalesce(col("view_n"), lit(0L)).as("view_n"),
+        col("view_sum").cast("double").as("view_sum"),
+        coalesce(col("purchase_n"), lit(0L)).as("purchase_n"),
+        col("purchase_sum").cast("double").as("purchase_sum"))
+      .orderBy(col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_time_rollup" -> ((s, d) => timeRollup(Tables(s, d))),
+    "q115_pivot_multi_agg" -> ((s, d) => pivotMultiAgg(Tables(s, d))),
     "q51_weighted_mean" -> ((s, d) => weightedMeanPrice(Tables(s, d))),
     "q19_grouping_sets" -> ((s, d) => orderGroupingSets(Tables(s, d))),
     "q46_asof_join" -> ((s, d) => asofOrders(Tables(s, d))),
@@ -149,6 +189,30 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q114_time_rollup" -> {
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${d("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")} AS revenue,
+         |  CAST(grouping(year(o_orderdate)) AS INTEGER) AS g_yr,
+         |  CAST(grouping(month(o_orderdate)) AS INTEGER) AS g_mo
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+         |ORDER BY g_yr, g_mo, yr NULLS FIRST, mo NULLS FIRST""".stripMargin
+    },
+    "q115_pivot_multi_agg" -> {
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+         |  ${d("SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view')")}
+         |    AS view_sum,
+         |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         |    AS purchase_n,
+         |  ${d("SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase')")}
+         |    AS purchase_sum
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q51_weighted_mean" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
