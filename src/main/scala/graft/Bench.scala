@@ -36,18 +36,22 @@ object Bench {
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
-    // Full-name per-query timings on stderr for humans (above); the
-    // stdout JSON uses the short qNN keys and 3-decimal values so the
-    // ONE line stays well under the driver's 2000-char stdout tail
-    // window — rounds 1-4 exceeded it and the driver recorded
-    // `parsed: null` every time.
+    println(buildJson(results, sfDir))
+    spark.stop()
+  }
+
+  // Full-name per-query timings go to stderr for humans; the stdout
+  // JSON uses the short qNN keys and 3-decimal values so the ONE line
+  // stays well under the 2000-char stdout tail window the results are
+  // read from — rounds 1-4 exceeded it and the line never parsed.
+  // BenchFormatSpec guards the length against query-count growth.
+  def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + num(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

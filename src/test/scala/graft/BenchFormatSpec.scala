@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The benchmark's stdout contract: ONE JSON line that must fit the
+  * 2000-char output tail it is read back from (with headroom for the
+  * build tool's trailer lines). Guarded here because the failure mode
+  * is silent — the line still prints, it just never parses — and it
+  * regresses one registered query at a time. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("bench JSON stays under the tail window at worst-case timings") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-case realistic per-query time: 3 digits + 3 decimals
+    val line = Bench.buildJson(names.map(_ -> 999.999),
+      "/root/testdata/sf0.1")
+    assert(line.length < 1800,
+      s"bench line ${line.length} chars — approaching the 2000-char " +
+        "tail window; shorten keys or trim precision")
+    // short keys must stay unique, or per-query timings collide
+    val short = names.map(_.takeWhile(_ != '_'))
+    assert(short.distinct.size == short.size,
+      s"duplicate short keys: ${short.diff(short.distinct).distinct}")
+  }
+
+  test("bench JSON is valid JSON with every query present") {
+    val names = Seq("q01_a", "q02_b")
+    val line = Bench.buildJson(names.map(_ -> 1.5), "/x")
+    // minimal structural check without a JSON lib on the classpath
+    assert(line.startsWith("""{"metric":"total","value":3.000,"""))
+    assert(line.contains(""""q01":1.500""") && line.contains(""""q02":1.500"""))
+    assert(line.endsWith(""""sf":"/x"}"""))
+  }
+}
