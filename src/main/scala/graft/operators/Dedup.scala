@@ -241,14 +241,22 @@ object Dedup {
       col("c_custkey").as("id1"), col("c_name").as("n1"))
     val b = t.customer.select(col("c_nationkey").as("nk"),
       col("c_custkey").as("id2"), col("c_name").as("n2"))
-    // threshold form = banded DP with early exit (O(len·k) per pair,
-    // -1 when the distance exceeds maxDist) — the full O(len²) DP in
-    // the join condition was ~7x the work for a verify that only has
-    // to answer "within k?"; cheap conjuncts stay ahead of it
-    val bounded = levenshtein(col("n1"), col("n2"), maxDist)
+    // verify predicate, cheapest exact form first: k=1 gets the
+    // zero-allocation single-scan WithinOneEditExpr; other thresholds
+    // use the banded-DP builtin (O(len·k), -1 past the threshold) —
+    // either way the full O(len²) DP never runs, and the cheap
+    // orientation conjunct stays ahead of the scan
+    val (verify, dist) =
+      if (maxDist == 1)
+        (graft.plans.FastOps.withinOneEdit(col("n1"), col("n2")),
+          when(col("n1") === col("n2"), 0).otherwise(1))
+      else {
+        val bounded = levenshtein(col("n1"), col("n2"), maxDist)
+        (bounded >= 0, bounded)
+      }
     a.join(b, Seq("nk"))
-      .filter(col("id1") < col("id2") && bounded >= 0)
-      .select(col("id1"), col("id2"), bounded.as("dist"))
+      .filter(col("id1") < col("id2") && verify)
+      .select(col("id1"), col("id2"), dist.as("dist"))
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -310,6 +310,68 @@ case class BigramStatsExpr(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** `levenshtein(l, r) <= 1` as a zero-allocation predicate. For
+  * ASCII inputs (bytes == chars) a single scan decides it: equal
+  * lengths allow at most one mismatching byte, a one-byte length gap
+  * allows skipping exactly one byte on the longer side, anything
+  * further apart is false. Non-ASCII inputs fall back to the engine's
+  * threshold DP, so the answer always equals the char-level edit
+  * distance check. The banded-DP builtin allocates per call; at
+  * millions of candidate pairs per block this scan is the difference
+  * between the verify tier being join-bound and predicate-bound. */
+case class WithinOneEditExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "within_one_edit expects string inputs")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String]
+    val b = r.asInstanceOf[UTF8String]
+    WithinOneEditExpr.withinOne(a, b)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WithinOneEditExpr {
+  def withinOne(a: UTF8String, b: UTF8String): Boolean = {
+    val na = a.numBytes()
+    val nb = b.numBytes()
+    if (a.numChars() != na || b.numChars() != nb)
+      return a.levenshteinDistance(b, 1) >= 0 // non-ASCII: exact DP
+    val d = na - nb
+    if (d < -1 || d > 1) return false
+    if (d == 0) {
+      var i = 0
+      var diff = 0
+      while (i < na && diff <= 1) {
+        if (a.getByte(i) != b.getByte(i)) diff += 1
+        i += 1
+      }
+      diff <= 1
+    } else {
+      val (lo, hi) = if (d == 1) (b, a) else (a, b) // hi is one longer
+      var i = 0
+      val n = lo.numBytes()
+      while (i < n && lo.getByte(i) == hi.getByte(i)) i += 1
+      // skip one byte of hi at the first mismatch; the rest must match
+      var j = i
+      while (j < n && lo.getByte(j) == hi.getByte(j + 1)) j += 1
+      j == n
+    }
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object FastOps {
   def dotProduct(a: Column, b: Column): Column =
@@ -331,4 +393,8 @@ object FastOps {
   def bigramStats(text: Column): Column =
     GraftColumnBridge.column(BigramStatsExpr(
       GraftColumnBridge.expression(text)))
+
+  def withinOneEdit(a: Column, b: Column): Column =
+    GraftColumnBridge.column(WithinOneEditExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -44,6 +44,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  test("withinOneEdit equals levenshtein<=1 across edit shapes") {
+    val cases = Seq(
+      ("abc", "abc"), ("abc", "abd"), ("abc", "xbc"), ("abc", "axc"),
+      ("abc", "ab"), ("abc", "abcd"), ("abc", "bc"), ("abc", "aXY"),
+      ("abc", "abcde"), ("", ""), ("", "a"), ("", "ab"), ("a", "b"),
+      ("Customer#000000001", "Customer#000000002"),
+      ("Customer#000000001", "Customer#000000001"),
+      ("Customer#000000012", "Customer#000000021"),
+      // non-ASCII goes through the exact-DP fallback: a single CHAR
+      // substitution that changes the byte length must still match
+      ("café", "cafe"), ("café", "café"),
+      ("café", "cafX"), ("你好", "你世"))
+    val df = cases.toDF("a", "b")
+    val bad = df.select(col("a"), col("b"),
+        graft.plans.FastOps.withinOneEdit(col("a"), col("b")).as("fast"),
+        (levenshtein(col("a"), col("b")) <= 1).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
   test("null inputs propagate null") {
     val df = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = df.select(VectorFunctions.dot(col("a"), col("b"))).head
