@@ -241,7 +241,11 @@ object TpchShapes {
     * regardless of how many suppliers tie. */
   def cheapestSupplierPerPart(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // partition by partkey ONCE: hash on pk satisfies both the
+    // (pk, sk) aggregate's clustering AND the window's — without it
+    // the plan shuffles on (pk, sk) and then AGAIN on pk
     val ps = t.lineitem
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
