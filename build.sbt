@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness scrapes ONE JSON line from the process stdout; sbt's
+// default LoggedOutput for forked runs decorates every line with an
+// "[info] " prefix, which breaks line-oriented `json.loads`. StdoutOutput
+// passes the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
