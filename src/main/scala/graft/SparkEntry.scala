@@ -24,6 +24,9 @@ object SparkEntry {
     QueryModule(operators.CorpusSignals.queries,
       operators.CorpusSignals.oracleSql),
     QueryModule(operators.Sketches.queries, operators.Sketches.oracleSql),
+    QueryModule(operators.RuntimeFilters.queries,
+      operators.RuntimeFilters.oracleSql),
+    QueryModule(operators.Incremental.queries, operators.Incremental.oracleSql),
     QueryModule(operators.Merge.queries, operators.Merge.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),

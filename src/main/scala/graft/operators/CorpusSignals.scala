@@ -72,6 +72,35 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** C4-style boilerplate signal: the fraction of a document's
+    * distinct 3-grams that are corpus-common (appear in >= minDf
+    * docs). High fractions mark template/boilerplate text that a
+    * pretraining filter down-weights or drops (the line-dedup rule of
+    * Raffel et al. 2020, arXiv:1910.10683, restated over n-grams
+    * because the synthetic corpus has no line structure).
+    *
+    * Shape: explode to distinct (doc, gram), count df per gram, join
+    * back, aggregate per doc — two gram-keyed shuffles of O(tokens),
+    * no global collection point. At 100 TB the gram key would be a
+    * 64-bit hash; strings here keep the DuckDB oracle literal. */
+  def boilerplateFraction(docs: DataFrame, minDf: Long = 5): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-2), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2)))"))).as("g"))
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        (col("n_common").cast("double") / col("n_grams").cast("double"))
+          .as("common_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) by hashing the
     * stable document id through md5 — the split a doc lands in never
     * changes as the corpus grows, unlike row_number- or rand()-based
@@ -127,6 +156,8 @@ object CorpusSignals {
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
+    "q116_boilerplate_grams" -> ((s, d) =>
+      boilerplateFraction(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents))
   )
@@ -178,6 +209,19 @@ object CorpusSignals {
         |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q116_boilerplate_grams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, len(t)-2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |      FROM toks),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE df >= 5) AS BIGINT) AS n_common,
+        |  CAST(count(*) FILTER (WHERE df >= 5) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS common_frac
+        |FROM g JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q101_dataset_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -221,8 +221,106 @@ object ScalePatterns {
         max(col("ts")).as("last_ts"))
       .orderBy(col("user_id"))
 
+  /** Equi-depth (equal-count) histogram with exact NTILE semantics but
+    * NO global window: ntile's single-reducer `OVER (ORDER BY v)` is
+    * the canonical scale-killer, so the buckets are derived from
+    * distinct-value counts instead.
+    *
+    * Plan: (1) domain-sized groupBy(v) counts; (2) running rank with
+    * the same range-bucket + per-bucket window + driver prefix-offset
+    * trick as [[Describe.rankedBoundaryMulti]] (the offsets are a
+    * parallelism-sized driver array, never data); (3) a 20-row bucket
+    * spec — NTILE's exact rank ranges, first `n mod B` buckets one row
+    * larger — broadcast-range-joined to the counts, each value row
+    * contributing its rank-overlap to every bucket it spans. Counts,
+    * min/max, and decimal sums over rank-range multisets are exactly
+    * NTILE's per-bucket aggregates, which is what the oracle (real
+    * `ntile(20)`) proves. */
+  def equiDepthHistogram(df: DataFrame, c: String,
+      buckets: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val m = counts.agg(min(col("v")), max(col("v")),
+        sum(col("cnt"))).head()
+      if (m.isNullAt(2)) return counts.select(
+        lit(0L).as("bucket"), col("cnt").as("n"), col("v").as("lo"),
+        col("v").as("hi"), lit(0.0).as("s")).limit(0)
+      val (mn, mx, n) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
+      // deterministic range buckets for the distributed running rank
+      val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
+      val w = (mx - mn) / parts
+      val rb = if (w > 0)
+        least(floor((col("v") - lit(mn)) / lit(w)), lit(parts - 1L))
+          .cast("int")
+      else lit(0)
+      val bucketed = counts.withColumn("rb", rb)
+      val offsets = bucketed.groupBy(col("rb"))
+        .agg(sum(col("cnt")).as("bc")).collect()
+        .map(r => r.getAs[Int]("rb") -> r.getAs[Long]("bc"))
+        .sortBy(_._1)
+        .scanLeft((0, 0L, 0L)) { case ((_, _, run), (b, bc)) =>
+          (b, run, run + bc)
+        }.drop(1).map { case (b, off, _) => (b, off) }
+      val offExpr = try_element_at(
+        map(offsets.flatMap { case (b, off) =>
+          Seq(lit(b), lit(off)): Seq[Column]
+        }: _*), col("rb"))
+      val wLocal = Window.partitionBy(col("rb")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = bucketed
+        .withColumn("cum", sum(col("cnt")).over(wLocal) + offExpr)
+        .withColumn("cum0", col("cum") - col("cnt"))
+      // NTILE(B) rank ranges: first n%B buckets hold n/B+1 rows
+      val q = n / buckets
+      val r = n % buckets
+      val spec = spark.range(1, buckets + 1).toDF("bucket")
+        .withColumn("bstart", lit(1L) + (col("bucket") - 1) * q +
+          least(col("bucket") - 1, lit(r)))
+        .withColumn("bend", col("bstart") + lit(q) +
+          when(col("bucket") <= r, 1L).otherwise(0L) - 1)
+      ranked
+        .join(broadcast(spec),
+          col("bstart") <= col("cum") && col("bend") >= col("cum0") + 1)
+        .withColumn("overlap",
+          least(col("bend"), col("cum")) -
+            greatest(col("bstart"), col("cum0") + 1) + 1)
+        .groupBy(col("bucket"))
+        .agg(sum(col("overlap")).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"),
+          sum(col("v").cast("decimal(18,2)") *
+            col("overlap").cast("decimal(18,0)")).cast("double").as("s"))
+        .orderBy(col("bucket"))
+    } finally counts.unpersist(false)
+  }
+
+  /** Join-key distribution profiler: the diagnostic a pipeline runs
+    * BEFORE choosing a skew strategy. Top-k heaviest keys with their
+    * absolute count, parts-per-million share, and skew factor
+    * (count / mean count, ×100) — all integer arithmetic, so the
+    * profile is bit-identical on any engine. One groupBy + a
+    * broadcast scalar + TakeOrderedAndProject: nothing global. */
+  def keySkewProfile(events: DataFrame, topK: Int = 10): DataFrame = {
+    val c = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val t = c.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nkeys"))
+    c.crossJoin(broadcast(t))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt * CAST(1000000 AS BIGINT) div total").as("share_ppm"),
+        expr("cnt * nkeys * CAST(100 AS BIGINT) div total").as("skew_x100"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
+    "q118_equi_depth_hist" -> ((s, d) =>
+      equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
+    "q119_key_skew_profile" -> ((s, d) =>
+      keySkewProfile(Tables(s, d).events)),
     "q88_price_histogram" -> ((s, d) =>
       histogram(Tables(s, d).lineitem, "l_extendedprice",
         lo = 900.0, width = 5205.0, buckets = 20)),
@@ -237,6 +335,23 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q118_equi_depth_hist" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS lo, max(v) AS hi,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s
+        |FROM (SELECT l_extendedprice AS v,
+        |        CAST(ntile(20) OVER (ORDER BY l_extendedprice) AS BIGINT)
+        |          AS bucket
+        |      FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q119_key_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS nkeys FROM c)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(cnt * nkeys * 100 // total AS BIGINT) AS skew_x100
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     "q90_user_sequences" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence,

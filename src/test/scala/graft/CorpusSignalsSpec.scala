@@ -60,4 +60,24 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
     assert(!plan.contains("Generate"), s"explode survived the fusion:\n$plan")
   }
+
+  test("boilerplate fraction counts corpus-common 3-grams") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b c d"), // grams: "a b c", "b c d"
+      (1L, "a b c x"),
+      (2L, "a b c y"),
+      (3L, "a b c z"),
+      (4L, "a b c w"),
+      (5L, "q r s t") // both grams unique to this doc
+    ).toDF("doc_id", "text")
+    val out = CorpusSignals.boilerplateFraction(tiny, minDf = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // "a b c" reaches df=5 (docs 0..4); every other gram is df=1
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5), (4L, 2L, 1L, 0.5), (5L, 2L, 0L, 0.0)))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Exact
+import graft.operators.RuntimeFilters
+
+/** The Bloom pre-filter must be invisible in the result (the exact
+  * semi join removes false positives) and visible in the data volume
+  * (it prunes non-matching rows before the join). */
+class RuntimeFiltersSpec extends AnyFunSuite {
+  private lazy val spark = SharedSession.spark
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("bloom-pruned revenue equals the plain semi join bit-for-bit") {
+    val got = RuntimeFilters.bloomPrunedOrderRevenue(t).collect()
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = t.lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+      .collect()
+    assert(got.toSeq == plain.toSeq)
+  }
+
+  test("the bloom predicate prunes at the scan with bounded false positives") {
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = RuntimeFilters.buildBloom(urgent, "o_orderkey",
+      urgent.count(), fpp = 0.01)
+    val total = t.lineitem.count()
+    val trueMatches = t.lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    val kept = t.lineitem
+      .filter(RuntimeFilters.mightContain(bloom, col("l_orderkey")))
+      .count()
+    assert(kept >= trueMatches, "a bloom filter never false-negatives")
+    assert(kept < total, "the predicate must actually prune")
+    val falsePos = kept - trueMatches
+    assert(falsePos <= math.max(50L, ((total - trueMatches) * 0.05).toLong),
+      s"false-positive volume too high: $falsePos of ${total - trueMatches}")
+  }
+}

@@ -160,4 +160,43 @@ class ScalePatternsSpec extends AnyFunSuite {
       .agg(min("c"), max("c")).head
     assert(out.getInt(0) >= -128 && out.getInt(1) <= 127)
   }
+
+  test("equi-depth histogram reproduces real NTILE semantics bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ScalePatterns.equiDepthHistogram(t.lineitem, "l_extendedprice")
+      .collect()
+    val ntiled = t.lineitem
+      .select(col("l_extendedprice").cast("double").as("v"))
+      .withColumn("bucket",
+        ntile(20).over(Window.orderBy(col("v"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+      .orderBy(col("bucket"))
+      .collect()
+    assert(got.toSeq == ntiled.toSeq)
+  }
+
+  test("equi-depth histogram plan never funnels data into one partition") {
+    val ds = ScalePatterns.equiDepthHistogram(t.lineitem, "l_extendedprice")
+    ds.collect() // finalize the adaptive plan
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window leaked into the plan:\n$plan")
+  }
+
+  test("key skew profile equals a driver-side recomputation") {
+    val got = ScalePatterns.keySkewProfile(t.events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = t.events.groupBy(col("user_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val nkeys = counts.length
+    val expected = counts.sortBy { case (u, c) => (-c, u) }.take(10)
+      .map { case (u, c) =>
+        (u, c, c * 1000000L / total, c * nkeys * 100L / total)
+      }
+    assert(got.toSeq == expected.toSeq)
+  }
 }
