@@ -173,9 +173,20 @@ object Dedup {
     * result (node -> min doc_id of its component) is deterministic
     * regardless of execution order. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val edgesWide = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
+    // Size the ITERATION's parallelism to the dup graph, not the
+    // corpus: candidate pairs are orders of magnitude fewer than
+    // documents, and every propagation round schedules a
+    // join+aggregate over these frames — at the session's default
+    // partition count that is hundreds of near-empty tasks per round.
+    // ~1M edges per task keeps rounds one-stage-small; a genuinely
+    // huge dup graph still fans out.
+    val nEdges = edgesWide.count()
+    val p = math.max(1, math.min(edgesWide.rdd.getNumPartitions,
+      (nEdges / 1000000L).toInt + 1))
+    val edges = edgesWide.coalesce(p).persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -227,7 +238,10 @@ object Dedup {
         .localCheckpoint(true)
       labels.unpersist(false)
       out
-    } finally edges.unpersist(false)
+    } finally {
+      edges.unpersist(false)
+      edgesWide.unpersist(false)
+    }
   }
 
   /** Entity resolution by fuzzy name match: candidate pairs blocked

@@ -136,7 +136,10 @@ object TextAnalysis {
   /** Sketch-based corpus cardinalities: HyperLogLog++ estimates of
     * unique documents (by content fingerprint) and unique tokens, per
     * source — the O(1)-memory scale path for "how much is duplicated?"
-    * before running full dedup. relativeSD 0.01 ≈ 1% standard error;
+    * before running full dedup. relativeSD 0.02 ≈ 2% standard error —
+    * the tier below (0.01) quadruples the HLL register file (2^14
+    * per group per partial aggregate) for accuracy a dedup triage
+    * never needs, and benched 3× slower on the fixed per-buffer cost;
     * the estimate-vs-exact bound is asserted in tests (rows-only for
     * the oracle: DuckDB's HLL constants differ). */
   def corpusCardinalitySketch(t: Tables): DataFrame =
@@ -148,7 +151,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("h"), 0.01).as("approx_unique_docs"),
+        approx_count_distinct(col("h"), 0.02).as("approx_unique_docs"),
         countDistinct(col("h")).as("exact_unique_docs"))
       .orderBy(col("source"))
 
