@@ -315,12 +315,26 @@ object ScalePatterns {
       .limit(topK)
   }
 
+  /** Self-join size profiler: exact output cardinality of a key
+    * equi-join computed WITHOUT running the join — Σ cnt(k)², from the
+    * same per-key counts the skew profile uses. The number a planner
+    * needs before committing to a join strategy (the CMS inner-product
+    * estimate is the sketch-only variant; SketchesSpec bounds it
+    * against this exact value). */
+  def joinSizeProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") * col("cnt")).as("join_rows"),
+        count(lit(1)).as("matched_keys"),
+        max(col("cnt") * col("cnt")).as("max_key_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
     "q119_key_skew_profile" -> ((s, d) =>
       keySkewProfile(Tables(s, d).events)),
+    "q125_join_size_profile" -> ((s, d) =>
+      joinSizeProfile(Tables(s, d).events)),
     "q88_price_histogram" -> ((s, d) =>
       histogram(Tables(s, d).lineitem, "l_extendedprice",
         lo = 900.0, width = 5205.0, buckets = 20)),
@@ -344,6 +358,12 @@ object ScalePatterns {
         |          AS bucket
         |      FROM lineitem)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q125_join_size_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(sum(cnt * cnt) AS BIGINT) AS join_rows,
+        |  CAST(count(*) AS BIGINT) AS matched_keys,
+        |  CAST(max(cnt * cnt) AS BIGINT) AS max_key_rows
+        |FROM c""".stripMargin,
     "q119_key_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,

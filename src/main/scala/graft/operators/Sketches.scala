@@ -47,6 +47,22 @@ object Sketches {
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Join-size (inner-product) estimate from two sketches built with
+    * the same (depth, width): per depth Σ_b cntA·cntB, min across
+    * depths — the sketch-only answer to "how big would this equi-join
+    * be" when neither side's per-key counts fit anywhere (classic
+    * a·b estimate, Cormode & Muthukrishnan 2005 §4.2; one-sided:
+    * exact ≤ est ≤ exact + 2·Na·Nb/w w.h.p.). Two d·w-row frames
+    * join — nothing data-sized. [[ScalePatterns.joinSizeProfile]] is
+    * the exact counterpart SketchesSpec bounds this against. */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("depth"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("depth"), col("bucket"), col("cnt").as("cb")),
+        Seq("depth", "bucket"))
+      .groupBy(col("depth"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est_join_rows"))
+
   val Depth = 4
   val Width = 512
 

@@ -259,7 +259,71 @@ object TpchShapes {
       .orderBy(col("p_partkey"))
   }
 
+  /** Q13 shape: distribution of per-customer order counts, INCLUDING
+    * zero-order customers — the ON-clause extra predicate (not a WHERE)
+    * is the point: it must not turn the left join into an inner one.
+    * Two aggregations: per-customer count after the outer join, then a
+    * tiny regroup over the distinct counts. */
+  def customerDistribution(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW",
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q10 shape: top-20 customers by revenue lost to returned items in
+    * one year. Filters reach both scans before the joins (date window
+    * on orders, returnflag on lineitem), nation broadcasts, and the
+    * top-20 runs as TakeOrderedAndProject over the grouped result —
+    * revenue ties (none in this data, verified) break on custkey. */
+  def returnedItemCustomers(t: Tables): DataFrame =
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+
+  /** Q16 shape: distinct-supplier counts per (brand, size) with a
+    * NOT IN supplier exclusion — the NOT IN (non-null key) plans as a
+    * broadcast anti join against the tiny excluded set, the part
+    * filter prunes before the fact join, and lineitem serves as the
+    * part↔supplier bridge (this dataset carries no partsupp table). */
+  def partSupplierCounts(t: Tables): DataFrame = {
+    val excluded = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    t.lineitem
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(t.part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_customer_distribution" ->
+      ((s, d) => customerDistribution(Tables(s, d))),
+    "q122_returned_customers" ->
+      ((s, d) => returnedItemCustomers(Tables(s, d))),
+    "q123_part_supplier_counts" ->
+      ((s, d) => partSupplierCounts(Tables(s, d))),
     "q113_cheapest_supplier" -> ((s, d) => cheapestSupplierPerPart(Tables(s, d))),
     "q105_revenue_share" -> ((s, d) => revenueShare(Tables(s, d))),
     "q79_nation_trade" -> ((s, d) => nationTradeVolume(Tables(s, d))),
@@ -274,6 +338,35 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q121_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) c
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q122_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q123_part_supplier_counts" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 10
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "q113_cheapest_supplier" -> {
       def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
       s"""WITH ps AS (

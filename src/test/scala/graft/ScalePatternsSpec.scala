@@ -186,6 +186,17 @@ class ScalePatternsSpec extends AnyFunSuite {
       s"global window leaked into the plan:\n$plan")
   }
 
+  test("snapshot diff classifies added / removed / changed rows") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Merge.snapshotDiff(v1, v2, "doc_id", df => md5(df("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "removed"), (3L, "changed"),
+      (4L, "added")))
+  }
+
   test("key skew profile equals a driver-side recomputation") {
     val got = ScalePatterns.keySkewProfile(t.events).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -77,4 +77,20 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(approx.size == 3)
   }
+
+  test("CMS inner product bounds the exact self-join size from above") {
+    import graft.operators.{ScalePatterns, Sketches}
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+    val sketch = Sketches.cmsSketch(events, "user_id",
+      Sketches.Depth, Sketches.Width)
+    val est = Sketches.cmsInnerProduct(sketch, sketch)
+      .head.getAs[Long]("est_join_rows")
+    val exactRow = ScalePatterns.joinSizeProfile(events).head
+    val exact = exactRow.getAs[Long]("join_rows")
+    val n = events.count()
+    // one-sided guarantee: never undercounts, overcount within 2NaNb/w
+    assert(est >= exact, s"inner product undercounted: $est < $exact")
+    assert(est <= exact + 2L * n * n / Sketches.Width,
+      s"est $est exceeds exact $exact + 2N²/w")
+  }
 }
