@@ -101,6 +101,47 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-pair frequencies across the corpus — the first merge
+    * step of BPE vocabulary induction (Sennrich et al. 2016,
+    * arXiv:1508.07909): the most frequent adjacent symbol pair is the
+    * next merge rule. One explode to words, one to in-word character
+    * pairs, one count — O(chars) shuffle, top-k as
+    * TakeOrderedAndProject. Words shorter than 2 chars carry no pair
+    * and are filtered EXPLICITLY: Spark's `sequence(1, 0)` counts
+    * DOWN ([1, 0]) where DuckDB's generate_series is empty, so the
+    * guard keeps the engines' semantics identical. */
+  def bpePairCounts(docs: DataFrame, k: Int = 30): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), " +
+          "i -> concat(substr(w, i, 1), substr(w, i+1, 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
+  /** Temperature-scaled source mixture weights — the data-mixing step
+    * of a pretraining pipeline (sample source s with p ∝ n_s^α,
+    * α=0.5 up-weights low-resource sources). The denominator is a
+    * float sum, which is order-DEPENDENT — so it folds over the
+    * source-sorted list ([[functions.Exact]]-style determinism for
+    * transcendentals, where decimal accumulation can't apply): both
+    * engines run the identical 0.0-seeded left fold and produce the
+    * same bits. Sources are few by construction, so the fold's
+    * collect_list is one tiny row. */
+  def sourceMixtureWeights(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val denom = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("n")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n").cast("double"))).as("denom"))
+    counts.crossJoin(broadcast(denom))
+      .select(col("source"), col("n"),
+        (sqrt(col("n").cast("double")) / col("denom")).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) by hashing the
     * stable document id through md5 — the split a doc lands in never
     * changes as the corpus grows, unlike row_number- or rand()-based
@@ -158,6 +199,10 @@ object CorpusSignals {
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
     "q116_boilerplate_grams" -> ((s, d) =>
       boilerplateFraction(Tables(s, d).documents)),
+    "q126_bpe_pair_counts" -> ((s, d) =>
+      bpePairCounts(Tables(s, d).documents)),
+    "q127_source_mixture" -> ((s, d) =>
+      sourceMixtureWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents))
   )
@@ -222,6 +267,23 @@ object CorpusSignals {
         |    / CAST(count(*) AS DOUBLE) AS common_frac
         |FROM g JOIN df USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q126_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+        |        i -> w[i] || w[i+1])) AS pair
+        |      FROM w)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    "q127_source_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT list_reduce(list_prepend(0.0,
+        |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+        |        (a, b) -> a + b) AS denom FROM c)
+        |SELECT source, n, sqrt(CAST(n AS DOUBLE)) / denom AS weight
+        |FROM c, d ORDER BY source""".stripMargin,
     "q101_dataset_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
