@@ -46,12 +46,14 @@ object Bench {
   // read from — rounds 1-4 exceeded it and the line never parsed.
   // BenchFormatSpec guards the length against query-count growth.
   def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num(v: Double, dp: String): String =
+      String.format(java.util.Locale.ROOT, dp, Double.box(v))
+    // 2 decimals per query (10 ms — far below this VM's run-to-run
+    // noise) keeps the line under the tail window as queries grow
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + num(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + num(v, "%.2f")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

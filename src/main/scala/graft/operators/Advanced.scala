@@ -96,6 +96,28 @@ object Advanced {
       .orderBy(col("purchase_id"), col("error_id"))
   }
 
+  /** LEFT OUTER flavor of [[purchaseErrorPairs]]: every purchase
+    * appears, with null error columns when no error followed within
+    * the window — "which conversions had NO incident" is the question
+    * outer range joins answer. The inequality never becomes a
+    * nested-loop outer join: the bounded bucketized INNER join runs
+    * first, then purchases left-join the matched pairs on the
+    * purchase key (an equi-join), preserving outer semantics at
+    * equi-join cost. */
+  def purchaseErrorPairsOuter(t: Tables,
+      windowMinutes: Int = 30): DataFrame = {
+    val matched = purchaseErrorPairs(t, windowMinutes)
+      .select(col("purchase_id").as("m_pid"), col("error_id"),
+        col("error_ts"))
+    t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .join(matched, col("purchase_id") === col("m_pid"), "left")
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        col("purchase_ts"), col("error_ts"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
   /** TPC-H Q17 shape: correlated scalar subquery (decorrelated into a
     * broadcast-able per-part aggregate join). */
   def smallQuantityRevenue(t: Tables): DataFrame = {
@@ -184,6 +206,8 @@ object Advanced {
     "q19_grouping_sets" -> ((s, d) => orderGroupingSets(Tables(s, d))),
     "q46_asof_join" -> ((s, d) => asofOrders(Tables(s, d))),
     "q47_range_join" -> ((s, d) => purchaseErrorPairs(Tables(s, d))),
+    "q128_outer_range_join" ->
+      ((s, d) => purchaseErrorPairsOuter(Tables(s, d))),
     "q48_scalar_subquery" -> ((s, d) => smallQuantityRevenue(Tables(s, d))),
     "q49_having_large_orders" -> ((s, d) => largeOrders(Tables(s, d)))
   )
@@ -249,6 +273,14 @@ object Advanced {
         |  AND p.event_type = 'purchase' AND e.event_type = 'error'
         |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
         |ORDER BY purchase_id, error_id""".stripMargin,
+    "q128_outer_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        |  p.ts AS purchase_ts, e.ts AS error_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, error_id NULLS FIRST""".stripMargin,
     "q48_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / 7.0 AS avg_yearly

