@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** One timing-session setup shared by Bench and Profile — if the two
+    * diverged, profiled times would stop being representative of bench
+    * times. */
+  private[graft] def timingSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -10,11 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (codegen, parquet reader, shuffle paths) so the
-    // first measured query isn't charged for JIT + classloading.
+    spark
+  }
+
+  /** Warm the JVM (codegen, parquet reader, shuffle paths) so the
+    * first measured query isn't charged for JIT + classloading. */
+  private[graft] def warmUp(spark: SparkSession, sfDir: String): Unit =
     try SparkEntry.queries.get("q01_pricing_summary")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = timingSession()
+    warmUp(spark, sfDir)
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -41,10 +53,10 @@ object Bench {
   }
 
   // Full-name per-query timings go to stderr for humans; the stdout
-  // JSON uses the short qNN keys and 3-decimal values so the ONE line
-  // stays well under the 2000-char stdout tail window the results are
-  // read from — rounds 1-4 exceeded it and the line never parsed.
-  // BenchFormatSpec guards the length against query-count growth.
+  // JSON uses short qNN keys and 2-decimal per-query values so the
+  // ONE line stays well under the 2000-char stdout tail window the
+  // results are read from — rounds 1-4 exceeded it and the line never
+  // parsed. BenchFormatSpec guards the length against query growth.
   def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double, dp: String): String =
       String.format(java.util.Locale.ROOT, dp, Double.box(v))

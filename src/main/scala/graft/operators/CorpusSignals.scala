@@ -86,6 +86,11 @@ object CorpusSignals {
   def boilerplateFraction(docs: DataFrame, minDf: Long = 5): DataFrame = {
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // <3 tokens ⇒ no 3-gram. The guard is semantic, not cosmetic:
+      // Spark's sequence(1, size-2) counts DOWN through 0 for short
+      // docs (element_at(t, 0) throws) where DuckDB's generate_series
+      // is simply empty — same gotcha bpePairCounts documents.
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(t)-2), i -> concat(" +
           "element_at(t, i), ' ', element_at(t, i+1), ' ', " +

@@ -187,6 +187,10 @@ object Dedup {
     val p = math.max(1, math.min(edgesWide.rdd.getNumPartitions,
       (nEdges / 1000000L).toInt + 1))
     val edges = edgesWide.coalesce(p).persist()
+    // materialize the coalesced copy, then drop the wide one — holding
+    // both through 20 propagation rounds doubles cached edge memory
+    edges.count()
+    edgesWide.unpersist(false)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -238,10 +242,7 @@ object Dedup {
         .localCheckpoint(true)
       labels.unpersist(false)
       out
-    } finally {
-      edges.unpersist(false)
-      edgesWide.unpersist(false)
-    }
+    } finally edges.unpersist(false)
   }
 
   /** Entity resolution by fuzzy name match: candidate pairs blocked

@@ -57,10 +57,14 @@ object Sketches {
     * the exact counterpart SketchesSpec bounds this against. */
   def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("depth"), col("bucket"), col("cnt").as("ca"))
+      // LEFT join + coalesce-to-0, like cmsEstimate: a depth whose
+      // buckets never collide must contribute dot = 0 (an inner join
+      // would DROP that depth, inflating the min — and returning an
+      // empty frame when no depth collides at all)
       .join(b.select(col("depth"), col("bucket"), col("cnt").as("cb")),
-        Seq("depth", "bucket"))
+        Seq("depth", "bucket"), "left")
       .groupBy(col("depth"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(sum(col("ca") * coalesce(col("cb"), lit(0L))).as("dot"))
       .agg(min(col("dot")).as("est_join_rows"))
 
   val Depth = 4

@@ -93,4 +93,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(est <= exact + 2L * n * n / Sketches.Width,
       s"est $est exceeds exact $exact + 2N²/w")
   }
+
+  test("CMS inner product of disjoint key sets is zero, not empty") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // small disjoint key sets: with width 512 most depths have no
+    // bucket collision — an inner join would drop those depths (or
+    // every depth) and inflate/EMPTY the min
+    val a = Sketches.cmsSketch(Seq(1L, 2L, 3L).toDF("k"), "k",
+      Sketches.Depth, Sketches.Width)
+    val b = Sketches.cmsSketch(Seq(1000001L, 1000002L).toDF("k"), "k",
+      Sketches.Depth, Sketches.Width)
+    val rows = Sketches.cmsInnerProduct(a, b).collect()
+    assert(rows.length == 1, "estimate row must exist")
+    val est = rows.head.getAs[Long]("est_join_rows")
+    val exactBound = 2L * 3 * 2 / Sketches.Width // = 0
+    assert(est <= exactBound,
+      s"disjoint sets must estimate 0 (one-sided bound), got $est")
+  }
 }
