@@ -71,6 +71,27 @@ object Quality {
       .orderBy(col("event_id"))
   }
 
+  /** Inline pipeline instrumentation: attach data-quality counters to
+    * a DataFrame with `observe()` so they accumulate DURING the job
+    * that writes the data — no second scan, no separate validation
+    * pass. At 100 TB this is the difference between "validated" and
+    * "validated for the price of reading everything twice". Returns
+    * the instrumented frame plus the Observation handle; call
+    * `observation.get` after any action on the frame. QualityObserveSpec
+    * pins the counters against directly-computed values. */
+  def withQualityObservation(df: DataFrame, idCol: String,
+      nonNegCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("null_ids"),
+      sum(when(col(nonNegCol) < 0, 1L).otherwise(0L)).as("negatives"),
+      // CollectMetrics forbids DISTINCT aggregates — the approx
+      // variant is the observable stand-in for a uniqueness check
+      approx_count_distinct(col(idCol)).as("approx_distinct_ids"))
+    (instrumented, obs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_value_outliers" -> ((s, d) => valueOutliers(Tables(s, d))),
     "q86_quality_report" -> ((s, d) => dataQualityReport(Tables(s, d)))

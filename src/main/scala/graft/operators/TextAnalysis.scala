@@ -155,6 +155,26 @@ object TextAnalysis {
         countDistinct(col("h")).as("exact_unique_docs"))
       .orderBy(col("source"))
 
+  /** Unicode canonicalization sweep — the normalize step every
+    * pretraining pipeline runs before dedup/tokenization (composed
+    * NFC forms, ROOT-locale lowercase, whitespace-run collapse), as
+    * ONE codegen'd pass per row ([[graft.plans.NormalizeTextExpr]]).
+    * The corpus is ASCII, so each doc gets a deterministic messy
+    * suffix (composed É / decomposed e+combining acute / ligature /
+    * tabs, picked by doc_id) and the oracle proves DuckDB's
+    * nfc_normalize+lower agree byte-for-byte with the JDK pipeline. */
+  def normalizeCorpus(docs: DataFrame): DataFrame = {
+    // literals carry the raw codepoints: case 0 composed U+00C9 É,
+    // case 1 DECOMPOSED e+U+0301 (so NFC genuinely composes) + U+FB01 ﬁ
+    val messy = when(col("doc_id") % 3 === 0, lit("CAFÉ  Nrº 5"))
+      .when(col("doc_id") % 3 === 1, lit("Café ﬁne"))
+      .otherwise(lit("  MiXeD   Case\tTAB"))
+    docs.select(col("doc_id"),
+      graft.plans.FastOps.normalizeText(
+        concat(col("text"), lit(" "), messy)).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stratified sampling by language — seeded `sampleBy`, the
     * training-mix rebalancer (e.g. cap English at 20%, keep all of the
     * low-resource strata). Deterministic for a fixed seed; rows-only
@@ -242,7 +262,9 @@ object TextAnalysis {
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),
     "q84_bpe_token_count" -> ((s, d) => bpeTokenCounts(Tables(s, d))),
     "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
-    "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d)))
+    "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
+    "q129_normalize_text" ->
+      ((s, d) => normalizeCorpus(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -333,6 +355,20 @@ object TextAnalysis {
         |    AS batch_id
         |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // chr(201)=É composed, chr(769)=combining acute (decomposed e'),
+    // chr(64257)=ﬁ ligature, chr(186)=º, chr(9)=tab — identical bytes
+    // to the Spark-side literals
+    "q129_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(
+        |    text || ' ' ||
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 'CAF' || chr(201) || '  Nr' || chr(186) || ' 5'
+        |      WHEN 1 THEN 'Cafe' || chr(769) || ' ' || chr(64257) || 'ne'
+        |      ELSE '  MiXeD   Case' || chr(9) || 'TAB' END)),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents
         |ORDER BY doc_id""".stripMargin
   )
 }

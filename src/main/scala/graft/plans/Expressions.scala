@@ -373,6 +373,49 @@ object WithinOneEditExpr {
 }
 
 /** Column-API entry points for the custom expressions. */
+/** Unicode text canonicalization for pretraining corpora: NFC
+  * normalization (composed forms — é is one codepoint however the
+  * source encoded it), ROOT-locale lowercasing, whitespace-run
+  * collapse, trim. One pass per row inside whole-stage codegen via a
+  * static helper call (the JDK Normalizer does the heavy lifting;
+  * there is nothing to gain from inlining its automaton). Exactness:
+  * DuckDB's `nfc_normalize` + `lower` agree with the JDK on the
+  * Latin-1/combining-mark range the corpus exercises — pinned by the
+  * q129 oracle. */
+case class NormalizeTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "normalize_text expects a string input")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NormalizeTextExpr.normalize(
+      input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.NormalizeTextExpr.normalize($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NormalizeTextExpr {
+  def normalize(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+      .trim
+}
+
 object FastOps {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(
@@ -397,4 +440,8 @@ object FastOps {
   def withinOneEdit(a: Column, b: Column): Column =
     GraftColumnBridge.column(WithinOneEditExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def normalizeText(text: Column): Column =
+    GraftColumnBridge.column(NormalizeTextExpr(
+      GraftColumnBridge.expression(text)))
 }

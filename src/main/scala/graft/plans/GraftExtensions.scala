@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SortedShinglesExpr(children(0), n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName,
+        "graft_normalize_text"),
+      (children: Seq[Expression]) => NormalizeTextExpr(children(0))))
   }
 }

@@ -88,4 +88,20 @@ class ExpressionsSpec extends AnyFunSuite {
     val b = naive.orderBy("d").collect().map(_.getDouble(0)).toSeq
     assert(a == b)
   }
+
+  test("NormalizeTextExpr canonicalizes forms, case, and whitespace") {
+    val df = Seq(
+      "Café",        // decomposed e + combining acute
+      "CafÉ",         // composed É (uppercase)
+      "  A \t  Bº  ", // whitespace runs + masculine ordinal
+      "ﬁne"           // ﬁ ligature survives NFC (not NFKC)
+    ).toDF("s")
+    val got = df.select(
+      graft.plans.FastOps.normalizeText(col("s")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("café", "café", "a bº", "ﬁne"))
+    // interpreted eval agrees with the codegen path
+    assert(graft.plans.NormalizeTextExpr.normalize("Café") ==
+      "café")
+  }
 }
