@@ -150,6 +150,53 @@ object CorpusSignals {
       .orderBy(col("source"))
   }
 
+  /** Distinct 5-grams per document — shared candidate unit of the
+    * contamination sweep and the curation pipeline. */
+  private def fiveGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+          "element_at(t, i+4)))"))).as("g"))
+
+  /** The whole curation workflow as ONE composed plan — the user
+    * story this library exists for: quality gate → exact dedup
+    * (min-id representative per content hash) → decontamination
+    * against the eval source (shared distinct 5-gram ⇒ drop) →
+    * deterministic hashed 90/5/5 split → per-split corpus stats.
+    * Every stage is the library's own operator semantics (q22/q24/
+    * q92/q101) and every intermediate is integer/string-exact, so the
+    * five-stage composition still hash-matches the oracle end-to-end.
+    * Scale: one md5-keyed shuffle (dedup), one gram-keyed sweep with
+    * the eval side broadcast, narrow everything else. */
+  def curationPipeline(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200): DataFrame = {
+    val corpus = docs.filter(col("source") =!= evalSource &&
+      col("n_chars").between(minChars, maxChars))
+    val keep = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = corpus.join(keep, Seq("doc_id"), "left_semi")
+    val evalGrams = fiveGrams(docs.filter(col("source") === evalSource))
+      .select(col("g")).distinct()
+    val contaminatedIds = fiveGrams(deduped)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    clean
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("split"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) by hashing the
     * stable document id through md5 — the split a doc lands in never
     * changes as the corpus grows, unlike row_number- or rand()-based
@@ -209,6 +256,8 @@ object CorpusSignals {
       boilerplateFraction(Tables(s, d).documents)),
     "q126_bpe_pair_counts" -> ((s, d) =>
       bpePairCounts(Tables(s, d).documents)),
+    "q130_curation_pipeline" -> ((s, d) =>
+      curationPipeline(Tables(s, d).documents)),
     "q127_source_mixture" -> ((s, d) =>
       sourceMixtureWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
@@ -284,6 +333,43 @@ object CorpusSignals {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    "q130_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source <> 'src0' AND n_chars BETWEEN 200 AND 1200),
+        |keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1),
+        |deduped AS (
+        |  SELECT c.doc_id, c.text, c.n_chars FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.doc_id),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    AS g
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents
+        |        WHERE source = 'src0')),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM deduped)) d
+        |  JOIN eval_grams e ON d.g = e.g),
+        |clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |labeled AS (
+        |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |           1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split, n_chars
+        |  FROM clean)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
     "q127_source_mixture" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),
