@@ -79,13 +79,18 @@ object CorpusSignals {
     * Raffel et al. 2020, arXiv:1910.10683, restated over n-grams
     * because the synthetic corpus has no line structure).
     *
-    * Shape: explode to distinct (doc, gram) ONCE, count df with a
-    * gram-keyed window (each distinct (doc, gram) row IS one df vote,
-    * so `count(*) over (partition by gram)` = document frequency —
-    * one shuffle, no self-join, no recomputed explode), aggregate per
-    * doc. Both shuffles are O(tokens), the order of reading the
-    * corpus; no global collection point. At 100 TB the gram key would
-    * be a 64-bit hash; strings here keep the DuckDB oracle literal. */
+    * Shape: explode to distinct (doc, gram) ONCE (each distinct
+    * (doc, gram) row IS one df vote), compute df with a partial-
+    * aggregatable groupBy(gram).count() and join it back, aggregate
+    * per doc. The groupBy — unlike the count-over-Window(gram) this
+    * used to run — combines the hot gram map-side, so a corpus-wide
+    * common 3-gram arrives at its reducer as one row per upstream
+    * partition instead of every (doc, gram) row buffering in one
+    * task; the join probe side still hashes on the gram, where AQE's
+    * skew-split rebalances it (a window has no such mitigation). Both
+    * shuffles are O(tokens), the order of reading the corpus; no
+    * global collection point. At 100 TB the gram key would be a
+    * 64-bit hash; strings here keep the DuckDB oracle literal. */
   def boilerplateFraction(docs: DataFrame, minDf: Long = 5): DataFrame = {
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -98,8 +103,8 @@ object CorpusSignals {
         "transform(sequence(1, size(t)-2), i -> concat(" +
           "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
           "element_at(t, i+2)))"))).as("g"))
-    g.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val df = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(df, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))

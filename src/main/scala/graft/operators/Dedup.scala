@@ -89,6 +89,35 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Bound every BLOCK of an exact pair tier to its `maxBlock` first
+    * members under the caller's total order `ord` — the anti-quadratic
+    * guard for blocking keys whose cardinality is data-fixed
+    * ((lang, source) in [[TextAnalysis.jaccardPairs]], nation in
+    * [[fuzzyNameMatches]]): at 100× corpus scale a hot block would
+    * otherwise cost O(block²) pairs, the job that never finishes.
+    *
+    * Unlike [[capBuckets]] (LSH buckets, where a dropped member still
+    * pairs via its other bands) an exact tier has no second chance, so
+    * the guard TRUNCATES deterministically (row_number over `ord`)
+    * rather than dropping the whole block: per-block cost stays
+    * ≤ maxBlock² and the kept subset is reproducible. A block at the
+    * cap means the exact tier is the wrong tool for that corpus —
+    * route it through the LSH path ([[minhashDedup]] / [[simhashDedup]]),
+    * whose candidate volume is bounded by construction;
+    * [[ScalePatterns.keySkewProfile]] is the diagnostic that spots
+    * such blocks ahead of time. Defaults sit far above every tested
+    * SF's block sizes, so the cap never engages on the oracle data
+    * (spec-pinned output-unchanged) and only bites on degenerate
+    * corpora (spec-pinned bound). */
+  def capBlocks(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+      maxBlock: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBlock)
+      .drop("__rn")
+  }
+
   /** Drop every bucket whose population exceeds `maxBucket` (computed
     * with one count-window over the bucket key — no extra shuffle
     * beyond the one the self-join needs anyway). */
@@ -164,91 +193,126 @@ object Dedup {
   /** Connected components over a near-duplicate pair graph — the step
     * that turns pairwise matches into KEEP/DROP decisions (similarity
     * is not transitive, so near-dup groups are components, not
-    * equivalence classes of any single key). Iterative min-label
-    * propagation: every node adopts the smallest label among itself
-    * and its neighbors until a fixpoint — O(component diameter)
-    * rounds, each one join + one groupBy, all distributed (at massive
-    * scale the same algebra with large-star/small-star halves the
-    * round count; dup-graph diameters are tiny in practice). The
-    * result (node -> min doc_id of its component) is deterministic
-    * regardless of execution order. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edgesWide = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    * equivalence classes of any single key). Alternating
+    * large-star/small-star rounds (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"): each round rewires the
+    * graph toward a forest of stars centered at component minima, and
+    * the edge set converges in O(log diameter) rounds — vs the
+    * O(diameter) of plain min-label propagation, which a planted long
+    * chain (see TextDedupSpec) makes concrete. Each half-round is one
+    * groupBy + one join over the (persisted) edge frame, all
+    * distributed. The result (node -> min doc_id of its component) is
+    * deterministic regardless of execution order. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    dupClustersWithRounds(pairs, maxIters)._1
+
+  /** [[dupClusters]] plus the number of (large-star, small-star)
+    * rounds executed — exposed for the iteration-count spec. */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
+    // canonical undirected edges: a < b, dedup'd, no self-loops
+    val canonical = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .persist()
     // Size the ITERATION's parallelism to the dup graph, not the
     // corpus: candidate pairs are orders of magnitude fewer than
-    // documents, and every propagation round schedules a
-    // join+aggregate over these frames — at the session's default
-    // partition count that is hundreds of near-empty tasks per round.
-    // ~1M edges per task keeps rounds one-stage-small; a genuinely
-    // huge dup graph still fans out.
-    val nEdges = edgesWide.count()
-    val p = math.max(1, math.min(edgesWide.rdd.getNumPartitions,
+    // documents, and every star round schedules a join+aggregate over
+    // these frames — at the session's default partition count that is
+    // hundreds of near-empty tasks per round. ~1M edges per task keeps
+    // rounds one-stage-small; a genuinely huge dup graph still fans out.
+    val nEdges = canonical.count()
+    val p = math.max(1, math.min(canonical.rdd.getNumPartitions,
       (nEdges / 1000000L).toInt + 1))
-    val edges = edgesWide.coalesce(p).persist()
-    // materialize the coalesced copy, then drop the wide one — holding
-    // both through 20 propagation rounds doubles cached edge memory
-    edges.count()
-    edgesWide.unpersist(false)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
-    try {
-      // Convergence via the label-sum invariant: labels only ever
-      // DECREASE, so the fixpoint is reached exactly when the sum of
-      // all labels stops falling — one aggregate per round instead of
-      // the labels-vs-labels join the old changed-count needed.
-      // decimal(38,0) so 10^12-scale ids times 10^9 nodes cannot wrap.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head
-          .getDecimal(0)
-      var prevSum = labelSum(labels)
-      var changed = true
-      var i = 0
-      // One persisted frame and one action PER ROUND — deliberately.
-      // Each round references `labels` twice (nbrMin build side and
-      // the left join), so an unpersisted round would be recomputed
-      // twice by the next one: chaining k lazy rounds into one job
-      // costs 2^k round evaluations, not k (measured 2.4x slower at
-      // k=2). The cache is what makes the iteration linear.
-      while (changed && i < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("b"), col("label").as("bl")), "b")
-          .groupBy(col("a").as("id"))
-          .agg(min(col("bl")).as("nl"))
-        val updated = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label")))
-              .as("label"))
-          .persist()
-        val newSum = labelSum(updated)
-        changed = newSum.compareTo(prevSum) != 0
-        prevSum = newSum
-        labels.unpersist(false)
-        labels = updated
-        i += 1
-      }
-      // A component with diameter > maxIters would exit here only
-      // partially merged — surface it rather than silently returning
-      // split clusters (real dup-graph diameters are tiny; hitting
-      // this means the pair graph is pathological).
-      if (changed)
-        System.err.println(
-          s"[graft] dupClusters: min-label propagation did NOT reach a " +
-            s"fixpoint in $maxIters iterations (label sum still falling); " +
-            "returned clusters may be partially merged")
-      // materialize the (node -> component) result and truncate its
-      // lineage — it spans every iteration's plan, whose intermediate
-      // caches are about to be released; the result itself is
-      // node-count-sized (dup-graph nodes, not the corpus)
-      val out = labels
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint(true)
-      labels.unpersist(false)
-      out
-    } finally edges.unpersist(false)
+    // eager localCheckpoint: truncates LINEAGE, not just computation.
+    // Every star round references its input several times (sym union,
+    // groupBy build, join probe), so a persist-only iteration keeps a
+    // logical plan that grows ~8x per round — the ANALYSIS blows up
+    // long before execution would (measured: OOM at round ~6 on a
+    // 63-edge chain). Checkpointing replaces each round's plan with a
+    // LogicalRDD leaf, keeping plan size constant across rounds.
+    var edges = canonical.coalesce(p).localCheckpoint(true)
+    canonical.unpersist(false)
+
+    // Large-star: every node u connects its LARGER neighbors to
+    // m = min(Γ(u) ∪ {u}). Emitted edges (b, m) keep a<b canonical
+    // because m <= a < b. Strictly decreases component "height".
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("m").as("a"), col("b"))
+        .distinct()
+    }
+    // Small-star: orient edges max->min (u = b); every u connects its
+    // smaller neighborhood N ∪ {u} to m = min(N). Emits (m, x) for
+    // x in (N ∪ {u}) \ {m} — canonical since m < x.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val fromN = e.join(mins, "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+      val fromU = mins.select(col("m").as("a"), col("b"))
+      fromN.union(fromU).distinct()
+    }
+    // Convergence = edge-set fixpoint (the converged graph is a star
+    // forest both operators leave unchanged). Detected by a
+    // (count, hash-sum) fingerprint — one aggregate per round, no
+    // edges-vs-edges join; the decimal sum of per-edge xxhash64 makes
+    // a missed change a ~2^-64 event, and a false "changed" only
+    // costs one extra no-op round.
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var fp = fingerprint(edges)
+    var converged = nEdges == 0L
+    var rounds = 0
+    // One checkpoint + one cached intermediate PER ROUND: the
+    // half-round result is persisted so smallStar's two references
+    // evaluate largeStar once, and the round result is eagerly
+    // checkpointed so the next round starts from a leaf (see above —
+    // lazily chained rounds cost 2^k evaluations AND 8^k plan nodes).
+    // Superseded round blocks are graph-sized and reclaimed by the
+    // ContextCleaner once the old `edges` reference is dropped.
+    while (!converged && rounds < maxIters) {
+      val ls = largeStar(edges).persist()
+      val next = smallStar(ls).localCheckpoint(true)
+      ls.unpersist(false)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      rounds += 1
+    }
+    // A graph that has not converged in maxIters rounds (diameter
+    // > 2^maxIters — pathological by construction) would return
+    // partially merged stars — surface it rather than stay silent.
+    if (!converged)
+      System.err.println(
+        s"[graft] dupClusters: star rounds did NOT reach an edge-set " +
+          s"fixpoint in $maxIters iterations; returned clusters may be " +
+          "partially merged")
+    // At the fixpoint the graph is a star forest, so every node's
+    // component min is min(neighbors ∪ self) — one symmetric groupBy.
+    // Materialize and truncate lineage: the plan spans every round,
+    // whose intermediate caches are about to be released; the result
+    // is node-count-sized (dup-graph nodes, not the corpus).
+    val out = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("doc_id"),
+        least(col("a"), col("mb")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    (out, rounds)
   }
 
   /** Entity resolution by fuzzy name match: candidate pairs blocked
@@ -256,11 +320,18 @@ object Dedup {
     * the (lang, source) buckets play for jaccard pairs), verified by
     * levenshtein edit distance. Classic record-linkage shape: at
     * scale the blocking key is the whole candidate generator, and the
-    * codegen'd levenshtein is the per-pair verify. */
-  def fuzzyNameMatches(t: Tables, maxDist: Int = 1): DataFrame = {
-    val a = t.customer.select(col("c_nationkey").as("nk"),
+    * codegen'd levenshtein is the per-pair verify. Nation cardinality
+    * is data-FIXED (25), so blocks grow linearly with the table —
+    * [[capBlocks]] bounds each block to its `maxBlock` smallest
+    * custkeys so a populous nation degrades to a deterministic
+    * truncation instead of O(block²). */
+  def fuzzyNameMatches(customer: DataFrame, maxDist: Int = 1,
+      maxBlock: Int = 10000): DataFrame = {
+    val capped = capBlocks(customer, Seq("c_nationkey"),
+      Seq(col("c_custkey")), maxBlock)
+    val a = capped.select(col("c_nationkey").as("nk"),
       col("c_custkey").as("id1"), col("c_name").as("n1"))
-    val b = t.customer.select(col("c_nationkey").as("nk"),
+    val b = capped.select(col("c_nationkey").as("nk"),
       col("c_custkey").as("id2"), col("c_name").as("n2"))
     // verify predicate, cheapest exact form first: k=1 gets the
     // zero-allocation single-scan WithinOneEditExpr; other thresholds
@@ -282,7 +353,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d))),
+    "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),

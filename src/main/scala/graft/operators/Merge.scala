@@ -90,7 +90,12 @@ object Merge {
 
   /** q124: snapshot diff over a deterministically mutated second
     * version of documents — doc_id % 97 = 0 removed, % 31 = 0 edited,
-    * % 53 = 0 re-inserted under a shifted id (adds). */
+    * % 53 = 0 re-inserted under a shifted id (adds). The synthetic
+    * add ids live in the NEGATIVE id space (-doc_id - 1): real doc_ids
+    * are non-negative at every SF, so the shift can never collide with
+    * an existing key no matter how large the corpus grows (a fixed
+    * +1000000 offset would collide once ids pass 10^6 and silently
+    * fan out the full-outer join). */
   def snapshotDiffDocuments(t: Tables): DataFrame = {
     val old = t.documents
     val newV = t.documents
@@ -99,7 +104,7 @@ object Merge {
         when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
       .unionByName(t.documents.filter(col("doc_id") % 53 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", -col("doc_id") - 1L))
     snapshotDiff(old, newV, "doc_id", df => md5(df("text")))
   }
 
@@ -123,7 +128,7 @@ object Merge {
         |                          ELSE text END) AS h
         |  FROM documents WHERE doc_id % 97 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+        |  SELECT -doc_id - 1 AS doc_id, md5(text) AS h
         |  FROM documents WHERE doc_id % 53 = 0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'

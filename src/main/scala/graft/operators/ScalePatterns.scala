@@ -183,6 +183,31 @@ object ScalePatterns {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Fixed-width histogram with DATA-DERIVED bounds: lo = min(c),
+    * width = (max-min)/buckets — the self-tuning registration, so no
+    * caller-supplied constant can silently encode one SF's value
+    * range (the hazard of the parameterized [[histogram]]). The
+    * bounds come from one tiny aggregate broadcast back over the
+    * scan; bucketing stays a narrow projection + one groupBy. All
+    * arithmetic is IEEE double (subtract, divide, floor), so the
+    * oracle stating the identical derivation hash-matches bit-exactly. */
+  def adaptiveHistogram(df: DataFrame, c: String,
+      buckets: Int = 20): DataFrame = {
+    val v = df.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val b = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    v.crossJoin(broadcast(b))
+      .select(
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) /
+              ((col("mx") - col("mn")) / lit(buckets.toDouble))),
+            lit(buckets - 1L)))
+          .otherwise(lit(0L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Winsorization: clip a column to its exact [p01, p99] — standard
     * outlier taming before training-statistics. The cut points come
     * from the distributed counts+rank quantile machinery
@@ -295,6 +320,14 @@ object ScalePatterns {
           sum(col("v").cast("decimal(18,2)") *
             col("overlap").cast("decimal(18,0)")).cast("double").as("s"))
         .orderBy(col("bucket"))
+      // NOTE: unpersisting here releases the cache BEFORE the returned
+      // lazy plan executes, so execution recomputes the domain-sized
+      // groupBy; the cache only serves the two driver-side actions
+      // above (min/max/sum and the offsets collect). Deliberate: the
+      // alternative — leaking a cached frame into the session for the
+      // caller to forget — is the same trade-off
+      // [[RuntimeFilters.bloomPrunedOrderRevenue]] documents. Callers
+      // that execute the result many times should cache it themselves.
     } finally counts.unpersist(false)
   }
 
@@ -336,8 +369,7 @@ object ScalePatterns {
     "q125_join_size_profile" -> ((s, d) =>
       joinSizeProfile(Tables(s, d).events)),
     "q88_price_histogram" -> ((s, d) =>
-      histogram(Tables(s, d).lineitem, "l_extendedprice",
-        lo = 900.0, width = 5205.0, buckets = 20)),
+      adaptiveHistogram(Tables(s, d).lineitem, "l_extendedprice")),
     "q89_winsorize" -> ((s, d) => winsorize(Tables(s, d))),
     "q85_zorder_values" -> ((s, d) => zOrderValues(Tables(s, d))),
     "q80_doc_chunks" -> ((s, d) => chunkDocuments(Tables(s, d))),
@@ -383,10 +415,17 @@ object ScalePatterns {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q88_price_histogram" ->
-      """SELECT bucket, COUNT(*) AS n FROM (
-        |  SELECT CAST(LEAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
-        |    / 5205.0), 19) AS BIGINT) AS bucket
-        |  FROM lineitem)
+      """WITH b AS (
+        |  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |         max(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN mx > mn THEN
+        |      CAST(LEAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+        |        / ((mx - mn) / 20.0)), 19) AS BIGINT)
+        |    ELSE 0 END AS bucket
+        |  FROM lineitem, b
+        |  WHERE l_extendedprice IS NOT NULL)
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
     "q89_winsorize" ->

@@ -93,14 +93,22 @@ object TextAnalysis {
     * (lang, source). The bucket join is the candidate generator (cf.
     * MinHash-LSH in [[Dedup]] for the unbucketed scale path); the
     * 0.5 threshold sits in a wide empirical gap of the similarity
-    * distribution, so the cut is stable. */
-  def jaccardPairs(t: Tables): DataFrame = {
+    * distribution, so the cut is stable. (lang, source) cardinality is
+    * data-FIXED, so blocks grow linearly with the corpus —
+    * [[Dedup.capBlocks]] bounds each block to its `maxBlock` smallest
+    * doc_ids (the window shares the join's (lang, source) exchange),
+    * so a hot block degrades to a deterministic truncation instead of
+    * O(block²); past the cap, MinHash-LSH is the right tier. */
+  def jaccardPairs(documents: DataFrame, maxBlock: Int = 10000)
+      : DataFrame = {
     // sorted once per doc -> each pair evaluation is a single
     // zero-allocation merge pass (SortedIntersectSizeExpr)
-    val docs = t.documents.select(
-      col("doc_id"), col("lang"), col("source"),
-      sortedShingles(col("text"), 3).as("sh"))
-      .withColumn("n", size(col("sh"))) // once per doc, not per pair
+    val docs = Dedup.capBlocks(
+      documents.select(
+        col("doc_id"), col("lang"), col("source"),
+        sortedShingles(col("text"), 3).as("sh"))
+        .withColumn("n", size(col("sh"))), // once per doc, not per pair
+      Seq("lang", "source"), Seq(col("doc_id")), maxBlock)
     val a = docs.select(col("lang"), col("source"),
       col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = docs.select(col("lang"), col("source"),
@@ -256,7 +264,7 @@ object TextAnalysis {
     "q23_corpus_stats" -> ((s, d) => corpusStats(Tables(s, d))),
     "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
     "q25_dedup_tokenset" -> ((s, d) => dedupTokenSet(Tables(s, d))),
-    "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d))),
+    "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d).documents)),
     "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
     "q65_cardinality_sketch" ->
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),

@@ -409,6 +409,14 @@ case class NormalizeTextExpr(child: Expression)
 }
 
 object NormalizeTextExpr {
+  /** Whitespace class caveat: the collapse step uses JAVA regex `\s`
+    * = [ \t\n\x0B\f\r] — it INCLUDES vertical tab U+000B (which
+    * RE2/DuckDB `\s` excludes) and EXCLUDES Unicode spaces such as
+    * NBSP U+00A0 (which stay literal). Callers normalizing text that
+    * can carry vertical tabs or non-ASCII whitespace should pre-map
+    * those codepoints; the q129 oracle pins agreement with DuckDB on
+    * the ASCII+Latin-1 range the corpus exercises, which is exactly
+    * the supported class. */
   def normalize(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
       .toLowerCase(java.util.Locale.ROOT)
@@ -441,6 +449,9 @@ object FastOps {
     GraftColumnBridge.column(WithinOneEditExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** One-pass NFC + ROOT-lowercase + whitespace collapse. Supported
+    * whitespace class is Java `\s` (tab/LF/VT/FF/CR/space) — see
+    * [[NormalizeTextExpr.normalize]] for the RE2/Unicode divergence. */
   def normalizeText(text: Column): Column =
     GraftColumnBridge.column(NormalizeTextExpr(
       GraftColumnBridge.expression(text)))

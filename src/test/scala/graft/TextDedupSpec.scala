@@ -97,6 +97,45 @@ class TextDedupSpec extends AnyFunSuite {
       .head.getInt(0) == 3)
   }
 
+  test("capBlocks: default caps leave q26/q112 output unchanged " +
+    "(cap does not fire on test data)") {
+    val docs = Tables(spark, sf).documents
+    val capped = TextAnalysis.jaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = TextAnalysis.jaccardPairs(docs, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    val cust = Tables(spark, sf).customer
+    val fCapped = Dedup.fuzzyNameMatches(cust)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fUncapped = Dedup.fuzzyNameMatches(cust, maxBlock = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fCapped == fUncapped)
+  }
+
+  test("capBlocks bounds a degenerate jaccard block to maxBlock members") {
+    // 40 identical docs in ONE (lang, source) block: uncapped pair
+    // count is C(40,2)=780; cap=10 must keep exactly the 10 smallest
+    // doc_ids -> C(10,2)=45 pairs, none touching a truncated id
+    val docs = (0L until 40L)
+      .map(i => (i, "en", "srcX", "the same exact text repeated here"))
+      .toDF("doc_id", "lang", "source", "text")
+    val pairs = TextAnalysis.jaccardPairs(docs, maxBlock = 10).collect()
+    assert(pairs.length == 45)
+    assert(pairs.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+  }
+
+  test("capBlocks bounds a degenerate fuzzy-match block to maxBlock") {
+    // 30 same-name customers in ONE nation; cap=5 -> C(5,2)=10 pairs
+    // among the 5 smallest custkeys only
+    val cust = (0L until 30L)
+      .map(i => (1, i, "Customer#000000001"))
+      .toDF("c_nationkey", "c_custkey", "c_name")
+    val pairs = Dedup.fuzzyNameMatches(cust, maxBlock = 5).collect()
+    assert(pairs.length == 10)
+    assert(pairs.forall(r => r.getLong(0) < 5 && r.getLong(1) < 5))
+  }
+
   test("dupClusters: components of a chain + triangle + isolated pair") {
     // chain 1-2-3-4 (not pairwise similar — tests transitivity),
     // triangle 10-11-12, pair 20-21
@@ -106,6 +145,20 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: star rounds converge logarithmically on a long chain") {
+    // chain 0-1-...-63 (diameter 63): min-label propagation would need
+    // 63 rounds (and would NOT converge inside maxIters=20); the
+    // large-star/small-star alternation must finish in O(log n)
+    val n = 64
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("d1", "d2")
+    val (res, rounds) = graft.operators.Dedup.dupClustersWithRounds(pairs, 20)
+    val labels = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L))
+    assert(rounds <= 10, s"expected <= 10 star rounds on a 64-chain, got $rounds")
   }
 
   test("dupClusters on the corpus dup graph: labels are component minima") {
