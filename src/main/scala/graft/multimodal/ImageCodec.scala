@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real image codec work on the JDK's built-in ImageIO (PNG/BMP/JPEG
+  * readers ship with every JRE — no external library needed). This is
+  * the executor-side kernel the Multimodal operators call from inside
+  * their `mapPartitions`/UDF column shapes: encode deterministic PNG
+  * fixtures, decode arbitrary image bytes, pool pixels to a fixed-size
+  * feature vector, and resize.
+  *
+  * Everything here is per-row CPU work on bytes that are already local
+  * to the task — nothing in this object touches Spark, so the operators
+  * keep their narrow, shuffle-free plans regardless of what the codec
+  * does.
+  */
+object ImageCodec {
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the pixel
+    * generator for synthetic fixtures. Pure integer math: identical on
+    * every JVM, unlike anything float-based. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic per-pixel RGB for fixture generation: a stable
+    * function of (seed, x, y) so any engine (or a spec) can recompute
+    * the expected pixel without decoding. */
+  def fixturePixel(seed: Long, x: Int, y: Int): Int = {
+    val h = mix64(seed * 1000003L + y.toLong * 4099L + x.toLong)
+    val r = (h & 0xff).toInt
+    val g = ((h >>> 8) & 0xff).toInt
+    val b = ((h >>> 16) & 0xff).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode a deterministic w×h RGB PNG whose pixels are
+    * [[fixturePixel]](seed, x, y). PNG is lossless, so decode recovers
+    * the exact generated pixels — the fixture round-trips bit-exactly. */
+  def encodeFixturePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, fixturePixel(seed, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Encode a solid-color PNG — the known-answer spec fixture. */
+  def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode image bytes; None for bytes no installed reader accepts
+    * (corrupt/truncated media are a fact of life at corpus scale —
+    * callers surface them as NULL features, not task failures). */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Pool a decoded image into a `dim`-length feature vector:
+    * slots 0..2 are the image-wide mean R,G,B in [0,1]; slots 3..dim-1
+    * are mean Rec.601 luminance (0.299 R + 0.587 G + 0.114 B, in
+    * [0,1]) over `dim-3` contiguous row-major pixel stripes — a
+    * deterministic, resolution-independent "thumbnail" any downstream
+    * similarity operator can consume. Accumulation is integer until
+    * the final division, so the result does not depend on pixel
+    * visitation order. */
+  def pooledFeature(img: BufferedImage, dim: Int): Array[Float] = {
+    require(dim >= 4, s"feature dim must be >= 4, got $dim")
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    val stripes = dim - 3
+    var sr = 0L; var sg = 0L; var sb = 0L
+    // per-stripe integer sums of (299 R + 587 G + 114 B)
+    val lum = new Array[Long](stripes)
+    val cnt = new Array[Long](stripes)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >>> 16) & 0xff
+        val g = (rgb >>> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val idx = y.toLong * w + x
+        val s = ((idx * stripes) / n).toInt
+        lum(s) += 299L * r + 587L * g + 114L * b
+        cnt(s) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    out(0) = (sr.toDouble / (n * 255.0)).toFloat
+    out(1) = (sg.toDouble / (n * 255.0)).toFloat
+    out(2) = (sb.toDouble / (n * 255.0)).toFloat
+    var s = 0
+    while (s < stripes) {
+      out(3 + s) =
+        if (cnt(s) == 0L) 0.0f
+        else (lum(s).toDouble / (cnt(s) * 255000.0)).toFloat
+      s += 1
+    }
+    out
+  }
+
+  /** Decode + pool in one call; None when the bytes don't decode. */
+  def featureFromBytes(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decode(bytes).map(pooledFeature(_, dim))
+
+  /** Real resize: decode, scale the longest side down to `maxSide`
+    * (never up), re-encode as PNG. Returns (bytes, w, h); None when
+    * the input doesn't decode. */
+  def resize(bytes: Array[Byte], maxSide: Int)
+      : Option[(Array[Byte], Int, Int)] =
+    decode(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      val nw = math.max(1, math.round(w * scale).toInt)
+      val nh = math.max(1, math.round(h * scale).toInt)
+      if (nw == w && nh == h) (encodePng(img), w, h)
+      else {
+        val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g2.drawImage(img, 0, 0, nw, nh, null)
+        } finally g2.dispose()
+        (encodePng(dst), nw, nh)
+      }
+    }
+}
