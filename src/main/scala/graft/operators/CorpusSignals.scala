@@ -114,6 +114,48 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-span coverage (Lee et al. 2021, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * the fraction of each document's token positions covered by some
+    * 5-gram that also appears in at least `minDocs` distinct documents
+    * — the substring-level dedup signal that whole-document hashing
+    * (q24) and near-dup pairing (q26/q28) both miss. A doc with high
+    * coverage is mostly stitched from corpus-common spans even when no
+    * single other document resembles it as a whole.
+    *
+    * Shape: ONE positional explode to (doc, start, gram) — O(tokens)
+    * rows; gram document-frequency as a partial-aggregatable
+    * groupBy over the distinct (doc, gram) projection (the q116
+    * pattern — hot grams combine map-side, AQE skew-splits the probe
+    * join); covered positions as a 5-element sequence explode +
+    * distinct, again O(tokens). No window over an unbounded key, no
+    * global collection point — every stage is the order of reading
+    * the corpus, the same budget as tokenizing it. */
+  def dupSpanCoverage(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(t)-4), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+          "element_at(t, i+4)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val df = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    val covered = grams
+      .join(df.filter(col("ndocs") >= minDocs).select(col("g")), "g")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("cp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-pair frequencies across the corpus — the first merge
     * step of BPE vocabulary induction (Sennrich et al. 2016,
     * arXiv:1508.07909): the most frequent adjacent symbol pair is the
@@ -266,7 +308,9 @@ object CorpusSignals {
     "q127_source_mixture" -> ((s, d) =>
       sourceMixtureWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
-    "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents))
+    "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
+    "q135_dup_span_coverage" ->
+      ((s, d) => dupSpanCoverage(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -393,6 +437,26 @@ object CorpusSignals {
         |         AS BIGINT) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q135_dup_span_coverage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
+        |              FROM documents),
+        |gr AS (
+        |  SELECT doc_id, i AS p,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t)-4)) AS i FROM toks)),
+        |dfc AS (SELECT g, count(*) AS ndocs
+        |        FROM (SELECT DISTINCT doc_id, g FROM gr) GROUP BY 1),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT cp) AS n_covered
+        |  FROM (SELECT gr.doc_id, unnest(generate_series(p, p+4)) AS cp
+        |        FROM gr JOIN dfc USING (g) WHERE ndocs >= 2)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(t.t) AS coverage
+        |FROM toks t LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q102_inverted_index" ->
       """WITH td AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term

@@ -315,6 +315,43 @@ object Dedup {
     (out, rounds)
   }
 
+  /** Temporal sessionization as connected components — the oracle-
+    * checkable demonstration of [[dupClusters]] on a real graph (the
+    * near-dup graphs of q82 hang off engine-specific MinHash, so the
+    * driver can only count their rows; this edge set is pure SQL).
+    *
+    * Edges chain each customer's order to its predecessor (ordered by
+    * (o_orderdate, o_orderkey)) when the gap is <= `gapDays`; the
+    * components of that chain graph are exactly the classic
+    * gaps-and-islands sessions, which a window query expresses in SQL
+    * — so the generic star-rounds operator is verified bit-for-bit
+    * against an independent sessionization oracle, including the
+    * min-id-per-component convention (session_id = min orderkey).
+    *
+    * Scale: one lag window (custkey-keyed shuffle) emits O(orders)
+    * chain edges — never the O(per-customer²) pair join — and the CC
+    * rounds run on the multi-order subset only. Singleton orders skip
+    * the graph entirely and rejoin as their own session at the end. */
+  def orderSessions(orders: DataFrame, gapDays: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val edges = orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_key").isNotNull &&
+        datediff(col("o_orderdate"), col("prev_date")) <= gapDays)
+      .select(col("prev_key").as("d1"), col("o_orderkey").as("d2"))
+    val clusters = dupClusters(edges)
+      .select(col("doc_id").as("o_orderkey"), col("cluster_id"))
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(clusters, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("cluster_id"), col("o_orderkey")).as("session_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Entity resolution by fuzzy name match: candidate pairs blocked
     * on nation (the blocking key bounds the pair space — same role
     * the (lang, source) buckets play for jaccard pairs), verified by
@@ -358,10 +395,28 @@ object Dedup {
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),
     "q82_dup_clusters" ->
-      ((s, d) => dupClusters(minhashDedup(Tables(s, d).documents)))
+      ((s, d) => dupClusters(minhashDedup(Tables(s, d).documents))),
+    "q133_order_sessions" -> ((s, d) => orderSessions(Tables(s, d).orders))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q133_order_sessions" ->
+      """WITH flagged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN date_diff('day', lag(o_orderdate) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |        o_orderdate) <= 30
+        |    THEN 0 ELSE 1 END AS new_s
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    SUM(new_s) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT o_orderkey, o_custkey,
+        |  MIN(o_orderkey) OVER (PARTITION BY o_custkey, sid) AS session_id
+        |FROM s ORDER BY o_orderkey""".stripMargin,
     "q112_fuzzy_match" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist

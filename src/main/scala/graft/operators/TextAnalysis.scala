@@ -196,6 +196,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sample: per-stratum keep-rates applied
+    * by hashing the stable doc_id — the reproducible twin of
+    * [[stratifiedSample]] (whose engine-specific PRNG the oracle
+    * cannot replay). A doc's membership never changes as the corpus
+    * grows, any engine recomputes the identical sample (md5 is md5
+    * everywhere), and per-stratum rates land within binomial noise of
+    * the targets. Keep-rates are integer per-10000 thresholds so both
+    * engines compare integers, never floats. The hash input carries a
+    * `strat:` salt so sample membership stays INDEPENDENT of the
+    * `datasetSplit` buckets (q101 hashes the bare doc_id — reusing the
+    * same hash would correlate the sample with the train/val/test
+    * split). Pure narrow projection + one broadcast dim join: no
+    * shuffle at any scale. */
+  def hashStratifiedSample(docs: DataFrame,
+      keepPer10k: Seq[(String, Int)] = Seq("en" -> 2000, "es" -> 5000,
+        "de" -> 10000, "fr" -> 10000, "zh" -> 10000)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = broadcast(keepPer10k.toDF("lang", "keep_below"))
+    val bucket = conv(substring(md5(concat_ws("", lit("strat:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10000
+    docs.join(dim, Seq("lang"))
+      .filter(bucket < col("keep_below"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget batch packing: documents in doc_id order are packed
     * greedily into batches of at most ~`budget` tokens (running
     * cumulative token count, batch = floor(cum / budget)) — the shape
@@ -270,12 +297,23 @@ object TextAnalysis {
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),
     "q84_bpe_token_count" -> ((s, d) => bpeTokenCounts(Tables(s, d))),
     "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
+    "q134_hash_stratified" ->
+      ((s, d) => hashStratifiedSample(Tables(s, d).documents)),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q134_hash_stratified" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |JOIN (VALUES ('en', 2000), ('es', 5000), ('de', 10000),
+        |      ('fr', 10000), ('zh', 10000)) AS f(lang, keep_below)
+        |  USING (lang)
+        |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 10000 < keep_below
+        |ORDER BY doc_id""".stripMargin,
     "q84_bpe_token_count" ->
       s"""SELECT doc_id,
          |  len(string_split(text || ' it''s v2, pi=3.14!', ' '))

@@ -80,4 +80,26 @@ class CorpusSignalsSpec extends AnyFunSuite {
       (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
       (3L, 2L, 1L, 0.5), (4L, 2L, 1L, 0.5), (5L, 2L, 0L, 0.0)))
   }
+
+  test("dupSpanCoverage: a planted cross-doc span covers exactly its " +
+    "positions; within-doc repeats alone do not count") {
+    import spark.implicits._
+    val tiny = Seq(
+      // docs 1 & 2 share only the 5-gram "v w x y z" (disjoint
+      // vocab otherwise): it covers its 5 token positions in each
+      (1L, "a b c d e f v w x y z"),       // 11 tokens, tail covered
+      (2L, "v w x y z p q r s t u"),       // 11 tokens, head covered
+      (3L, "k l m n o kk ll mm nn oo"),    // unique text -> 0
+      // the same 5-gram twice in ONE doc: df counts distinct docs,
+      // so internal repetition is not "duplicate" coverage
+      (4L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"),
+      (5L, "one two")                       // <5 tokens: no grams, 0
+    ).toDF("doc_id", "text")
+    val out = CorpusSignals.dupSpanCoverage(tiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 11L, 5L, 5.0 / 11.0), (2L, 11L, 5L, 5.0 / 11.0),
+      (3L, 10L, 0L, 0.0), (4L, 10L, 0L, 0.0), (5L, 2L, 0L, 0.0)))
+  }
 }

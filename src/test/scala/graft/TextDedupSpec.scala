@@ -179,4 +179,46 @@ class TextDedupSpec extends AnyFunSuite {
       .filter(col("c1") =!= col("c2"))
     assert(e.isEmpty)
   }
+
+  test("orderSessions: chained gaps merge, long gaps split, singletons self") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, 1L, d("2024-01-01")),
+      (11L, 1L, d("2024-01-20")), // 19d after 10 -> same session
+      // 40d after 10 but 21d after 11: only TRANSITIVE chaining keeps
+      // it in the session — the property the CC formulation must match
+      (12L, 1L, d("2024-02-10")),
+      (13L, 1L, d("2024-06-01")), // 112d gap -> new session
+      (20L, 2L, d("2024-01-05"))  // singleton customer
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = graft.operators.Dedup.orderSessions(orders)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L, 10L), (11L, 1L, 10L), (12L, 1L, 10L),
+      (13L, 1L, 13L), (20L, 2L, 20L)))
+  }
+
+  test("hashStratifiedSample: growth-stable, full-keep strata intact, " +
+    "en thinned near its target rate") {
+    val docs = Tables(spark, sf).documents
+    val s1 = TextAnalysis.hashStratifiedSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    // growth stability: adding rows never flips existing membership
+    // (per-row hash — unlike seeded sampleBy, whose draws shift)
+    val bigger = docs.union(docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 5000000L))
+    val s2 = TextAnalysis.hashStratifiedSample(bigger)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2.filter(_ < 5000000L) == s1)
+    // keep_below=10000 strata pass through untouched
+    val full = docs.filter(col("lang").isin("de", "fr", "zh")).count()
+    val kept = TextAnalysis.hashStratifiedSample(docs)
+      .filter(col("lang").isin("de", "fr", "zh")).count()
+    assert(kept == full)
+    // the 20% stratum lands within binomial noise of its target
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = TextAnalysis.hashStratifiedSample(docs)
+      .filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.08 && enKept / en < 0.35,
+      s"en keep rate ${enKept / en} far from 0.2")
+  }
 }
