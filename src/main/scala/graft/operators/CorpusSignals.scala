@@ -197,6 +197,52 @@ object CorpusSignals {
       .orderBy(col("source"))
   }
 
+  /** Stateless per-document contamination sweep — the STREAMING twin
+    * of [[contamination]]: the whole eval side collapses into ONE
+    * broadcast row (the distinct gram set + the (gram, eval_doc) pair
+    * list), and each training document computes its own overlap
+    * counts row-locally with array intersection — no explode-and-
+    * regroup round trip, therefore NO streaming state and no
+    * watermark: it runs in append mode on an unbounded `readStream`
+    * of documents exactly as it runs on a batch frame (the oracle
+    * checks the batch form; StreamingSpec pins stream == batch).
+    *
+    * Trade-off vs the batch join form: per-row cost is linear in the
+    * eval pair count, so this shape wants a SMALL eval side (which
+    * decontamination has by construction — eval benchmarks are tiny
+    * next to a pretraining corpus); the q92 join form instead scales
+    * with total gram volume but needs a shuffle. Same counts either
+    * way, per-(micro)batch here. */
+  def contaminationPerDoc(train: DataFrame, evalDocs: DataFrame)
+      : DataFrame = {
+    val evalSide = fiveGrams(evalDocs)
+      .select(col("g"), col("doc_id").as("eval_doc")).distinct()
+      .agg(collect_list(struct(col("g"), col("eval_doc"))).as("ep"),
+        collect_set(col("g")).as("egrams"))
+      .withColumn("__k", lit(1))
+    train
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+          "element_at(t, i+4)))")).as("gs"))
+      .withColumn("__k", lit(1))
+      // literal-key equi join (not crossJoin): stream-static equi
+      // joins are supported and stateless, and the static side is one
+      // broadcast row either way
+      .join(broadcast(evalSide), Seq("__k"))
+      .select(col("doc_id"),
+        array_intersect(col("gs"), col("egrams")).as("shared"), col("ep"))
+      .filter(size(col("shared")) >= 1)
+      .select(col("doc_id"),
+        size(array_distinct(expr(
+          "transform(filter(ep, p -> array_contains(shared, p.g)), " +
+            "p -> p.eval_doc)"))).cast("long").as("n_eval_docs"),
+        size(col("shared")).cast("long").as("n_shared_ngrams"))
+  }
+
   /** Distinct 5-grams per document — shared candidate unit of the
     * contamination sweep and the curation pipeline. */
   private def fiveGrams(docs: DataFrame): DataFrame =
@@ -208,30 +254,61 @@ object CorpusSignals {
           "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
           "element_at(t, i+4)))"))).as("g"))
 
-  /** The whole curation workflow as ONE composed plan — the user
-    * story this library exists for: quality gate → exact dedup
-    * (min-id representative per content hash) → decontamination
-    * against the eval source (shared distinct 5-gram ⇒ drop) →
-    * deterministic hashed 90/5/5 split → per-split corpus stats.
-    * Every stage is the library's own operator semantics (q22/q24/
-    * q92/q101) and every intermediate is integer/string-exact, so the
-    * five-stage composition still hash-matches the oracle end-to-end.
-    * Scale: one md5-keyed shuffle (dedup), one gram-keyed sweep with
-    * the eval side broadcast, narrow everything else. */
-  def curationPipeline(docs: DataFrame, evalSource: String = "src0",
-      minChars: Long = 200, maxChars: Long = 1200): DataFrame = {
+  /** The cleaned corpus the curation workflow keeps: quality gate →
+    * exact dedup (min-id representative per content hash) → optional
+    * MinHash near-dup collapse (candidate pairs via LSH, transitive
+    * clusters via the star-rounds CC operator, keep the min-doc_id
+    * representative per cluster — the stage a real pretraining run
+    * puts between exact dedup and decontamination) → decontamination
+    * against the eval source (shared distinct 5-gram ⇒ drop).
+    * Factored out of [[curationPipeline]] so specs can assert WHICH
+    * documents survive, not just the per-split aggregates. */
+  def curatedDocs(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200,
+      nearDup: Boolean = false): DataFrame = {
     val corpus = docs.filter(col("source") =!= evalSource &&
       col("n_chars").between(minChars, maxChars))
     val keep = corpus.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val deduped = corpus.join(keep, Seq("doc_id"), "left_semi")
+    // Near-dup collapse rides entirely on existing operators: LSH
+    // keeps the candidate volume sub-quadratic, CC turns pairwise
+    // matches into clusters (similarity is not transitive), and the
+    // min-id keep rule mirrors the exact tier's representative choice.
+    val afterNearDup =
+      if (!nearDup) deduped
+      else {
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashDedup(deduped).select(col("d1"), col("d2")))
+        val drops = clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"))
+        deduped.join(drops, Seq("doc_id"), "left_anti")
+      }
     val evalGrams = fiveGrams(docs.filter(col("source") === evalSource))
       .select(col("g")).distinct()
-    val contaminatedIds = fiveGrams(deduped)
+    val contaminatedIds = fiveGrams(afterNearDup)
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct()
-    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    afterNearDup.join(contaminatedIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The whole curation workflow as ONE composed plan — the user
+    * story this library exists for: [[curatedDocs]] (quality gate →
+    * exact dedup → optional near-dup collapse → decontamination) →
+    * deterministic hashed 90/5/5 split → per-split corpus stats.
+    * Every stage is the library's own operator semantics (q22/q24/
+    * q28+q82/q92/q101); with `nearDup=false` every intermediate is
+    * integer/string-exact, so the composition hash-matches the oracle
+    * end-to-end (q130), and the near-dup variant (q131) is rows-only
+    * because MinHash is engine-specific.
+    * Scale: one md5-keyed shuffle (dedup), the banded LSH shuffle +
+    * graph-sized CC rounds when enabled, one gram-keyed sweep with
+    * the eval side broadcast, narrow everything else. */
+  def curationPipeline(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200,
+      nearDup: Boolean = false): DataFrame = {
+    val clean = curatedDocs(docs, evalSource, minChars, maxChars, nearDup)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("long") % 100
     clean
@@ -305,6 +382,13 @@ object CorpusSignals {
       bpePairCounts(Tables(s, d).documents)),
     "q130_curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d).documents)),
+    "q131_curation_neardup" -> ((s, d) =>
+      curationPipeline(Tables(s, d).documents, nearDup = true)),
+    "q132_contamination_stream" -> ((s, d) => {
+      val t = Tables(s, d).documents
+      contaminationPerDoc(t.filter(col("source") =!= "src0"),
+        t.filter(col("source") === "src0")).orderBy(col("doc_id"))
+    }),
     "q127_source_mixture" -> ((s, d) =>
       sourceMixtureWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
@@ -344,6 +428,26 @@ object CorpusSignals {
         |FROM base JOIN bgtop ON base.doc_id = bgtop.bdoc
         |ORDER BY doc_id""".stripMargin,
     "q92_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])))
+        |      AS g
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g, doc_id AS eval_doc FROM grams
+        |       WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, g FROM grams WHERE source <> 'src0')
+        |SELECT tr.doc_id AS doc_id,
+        |       CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs,
+        |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_ngrams
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical semantics to q92 — the oracle states the join form,
+    // the Spark side computes it per-document against the broadcast
+    // eval row, proving the stateless streaming shape loses nothing
+    "q132_contamination_stream" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
         |grams AS (

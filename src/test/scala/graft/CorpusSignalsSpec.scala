@@ -102,4 +102,39 @@ class CorpusSignalsSpec extends AnyFunSuite {
       (1L, 11L, 5L, 5.0 / 11.0), (2L, 11L, 5L, 5.0 / 11.0),
       (3L, 10L, 0L, 0.0), (4L, 10L, 0L, 0.0), (5L, 2L, 0L, 0.0)))
   }
+
+  test("curatedDocs: near-dup stage collapses planted near-dups and " +
+    "leaves the exact path unchanged when disabled") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    // near-dup of base: only the LAST token differs (1 of 58 shingles)
+    val alt = base.split(" ").dropRight(1).mkString(" ") + " zz"
+    val contam = "c1 c2 e1 e2 e3 e4 e5 x1 x2"
+    val uniq = (1 to 60).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "src1", 300L),   // kept (min-id representative)
+      (2L, alt, "src1", 300L),    // near-dup of 1: dropped iff enabled
+      (3L, base, "src1", 300L),   // exact dup of 1: always dropped
+      (4L, contam, "src1", 300L), // shares a 5-gram with eval: dropped
+      (5L, uniq, "src1", 300L),   // kept
+      (9L, "e1 e2 e3 e4 e5 e6 e7", "src0", 300L) // the eval doc
+    ).toDF("doc_id", "text", "source", "n_chars")
+    def ids(nearDup: Boolean): Set[Long] =
+      CorpusSignals.curatedDocs(docs, nearDup = nearDup)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(nearDup = false) == Set(1L, 2L, 5L))
+    assert(ids(nearDup = true) == Set(1L, 5L))
+  }
+
+  test("contaminationPerDoc batch form equals the join-form contamination") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val perDoc = CorpusSignals.contaminationPerDoc(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+      .orderBy("doc_id").collect().toSeq
+    val joined = CorpusSignals.contamination(docs)
+      .collect().toSeq
+    assert(perDoc == joined)
+    assert(perDoc.nonEmpty)
+  }
 }

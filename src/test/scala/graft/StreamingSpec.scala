@@ -240,6 +240,35 @@ class StreamingSpec extends AnyFunSuite {
       .head.getDouble(0) == 3.0)
   }
 
+  test("stateless contamination sweep: append-mode stream equals batch") {
+    implicit val sc = spark.sqlContext
+    val evalDocs = Seq((100L, "e1 e2 e3 e4 e5 e6"))
+      .toDF("doc_id", "text")
+    val trainRows = Seq(
+      (1L, "a b e1 e2 e3 e4 e5 c"), // shares "e1 e2 e3 e4 e5"
+      (2L, "x y z w v u"),          // clean
+      (3L, "e2 e3 e4 e5 e6 k"))     // shares "e2 e3 e4 e5 e6"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.CorpusSignals.contaminationPerDoc(
+      mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out").start()
+    // two micro-batches: the sweep is stateless, so batch boundaries
+    // must not change any per-doc count
+    mem.addData(trainRows(0), trainRows(1))
+    q.processAllAvailable()
+    mem.addData(trainRows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("contam_out")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.operators.CorpusSignals.contaminationPerDoc(
+      trainRows.toDF("doc_id", "text"), evalDocs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
   test("file-source stream with checkpoint: AvailableNow equals batch") {
     // events.parquet is TIMESTAMP(NANOS); declare ts as long and
     // rebuild micros, exactly like Tables.events does for batch
