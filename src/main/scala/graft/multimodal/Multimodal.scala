@@ -9,13 +9,15 @@ import graft.Tables
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (SURVEY.md north-star).
   *
-  * Images are REAL end-to-end: fixtures are genuine PNGs written with
-  * the JDK's ImageIO, and decode / feature-pooling / resize run
-  * `javax.imageio` over the bytes (see [[ImageCodec]]). Audio/video
-  * remain deterministic hash-derived stand-ins ([[hashFeature]]) — the
-  * JDK ships no general audio/video codec — behind the same column
-  * shapes, so swapping in an ffmpeg-style library changes only the
-  * per-batch kernel.
+  * All three kinds decode for REAL on JDK-only codecs:
+  *  - images: genuine PNGs through `javax.imageio` ([[ImageCodec]]);
+  *  - audio: genuine PCM16 WAV through `javax.sound.sampled`
+  *    ([[AudioCodec]]);
+  *  - video: the JDK has no demuxer, so clips use the documented
+  *    `GRV1` container of length-prefixed PNG frames and every frame
+  *    decode is a real ImageIO decode ([[VideoCodec]]) — the container
+  *    parse is the one seam an ffmpeg-style library replaces.
+  * [[hashFeature]] remains only for kinds none of the codecs claim.
   *
   * Codec work is the one place a Scala UDF beats a Catalyst
   * expression: the kernel is an opaque library call on a local byte
@@ -42,64 +44,92 @@ object Multimodal {
 
   val featureDim = 16
 
+  /** Frame cadence of the synthetic video fixtures (ms per frame). */
+  val FixtureFrameMs = 250
+
   private val imageBytesUdf =
     udf((id: Long, w: Int, h: Int) => ImageCodec.encodeFixturePng(w, h, id))
+
+  private val audioBytesUdf =
+    udf((id: Long, n: Int) => AudioCodec.encodeFixtureWav(n, id))
+
+  private val videoBytesUdf =
+    udf((id: Long, nFrames: Int, w: Int, h: Int) =>
+      VideoCodec.encodeFixtureVideo(nFrames, w, h, FixtureFrameMs, id))
 
   private val imageFeatureUdf =
     udf((b: Array[Byte]) =>
       ImageCodec.featureFromBytes(b, featureDim).map(_.toSeq))
 
+  private val audioFeatureUdf =
+    udf((b: Array[Byte]) =>
+      AudioCodec.featureFromBytes(b, featureDim).map(_.toSeq))
+
+  private val videoFeatureUdf =
+    udf((b: Array[Byte]) =>
+      VideoCodec.featureFromBytes(b, featureDim).map(_.toSeq))
+
   /** Build a deterministic media table from the documents corpus —
     * gives every downstream operator a real `binary` column to
-    * exercise. Image rows carry REAL PNG bytes (tiny, 4..16 px a
-    * side, pixels a pure function of doc_id — [[ImageCodec
-    * .fixturePixel]]); audio/video rows reuse the text bytes as
-    * opaque payloads. meta.width/height are the actual PNG dimensions
-    * by construction (same columns feed the encoder). */
+    * exercise. Image rows carry REAL PNGs (4..16 px a side, pixels a
+    * pure function of doc_id), audio rows REAL PCM16 WAV clips
+    * (50..250 ms, waveform a pure function of doc_id), video rows
+    * REAL GRV1 clips of 2..6 PNG frames. meta.width/height/
+    * duration_ms are the true encoded values by construction (the
+    * same arithmetic feeds the encoders). */
   def syntheticMedia(t: Tables): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     val iw = (pmod(col("doc_id"), lit(13)) + 4).cast("int")
     val ih = (pmod(col("doc_id"), lit(11)) + 4).cast("int")
+    val aSamples = (pmod(col("doc_id"), lit(1601)) + 400).cast("int")
+    val vFrames = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
+    val vw = (pmod(col("doc_id"), lit(6)) + 4).cast("int")
+    val vh = (pmod(col("doc_id"), lit(5)) + 4).cast("int")
     t.documents.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", imageBytesUdf(col("doc_id"), iw, ih))
-        .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
+        .when(kind === "audio", audioBytesUdf(col("doc_id"), aSamples))
+        .otherwise(videoBytesUdf(col("doc_id"), vFrames, vw, vh))
+        .as("bytes"),
       struct(
         when(kind === "image", iw)
-          .otherwise((pmod(xxhash64(col("text")), lit(1024)) + 16)
-            .cast("int")).as("width"),
+          .when(kind === "video", vw).as("width"),
         when(kind === "image", ih)
-          .otherwise((pmod(xxhash64(col("text"), lit(1)), lit(768)) + 16)
-            .cast("int")).as("height"),
-        when(kind === "image", lit(null).cast("long"))
-          .otherwise(pmod(xxhash64(col("text"), lit(2)), lit(60000)) + 1000)
+          .when(kind === "video", vh).as("height"),
+        when(kind === "audio", // floor division: all values positive
+            floor((aSamples.cast("long") * 1000L) / AudioCodec.FixtureRate))
+          .when(kind === "video",
+            vFrames.cast("long") * FixtureFrameMs)
           .as("duration_ms")).as("meta"))
   }
 
-  /** Deterministic hash-derived feature for kinds the JDK cannot
-    * decode (audio/video): "pixels" derived from byte content so
-    * tests have stable values. Swap for a real codec kernel inside
-    * the same column shape. Returns array<float> of length `dim`. */
+  /** Deterministic hash-derived feature for kinds NONE of the JDK
+    * codecs claim: "pixels" derived from byte content so tests have
+    * stable values. The three shipped kinds never hit this path. */
   def hashFeature(bytes: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(bytes, i), lit(256)) / 255.0).cast("float"))
 
   /** Feature extraction: decode -> pooled feature vector + content
-    * hash. Images go through the real ImageIO decode (mean RGB +
-    * luminance stripes, [[ImageCodec.pooledFeature]]); non-image
-    * kinds through [[hashFeature]]. Narrow projection; media bytes
-    * never shuffle. */
+    * hash. Images pool mean RGB + luminance stripes
+    * ([[ImageCodec.pooledFeature]]), audio pools RMS/ZCR/stripe-RMS
+    * ([[AudioCodec.pooledFeature]]), video means the per-frame image
+    * features across really-decoded frames
+    * ([[VideoCodec.featureFromBytes]]). Narrow projection; media
+    * bytes never shuffle. */
   def extractFeatures(media: DataFrame, dim: Int = featureDim): DataFrame = {
     require(dim == featureDim,
-      s"image decode pools to featureDim=$featureDim (UDF is dim-fixed)")
+      s"decoders pool to featureDim=$featureDim (UDFs are dim-fixed)")
     media.select(
       col("media_id"), col("kind"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       length(col("bytes")).as("n_bytes"),
       sha2(col("bytes"), 256).as("content_sha256"),
       when(col("kind") === "image", imageFeatureUdf(col("bytes")))
+        .when(col("kind") === "audio", audioFeatureUdf(col("bytes")))
+        .when(col("kind") === "video", videoFeatureUdf(col("bytes")))
         .otherwise(hashFeature(col("bytes"), dim)).as("feature"))
   }
 
@@ -117,23 +147,35 @@ object Multimodal {
         col("r._3").as("new_height"),
         col("r._1").as("bytes"))
 
-  /** Frame sampling for video: one row per sampled frame index —
-    * the explode shape a real frame extractor plugs into. */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000): DataFrame =
+  /** REAL frame sampling for video: parse the container once per
+    * clip, extract the frame under each sampled timestamp, decode it
+    * with ImageIO, and emit (frame index, timestamp, SHA-256 of the
+    * actual frame bytes, really-decoded mean luminance). One decode
+    * per distinct frame however dense the sampling; malformed
+    * containers contribute zero rows (filterable upstream via
+    * NULL-feature queries). Narrow until the final explode. */
+  def sampleFrames(media: DataFrame,
+      everyMs: Long = FixtureFrameMs.toLong): DataFrame = {
+    val sampler = udf((b: Array[Byte]) =>
+      VideoCodec.sampleFrames(b, everyMs)
+        .map(_.map(f => (f.frameIdx, f.tsMs, f.sha256, f.meanLum)))
+        .getOrElse(Seq.empty[(Int, Long, String, Float)]))
     media.filter(col("kind") === "video")
-      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
-        explode(sequence(lit(0L), col("meta.duration_ms"),
-          lit(everyMs))).as("frame_ts_ms"))
-      .withColumn("frame_sha",
-        sha2(concat(col("media_id").cast("string"), lit(":"),
-          col("frame_ts_ms").cast("string")), 256))
+      .select(col("media_id"), explode(sampler(col("bytes"))).as("f"))
+      .select(col("media_id"),
+        col("f._1").as("frame_idx"),
+        col("f._2").as("frame_ts_ms"),
+        col("f._3").as("frame_sha"),
+        col("f._4").cast("double").as("frame_mean_lum"))
+  }
 
   /** Per-partition BATCHED decode — the Scala analog of a Python
     * `mapInPandas` decode UDF: rows stream through in groups of
     * `batchSize` so a real codec can amortize model/codec setup per
-    * batch (exactly the shape a GPU feature extractor needs). Images
-    * decode for real via ImageIO; other kinds use the hash stand-in.
-    * Undecodable image bytes produce a NULL feature row. */
+    * batch (exactly the shape a GPU feature extractor needs). All
+    * three kinds decode for real (same kernels as
+    * [[extractFeatures]]); undecodable bytes produce a NULL feature
+    * row. */
   def decodeBatched(media: DataFrame, dim: Int = featureDim,
       batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -143,22 +185,24 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // Per-batch codec/model init slot: a real extractor loads
-          // its model ONCE here; ImageIO's readers are stateless
-          // statics, so images need no per-batch setup.
+          // its model ONCE here; the JDK codecs are stateless
+          // statics, so these kinds need no per-batch setup.
           batch.map { case (id, kind, bytes) =>
-            val feat: Array[Float] =
-              if (kind == "image")
-                ImageCodec.featureFromBytes(bytes, dim).orNull
-              else
-                Array.tabulate(dim) { i =>
-                  // same stand-in as hashFeature: hash-derived "pixels"
+            val feat: Option[Array[Float]] = kind match {
+              case "image" => ImageCodec.featureFromBytes(bytes, dim)
+              case "audio" => AudioCodec.featureFromBytes(bytes, dim)
+              case "video" => VideoCodec.featureFromBytes(bytes, dim)
+              case _ =>
+                // unknown kind: hash stand-in (same as hashFeature)
+                Some(Array.tabulate(dim) { i =>
                   val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
                     .hashUnsafeBytes(bytes,
                       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
                       bytes.length, i)
                   (Math.floorMod(h, 256) / 255.0f)
-                }
-            (id, Option(feat))
+                })
+            }
+            (id, feat)
           }
         }
       }.toDF("media_id", "feature")

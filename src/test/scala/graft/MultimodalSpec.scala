@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{ImageCodec, Multimodal}
+import graft.multimodal.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SharedSession.spark
@@ -65,9 +65,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bytes.values.forall(_.take(4).sameElements(magic)))
   }
 
-  test("batched decode matches the column-shape decode for images") {
-    val media = Multimodal.syntheticMedia(t)
-      .filter(col("kind") === "image").limit(60)
+  test("batched decode matches the column-shape decode for all kinds") {
+    val media = Multimodal.syntheticMedia(t).limit(90)
     val a = Multimodal.decodeBatched(media, batchSize = 7)
       .filter(col("feature").isNotNull)
       .as[(Long, Seq[Float])].collect().toMap
@@ -76,6 +75,96 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toMap
     assert(a.keySet == b.keySet)
     a.foreach { case (id, f) => assert(f == b(id), s"media $id") }
+  }
+
+  test("WAV fixture round-trips bit-exactly through Java Sound") {
+    val samples = Array.tabulate(777)(AudioCodec.fixtureSample(99L, _))
+    val bytes = AudioCodec.encodeWav(samples)
+    val (decoded, rate) = AudioCodec.decode(bytes).get
+    assert(rate == AudioCodec.FixtureRate.toFloat)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("known waveforms decode to the known audio features") {
+    // constant +half-scale: RMS = meanAbs = stripes = 0.5, ZCR = 0
+    val flat = AudioCodec.encodeWav(Array.fill[Short](800)(16384))
+    val f = AudioCodec.featureFromBytes(flat, dim).get
+    assert(math.abs(f(0) - 0.5f) < 1e-4f && f(1) == 0.0f)
+    assert(math.abs(f(2) - 0.5f) < 1e-4f)
+    (3 until dim).foreach(i => assert(math.abs(f(i) - 0.5f) < 1e-4f))
+    // alternating sign: zero-crossing rate = 1
+    val alt = AudioCodec.encodeWav(
+      Array.tabulate[Short](800)(i => if (i % 2 == 0) 16384 else -16384))
+    assert(AudioCodec.featureFromBytes(alt, dim).get(1) == 1.0f)
+    // corrupt bytes -> None, never a throw
+    assert(AudioCodec.featureFromBytes("not audio".getBytes, dim).isEmpty)
+  }
+
+  test("GRV1 video frames are real PNGs extracted and decoded exactly") {
+    val clip = VideoCodec.encodeFixtureVideo(
+      nFrames = 4, w = 6, h = 5, frameMs = 250, seed = 11L)
+    assert(VideoCodec.header(clip).contains((4, 250)))
+    assert(VideoCodec.durationMs(clip).contains(1000L))
+    (0 until 4).foreach { i =>
+      val png = VideoCodec.frameAt(clip, i).get
+      assert(png.sameElements(
+        ImageCodec.encodeFixturePng(6, 5, VideoCodec.frameSeed(11L, i))))
+      val img = ImageCodec.decode(png).get
+      assert(img.getWidth == 6 && img.getHeight == 5)
+    }
+    assert(VideoCodec.frameAt(clip, 4).isEmpty)
+    assert(VideoCodec.header("junk".getBytes).isEmpty)
+    assert(VideoCodec.sampleFrames("junk".getBytes, 250).isEmpty)
+  }
+
+  test("q45 frame samples derive from really-decoded frames") {
+    val media = Multimodal.syntheticMedia(t).filter(col("kind") === "video")
+    val bytes = media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .collect().toMap
+    val rows = Multimodal.sampleFrames(media)
+      .select("media_id", "frame_idx", "frame_ts_ms", "frame_sha",
+        "frame_mean_lum")
+      .as[(Long, Int, Long, String, Double)].collect()
+    assert(rows.nonEmpty)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { case (id, idx, ts, hash, lum) =>
+      val png = VideoCodec.frameAt(bytes(id), idx).get
+      val expect = sha.digest(png).map(b => f"$b%02x").mkString
+      assert(hash == expect, s"media $id frame $idx")
+      assert(ts / Multimodal.FixtureFrameMs == idx)
+      val direct = VideoCodec.meanLuminance(ImageCodec.decode(png).get)
+      assert(math.abs(lum - direct) < 1e-6, s"media $id frame $idx")
+    }
+    // every frame of every clip is sampled exactly once at the
+    // fixture cadence
+    val perClip = rows.groupBy(_._1).view.mapValues(_.length)
+    perClip.foreach { case (id, n) =>
+      assert(VideoCodec.header(bytes(id)).get._1 == n, s"media $id")
+    }
+  }
+
+  test("q44 audio/video features derive from real decodes") {
+    val media = Multimodal.syntheticMedia(t)
+      .filter(col("kind") =!= "image").limit(80)
+    val bytes = media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])].collect()
+    val feats = Multimodal.extractFeatures(media)
+      .select("media_id", "feature").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(bytes.nonEmpty)
+    bytes.foreach { case (id, kind, b) =>
+      val expect = kind match {
+        case "audio" => AudioCodec.featureFromBytes(b, dim).get
+        case _ => VideoCodec.featureFromBytes(b, dim).get
+      }
+      assert(feats(id) == expect.toSeq, s"media $id ($kind)")
+    }
+    // audio fixtures really are RIFF/WAVE containers, video really GRV1
+    bytes.foreach { case (_, kind, b) =>
+      if (kind == "audio")
+        assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      else assert(new String(b.take(4), "US-ASCII") == "GRV1")
+    }
   }
 
   test("resize really rescales: decoded dims and pixels match") {
