@@ -73,6 +73,36 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Embedding-cosine near-duplicate DEDUP: the pairwise similarity
+    * join promoted to a keep/drop decision per vector. Pairs at
+    * `threshold` feed the generic star-rounds connected-components
+    * operator ([[Dedup.dupClusters]] — similarity is not transitive,
+    * so near-dup groups are components), and each vector's
+    * representative is its component minimum; vectors off the
+    * similarity graph represent themselves. Returns
+    * (vec_id, rep_id, keep) — fully oracle-checkable because the
+    * closure of a SQL-expressible pair set is itself SQL (DuckDB
+    * recursive CTE), so this pins the CC machinery on a real
+    * similarity graph, complementing q133's temporal-session graph.
+    *
+    * Scale: the exact all-pairs candidate tier is the bench-scale
+    * choice only; at 100 TB swap the generator for the banded-LSH
+    * candidates of [[annRandomHyperplane]] (same downstream CC —
+    * the decision layer doesn't care who produced the pairs). */
+  def embeddingDedup(embeddings: DataFrame,
+      threshold: Double = 0.45): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val reps = Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Fixed hyperplanes from a seeded generator — deterministic across
     * runs and engines; materialized as literal arrays in the plan. */
   private def hyperplanes(nPlanes: Int): Seq[Column] = {
@@ -222,7 +252,9 @@ object Similarity {
     "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q32_similar_pairs" -> ((s, d) => similarPairs(Tables(s, d).embeddings)),
     "q33_ann_rp_lsh" -> ((s, d) => annRandomHyperplane(Tables(s, d).embeddings)),
-    "q34_ann_ivf" -> ((s, d) => ivfTopK(Tables(s, d).embeddings))
+    "q34_ann_ivf" -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
+    "q136_embedding_neardup" ->
+      ((s, d) => embeddingDedup(Tables(s, d).embeddings))
   )
 
   private def simSql(an: String, bn: String): String =
@@ -245,6 +277,27 @@ object Similarity {
       s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${simSql("a", "b")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${simSql("a", "b")} >= 0.45
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+    // connected components as SQL: transitive closure of the pair set
+    // via a recursive CTE, representative = component minimum
+    "q136_embedding_neardup" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${simSql("a", "b")} >= 0.45),
+         |edges AS (
+         |  SELECT d1 AS s, d2 AS t FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |rep AS (
+         |  SELECT e.vec_id,
+         |    LEAST(e.vec_id, COALESCE(MIN(r.t), e.vec_id)) AS rep_id
+         |  FROM embeddings e LEFT JOIN reach r ON r.s = e.vec_id
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, rep_id, (rep_id = vec_id) AS keep
+         |FROM rep ORDER BY vec_id""".stripMargin
   )
 }

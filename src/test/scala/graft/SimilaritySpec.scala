@@ -61,4 +61,25 @@ class SimilaritySpec extends AnyFunSuite {
       .select("rank").as[Int].collect().toSeq
     assert(ranks == (1 to ranks.size))
   }
+
+  test("embedding near-dup dedup groups by similarity components") {
+    val r = Similarity.embeddingDedup(t.embeddings)
+      .as[(Long, Long, Boolean)].collect()
+    // total: one row per vector, rep <= self, keep iff self-rep
+    assert(r.length == t.embeddings.count())
+    r.foreach { case (id, rep, keep) =>
+      assert(rep <= id && keep == (rep == id), s"vec $id")
+    }
+    // representatives are fixpoints: rep(rep(x)) == rep(x)
+    val repOf = r.map { case (id, rep, _) => id -> rep }.toMap
+    r.foreach { case (_, rep, _) => assert(repOf(rep) == rep) }
+    // pairs over threshold share a component; a planted exact twin
+    // collapses onto its original
+    val twin = t.embeddings.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(999999L))
+    val withTwin = Similarity.embeddingDedup(t.embeddings.union(twin))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, rep, _) => id -> rep }.toMap
+    assert(withTwin(999999L) == withTwin(7L) && !withTwin.get(7L).contains(999999L))
+  }
 }
