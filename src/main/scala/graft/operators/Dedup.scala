@@ -178,17 +178,19 @@ object Dedup {
   /** Stopword-profile language ID over documents (heuristic demo — the
     * synthetic corpus shares one vocabulary across langs, so this
     * illustrates the operator rather than recovering the label). */
-  def langId(docs: DataFrame): DataFrame = {
-    val profiles = Map(
-      "en" -> Seq("the", "a", "of", "and", "is"),
-      "es" -> Seq("el", "la", "de", "que", "y"),
-      "de" -> Seq("der", "die", "das", "und", "ist"),
-      "fr" -> Seq("le", "la", "les", "et", "est"),
-      "zh" -> Seq("的", "是", "了"))
+  /** Stopword profiles for [[langId]] — also the source of q30's
+    * oracle SQL, so the two can never drift. */
+  private[graft] val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-      languageId(col("text"), profiles).as("predicted_lang"))
+      languageId(col("text"), langProfiles).as("predicted_lang"))
       .orderBy(col("doc_id"))
-  }
 
   /** Connected components over a near-duplicate pair graph — the step
     * that turns pairwise matches into KEEP/DROP decisions (similarity
@@ -399,7 +401,43 @@ object Dedup {
     "q133_order_sessions" -> ((s, d) => orderSessions(Tables(s, d).orders))
   )
 
+  /** q30's oracle, generated from [[langProfiles]]: per-language score
+    * = |distinct tokens ∩ profile|; argmax with ties to the
+    * alphabetically-earliest language (the CASE arms are emitted in
+    * sorted order with >= comparisons, matching languageId's
+    * earliest-wins left fold); all-zero scores -> 'und'. */
+  private def langIdOracle: String = {
+    val langs = langProfiles.keys.toSeq.sorted
+    def sc(l: String) = s"s_$l"
+    val scoreCols = langs.map { l =>
+      val words = langProfiles(l).map(w => s"'${w}'").mkString(", ")
+      s"  len(list_intersect(tk, [$words])) AS ${sc(l)}"
+    }.mkString(",\n")
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) s"    ELSE '$l' END AS predicted_lang"
+      else {
+        val conds = rest.map(o => s"${sc(l)} >= ${sc(o)}").mkString(" AND ")
+        s"    WHEN $conds THEN '$l'"
+      }
+    }.mkString("\n")
+    val greatest = langs.map(sc).mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents),
+       |scores AS (
+       |  SELECT doc_id, labeled_lang,
+       |$scoreCols
+       |  FROM toks)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN greatest($greatest) = 0 THEN 'und'
+       |$arms
+       |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,
