@@ -139,4 +139,33 @@ object AudioCodec {
   /** Decode + pool in one call; None when the bytes don't decode. */
   def featureFromBytes(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
     decode(bytes).map { case (samples, _) => pooledFeature(samples, dim) }
+
+  /** One analysis window: index, start offset in ms, RMS amplitude
+    * and zero-crossing rate over the window's really-decoded samples
+    * (both in [0,1]). */
+  final case class AudioWindow(idx: Int, startMs: Long, rms: Float,
+      zcr: Float)
+
+  /** Split a clip into fixed-`windowMs` windows (last one may be
+    * short) and compute per-window RMS + zero-crossing rate — the
+    * audio analog of [[VideoCodec.sampleFrames]]: one decode per
+    * clip, one output row per window. None when the bytes don't
+    * decode. */
+  def windows(bytes: Array[Byte], windowMs: Long): Option[Seq[AudioWindow]] =
+    decode(bytes).map { case (samples, rate) =>
+      val per = math.max(1, (rate.toDouble * windowMs / 1000.0).toInt)
+      samples.grouped(per).zipWithIndex.map { case (w, i) =>
+        var sq = 0L; var zc = 0L
+        var j = 0
+        while (j < w.length) {
+          val s = w(j).toLong
+          sq += s * s
+          if (j > 0 && ((w(j - 1) < 0) != (s < 0))) zc += 1
+          j += 1
+        }
+        AudioWindow(i, i.toLong * per * 1000L / rate.toLong,
+          (math.sqrt(sq.toDouble / w.length) / 32768.0).toFloat,
+          if (w.length > 1) (zc.toDouble / (w.length - 1)).toFloat else 0.0f)
+      }.toSeq
+    }
 }

@@ -169,6 +169,25 @@ object Multimodal {
         col("f._4").cast("double").as("frame_mean_lum"))
   }
 
+  /** REAL windowed audio analysis: decode each clip once, split into
+    * fixed-ms windows, emit per-window RMS + zero-crossing rate —
+    * the audio analog of [[sampleFrames]]' explode shape (what a
+    * VAD / speech-segmentation stage consumes). Undecodable clips
+    * contribute zero rows. Narrow until the final explode. */
+  def audioWindows(media: DataFrame, windowMs: Long = 50): DataFrame = {
+    val winUdf = udf((b: Array[Byte]) =>
+      AudioCodec.windows(b, windowMs)
+        .map(_.map(w => (w.idx, w.startMs, w.rms, w.zcr)))
+        .getOrElse(Seq.empty[(Int, Long, Float, Float)]))
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), explode(winUdf(col("bytes"))).as("w"))
+      .select(col("media_id"),
+        col("w._1").as("window_idx"),
+        col("w._2").as("start_ms"),
+        col("w._3").cast("double").as("rms"),
+        col("w._4").cast("double").as("zcr"))
+  }
+
   /** Per-partition BATCHED decode — the Scala analog of a Python
     * `mapInPandas` decode UDF: rows stream through in groups of
     * `batchSize` so a real codec can amortize model/codec setup per
@@ -225,7 +244,10 @@ object Multimodal {
     "q56_multimodal_batched_decode" -> ((s, d) =>
       decodeBatched(syntheticMedia(Tables(s, d)))
         .withColumn("feature", featureCsv(col("feature")))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    "q137_audio_windows" -> ((s, d) =>
+      audioWindows(syntheticMedia(Tables(s, d)))
+        .orderBy("media_id", "window_idx"))
   )
 
   val oracleSql: Map[String, String] = Map()

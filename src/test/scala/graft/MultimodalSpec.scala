@@ -143,6 +143,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio windows derive from really-decoded samples") {
+    // flat half-scale clip: every full window has RMS 0.5, ZCR 0
+    val flat = AudioCodec.encodeWav(Array.fill[Short](1000)(16384))
+    val ws = AudioCodec.windows(flat, windowMs = 50).get
+    // 8 kHz * 50 ms = 400 samples/window -> 1000 samples = 3 windows
+    assert(ws.length == 3)
+    assert(ws.map(_.idx) == Seq(0, 1, 2))
+    assert(ws.map(_.startMs) == Seq(0L, 50L, 100L))
+    ws.foreach { w =>
+      assert(math.abs(w.rms - 0.5f) < 1e-4f && w.zcr == 0.0f)
+    }
+    assert(AudioCodec.windows("junk".getBytes, 50).isEmpty)
+    // operator rows match direct codec computation
+    val media = Multimodal.syntheticMedia(t).filter(col("kind") === "audio")
+    val bytes = media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .collect().toMap
+    val rows = Multimodal.audioWindows(media)
+      .select("media_id", "window_idx", "start_ms", "rms", "zcr")
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val expect = AudioCodec.windows(bytes(id), 50).get
+      assert(rs.length == expect.length, s"media $id")
+      rs.sortBy(_._2).zip(expect).foreach { case ((_, i, ms, rms, zcr), e) =>
+        assert(i == e.idx && ms == e.startMs, s"media $id window $i")
+        assert(math.abs(rms - e.rms) < 1e-6 && math.abs(zcr - e.zcr) < 1e-6)
+      }
+    }
+  }
+
   test("q44 audio/video features derive from real decodes") {
     val media = Multimodal.syntheticMedia(t)
       .filter(col("kind") =!= "image").limit(80)
