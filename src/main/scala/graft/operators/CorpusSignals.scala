@@ -198,28 +198,51 @@ object CorpusSignals {
   }
 
   /** Stateless per-document contamination sweep — the STREAMING twin
-    * of [[contamination]]: the whole eval side collapses into ONE
-    * broadcast row (the distinct gram set + the (gram, eval_doc) pair
-    * list), and each training document computes its own overlap
-    * counts row-locally with array intersection — no explode-and-
+    * of [[contamination]]: the eval side collapses into a broadcast
+    * gram -> eval-doc-ids map, and each training document computes
+    * its own overlap counts row-locally against it — no explode-and-
     * regroup round trip, therefore NO streaming state and no
     * watermark: it runs in append mode on an unbounded `readStream`
     * of documents exactly as it runs on a batch frame (the oracle
     * checks the batch form; StreamingSpec pins stream == batch).
     *
-    * Trade-off vs the batch join form: per-row cost is linear in the
-    * eval pair count, so this shape wants a SMALL eval side (which
-    * decontamination has by construction — eval benchmarks are tiny
-    * next to a pretraining corpus); the q92 join form instead scales
-    * with total gram volume but needs a shuffle. Same counts either
-    * way, per-(micro)batch here. */
+    * Trade-off vs the batch join form: the eval side must fit one
+    * executor's memory as a hash map (which decontamination has by
+    * construction — eval benchmarks are tiny next to a pretraining
+    * corpus); the q92 join form instead scales with total gram
+    * volume but needs a shuffle. Same counts either way,
+    * per-(micro)batch here. */
   def contaminationPerDoc(train: DataFrame, evalDocs: DataFrame)
       : DataFrame = {
-    val evalSide = fiveGrams(evalDocs)
-      .select(col("g"), col("doc_id").as("eval_doc")).distinct()
-      .agg(collect_list(struct(col("g"), col("eval_doc"))).as("ep"),
-        collect_set(col("g")).as("egrams"))
-      .withColumn("__k", lit(1))
+    // The eval side collapses to a driver-built gram -> eval-doc-ids
+    // map shipped once per executor as a broadcast VARIABLE —
+    // model-sized state (eval suites are orders of magnitude smaller
+    // than the corpus by construction), the same class as k-means
+    // centroids. Per training row the sweep is then O(|doc grams|)
+    // hash probes inside one narrow UDF projection. The earlier
+    // one-row-join formulation was algebraically identical but
+    // rematerialized the full eval-gram arrays into EVERY joined
+    // row (megabytes per row at sf0.1) before the projection could
+    // reduce them — a copy bomb, not a compute problem. The plan
+    // stays stateless and narrow, so the same operator runs
+    // append-mode on readStream with no watermark.
+    val gramEval: Map[String, Array[Long]] = fiveGrams(evalDocs)
+      .select(col("g"), col("doc_id")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)) }
+    val bc = train.sparkSession.sparkContext.broadcast(gramEval)
+    val overlap = udf((gs: Seq[String]) => {
+      val m = bc.value
+      var nShared = 0L
+      val evalIds = scala.collection.mutable.HashSet.empty[Long]
+      gs.foreach { g =>
+        m.get(g) match {
+          case Some(ids) => nShared += 1; ids.foreach(evalIds.add)
+          case None =>
+        }
+      }
+      (evalIds.size.toLong, nShared)
+    })
     train
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
@@ -228,19 +251,11 @@ object CorpusSignals {
           "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
           "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
           "element_at(t, i+4)))")).as("gs"))
-      .withColumn("__k", lit(1))
-      // literal-key equi join (not crossJoin): stream-static equi
-      // joins are supported and stateless, and the static side is one
-      // broadcast row either way
-      .join(broadcast(evalSide), Seq("__k"))
+      .withColumn("o", overlap(col("gs")))
+      .filter(col("o._2") >= 1)
       .select(col("doc_id"),
-        array_intersect(col("gs"), col("egrams")).as("shared"), col("ep"))
-      .filter(size(col("shared")) >= 1)
-      .select(col("doc_id"),
-        size(array_distinct(expr(
-          "transform(filter(ep, p -> array_contains(shared, p.g)), " +
-            "p -> p.eval_doc)"))).cast("long").as("n_eval_docs"),
-        size(col("shared")).cast("long").as("n_shared_ngrams"))
+        col("o._1").as("n_eval_docs"),
+        col("o._2").as("n_shared_ngrams"))
   }
 
   /** Distinct 5-grams per document — shared candidate unit of the
