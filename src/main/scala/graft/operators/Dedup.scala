@@ -205,20 +205,81 @@ object Dedup {
     * groupBy + one join over the (persisted) edge frame, all
     * distributed. The result (node -> min doc_id of its component) is
     * deterministic regardless of execution order. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    dupClustersWithRounds(pairs, maxIters)._1
-
-  /** [[dupClusters]] plus the number of (large-star, small-star)
-    * rounds executed — exposed for the iteration-count spec. */
-  private[graft] def dupClustersWithRounds(pairs: DataFrame,
-      maxIters: Int = 20): (DataFrame, Int) = {
-    // canonical undirected edges: a < b, dedup'd, no self-loops
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20,
+      driverEdgeLimit: Long = 100000L): DataFrame = {
+    // Candidate-pair graphs are usually MINUSCULE next to the corpus
+    // (LSH prunes to actual near-dups), while every star round costs
+    // several scheduled jobs — latency, not throughput. Below an
+    // explicitly bounded edge count (100k edges ≈ 1.6 MB — the same
+    // model-sized-collect class as k-means centroids) the components
+    // compute faster as one in-memory union-find than as one Spark
+    // job; at or above the bound the distributed star rounds run
+    // unchanged. Both paths produce the identical (node, component
+    // minimum) result — spec-pinned.
+    val spark = pairs.sparkSession
     val canonical = pairs
       .select(least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist()
+    val nEdges = canonical.count()
+    val out =
+      if (nEdges < driverEdgeLimit) {
+        val edges = canonical.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        driverUnionFind(edges).toDF("doc_id", "cluster_id")
+          .orderBy(col("doc_id"))
+      } else dupClustersWithRounds(canonical, maxIters,
+        alreadyCanonical = true)._1
+    canonical.unpersist(false)
+    out
+  }
+
+  /** In-memory union-find (path halving + union by min): the driver
+    * tier of [[dupClusters]] for bounded edge sets. Returns (node,
+    * component minimum) sorted by node — bit-identical to the
+    * distributed star rounds' output. */
+  private def driverUnionFind(edges: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // union by MIN root: the representative invariant holds at
+        // every step, so no second pass to relabel roots is needed
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toArray.distinct
+    nodes.sorted.map(n => (n, find(n))).toSeq
+  }
+
+  /** [[dupClusters]] plus the number of (large-star, small-star)
+    * rounds executed — exposed for the iteration-count spec. */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+      maxIters: Int = 20, alreadyCanonical: Boolean = false)
+      : (DataFrame, Int) = {
+    // canonical undirected edges: a < b, dedup'd, no self-loops
+    // (callers holding a persisted canonical frame pass it through)
+    val canonical =
+      if (alreadyCanonical) pairs
+      else pairs
+        .select(least(col("d1"), col("d2")).as("a"),
+          greatest(col("d1"), col("d2")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .persist()
     // Size the ITERATION's parallelism to the dup graph, not the
     // corpus: candidate pairs are orders of magnitude fewer than
     // documents, and every star round schedules a join+aggregate over

@@ -147,6 +147,22 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dupClusters: driver union-find and star rounds agree exactly") {
+    // a seeded random graph with chains, merges, and singleton-free
+    // components; compare the bounded-collect tier against the
+    // distributed tier (driverEdgeLimit = 0 forces star rounds)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("d1", "d2")
+    val fast = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val dist = graft.operators.Dedup.dupClusters(pairs,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    assert(fast.nonEmpty && fast == dist)
+  }
+
   test("dupClusters: star rounds converge logarithmically on a long chain") {
     // chain 0-1-...-63 (diameter 63): min-label propagation would need
     // 63 rounds (and would NOT converge inside maxIters=20); the
