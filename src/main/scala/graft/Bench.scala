@@ -60,10 +60,15 @@ object Bench {
   def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double, dp: String): String =
       String.format(java.util.Locale.ROOT, dp, Double.box(v))
-    // 2 decimals per query (10 ms — far below this VM's run-to-run
-    // noise) keeps the line under the tail window as queries grow
+    // 2 significant digits per query (run-to-run noise on this shared
+    // VM is up to ~2x, so more precision is false; stderr carries the
+    // full values) keeps the line under the tail window as queries grow
+    def sig2(v: Double): String =
+      if (v >= 100) num(v, "%.0f")
+      else if (v >= 10) num(v, "%.1f")
+      else num(v, "%.2f")
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + num(v, "%.2f")
+      "\"" + k.takeWhile(_ != '_') + "\":" + sig2(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

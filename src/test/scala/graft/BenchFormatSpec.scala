@@ -11,8 +11,8 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON stays under the tail window at worst-case timings") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case realistic per-query time: 3-digit seconds (999.999
-    // would round UP to a 4-digit "1000.00" and overstate the width)
+    // worst-case realistic per-query time: 3-digit seconds (at 2
+    // significant digits this renders as the 3-char "988")
     val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
     assert(line.length < 1800,
@@ -30,6 +30,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // minimal structural check without a JSON lib on the classpath
     assert(line.startsWith("""{"metric":"total","value":3.000,"""))
     assert(line.contains(""""q01":1.50""") && line.contains(""""q02":1.50"""))
+    // significant-digit tiers: 12.345 -> "12.3", 123.45 -> "123"
+    val tiers = Bench.buildJson(Seq("q03_c" -> 12.345, "q04_d" -> 123.45), "/x")
+    assert(tiers.contains(""""q03":12.3""") && tiers.contains(""""q04":123"""))
     assert(line.endsWith(""""sf":"/x"}"""))
   }
 }
