@@ -156,6 +156,49 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document line-level deduplication WITH document rewrite —
+    * the C4 line-dedup shape (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2: discard all but one occurrence of any repeated span), the
+    * step [[dupSpanCoverage]] only measures. "Lines" are consecutive
+    * `lineTokens`-token segments (this corpus has no sentence
+    * punctuation to split on); a line survives only at its FIRST
+    * corpus occurrence — min (doc_id, position) — and each document
+    * is reassembled from its surviving lines in order.
+    *
+    * Scale: one explode to O(lines) rows; the first-occurrence winner
+    * is a line-keyed groupBy of min(struct(doc_id, line_no)) —
+    * partial-aggregatable, so a corpus-wide boilerplate line combines
+    * map-side instead of flooding one reducer the way a row_number
+    * window over the line key would; one shuffle join back on the
+    * line; and a doc-keyed regroup whose collect_list is bounded by
+    * single-document length. Every stage is O(corpus tokens). */
+  def lineDedupRewrite(docs: DataFrame, lineTokens: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val lines = toks.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, cast(ceil(size(t)/$lineTokens.0d) as int)-1)," +
+        s" i -> array_join(slice(t, i*$lineTokens+1, $lineTokens), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"))
+    val first = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
+    val kept = lines.join(first, "line")
+      .filter(col("k.doc_id") === col("doc_id") &&
+        col("k.line_no") === col("line_no"))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(line_no, line)))," +
+          " x -> x.line)"), " ").as("new_text"))
+    docs.select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(lineTokens.toDouble))
+          .cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-pair frequencies across the corpus — the first merge
     * step of BPE vocabulary induction (Sennrich et al. 2016,
     * arXiv:1508.07909): the most frequent adjacent symbol pair is the
@@ -409,10 +452,40 @@ object CorpusSignals {
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q135_dup_span_coverage" ->
-      ((s, d) => dupSpanCoverage(Tables(s, d).documents))
+      ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
+    "q138_line_dedup_rewrite" ->
+      ((s, d) => lineDedupRewrite(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q138_line_dedup_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(gs - 1 AS BIGINT) AS line_no,
+        |    array_to_string(list_slice(t, (gs-1)*8+1, (gs-1)*8+8), ' ')
+        |      AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, CAST(ceil(len(t)/8.0) AS BIGINT)+1))
+        |            AS gs
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, line_no, line FROM (
+        |    SELECT doc_id, line_no, line,
+        |      row_number() OVER (PARTITION BY line
+        |        ORDER BY doc_id, line_no) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY line_no) AS new_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(ceil(len(string_split(d.text, ' '))/8.0) AS BIGINT)
+        |    AS n_lines,
+        |  COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  COALESCE(a.new_text, '') AS new_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q111_group_sample" ->
       """SELECT lang, doc_id, h FROM (
         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,

@@ -248,7 +248,34 @@ object Similarity {
     finally emb.unpersist(false)
   }
 
+  /** Per-label embedding centroids (class prototypes — the reduction
+    * behind nearest-class-mean classification, IVF cell refresh, and
+    * per-cluster drift monitoring), accumulated EXACTLY: each float
+    * routes through its shortest decimal representation into
+    * DECIMAL(18,12) (float32's shortest repr carries <= 12 fractional
+    * digits, so the parse is lossless and engine-independent — unlike
+    * a direct float->decimal cast, where engines disagree on whether
+    * the BINARY value or its printed form is rounded), the sum is
+    * associative decimal arithmetic, and only the final mean is one
+    * correctly-rounded double division. Order-independent, so partial
+    * aggregation stays enabled.
+    *
+    * Scale: one explode to (rows x dim), one groupBy(label, pos) that
+    * partial-aggregates map-side down to |labels| x dim rows — the
+    * shuffle carries only per-task partials, never vectors. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("string").cast("decimal(18,12)").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("v")).cast("string").cast("double") / count(lit(1)))
+          .as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_label_centroids" ->
+      ((s, d) => labelCentroids(Tables(s, d).embeddings)),
     "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q32_similar_pairs" -> ((s, d) => similarPairs(Tables(s, d).embeddings)),
     "q33_ann_rp_lsh" -> ((s, d) => annRandomHyperplane(Tables(s, d).embeddings)),
@@ -263,6 +290,16 @@ object Similarity {
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "q139_label_centroids" ->
+      """SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+        |    AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+        |FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |        embedding[i] AS x
+        |      FROM (SELECT label, embedding,
+        |              unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings))
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q31_cosine_topk" ->
       s"""SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -275,6 +275,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Statistical language-model fluency scoring — the KenLM-style
+    * quality filter of a pretraining pipeline (CCNet, Wenzek et al.
+    * 2020, arXiv:1911.00359, scores documents with an n-gram LM and
+    * filters the tail), with the model TRAINED IN-ENGINE on the same
+    * corpus: add-one-smoothed bigram conditional probabilities
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), and each document scored by
+    * its mean conditional probability (high = predictable/fluent,
+    * low = unusual word sequences). Probability — not log-prob — on
+    * purpose: every per-bigram term is one IEEE-exact integer-ratio
+    * division, so the score is bit-comparable across engines, while
+    * ln() is not correctly rounded and differs between libms. The
+    * per-document mean folds over the position-sorted list (the q127
+    * determinism pattern; lists are single-document-sized).
+    *
+    * Scale: unigram/bigram counts are token-order groupBys (partial-
+    * aggregated map-side, so hot words combine before the shuffle);
+    * scoring joins each bigram occurrence to its two count relations
+    * on their natural keys; V broadcasts as one row. No stage exceeds
+    * O(corpus tokens). */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val probs = bi.join(bc, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("p"),
+        ((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("prob"))
+    val scored = probs.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      (aggregate(
+        array_sort(collect_list(struct(col("p"), col("prob")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("prob")) / count(lit(1)))
+        .as("avg_prob"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_prob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints per document (md5 + sha256 + short prefix). */
   def fingerprints(t: Tables): DataFrame =
     t.documents.select(
@@ -301,10 +353,42 @@ object TextAnalysis {
       ((s, d) => hashStratifiedSample(Tables(s, d).documents)),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
     "q129_normalize_text" ->
-      ((s, d) => normalizeCorpus(Tables(s, d).documents))
+      ((s, d) => normalizeCorpus(Tables(s, d).documents)),
+    "q140_bigram_fluency" ->
+      ((s, d) => bigramFluency(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q140_bigram_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
+        |    t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY w1, w2),
+        |probs AS (
+        |  SELECT doc_id, p,
+        |    CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS prob
+        |  FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1)
+        |  CROSS JOIN voc),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
+        |      (a, b) -> a + b) / count(*) AS avg_prob
+        |  FROM probs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  s.avg_prob
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q134_hash_stratified" ->
       """SELECT doc_id, lang, source
         |FROM documents

@@ -317,7 +317,101 @@ object TpchShapes {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
+  /** Q3 shape: top-10 highest-revenue orders not yet shipped by a
+    * cutoff date, for one market segment. The segment filter prunes
+    * customer before its join, the two date filters reach the orders
+    * and lineitem scans, and the top-10 over the grouped revenue runs
+    * as TakeOrderedAndProject (never a global sort of all groups).
+    * Revenue ties break on l_orderkey for a total order. */
+  def shippingPriority(t: Tables, segment: String = "BUILDING"): DataFrame =
+    t.customer.filter(col("c_mktsegment") === segment)
+      .join(t.orders
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+
+  /** Q5 shape: revenue from orders whose customer and line supplier
+    * sit in the SAME nation of one region — the classic 6-table snow-
+    * flake join. nation/region broadcast; the c_nationkey=s_nationkey
+    * co-location predicate rides the supplier join (not a post-join
+    * filter), so no row survives the join only to be discarded. */
+  def localSupplierVolume(t: Tables, region: String = "ASIA"): DataFrame = {
+    val nations = t.nation
+      .join(t.region.filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t.customer
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumProdD2(col("l_extendedprice"), lit(1) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q9 shape: profit by supplier nation and order year for one part
+    * family. This dataset has no partsupp, so supply cost is modeled
+    * as half the part's retail price per unit — the SHAPE (5-table
+    * join, derived measure with a subtraction, two-level group) is
+    * what's exercised. Decimal accumulation keeps the mixed
+    * multiply-subtract exact; the name filter prunes part first. */
+  def nationYearProfit(t: Tables, family: String = "widget"): DataFrame =
+    t.lineitem
+      .join(t.part.filter(col("p_name").contains(family)),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(12,2)") -
+          col("p_retailprice").cast("decimal(12,2)") *
+            lit(0.5).cast("decimal(12,2)") *
+            col("l_quantity").cast("decimal(12,2)"))
+        .cast("string").cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q18 shape: large-volume orders — customers whose single order
+    * carries > 300 units. The HAVING over the order-level rollup
+    * happens BEFORE the customer/orders joins (groupBy lineitem alone,
+    * then join the survivors), so the join input is the filtered
+    * order set, not all lineitems — the decorrelation Q18's IN
+    * subquery asks for. */
+  def largeOrderCustomers(t: Tables, minQty: Double = 300.0): DataFrame = {
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sumD2(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_shipping_priority" -> ((s, d) => shippingPriority(Tables(s, d))),
+    "q142_local_supplier_volume" ->
+      ((s, d) => localSupplierVolume(Tables(s, d))),
+    "q143_nation_year_profit" -> ((s, d) => nationYearProfit(Tables(s, d))),
+    "q144_large_order_customers" ->
+      ((s, d) => largeOrderCustomers(Tables(s, d))),
     "q121_customer_distribution" ->
       ((s, d) => customerDistribution(Tables(s, d))),
     "q122_returned_customers" ->
@@ -338,6 +432,60 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q142_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q143_nation_year_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1.0 - l_discount AS DECIMAL(12,2)) -
+        |      CAST(p_retailprice AS DECIMAL(12,2)) *
+        |        CAST(0.5 AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q144_large_order_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q121_customer_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count

@@ -126,6 +126,34 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(ids(nearDup = true) == Set(1L, 5L))
   }
 
+  test("line dedup drops later occurrences and rewrites documents in order") {
+    import spark.implicits._
+    val l1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val l2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val l3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    val docs = Seq((1L, s"$l1 $l2"), (2L, s"$l1 $l3"), (3L, l1))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.lineDedupRewrite(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, s"$l1 $l2"))) // first occurrences all kept
+    assert(got(2L) == ((2L, 1L, l3)))         // shared line dropped, rest in order
+    assert(got(3L) == ((1L, 0L, "")))         // everything dropped -> empty doc
+  }
+
+  test("line dedup keeps each distinct corpus line exactly once") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val kept = CorpusSignals.lineDedupRewrite(docs)
+      .agg(sum(col("n_kept"))).head.getLong(0)
+    val distinctLines = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(t)/8.0d) as int)-1), " +
+          "i -> array_join(slice(t, i*8+1, 8), ' '))")).as("line"))
+      .select(countDistinct(col("line"))).head.getLong(0)
+    assert(kept == distinctLines && kept > 0)
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(

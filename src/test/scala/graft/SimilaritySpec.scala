@@ -62,6 +62,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks == (1 to ranks.size))
   }
 
+  test("label centroids: exact mean of a known frame") {
+    val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 5.0f)),
+      (1, Seq(-1.5f, 0.5f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got((0, 0)) == ((2L, 2.0)) && got((0, 1)) == ((2L, 3.5)))
+    assert(got((1, 0)) == ((1L, -1.5)) && got((1, 1)) == ((1L, 0.5)))
+  }
+
+  test("label centroids agree with the naive float mean to 1e-6") {
+    val naive = t.embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val exact = Similarity.labelCentroids(t.embeddings).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(exact.size == naive.size && exact.nonEmpty)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - naive(k)) < 1e-6, s"label/pos $k")
+    }
+  }
+
   test("embedding near-dup dedup groups by similarity components") {
     val r = Similarity.embeddingDedup(t.embeddings)
       .as[(Long, Long, Boolean)].collect()

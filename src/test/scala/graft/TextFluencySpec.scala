@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Bigram-LM fluency scoring: hand-computed probabilities on a tiny
+  * corpus, plus the monotonicity the filter exists for (repetitive =
+  * predictable text scores above unique-word text). */
+class TextFluencySpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  test("hand-computed add-one bigram probabilities") {
+    // unigrams: a=3 b=2, V=2; bigrams: (a,b)=1 (b,a)=2
+    // doc1 "a b a": P(b|a)=(1+1)/(3+2)=0.4, P(a|b)=(2+1)/(2+2)=0.75
+    // doc2 "b a":   P(a|b)=0.75
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - 0.575) < 1e-15)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 0.75) < 1e-15)
+  }
+
+  test("single-token documents get n_bigrams = 0 and a NULL score") {
+    val docs = Seq((1L, "lonely"), (2L, "two words")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramFluency(docs).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 0L && r1.isNullAt(2))
+    assert(rows.find(_.getLong(0) == 2L).get.getLong(1) == 1L)
+  }
+
+  test("repetitive text outscores unique-word text in the same corpus") {
+    val docs = Seq(
+      (1L, "c c c c c c"),       // one bigram repeated 5x
+      (2L, "u v w x y z")        // every bigram unique
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TpchShapes
+
+/** Plan-shape pins for the Q3/Q5/Q18 shapes: the properties that make
+  * them scale (top-k never global-sorts, filters reach the scans, the
+  * Q18 HAVING is evaluated before the joins) are asserted on the
+  * physical plan, not trusted from the code. */
+class TpchShapesSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("Q3 shape: top-10 plans as TakeOrderedAndProject, segment filter pushed") {
+    val plan = TpchShapes.shippingPriority(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("Q5 shape: nation/region broadcast, no cartesian product") {
+    val plan = TpchShapes.localSupplierVolume(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("Q18 shape: the quantity rollup aggregates lineitem before any join") {
+    val df = TpchShapes.largeOrderCustomers(t)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the Aggregate over l_orderkey must sit BELOW the join in the
+    // optimized plan: its string form lists Join above Aggregate
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate below the join:\n$plan")
+    // and the threshold filter rides the aggregate, not the join output
+    assert(plan.contains("total_qty"), plan)
+    assert(df.collect().forall(_.getAs[Double]("total_qty") > 300.0))
+  }
+}
