@@ -49,4 +49,15 @@ object VectorFunctions {
 
   /** DuckDB-side Σ v² (see [[dotSql]]). */
   def norm2Sql(v: String, dim: Int): String = dotSql(v, v, dim)
+
+  /** DuckDB-side squared L2 distance between a float list `a` and a
+    * double list `c`: an explicit left-associated sum of squared
+    * differences — bit-identical to the Spark
+    * `aggregate(zip_with(...))` fold in [[graft.operators.Similarity
+    * .nearestCentroid]]. */
+  def l2Sql(a: String, c: String, dim: Int): String =
+    (1 to dim).map { i =>
+      val d = s"(CAST($a[$i] AS DOUBLE) - $c[$i])"
+      s"$d*$d"
+    }.mkString(" + ")
 }

@@ -159,4 +159,61 @@ object ImageCodec {
         (encodePng(dst), nw, nh)
       }
     }
+
+  /** 64-bit average hash (aHash) of a decoded image: pool Rec.709
+    * integer luminance (2126 R + 7152 G + 722 B) onto an 8x8 cell
+    * grid — each cell averages its floor-partitioned pixel range,
+    * falling back to the single nearest pixel for images narrower
+    * than 8 px — then set bit (cy*8+cx) when the cell's mean exceeds
+    * the mean of the 64 cell means. A uniform brightness shift moves
+    * every cell and the global mean together, so the hash is
+    * invariant to it — the property that makes aHash a NEAR-dup key
+    * where a content sha is an exact-dup key. Accumulation is pure
+    * integer; the two final divisions are IEEE doubles evaluated in a
+    * fixed order, so the hash is deterministic on any JVM. */
+  def aHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val means = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 2126L * ((rgb >>> 16) & 0xff) +
+              7152L * ((rgb >>> 8) & 0xff) + 722L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        means(cy * 8 + cx) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var total = 0.0
+    var i = 0
+    while (i < 64) { total += means(i); i += 1 }
+    val mean = total / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (means(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode + hash in one call; None when the bytes don't decode. */
+  def aHashFromBytes(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map(aHash)
 }

@@ -227,6 +227,41 @@ object Multimodal {
       }.toDF("media_id", "feature")
   }
 
+  private val aHashUdf = udf((b: Array[Byte]) => ImageCodec.aHashFromBytes(b))
+
+  /** 64-bit perceptual average hash per image row ([[ImageCodec
+    * .aHash]]); undecodable bytes yield NULL. Narrow projection —
+    * bytes never shuffle. */
+  def imageAHashes(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), aHashUdf(col("bytes")).as("ahash"))
+
+  /** Perceptual near-duplicate IMAGE dedup — the multimodal twin of
+    * the text near-dup family: aHash fingerprints (brightness-shift
+    * invariant, unlike a content sha), the generic chunk-pigeonhole
+    * candidate generator + hamming verify
+    * ([[graft.operators.Dedup.hammingPairs]]), connected components
+    * ([[graft.operators.Dedup.dupClusters]]), component-minimum
+    * representative, keep = self-representative. Pixels are decoded
+    * ONCE into 8 bytes per image; every later stage moves hashes,
+    * never media bytes — the only shape that survives 100 TB of
+    * images. */
+  def imageDedup(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val hashes = imageAHashes(media).filter(col("ahash").isNotNull)
+    val pairs = graft.operators.Dedup.hammingPairs(
+      hashes, "media_id", "ahash", maxHamming, maxBucket)
+    val clusters = graft.operators.Dedup.dupClusters(
+      pairs.select(col("d1"), col("d2")))
+    hashes
+      .join(clusters.withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id"), "left")
+      .select(col("media_id"), col("ahash"),
+        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** Serialize an array<float> column to a canonical CSV string —
     * the external harness sorts result rows, so every registered
     * query's output columns must be scalar. */
@@ -247,7 +282,9 @@ object Multimodal {
         .orderBy("media_id")),
     "q137_audio_windows" -> ((s, d) =>
       audioWindows(syntheticMedia(Tables(s, d)))
-        .orderBy("media_id", "window_idx"))
+        .orderBy("media_id", "window_idx")),
+    "q147_image_dedup" -> ((s, d) =>
+      imageDedup(syntheticMedia(Tables(s, d))))
   )
 
   val oracleSql: Map[String, String] = Map()

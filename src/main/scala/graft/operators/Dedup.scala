@@ -151,28 +151,39 @@ object Dedup {
     * with hamming distance <= 3 shares at least one exact chunk), then
     * exact hamming via bit_count(xor). */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val sh = simhashes(docs)
-    val chunks0 = sh.select(col("doc_id"), col("simhash"),
+      maxBucket: Int = 10000): DataFrame =
+    hammingPairs(simhashes(docs), "doc_id", "simhash", maxHamming, maxBucket)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Chunk-pigeonhole near-dup pairs over ANY 64-bit hash column
+    * (SimHash over text, aHash over images, any locality-preserving
+    * fingerprint): 4 chunks of 16 bits — a pair within hamming
+    * distance 3 differs in at most 3 chunks, so it SHARES at least
+    * one, and the bucket self-join per (chunk, value) finds it
+    * without an all-pairs pass. Returns (d1, d2, hamming) with
+    * d1 < d2, verified ≤ maxHamming.
+    *
+    * The [[capBuckets]] population guard keeps a degenerate hash
+    * value (near-constant inputs) from turning a bucket quadratic —
+    * same trade as MinHash banding: an over-full bucket weakens the
+    * pigeonhole guarantee exactly when exact dedup should have
+    * collapsed those inputs first. */
+  def hammingPairs(hashed: DataFrame, id: String, hash: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val chunks0 = hashed.select(col(id).as("doc_id"), col(hash).as("h"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("ck"))
+          shiftright(col(hash), c * 16).bitwiseAND(0xffffL).as("ck"))
       }: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("h"),
         col("b.chunk").as("chunk"), col("b.ck").as("ck"))
-    // same quadratic-bucket guard as MinHash banding (weakens the
-    // pigeonhole guarantee only for over-full buckets, which a real
-    // corpus hits exactly when exact-dup groups should have been
-    // collapsed first)
     val chunks = capBuckets(chunks0, Seq("chunk", "ck"), maxBucket)
     chunks.alias("x").join(chunks.alias("y"), Seq("chunk", "ck"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .as("hamming"))
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Stopword-profile language ID over documents (heuristic demo — the
@@ -452,7 +463,34 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Cross-corpus dedup screen: drop candidate documents whose content
+    * fingerprint already exists in a base corpus — the don't-re-ingest
+    * gate between a new crawl snapshot and the training set it extends
+    * (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116, runs this
+    * between CommonCrawl dumps). The fingerprint is the sorted-
+    * distinct-token md5 (the token-set key of [[TextAnalysis
+    * .dedupTokenSet]] — order- and repetition-insensitive); substitute
+    * raw `md5(text)` for byte-exact screening.
+    *
+    * Scale: the base side collapses to DISTINCT hashes before the
+    * probe, and the probe is ONE hash-keyed left anti join; at 100 TB
+    * the base hash set additionally feeds a bloom runtime filter at
+    * the candidate scan (the [[RuntimeFilters]] pattern) so already-
+    * ingested docs are dropped before they ever shuffle. */
+  def crossCorpusNew(docs: DataFrame, isBase: Column): DataFrame = {
+    val fp = md5(array_join(
+      array_sort(array_distinct(split(col("text"), " "))), " "))
+    val base = docs.filter(isBase).select(fp.as("fp")).distinct()
+    docs.filter(!isBase)
+      .withColumn("fp", fp)
+      .join(base, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_cross_corpus_new" -> ((s, d) =>
+      crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
     "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -498,6 +536,17 @@ object Dedup {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q145_cross_corpus_new" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS fp,
+        |    doc_id % 2 = 0 AS isbase
+        |  FROM documents)
+        |SELECT doc_id, lang, source, fp FROM f
+        |WHERE NOT isbase
+        |  AND fp NOT IN (SELECT fp FROM f WHERE isbase)
+        |ORDER BY doc_id""".stripMargin,
     "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (

@@ -273,7 +273,40 @@ object Similarity {
           .as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Nearest-centroid classification — assign every vector to the
+    * closest [[labelCentroids]] prototype (squared L2), the semantic-
+    * tagging / cluster-assignment pass of a curation pipeline and the
+    * probe step of IVF. The centroid table collapses to |labels| rows
+    * of dim-sorted arrays and BROADCASTS; the corpus is scanned once,
+    * each row computing |labels| fold-ordered distances row-locally —
+    * vectors never shuffle, so the plan is scan-shaped at any corpus
+    * size. The argmin is min(struct(dist2, label)): partial-
+    * aggregatable, ties (none in practice) break to the smaller
+    * label, matching the oracle's (dist2, label) window order. */
+  def nearestCentroid(emb: DataFrame): DataFrame = {
+    val cents = labelCentroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid)))," +
+        " x -> x.centroid)").as("cvec"))
+    val dist2 = aggregate(
+      zip_with(col("embedding"), col("cvec"), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("c_label"), dist2.as("dist2"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(min(struct(col("dist2"), col("c_label"))).as("m"))
+      .select(col("vec_id"), col("true_label"),
+        col("m.c_label").as("pred_label"), col("m.dist2").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_nearest_centroid" ->
+      ((s, d) => nearestCentroid(Tables(s, d).embeddings)),
     "q139_label_centroids" ->
       ((s, d) => labelCentroids(Tables(s, d).embeddings)),
     "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
@@ -290,6 +323,30 @@ object Similarity {
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "q146_nearest_centroid" ->
+      s"""WITH cent AS (
+         |  SELECT label, pos,
+         |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+         |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |          embedding[i] AS x
+         |        FROM (SELECT label, embedding,
+         |                unnest(range(1, len(embedding) + 1)) AS i
+         |              FROM embeddings))
+         |  GROUP BY label, pos),
+         |cents AS (
+         |  SELECT label AS c_label, list(centroid ORDER BY pos) AS cvec
+         |  FROM cent GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label AS true_label, c.c_label,
+         |    ${l2Sql("e.embedding", "c.cvec", Dim)} AS dist2
+         |  FROM embeddings e CROSS JOIN cents c)
+         |SELECT vec_id, true_label, c_label AS pred_label, dist2 FROM (
+         |  SELECT vec_id, true_label, c_label, dist2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, c_label) AS rn
+         |  FROM scored) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q139_label_centroids" ->
       """SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))

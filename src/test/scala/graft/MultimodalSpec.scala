@@ -217,4 +217,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.max(img2.getWidth, img2.getHeight) <= 8)
     }
   }
+
+  /** Uniform +delta on every channel, clamped at 255 — the near-dup
+    * perturbation aHash is built to survive. */
+  private def brightened(png: Array[Byte], delta: Int): Array[Byte] = {
+    val img = ImageCodec.decode(png).get
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      def ch(v: Int) = math.min(255, v + delta)
+      out.setRGB(x, y, (ch((p >>> 16) & 0xff) << 16) |
+        (ch((p >>> 8) & 0xff) << 8) | ch(p & 0xff))
+    }
+    ImageCodec.encodePng(out)
+  }
+
+  test("aHash: brightness-shift invariant, distant for unrelated images") {
+    val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
+    val h1 = ImageCodec.aHashFromBytes(base).get
+    val h2 = ImageCodec.aHashFromBytes(brightened(base, 2)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3,
+      s"brightness shift moved the hash ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    val other = ImageCodec.encodeFixturePng(16, 16, seed = 43L)
+    val h3 = ImageCodec.aHashFromBytes(other).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 10,
+      "unrelated images should hash far apart")
+    // corrupt bytes decode to None, not an exception
+    assert(ImageCodec.aHashFromBytes("notapng".getBytes).isEmpty)
+  }
+
+  test("image dedup collapses a planted brightness-shifted near-duplicate") {
+    val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
+    val media = Seq(
+      (1L, "image", base),
+      (2L, "image", brightened(base, 2)),
+      (3L, "image", ImageCodec.encodeFixturePng(16, 16, seed = 43L)),
+      (4L, "image", "corruptcorruptcorrupt".getBytes),
+      (5L, "audio", base) // wrong kind: excluded from the image pass
+    ).toDF("media_id", "kind", "bytes")
+    val got = Multimodal.imageDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // corrupt + non-image excluded
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false))) // twin collapsed onto the original
+    assert(got(3L) == ((3L, true))) // unrelated image survives alone
+  }
 }

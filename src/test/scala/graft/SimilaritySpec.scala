@@ -87,6 +87,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("nearest centroid classifies toward the closer prototype") {
+    val df = Seq(
+      (10L, 0, Seq(0.0f, 0.0f)), (11L, 0, Seq(2.0f, 0.0f)),  // centroid (1,0)
+      (20L, 1, Seq(10.0f, 10.0f)), (21L, 1, Seq(12.0f, 10.0f)), // (11,10)
+      (30L, 1, Seq(0.5f, 0.5f)) // labeled 1 but sits next to label 0
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.nearestCentroid(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(10L) == ((0, 0)) && got(11L) == ((0, 0)))
+    assert(got(20L) == ((1, 1)) && got(21L) == ((1, 1)))
+    assert(got(30L) == ((1, 0))) // true label 1, predicted 0
+  }
+
   test("embedding near-dup dedup groups by similarity components") {
     val r = Similarity.embeddingDedup(t.embeddings)
       .as[(Long, Long, Boolean)].collect()

@@ -237,4 +237,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(enKept / en > 0.08 && enKept / en < 0.35,
       s"en keep rate ${enKept / en} far from 0.2")
   }
+
+  test("cross-corpus screen drops new docs whose token set exists in base") {
+    val docs = Seq(
+      (0L, "a b c", "en", "src0"),      // base
+      (1L, "c b a a", "en", "src1"),    // new: same token SET as base 0
+      (2L, "a b c d", "en", "src1"),    // base (even id)
+      (3L, "x y", "en", "src2")         // new: unseen token set
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = Dedup.crossCorpusNew(docs, pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
 }
