@@ -169,9 +169,11 @@ object CorpusSignals {
     * is a line-keyed groupBy of min(struct(doc_id, line_no)) —
     * partial-aggregatable, so a corpus-wide boilerplate line combines
     * map-side instead of flooding one reducer the way a row_number
-    * window over the line key would; one shuffle join back on the
-    * line; and a doc-keyed regroup whose collect_list is bounded by
-    * single-document length. Every stage is O(corpus tokens). */
+    * window over the line key would — and the winner row ALREADY
+    * carries (line, first doc, first position), so the kept set needs
+    * no join back to the exploded lines; then one doc-keyed regroup
+    * whose collect_list is bounded by single-document length. Every
+    * stage is O(corpus tokens). */
   def lineDedupRewrite(docs: DataFrame, lineTokens: Int = 8): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val lines = toks.select(col("doc_id"), posexplode(expr(
@@ -179,11 +181,13 @@ object CorpusSignals {
         s" i -> array_join(slice(t, i*$lineTokens+1, $lineTokens), ' '))")))
       .select(col("doc_id"), col("pos").cast("long").as("line_no"),
         col("col").as("line"))
-    val first = lines.groupBy(col("line"))
+    // the winner row IS the kept line — the group key carries the line
+    // and min(struct) carries its first (doc_id, line_no), so no join
+    // back to the exploded lines (which would recompute the explode)
+    val kept = lines.groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
-    val kept = lines.join(first, "line")
-      .filter(col("k.doc_id") === col("doc_id") &&
-        col("k.line_no") === col("line_no"))
+      .select(col("k.doc_id").as("doc_id"),
+        col("k.line_no").as("line_no"), col("line"))
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
       array_join(expr(
