@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -92,7 +92,86 @@ object Quality {
     (instrumented, obs)
   }
 
+  // ---- in-engine quality classifier (GPT-3-style corpus filtering) ----
+
+  /** Hashed bag-of-words features with a leading bias slot:
+    * x = [1.0, c_0/n, ..., c_{dim-1}/n] where c_i counts tokens
+    * hashing (xxhash64 mod dim) to bucket i. One token-order explode
+    * + two partial-aggregatable groupBys; the per-doc map is bounded
+    * by dim. */
+  private def bowFeatures(docs: DataFrame, positive: Column,
+      dim: Int): DataFrame =
+    docs.select(col("doc_id"), positive.cast("int").as("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("y"),
+        pmod(xxhash64(col("w")), lit(dim.toLong)).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"), sum(col("c")).as("n"))
+      .select(col("doc_id"), col("y"), expr(
+        s"concat(array(1.0d), transform(sequence(0, ${dim - 1}), " +
+          "i -> coalesce(element_at(m, i), 0L) / CAST(n AS DOUBLE)))")
+        .as("x"))
+
+  /** Train a logistic-regression quality classifier IN-ENGINE — the
+    * corpus-filtering model of GPT-3/PaLM-style curation (Brown et
+    * al. 2020, arXiv:2005.14165, Appendix A: a classifier scores
+    * CommonCrawl against a high-quality reference; documents are kept
+    * by score), with the positive class given as a predicate over the
+    * corpus itself. Batch gradient descent as DataFrame ops: each
+    * round broadcasts the (dim+1)-float weight vector as literals,
+    * computes row-local sigmoid margins, and reduces the gradient
+    * with ONE posexplode + dim-keyed groupBy — the only driver state
+    * is the model itself (the [[Similarity.kmeansCentroids]]
+    * precedent). Features persist across rounds; lineage never grows
+    * with rounds. */
+  def trainQualityClassifier(docs: DataFrame, positive: Column,
+      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0): Array[Double] = {
+    val feat = bowFeatures(docs, positive, dim).persist()
+    try {
+      val n = feat.count().toDouble
+      var w = new Array[Double](dim + 1)
+      var r = 0
+      while (r < rounds) {
+        val wLit = array(w.map(lit(_)): _*)
+        val margin = aggregate(
+          zip_with(col("x"), wLit, (x, wi) => x * wi),
+          lit(0.0), (acc, t) => acc + t)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val g = feat
+          .select(col("x"), (p - col("y")).as("err"))
+          .select(posexplode(col("x")).as(Seq("pos", "xi")), col("err"))
+          .groupBy(col("pos"))
+          .agg(sum(col("xi") * col("err")).as("g"))
+          .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+        w = w.indices.map(i => w(i) - lr * g(i) / n).toArray
+        r += 1
+      }
+      w
+    } finally feat.unpersist(false)
+  }
+
+  /** Score every document with the trained classifier: one broadcast
+    * weight vector, one row-local fold per document — scan-shaped. */
+  def qualityClassifierScores(docs: DataFrame, positive: Column,
+      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0): DataFrame = {
+    val w = trainQualityClassifier(docs, positive, dim, rounds, lr)
+    val wLit = array(w.map(lit(_)): _*)
+    val margin = aggregate(
+      zip_with(col("x"), wLit, (x, wi) => x * wi),
+      lit(0.0), (acc, t) => acc + t)
+    bowFeatures(docs, positive, dim)
+      .select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_quality_classifier" -> ((s, d) =>
+      qualityClassifierScores(Tables(s, d).documents,
+        col("source") === "src0")),
     "q110_value_outliers" -> ((s, d) => valueOutliers(Tables(s, d))),
     "q86_quality_report" -> ((s, d) => dataQualityReport(Tables(s, d)))
   )

@@ -360,7 +360,40 @@ object ScalePatterns {
         count(lit(1)).as("matched_keys"),
         max(col("cnt") * col("cnt")).as("max_key_rows"))
 
+  /** Contiguous global row numbering WITHOUT a global window — the
+    * stable-id assignment every dataset build needs (example ids,
+    * shard offsets), where the naive `row_number() OVER (ORDER BY
+    * ...)` moves the whole table through ONE reducer. Same two-phase
+    * prefix-sum algebra as [[TextAnalysis.tokenBatches]]: shard by a
+    * pure function of the (dense) key so shard order == key order,
+    * rank WITHIN each shard in parallel, then add per-shard offsets
+    * whose prefix runs over exactly #shards rows. Bit-identical to
+    * the global window (the oracle IS `row_number() OVER (ORDER BY
+    * doc_id)`), but the data-sized window is hash-partitioned. */
+  def globalRowIds(docs: DataFrame, numShards: Int = 32): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val bounds = ids.agg(
+      (floor(max(col("doc_id")) / numShards) + 1).as("shard_w"))
+    val sharded = ids.crossJoin(broadcast(bounds))
+      .withColumn("shard_id", floor(col("doc_id") / col("shard_w")))
+      .drop("shard_w")
+    val wLocal = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
+    val wOffsets = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("shard_id"),
+        coalesce(sum(col("n")).over(wOffsets), lit(0L)).as("off"))
+    sharded
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("shard_id"))
+      .select(col("doc_id"), (col("local_rn") + col("off")).as("row_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_global_row_ids" -> ((s, d) =>
+      globalRowIds(Tables(s, d).documents)),
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
@@ -381,6 +414,10 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q149_global_row_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q118_equi_depth_hist" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
         |  min(v) AS lo, max(v) AS hi,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quality, ScalePatterns}
+
+/** In-engine logistic-regression quality classifier: separable
+  * planted data is learned to near-certainty, training actually moves
+  * the loss, and the real-corpus scoring query stays total-ordered.
+  * Plus the q149 global row-id plan guarantee (no data-sized global
+  * window). */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def planted = {
+    val pos = (0L until 20L).map(i => (i, "good solid prose " * 5 + i))
+    val neg = (20L until 40L).map(i => (i, "junk spam noise " * 5 + i))
+    (pos ++ neg).map { case (id, txt) => (id, txt.trim, "en",
+      if (id < 20) "hq" else "lq")
+    }.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("separable planted corpus is classified to near-certainty") {
+    val scores = Quality.qualityClassifierScores(planted,
+      col("source") === "hq", dim = 16, rounds = 60, lr = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0L until 20L).foreach(i =>
+      assert(scores(i) > 0.8, s"positive doc $i scored ${scores(i)}"))
+    (20L until 40L).foreach(i =>
+      assert(scores(i) < 0.2, s"negative doc $i scored ${scores(i)}"))
+  }
+
+  test("training moves the weights away from zero-init") {
+    val w = Quality.trainQualityClassifier(planted,
+      col("source") === "hq", dim = 16, rounds = 5, lr = 1.0)
+    assert(w.length == 17)
+    assert(w.exists(v => math.abs(v) > 1e-3), w.mkString(","))
+  }
+
+  test("scores are probabilities and every doc gets one") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val s = Quality.qualityClassifierScores(docs,
+      col("source") === "src0", rounds = 3).collect()
+    assert(s.length == docs.count())
+    s.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p > 0.0 && p < 1.0)
+    }
+  }
+
+  test("global row ids: bit-equal to the global window, but sharded") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val got = ScalePatterns.globalRowIds(docs)
+    val naive = docs.select(col("doc_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))).cast("long").as("row_id"))
+    assert(got.collect().toSeq == naive.orderBy(col("doc_id")).collect().toSeq)
+    // the data-sized window runs partitioned by shard, not globally
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("shard_id"), plan)
+  }
+}
