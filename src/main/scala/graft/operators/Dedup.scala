@@ -477,15 +477,24 @@ object Dedup {
     * the base hash set additionally feeds a bloom runtime filter at
     * the candidate scan (the [[RuntimeFilters]] pattern) so already-
     * ingested docs are dropped before they ever shuffle. */
-  def crossCorpusNew(docs: DataFrame, isBase: Column): DataFrame = {
+  def crossCorpusNew(docs: DataFrame, isBase: Column): DataFrame =
+    crossCorpusNewAgainst(docs.filter(!isBase), docs.filter(isBase))
+      .orderBy(col("doc_id"))
+
+  /** Two-frame form of [[crossCorpusNew]]: screen `candidates`
+    * against a separate `base` corpus. No final sort, so it runs
+    * UNCHANGED as an append-mode stream of candidates against a
+    * static base (stream-static left anti join — stateless, no
+    * watermark; StreamingSpec pins stream == batch). */
+  def crossCorpusNewAgainst(candidates: DataFrame,
+      base: DataFrame): DataFrame = {
     val fp = md5(array_join(
       array_sort(array_distinct(split(col("text"), " "))), " "))
-    val base = docs.filter(isBase).select(fp.as("fp")).distinct()
-    docs.filter(!isBase)
+    val baseFps = base.select(fp.as("fp")).distinct()
+    candidates
       .withColumn("fp", fp)
-      .join(base, Seq("fp"), "left_anti")
+      .join(baseFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

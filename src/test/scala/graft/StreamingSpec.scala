@@ -269,6 +269,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("cross-corpus screen runs as a stateless stream-static anti join") {
+    implicit val sc = spark.sqlContext
+    val base = Seq((0L, "a b c", "en", "base"), (2L, "d e f", "en", "base"))
+      .toDF("doc_id", "text", "lang", "source")
+    val candRows = Seq(
+      (10L, "c b a a", "en", "crawl"), // token set {a,b,c}: already in base
+      (11L, "x y z", "en", "crawl"),   // new
+      (12L, "f e d", "en", "crawl"))   // token set {d,e,f}: already in base
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.Dedup.crossCorpusNewAgainst(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), base)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xcorpus_out").start()
+    mem.addData(candRows(0), candRows(1))
+    q.processAllAvailable()
+    mem.addData(candRows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("xcorpus_out")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val batch = graft.operators.Dedup.crossCorpusNewAgainst(
+      candRows.toDF("doc_id", "text", "lang", "source"), base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed == Set(11L))
+  }
+
   test("file-source stream with checkpoint: AvailableNow equals batch") {
     // events.parquet is TIMESTAMP(NANOS); declare ts as long and
     // rebuild micros, exactly like Tables.events does for batch
