@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.{dotSql, norm2Sql}
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline generalization of the reference's string
@@ -327,6 +328,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-tf document vectors — in-engine featurization carrying the
+    * TEXT corpus into the VECTOR operator family (cosine pairs, ANN,
+    * [[Similarity.embeddingDedup]], [[Similarity.nearestCentroid]]):
+    * x_i = count of tokens hashing (md5-prefix mod dim — the q101
+    * PORTABLE hash, so the whole derived-vector pipeline stays
+    * oracle-checkable) to bucket i, raw counts as float (cosine
+    * normalizes downstream). Bag-of-words by construction — token
+    * ORDER never enters — so a shuffled near-copy lands on the
+    * IDENTICAL vector, which is exactly the invariance a semantic
+    * near-dup key wants. Two partial-aggregatable groupBys; per-doc
+    * state bounded by dim. */
+  def docVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id").as("vec_id"),
+        explode(tokens(col("text"))).as("w"))
+      .select(col("vec_id"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % dim).cast("int").as("b"))
+      .groupBy(col("vec_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          "i -> CAST(coalesce(element_at(m, i), 0L) AS FLOAT))")
+        .as("embedding"))
+
   /** Content fingerprints per document (md5 + sha256 + short prefix). */
   def fingerprints(t: Tables): DataFrame =
     t.documents.select(
@@ -355,10 +382,59 @@ object TextAnalysis {
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
     "q140_bigram_fluency" ->
-      ((s, d) => bigramFluency(Tables(s, d).documents))
+      ((s, d) => bigramFluency(Tables(s, d).documents)),
+    // semantic near-dup over DERIVED doc vectors: text corpus routed
+    // through the vector dedup stack (cosine pairs -> CC -> keep)
+    "q151_docvec_neardup" -> ((s, d) =>
+      Similarity.embeddingDedup(docVectors(Tables(s, d).documents),
+        threshold = 0.95))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the WHOLE derived-vector pipeline is SQL-expressible because the
+    // bucket hash is the portable md5-prefix (q101 pattern): rebuild
+    // the hashed-tf vectors, all-pairs cosine at 0.95, transitive
+    // closure, component-min representative (q136 pattern)
+    "q151_docvec_neardup" -> {
+      val sim = s"(${dotSql("a.emb", "b.emb", 64)}) / " +
+        s"(sqrt(${norm2Sql("a.emb", 64)}) * sqrt(${norm2Sql("b.emb", 64)}))"
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id AS vec_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT vec_id,
+         |    CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64
+         |      AS INTEGER) AS b,
+         |    CAST(count(*) AS DOUBLE) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT d.doc_id AS vec_id, CAST(gs AS INTEGER) AS i
+         |  FROM documents d, generate_series(0, 63) AS g(gs)),
+         |vec AS (
+         |  SELECT grid.vec_id, list(coalesce(cnt.c, 0.0) ORDER BY grid.i)
+         |    AS emb
+         |  FROM grid LEFT JOIN cnt
+         |    ON cnt.vec_id = grid.vec_id AND cnt.b = grid.i
+         |  GROUP BY grid.vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM vec a JOIN vec b ON a.vec_id < b.vec_id
+         |  WHERE $sim >= 0.95),
+         |edges AS (
+         |  SELECT d1 AS s, d2 AS t FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |rep AS (
+         |  SELECT d.doc_id AS vec_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS rep_id
+         |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT vec_id, rep_id, (rep_id = vec_id) AS keep
+         |FROM rep ORDER BY vec_id""".stripMargin
+    },
     "q140_bigram_fluency" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

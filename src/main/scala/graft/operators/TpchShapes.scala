@@ -338,6 +338,24 @@ object TpchShapes {
       .limit(10)
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
 
+  /** Q4 shape: order-priority counts for orders with at least one
+    * late line — the EXISTS correlated subquery planned as a LEFT
+    * SEMI join (each order counted once however many lines are late).
+    * "Late" is shipped > `lateDays` after the order date (this
+    * dataset has no commit/receipt dates — the SHAPE is the point).
+    * The join condition carries the date inequality, so the semi join
+    * probes stop at the first late line per order. */
+  def latePriorityOrders(t: Tables, lateDays: Int = 60): DataFrame =
+    t.orders
+      .join(t.lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
   /** Q5 shape: revenue from orders whose customer and line supplier
     * sit in the SAME nation of one region — the classic 6-table snow-
     * flake join. nation/region broadcast; the c_nationkey=s_nationkey
@@ -407,6 +425,8 @@ object TpchShapes {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_shipping_priority" -> ((s, d) => shippingPriority(Tables(s, d))),
+    "q150_late_priority_orders" ->
+      ((s, d) => latePriorityOrders(Tables(s, d))),
     "q142_local_supplier_volume" ->
       ((s, d) => localSupplierVolume(Tables(s, d))),
     "q143_nation_year_profit" -> ((s, d) => nationYearProfit(Tables(s, d))),
@@ -432,6 +452,15 @@ object TpchShapes {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q150_late_priority_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q141_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -238,6 +238,25 @@ class TextDedupSpec extends AnyFunSuite {
       s"en keep rate ${enKept / en} far from 0.2")
   }
 
+  test("docVectors: bag-of-words invariance routes permuted copies to one vector") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "gamma alpha alpha beta"), // permutation of doc 1
+      (3L, "delta epsilon zeta eta") // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val vecs = TextAnalysis.docVectors(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L) == vecs(2L))
+    assert(vecs(1L) != vecs(3L))
+    // and the composed near-dup pipeline collapses the permuted copy
+    val dedup = graft.operators.Similarity
+      .embeddingDedup(TextAnalysis.docVectors(docs), threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(dedup(1L) == ((1L, true)) && dedup(2L) == ((1L, false)))
+    assert(dedup(3L) == ((3L, true)))
+  }
+
   test("cross-corpus screen drops new docs whose token set exists in base") {
     val docs = Seq(
       (0L, "a b c", "en", "src0"),      // base
