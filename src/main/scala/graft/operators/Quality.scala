@@ -92,6 +92,33 @@ object Quality {
     (instrumented, obs)
   }
 
+  /** ANALYZE-style column statistics in ONE scan — the numbers a
+    * cost-based optimizer and a data-quality monitor both consume:
+    * row count, null count, exact NDV, and min/max per column, one
+    * output row per column via stack(). The count_distincts expand
+    * the aggregate |cols|-fold (the standard ANALYZE trade); every
+    * piece partial-aggregates, so the scan parallelizes and the
+    * result is |cols| rows. min/max serialize to strings for a
+    * uniform schema across column types. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        count_distinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', ${c}__nnull, ${c}__ndv, ${c}__min, ${c}__max")
+      .mkString(", ") +
+      ") as (col_name, n_null, ndv, min_value, max_value)"
+    one.selectExpr("n_rows", stackExpr)
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("col_name"))
+  }
+
   // ---- in-engine quality classifier (GPT-3-style corpus filtering) ----
 
   /** Hashed bag-of-words features with a leading bias slot:
@@ -169,6 +196,9 @@ object Quality {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_column_stats" -> ((s, d) =>
+      columnStats(Tables(s, d).lineitem,
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"))),
     "q148_quality_classifier" -> ((s, d) =>
       qualityClassifierScores(Tables(s, d).documents,
         col("source") === "src0")),
@@ -177,6 +207,18 @@ object Quality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q153_column_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q110_value_outliers" -> {
       def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
       s"""WITH m AS (

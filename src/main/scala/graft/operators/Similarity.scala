@@ -304,7 +304,32 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-vertex triangle counts on the similarity graph — the classic
+    * distributed graph primitive (clustering coefficient, community
+    * density; Suri & Vassilvitskii 2011, WWW, is the MapReduce
+    * treatment). Edges are canonically oriented d1 < d2, so each
+    * triangle materializes exactly once as (a<b<c): one self-join
+    * extends a→b with b→c wedges, one more confirms the closing a→c
+    * edge — both equi-joins on vertex keys, no cartesian anywhere.
+    * At 100 TB orient edges by DEGREE instead of id (same algebra,
+    * bounds wedge fan-out by sqrt(m)) and the joins bucket on vertex. */
+  def triangleCounts(embeddings: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val e = similarPairs(embeddings, threshold).select(col("d1"), col("d2"))
+    val tri = e.alias("ab")
+      .join(e.alias("bc"), col("ab.d2") === col("bc.d1"))
+      .join(e.alias("ac"),
+        col("ac.d1") === col("ab.d1") && col("ac.d2") === col("bc.d2"))
+      .select(col("ab.d1").as("a"), col("ab.d2").as("b"),
+        col("bc.d2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_triangle_counts" ->
+      ((s, d) => triangleCounts(Tables(s, d).embeddings)),
     "q146_nearest_centroid" ->
       ((s, d) => nearestCentroid(Tables(s, d).embeddings)),
     "q139_label_centroids" ->
@@ -323,6 +348,21 @@ object Similarity {
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "q152_triangle_counts" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${simSql("a", "b")} >= 0.3),
+         |tri AS (
+         |  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.d2 = bc.d1
+         |  JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT a AS vec_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q146_nearest_centroid" ->
       s"""WITH cent AS (
          |  SELECT label, pos,

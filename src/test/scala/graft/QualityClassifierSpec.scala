@@ -50,6 +50,16 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("column stats: nulls, ndv, and min/max on a known frame") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+      (null, "a"), (4L, null)).toDF("k", "s")
+    val got = Quality.columnStats(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("k") == ((4L, 1L, 3L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("global row ids: bit-equal to the global window, but sharded") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val got = ScalePatterns.globalRowIds(docs)

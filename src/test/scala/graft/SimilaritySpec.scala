@@ -100,6 +100,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(30L) == ((1, 0))) // true label 1, predicted 0
   }
 
+  test("triangle counts: a planted 3-clique yields one triangle per member") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f)) // orthogonal: in no triangle
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.triangleCounts(df, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("embedding near-dup dedup groups by similarity components") {
     val r = Similarity.embeddingDedup(t.embeddings)
       .as[(Long, Long, Boolean)].collect()
