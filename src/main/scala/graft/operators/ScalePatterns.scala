@@ -262,7 +262,7 @@ object ScalePatterns {
     * NTILE's per-bucket aggregates, which is what the oracle (real
     * `ntile(20)`) proves. */
   def equiDepthHistogram(df: DataFrame, c: String,
-      buckets: Int = 20): DataFrame = {
+      buckets: Int = 20, sumScale: Int = 2): DataFrame = {
     val spark = df.sparkSession
     val counts = df
       .select(col(c).cast("double").as("v"))
@@ -317,7 +317,7 @@ object ScalePatterns {
         .groupBy(col("bucket"))
         .agg(sum(col("overlap")).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"),
-          sum(col("v").cast("decimal(18,2)") *
+          sum(col("v").cast(s"decimal(18,$sumScale)") *
             col("overlap").cast("decimal(18,0)")).cast("double").as("s"))
         .orderBy(col("bucket"))
       // NOTE: unpersisting here releases the cache BEFORE the returned
@@ -394,6 +394,13 @@ object ScalePatterns {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_global_row_ids" -> ((s, d) =>
       globalRowIds(Tables(s, d).documents)),
+    // OPERATOR COMPOSITION: corpus quality TIERS = the exact equi-depth
+    // histogram applied to the in-engine LM fluency scores — two
+    // operators, one still-oracle-exact plan
+    "q154_fluency_tiers" -> ((s, d) =>
+      equiDepthHistogram(
+        TextAnalysis.bigramFluency(Tables(s, d).documents),
+        "avg_prob", buckets = 10, sumScale = 12)),
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
@@ -414,6 +421,19 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the q140 oracle inlines as the source CTE, so the two stay in
+    // lockstep by construction
+    "q154_fluency_tiers" ->
+      s"""WITH fl AS (${TextAnalysis.oracleSql("q140_bigram_fluency")})
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(v) AS lo, max(v) AS hi,
+         |  CAST(CAST(SUM(CAST(v AS DECIMAL(18,12))) AS VARCHAR)
+         |    AS DOUBLE) AS s
+         |FROM (SELECT avg_prob AS v,
+         |        CAST(ntile(10) OVER (ORDER BY avg_prob) AS BIGINT)
+         |          AS bucket
+         |      FROM fl WHERE avg_prob IS NOT NULL)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q149_global_row_ids" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS row_id
