@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth trial: build a `factor`-times replica of an existing
+  * SF directory and time a curated set of scale-representative
+  * queries at 1x and at `factor`x, printing the observed growth
+  * ratios. This substantiates EXPLAIN.md's "would survive 100x"
+  * claims with measured numbers instead of plan reading alone.
+  *
+  * Replication semantics (chosen so operator behavior stays
+  * interesting, not degenerate):
+  *  - lineitem/orders: keys shift per replica (disjoint key spaces —
+  *    joins and rollups grow linearly, join fan-out is unchanged);
+  *  - documents: ids shift AND each replica appends a replica token
+  *    to the text, so replicas are NEAR-duplicates (higher-jaccard
+  *    than random but not byte-equal) — the LSH + connected-
+  *    components path gets a 10x-denser dup graph, exactly the
+  *    stress a bigger crawl produces, and the edge count crosses the
+  *    driver-union-find bound so the DISTRIBUTED star-rounds tier
+  *    runs;
+  *  - events: ids shift, user ids shift per replica (key cardinality
+  *    grows with data, per-key skew shape preserved);
+  *  - region/nation/customer/supplier/part/embeddings: copied as-is
+  *    (dimensions stay dimensions; the all-pairs embedding tiers are
+  *    deliberately excluded from the query list — their scale path
+  *    is LSH/IVF, measured separately via q28/q33/q34).
+  *
+  * Usage: runMain graft.ScaleTrial [baseSfDir] [factor] [workDir]
+  */
+object ScaleTrial {
+
+  private val TrialQueries = Seq(
+    "q01_pricing_summary", // full-scan agg
+    "q03_segment_revenue", // fact-fact join + agg
+    "q24_dedup_exact", // hash-keyed dedup
+    "q28_minhash_dedup", // LSH candidate generation + verify
+    "q82_dup_clusters", // connected components over the dup graph
+    "q50_describe_lineitem", // one-pass moments + distributed quantiles
+    "q67_token_batches", // two-phase prefix sum
+    "q70_grouped_percentiles", // per-group exact quantiles
+    "q73_salted_skew_join", // skew-mitigated join
+    "q107_topk_custom_operator", // custom map-side-pruned top-k plan
+    "q118_equi_depth_hist", // exact NTILE machinery
+    "q119_key_skew_profile", // key-distribution diagnostic
+    "q130_curation_pipeline", // composed curation plan
+    "q138_line_dedup_rewrite", // line-level dedup + rewrite
+    "q140_bigram_fluency", // LM scoring with in-engine model
+    "q149_global_row_ids", // two-phase global numbering
+    "q153_column_stats") // one-scan ANALYZE
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val spark = Bench.timingSession()
+    val scaledDir = s"$workDir/x$factor"
+    buildScaled(spark, baseDir, scaledDir, factor)
+    Bench.warmUp(spark, baseDir)
+    Bench.warmUp(spark, scaledDir)
+    println(f"${"query"}%-28s ${"base_s"}%8s ${"x" + factor + "_s"}%8s ratio")
+    TrialQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val base = time(spark, baseDir, fn)
+      val scaled = time(spark, scaledDir, fn)
+      println(f"$name%-28s $base%8.2f $scaled%8.2f ${scaled / base}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  /** Best-of-2 wall time of CONSTRUCTION + full materialization —
+    * several operators (describe, dup clustering, equi-depth offsets)
+    * legitimately run model-sized driver actions while the DataFrame
+    * is being built, so construction must sit inside the clock. */
+  private def time(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
+  }
+
+  /** Write the scaled twin of `baseDir` into `outDir` (idempotent —
+    * skipped when the directory already holds a _SUCCESS-complete
+    * lineitem). */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    if (new java.io.File(s"$outDir/lineitem.parquet/_SUCCESS").exists())
+      return
+    val t = Tables(spark, baseDir)
+    def replicate(df: DataFrame, shift: Map[String, Long],
+        perReplica: DataFrame => DataFrame = identity): DataFrame = {
+      val reps = (0 until factor).map { i =>
+        val shifted = shift.foldLeft(df) { case (d, (c, span)) =>
+          d.withColumn(c, col(c) + lit(i * span))
+        }
+        perReplica(shifted.withColumn("replica", lit(i))).drop("replica")
+      }
+      reps.reduce(_ unionAll _)
+    }
+    def span(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+    val okSpan = span(t.orders, "o_orderkey")
+    val docSpan = span(t.documents, "doc_id")
+    val evSpan = span(t.events, "event_id")
+    val userSpan = t.events.agg(max(col("user_id"))).head.getLong(0) + 1
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    // small dims copy as-is
+    Seq("region", "nation", "customer", "supplier", "part",
+      "embeddings").foreach { n =>
+      spark.read.parquet(s"$baseDir/$n.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    replicate(t.orders, Map("o_orderkey" -> okSpan))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    replicate(t.documents, Map("doc_id" -> docSpan),
+      d => d.withColumn("text",
+          concat(col("text"), lit(" replica"), col("replica")))
+        .withColumn("n_chars", length(col("text"))))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // events: keep the nanos-as-long ts exactly as Tables wrote it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawEvents = spark.read.parquet(s"$baseDir/events.parquet")
+    replicate(rawEvents,
+      Map("event_id" -> evSpan, "user_id" -> userSpan))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // lineitem written LAST (its _SUCCESS is the completion marker)
+    replicate(t.lineitem, Map("l_orderkey" -> okSpan))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+}

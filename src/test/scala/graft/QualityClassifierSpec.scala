@@ -60,6 +60,18 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(got("s") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("global row ids stay correct on sparse, gappy id spaces") {
+    // the shard function floor(id/w) is monotone in id for ANY
+    // non-negative ids, so local-rank + offset must equal the global
+    // rank even when ids cluster into few shards with huge gaps
+    val ids = Seq(0L, 1L, 2L, 7L, 1000000L, 1000001L, 999999999L)
+    val docs = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = ScalePatterns.globalRowIds(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap)
+  }
+
   test("global row ids: bit-equal to the global window, but sharded") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val got = ScalePatterns.globalRowIds(docs)
