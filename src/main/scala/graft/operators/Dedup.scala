@@ -463,6 +463,42 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** INCREMENTAL near-dup: find near-duplicate pairs between a FRESH
+    * batch and an EXISTING corpus via MinHash bands, never generating
+    * base x base pairs — the nightly-increment form of [[minhashDedup]]
+    * (a growing corpus re-dedups only the increment against touched
+    * buckets, not the world). At 100 TB the base side's banded bucket
+    * table is a MATERIALIZED artifact partitioned by (band, bh): the
+    * increment's bucket keys prune partitions, so cost is
+    * O(new + touched buckets). Same verify tier as the batch form
+    * (exact shingle jaccard), same [[capBuckets]] degeneracy guard on
+    * both sides. */
+  def incrementalNearDups(base: DataFrame, fresh: DataFrame,
+      shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    def bucketed(df: DataFrame) =
+      minhashSignatures(df, shingleSize, numPerms)
+        .select(col("doc_id"),
+          explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bh").as("bh"))
+    val bb = capBuckets(bucketed(base), Seq("band", "bh"), maxBucket)
+    val nb = capBuckets(bucketed(fresh), Seq("band", "bh"), maxBucket)
+    val candidates = nb.alias("n").join(bb.alias("b"), Seq("band", "bh"))
+      .select(col("n.doc_id").as("d_new"), col("b.doc_id").as("d_base"))
+      .distinct()
+    val shN = fresh.select(col("doc_id").as("d_new"),
+      sortedShingles(col("text"), shingleSize).as("sh1"))
+    val shB = base.select(col("doc_id").as("d_base"),
+      sortedShingles(col("text"), shingleSize).as("sh2"))
+    candidates.join(shN, "d_new").join(shB, "d_base")
+      .select(col("d_new"), col("d_base"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d_new"), col("d_base"))
+  }
+
   /** Cross-corpus dedup screen: drop candidate documents whose content
     * fingerprint already exists in a base corpus — the don't-re-ingest
     * gate between a new crawl snapshot and the training set it extends
@@ -500,6 +536,11 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_cross_corpus_new" -> ((s, d) =>
       crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
+    "q155_incremental_neardups" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      incrementalNearDups(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),

@@ -257,6 +257,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dedup(3L) == ((3L, true)))
   }
 
+  test("incremental near-dups: a fresh near-copy pairs with its base original only") {
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((0L, baseText), (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, baseText + " lambda"),          // near-copy of base 0
+      (3L, "pqr stu vwx yz abc def ghi")   // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(base, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 0L)))
+    // and base x base pairs are never emitted: swapping roles finds none
+    val none = Dedup.incrementalNearDups(base, base.filter(lit(false)))
+    assert(none.count() == 0)
+  }
+
   test("cross-corpus screen drops new docs whose token set exists in base") {
     val docs = Seq(
       (0L, "a b c", "en", "src0"),      // base
