@@ -273,20 +273,28 @@ object CorpusSignals {
     // reduce them — a copy bomb, not a compute problem. The plan
     // stays stateless and narrow, so the same operator runs
     // append-mode on readStream with no watermark.
-    val gramEval: Map[String, Array[Long]] = fiveGrams(evalDocs)
+    // ship the gram table as SORTED PARALLEL ARRAYS, not a Map: a
+    // 200k-entry HashMap costs seconds in Java serialization per run,
+    // while String[]/Array[Array[Long]] serialize as flat data and
+    // probe via binary search (log n string compares) with zero
+    // executor-side build cost. Grouping happens IN Spark; the driver
+    // only sorts the already-grouped rows.
+    val grouped = fiveGrams(evalDocs)
       .select(col("g"), col("doc_id")).distinct()
-      .collect().groupBy(_.getString(0))
-      .map { case (g, rows) => g -> rows.map(_.getLong(1)) }
-    val bc = train.sparkSession.sparkContext.broadcast(gramEval)
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val bc = train.sparkSession.sparkContext.broadcast(
+      (grouped.map(_._1), grouped.map(_._2)))
     val overlap = udf((gs: Seq[String]) => {
-      val m = bc.value
+      val (grams, idArrs) = bc.value
       var nShared = 0L
       val evalIds = scala.collection.mutable.HashSet.empty[Long]
       gs.foreach { g =>
-        m.get(g) match {
-          case Some(ids) => nShared += 1; ids.foreach(evalIds.add)
-          case None =>
-        }
+        val i = java.util.Arrays.binarySearch(
+          grams.asInstanceOf[Array[AnyRef]], g)
+        if (i >= 0) { nShared += 1; idArrs(i).foreach(evalIds.add) }
       }
       (evalIds.size.toLong, nShared)
     })
