@@ -387,10 +387,48 @@ object TextAnalysis {
     // through the vector dedup stack (cosine pairs -> CC -> keep)
     "q151_docvec_neardup" -> ((s, d) =>
       Similarity.embeddingDedup(docVectors(Tables(s, d).documents),
-        threshold = 0.95))
+        threshold = 0.95)),
+    // the ORACLE-EXACT tier of q82: the identical dupClusters operator
+    // (union-find / star rounds) but fed the exact-jaccard edge set
+    // (q26) instead of MinHash candidates, so DuckDB can replay the
+    // whole pipeline — edges by brute-force jaccard, components by
+    // recursive transitive closure — and pin every (node, component
+    // minimum) assignment bit-exactly, not just "rows > 0"
+    "q156_jaccard_clusters" -> ((s, d) =>
+      Dedup.dupClusters(jaccardPairs(Tables(s, d).documents)
+          .select(col("d1"), col("d2")))
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q82's machinery made driver-checkable: same docs/pairs CTEs as
+    // q26, then the q136 recursive-closure pattern; every edge node's
+    // component minimum must match dupClusters exactly
+    "q156_jaccard_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, lang, source, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS s, d2 AS t FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     // the WHOLE derived-vector pipeline is SQL-expressible because the
     // bucket hash is the portable md5-prefix (q101 pattern): rebuild
     // the hashed-tf vectors, all-pairs cosine at 0.95, transitive
