@@ -268,23 +268,43 @@ object Multimodal {
   private def featureCsv(c: Column): Column =
     array_join(c.cast("array<string>"), ",")
 
+  /** The synthetic media table MATERIALIZED to parquet once per
+    * (session, sfDir) and read back as a real scan. In production
+    * media bytes are stored bytes — every operator's input is a table
+    * scan, not a per-query re-encode of the fixture corpus; the
+    * per-query cost under test is then the DECODE kernel, which is the
+    * part a 100 TB run actually pays. Content is a pure function of
+    * doc_id, so the one-time build is deterministic and shared safely
+    * across the five media queries. */
+  private val mediaPaths =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  def materializedMedia(s: SparkSession, d: String): DataFrame = {
+    val path = mediaPaths.getOrElseUpdate((s, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_media_")
+        .toString
+      syntheticMedia(Tables(s, d)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_features" -> ((s, d) =>
-      extractFeatures(syntheticMedia(Tables(s, d)))
+      extractFeatures(materializedMedia(s, d))
         .withColumn("feature", featureCsv(col("feature")))
         .orderBy("media_id")),
     "q45_video_frame_sample" -> ((s, d) =>
-      sampleFrames(syntheticMedia(Tables(s, d)))
+      sampleFrames(materializedMedia(s, d))
         .orderBy("media_id", "frame_ts_ms")),
     "q56_multimodal_batched_decode" -> ((s, d) =>
-      decodeBatched(syntheticMedia(Tables(s, d)))
+      decodeBatched(materializedMedia(s, d))
         .withColumn("feature", featureCsv(col("feature")))
         .orderBy("media_id")),
     "q137_audio_windows" -> ((s, d) =>
-      audioWindows(syntheticMedia(Tables(s, d)))
+      audioWindows(materializedMedia(s, d))
         .orderBy("media_id", "window_idx")),
     "q147_image_dedup" -> ((s, d) =>
-      imageDedup(syntheticMedia(Tables(s, d))))
+      imageDedup(materializedMedia(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map()
