@@ -287,27 +287,44 @@ object CorpusSignals {
       .sortBy(_._1)
     val bc = train.sparkSession.sparkContext.broadcast(
       (grouped.map(_._1), grouped.map(_._2)))
-    val overlap = udf((gs: Seq[String]) => {
-      val (grams, idArrs) = bc.value
-      var nShared = 0L
-      val evalIds = scala.collection.mutable.HashSet.empty[Long]
-      gs.foreach { g =>
-        val i = java.util.Arrays.binarySearch(
-          grams.asInstanceOf[Array[AnyRef]], g)
-        if (i >= 0) { nShared += 1; idArrs(i).foreach(evalIds.add) }
+    // the WHOLE per-document kernel (tokenize -> distinct 5-grams ->
+    // probe) lives inside ONE udf over the raw text. The earlier form
+    // built the gram array with Catalyst transform/element_at and fed
+    // an array-typed udf — but the filter on the udf's output pushes
+    // below the projection and INLINES the entire gram expression
+    // into its condition, where `split(text)` is NOT subexpression-
+    // eliminated inside the lambda: every element_at re-split the
+    // text (5 per gram, ~250 splits/row), and the struct-returning
+    // udf re-evaluated per field reference — a measured ~20x on the
+    // scan. A self-contained text->counts kernel costs microseconds
+    // per evaluation, so Catalyst may duplicate it freely.
+    val overlap = udf((text: String) => {
+      val t = text.split(" ", -1) // same regex semantics as F.split
+      if (t.length < 5) None
+      else {
+        val (grams, idArrs) = bc.value
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var nShared = 0L
+        val evalIds = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        while (i + 4 < t.length) {
+          val g = new java.lang.StringBuilder(64)
+            .append(t(i)).append(' ').append(t(i + 1)).append(' ')
+            .append(t(i + 2)).append(' ').append(t(i + 3)).append(' ')
+            .append(t(i + 4)).toString
+          if (seen.add(g)) { // distinct grams, as array_distinct did
+            val j = java.util.Arrays.binarySearch(
+              grams.asInstanceOf[Array[AnyRef]], g)
+            if (j >= 0) { nShared += 1; idArrs(j).foreach(evalIds.add) }
+          }
+          i += 1
+        }
+        Some((evalIds.size.toLong, nShared))
       }
-      (evalIds.size.toLong, nShared)
     })
     train
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(t)-4), i -> concat(" +
-          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
-          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
-          "element_at(t, i+4)))")).as("gs"))
-      .withColumn("o", overlap(col("gs")))
-      .filter(col("o._2") >= 1)
+      .select(col("doc_id"), overlap(col("text")).as("o"))
+      .filter(col("o").isNotNull && col("o._2") >= 1)
       .select(col("doc_id"),
         col("o._1").as("n_eval_docs"),
         col("o._2").as("n_shared_ngrams"))
