@@ -222,6 +222,129 @@ object CorpusSignals {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** In-engine BPE vocabulary TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909 — [[bpePairCounts]] is one round's counting;
+    * this runs the full merge loop): start from characters, then
+    * `nMerges` times (1) count adjacent symbol pairs weighted by
+    * word-type frequency, (2) merge the most frequent pair (ties to
+    * the lexicographically smallest) in every word. Returns the merge
+    * table — the trained tokenizer vocabulary.
+    *
+    * Scale shape: the corpus collapses ONCE to a word-type frequency
+    * table (Zipf: vocab-sized, not corpus-sized); every round is one
+    * partial-aggregatable groupBy over that table plus a 1-row argmax
+    * collect (model-sized driver state, the k-means/classifier
+    * precedent) and one narrow literal `replace` projection. Rounds
+    * persist + unpersist round-over-round, so lineage stays constant.
+    *
+    * Cross-engine exactness hinges on the SYMBOL ENCODING: a word's
+    * symbols are joined by TWO spaces and padded with two spaces
+    * (`"low"` -> `"  l  o  w  "`). A merge of (a,b) is then the plain
+    * left-to-right `replace(sym, " a  b ", " ab ")` — each match
+    * consumes one space from each side, so back-to-back occurrences
+    * keep a boundary space and BPE's greedy left-to-right scan falls
+    * out of `replace`'s standard non-overlapping semantics
+    * IDENTICALLY in Spark and DuckDB (a single-space encoding would
+    * consume the shared boundary and silently skip every second
+    * occurrence — `"a a a a"` must merge to `"aa aa"`, not
+    * `"aa a a"`). Symbols never contain spaces, so no false matches. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf0 = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit("  "),
+        array_join(expr(
+          "transform(sequence(1, length(word)), " +
+            "i -> substring(word, i, 1))"), "  "),
+        lit("  ")).as("sym"))
+    var cur = wf0.persist()
+    cur.count()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // the sequence(1, size-1) guard: Spark counts DOWN through 0 for
+      // single-symbol words where DuckDB's range is empty (q126 gotcha)
+      val top = cur
+        .select(col("freq"), split(trim(col("sym")), "  ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((r, a, b, top(0).getLong(2)))
+        val next = cur
+          .withColumn("rpat", lit(s" $a  $b "))
+          .withColumn("rrep", lit(s" $a$b "))
+          .select(col("freq"), expr("replace(sym, rpat, rrep)").as("sym"))
+          .persist()
+        next.count()
+        cur.unpersist(false)
+        cur = next
+      }
+      r += 1
+    }
+    cur.unpersist(false)
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
+  /** The unrolled DuckDB twin of [[bpeTrainMerges]]: one
+    * (pairs -> argmax-by-scalar-subquery -> replace) CTE stage per
+    * round, generated for the same `nMerges` so operator and oracle
+    * cannot drift. Every CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and each round references its predecessor several times
+    * (the scalar subqueries), so inlining would re-expand the whole
+    * chain exponentially. */
+  private[operators] def bpeMergesOracle(nMerges: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT freq,
+        |    '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+        |      AS sym
+        |  FROM (SELECT word, count(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |              FROM documents)
+        |        WHERE len(word) >= 1 GROUP BY word))""".stripMargin
+    val stages = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+         |        FROM (SELECT freq, string_split(trim(sym), '  ') AS l
+         |              FROM w${r - 1})
+         |        WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT freq, replace(sym,
+         |    ' ' || (SELECT a FROM m$r) || '  ' || (SELECT b FROM m$r) || ' ',
+         |    ' ' || (SELECT a FROM m$r) || (SELECT b FROM m$r) || ' ') AS sym
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val union = (1 to nMerges).map { r =>
+      s"SELECT $r AS merge_round, a AS left_sym, b AS right_sym, " +
+        s"cnt AS pair_count FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $w0,
+       |${stages.mkString(",\n")}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** Temperature-scaled source mixture weights — the data-mixing step
     * of a pretraining pipeline (sample source s with p ∝ n_s^α,
     * α=0.5 up-weights low-resource sources). The denominator is a
@@ -483,10 +606,13 @@ object CorpusSignals {
     "q135_dup_span_coverage" ->
       ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
     "q138_line_dedup_rewrite" ->
-      ((s, d) => lineDedupRewrite(Tables(s, d).documents))
+      ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
+    "q157_bpe_merges" -> ((s, d) =>
+      bpeTrainMerges(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q157_bpe_merges" -> bpeMergesOracle(10),
     "q138_line_dedup_rewrite" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

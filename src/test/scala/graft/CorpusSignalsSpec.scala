@@ -154,6 +154,38 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(kept == distinctLines && kept > 0)
   }
 
+  test("BPE training reproduces the Sennrich merge sequence") {
+    // the worked example of arXiv:1508.07909 §3.2 (no </w> marker):
+    // {low:5, lower:2, newest:6, widest:3}. Pair counts give
+    // (e,s)=9 tying (s,t)=9 -> lexicographic tie-break picks (e,s);
+    // then (es,t)=9; then (l,o)=7 tying (o,w)=7 -> (l,o); then (lo,w).
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq(text).toDF("text")
+    val merges = CorpusSignals.bpeTrainMerges(corpus, nMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("BPE merge replace handles back-to-back pair occurrences") {
+    // "a a a a" must merge to "aa aa" (greedy left-to-right), which is
+    // exactly what the double-space encoding guarantees; a single-space
+    // encoding would consume the shared boundary and produce "aa a a"
+    import spark.implicits._
+    val corpus = Seq("aaaa aaa").toDF("text")
+    val merges = CorpusSignals.bpeTrainMerges(corpus, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // round 1: (a,a) appears 3x in aaaa + 2x in aaa = 5 votes;
+    // merged greedily: aaaa -> "aa aa", aaa -> "aa a".
+    // round 2 pairs: (aa,aa)=1, (aa,a)=1 -> tie-break picks (aa,a)
+    assert(merges == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L)))
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(
