@@ -327,7 +327,95 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PageRank over the similarity graph — the iterative-graph flagship
+    * next to [[triangleCounts]] (one-shot) and [[Dedup.dupClusters]]
+    * (convergence-driven): fixed `iters` damped rounds of
+    * pr(v) = (1-d)/N + d · Σ_{u~v} pr(u)/deg(u) on the undirected
+    * cosine graph at `threshold`. Every node on the graph has degree
+    * ≥ 1 (edges are symmetrized pairs), so there are no dangling
+    * nodes and mass is conserved by construction.
+    *
+    * Each round is one equi-join (edges ⨝ ranks on src) + one
+    * dst-keyed aggregate; rounds `localCheckpoint` eagerly, so
+    * lineage stays one round deep (the [[Dedup.dupClusters]] round
+    * discipline). The neighbor sum is a 0.0-seeded fold over the
+    * src-SORTED contribution list — float addition is order-dependent,
+    * and pinning the order is what makes the result bit-identical to
+    * the DuckDB oracle's identical fold (the q127/q140 determinism
+    * pattern). At 100 TB you would trade that pin for a plain `sum`
+    * (partial-aggregatable, map-side combine) and accept 1-ulp run
+    * variance; the fold tier is the oracle-exact proof of the
+    * algebra. Per-node state is degree-bounded, shuffles are edge-
+    * sized — the standard distributed PageRank budget. */
+  def pageRank(embeddings: DataFrame, threshold: Double = 0.3,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    val n = withDeg.select(col("src")).distinct().count()
+    var pr = withDeg.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      pr = withDeg.join(pr, withDeg("src") === pr("id"))
+        .select(col("dst"), col("src"),
+          (col("pr") / col("deg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+        .select(col("dst").as("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("s")).as("pr"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    withDeg.unpersist(false)
+    pr.select(col("id").as("vec_id"), col("pr").as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled DuckDB twin of [[pageRank]] (same `iters`, so
+    * operator and oracle cannot drift); MATERIALIZED CTEs for the
+    * same inlining-blowup reason as the BPE oracle. */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT dst AS id,
+         |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn) + 0.85 *
+         |      list_reduce(list_prepend(0.0, list(contrib ORDER BY src)),
+         |        (a, b) -> a + b) AS pr
+         |  FROM (SELECT e.dst, e.src, p.pr / e.deg AS contrib
+         |        FROM ed e JOIN pr${r - 1} p ON e.src = p.id)
+         |  GROUP BY dst)""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${simSql("a", "b")} >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg FROM edges e
+       |  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src) d ON e.src = d.src),
+       |nn AS MATERIALIZED (SELECT count(DISTINCT src) AS n FROM edges),
+       |pr0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id,
+       |    CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM edges),
+       |${rounds.mkString(",\n")}
+       |SELECT id AS vec_id, pr AS pagerank FROM pr$iters
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_pagerank" ->
+      ((s, d) => pageRank(Tables(s, d).embeddings)),
     "q152_triangle_counts" ->
       ((s, d) => triangleCounts(Tables(s, d).embeddings)),
     "q146_nearest_centroid" ->
@@ -348,6 +436,7 @@ object Similarity {
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "q158_pagerank" -> pageRankOracle(3),
     "q152_triangle_counts" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2

@@ -130,4 +130,32 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (id, rep, _) => id -> rep }.toMap
     assert(withTwin(999999L) == withTwin(7L) && !withTwin.get(7L).contains(999999L))
   }
+
+  test("pageRank on a hand path graph matches the scalar recurrence") {
+    // cosines: (1,2)=0.8, (2,3)=0.6, (1,3)=0 -> path 1-2-3 at t=0.5
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.8f, 0.6f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pageRank(emb, threshold = 0.5, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // scalar replay: deg = (1, 2, 1), teleport = 0.15/3
+    var p = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    val tp = (1.0 - 0.85) / 3
+    (1 to 3).foreach { _ =>
+      p = Map(
+        1L -> (tp + 0.85 * (p(2L) / 2)),
+        2L -> (tp + 0.85 * (p(1L) / 1 + p(3L) / 1)),
+        3L -> (tp + 0.85 * (p(2L) / 2)))
+    }
+    assert(got.keySet == p.keySet)
+    p.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-15) }
+    // symmetry of the path: the two leaves tie exactly
+    assert(got(1L) == got(3L))
+  }
+
+  test("pageRank conserves probability mass on the corpus graph") {
+    val pr = Similarity.pageRank(t.embeddings).as[(Long, Double)].collect()
+    assert(pr.nonEmpty)
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
