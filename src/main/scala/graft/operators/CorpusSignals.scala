@@ -345,6 +345,42 @@ object CorpusSignals {
        |ORDER BY merge_round""".stripMargin
   }
 
+  /** Pairwise source-overlap matrix: exact 3-gram Jaccard between
+    * every pair of sources — the corpus-governance diagnostic behind
+    * "are these two crawls the same data?" (dataset-level, where
+    * q26/q28 are document-level). Unit is the DISTINCT (source, gram)
+    * set; intersections come from the gram-keyed self-join (a gram
+    * common to k sources contributes k(k-1)/2 pair votes — bounded by
+    * |sources|² per gram, never by corpus size), unions by
+    * inclusion-exclusion from the per-source set sizes. Pairs with
+    * empty intersection don't join and are correctly absent. At
+    * 100 TB the gram key becomes a 64-bit hash and every aggregate
+    * here partial-aggregates; the output is |sources|² rows — a
+    * driver-displayable matrix from any corpus size. */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t)-2), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2)))")).as("g"))
+      .distinct()
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = g.toDF("s1", "g")
+      .join(g.toDF("s2", "g"), "g")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("s1", "n1"), "s1")
+      .join(sizes.toDF("s2", "n2"), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Temperature-scaled source mixture weights — the data-mixing step
     * of a pretraining pipeline (sample source s with p ∝ n_s^α,
     * α=0.5 up-weights low-resource sources). The denominator is a
@@ -608,11 +644,35 @@ object CorpusSignals {
     "q138_line_dedup_rewrite" ->
       ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
     "q157_bpe_merges" -> ((s, d) =>
-      bpeTrainMerges(Tables(s, d).documents))
+      bpeTrainMerges(Tables(s, d).documents)),
+    "q159_source_overlap" -> ((s, d) =>
+      sourceOverlapMatrix(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q157_bpe_merges" -> bpeMergesOracle(10),
+    "q159_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 3)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM g GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, x.n AS n1, y.n AS n2, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE)
+        |    AS jaccard
+        |FROM inter JOIN sizes x ON inter.s1 = x.source
+        |JOIN sizes y ON inter.s2 = y.source
+        |ORDER BY s1, s2""".stripMargin,
     "q138_line_dedup_rewrite" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

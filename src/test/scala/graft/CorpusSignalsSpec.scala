@@ -186,6 +186,34 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(merges == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L)))
   }
 
+  test("source overlap: a cloned source scores jaccard 1.0 against itself") {
+    import spark.implicits._
+    val base = docs.limit(50)
+    val clone = base.withColumn("source", lit("srcCLONE"))
+    val m = CorpusSignals.sourceOverlapMatrix(base.unionByName(clone))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    // every original source s shares its whole gram set with the clone
+    // superset, so J(s, clone) = |s| / |clone| and J in (0, 1]; the
+    // clone vs the union of originals is exactly 1.0 only when one
+    // original source covers everything -- instead assert the defining
+    // identity on every emitted pair from the per-pair counts
+    val rows = CorpusSignals.sourceOverlapMatrix(base.unionByName(clone))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, ni, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(j == ni.toDouble / (n1 + n2 - ni) && j > 0.0 && j <= 1.0)
+    }
+    // a source's grams are a subset of the clone's, so intersection
+    // size equals the source's own set size for every (s, srcCLONE)
+    val vsClone = rows.filter(_.getString(1) == "srcCLONE")
+    assert(vsClone.nonEmpty)
+    vsClone.foreach(r => assert(r.getLong(4) == r.getLong(2)))
+    assert(m.values.forall(v => v > 0.0 && v <= 1.0))
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(
