@@ -327,6 +327,150 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Slice the corpus into (vec_id, sub, subvector) rows — the long
+    * layout every PQ stage shares. */
+  private def pqSubvectors(embeddings: DataFrame, m: Int): DataFrame = {
+    val dsub = Dim / m
+    embeddings.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(" +
+        s"CAST(s AS INT) AS sub, " +
+        s"slice(embedding, s*$dsub + 1, $dsub) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Squared L2 between a float subvector and a double centroid. */
+  private def subDist2(sv: Column, centroid: Column): Column =
+    aggregate(
+      zip_with(sv, centroid, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Nearest codebook cell per (vector, subspace): broadcast the
+    * m·ksub codebook, argmin by (dist2, cell) — total and
+    * deterministic. */
+  def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"),
+        subDist2(col("sv"), col("centroid")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+
+  /** Product-quantization codebooks (Jégou et al. 2011, TPAMI 33(1),
+    * "Product Quantization for Nearest Neighbor Search"): the vector
+    * space splits into `m` subspaces of Dim/m dims; each subspace gets
+    * its own `ksub`-centroid L2 k-means codebook. A vector then
+    * compresses to m small codes (m bytes at ksub=256; here 16 cells
+    * keep the demo readable) — 64·4 bytes -> m bytes, the standard
+    * billion-scale ANN memory layout.
+    *
+    * All m subspaces train in the SAME Lloyd rounds: one exploded
+    * (vec_id, sub, subvector) frame, one broadcast-join argmin
+    * assignment, one (sub, cell, pos)-keyed recenter — per-round cost
+    * is a constant number of corpus passes regardless of m. Between
+    * rounds only m·ksub·(Dim/m) = Dim·ksub doubles collect (model
+    * parameters, the [[kmeansCentroids]] class), which also truncates
+    * the iteration lineage. Seeds are the first ksub vectors' slices
+    * (deterministic). */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val subs = pqSubvectors(embeddings, m).persist()
+    var cb = subs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        transform(col("sv"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val rows = pqAssign(subs, cb)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("x")).as("mv"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+          .as("pm"))
+        .select(col("sub"), col("cell"),
+          transform(col("pm"), s => s.getField("mv")).as("centroid"))
+        .collect()
+      cb = spark.range(1).select(explode(array(rows.toSeq.map { r =>
+          struct(lit(r.getAs[Int]("sub")).as("sub"),
+            lit(r.getAs[Int]("cell")).as("cell"),
+            typedLit(r.getAs[Seq[Double]]("centroid")).as("centroid"))
+        }: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          col("e.centroid").as("centroid"))
+    }
+    subs.unpersist(false)
+    cb
+  }
+
+  /** PQ-encode the corpus: each vector as its m-code word (CSV string
+    * so the harness can sort scalar rows). 4·Dim bytes -> m codes per
+    * vector; at 100 TB the codes column plus the m·ksub codebook IS
+    * the searchable index, and the raw vectors page in only for
+    * reranking. */
+  def pqCodes(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val cb = pqCodebooks(embeddings, m, ksub, iters)
+    pqAssign(pqSubvectors(embeddings, m), cb)
+      .groupBy(col("vec_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell").cast("string")), ",").as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k with exact rerank: each query
+    * precomputes an m × ksub distance TABLE against the codebook
+    * (model-sized, broadcast); a corpus vector's approximate distance
+    * is then m table lookups summed — the corpus is scanned as CODES,
+    * never as vectors. The `rerank·k` best ADC candidates then pull
+    * their raw vectors for an exact L2 pass (the [[annRandomHyperplane]]
+    * shortlist-then-verify tier — only the shortlist ever touches
+    * full vectors). The per-(query, vector) ADC sum folds over the
+    * sub-sorted contribution list so results are run-deterministic
+    * (q127 pattern); ties and the final order break on neighbor_id. */
+  def pqAdcTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerank: Int = 4): DataFrame = {
+    val cb = pqCodebooks(embeddings, m, ksub, iters)
+    val codes = pqAssign(pqSubvectors(embeddings, m), cb)
+    val table = pqSubvectors(
+        embeddings.filter(col("vec_id") < nQueries), m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("cell"),
+        subDist2(col("sv"), col("centroid")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = codes.join(broadcast(table), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    shortlist
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        subDist2(col("nv"), transform(col("qv"),
+          x => x.cast("double"))).as("d2"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("d2"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PageRank over the similarity graph — the iterative-graph flagship
     * next to [[triangleCounts]] (one-shot) and [[Dedup.dupClusters]]
     * (convergence-driven): fixed `iters` damped rounds of
@@ -416,6 +560,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pagerank" ->
       ((s, d) => pageRank(Tables(s, d).embeddings)),
+    "q160_pq_codes" ->
+      ((s, d) => pqCodes(Tables(s, d).embeddings)),
+    "q161_pq_adc_topk" ->
+      ((s, d) => pqAdcTopK(Tables(s, d).embeddings)),
     "q152_triangle_counts" ->
       ((s, d) => triangleCounts(Tables(s, d).embeddings)),
     "q146_nearest_centroid" ->

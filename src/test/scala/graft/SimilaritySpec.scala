@@ -153,6 +153,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) == got(3L))
   }
 
+  test("PQ codes are well-formed and deterministic") {
+    val codes = Similarity.pqCodes(t.embeddings, m = 8, ksub = 16)
+      .as[(Long, String)].collect()
+    assert(codes.length == t.embeddings.count())
+    codes.foreach { case (_, cs) =>
+      val parts = cs.split(",")
+      assert(parts.length == 8)
+      parts.foreach(p => assert(p.toInt >= 0 && p.toInt < 16))
+    }
+    val again = Similarity.pqCodes(t.embeddings, m = 8, ksub = 16)
+      .as[(Long, String)].collect()
+    assert(codes.toSeq == again.toSeq)
+  }
+
+  test("PQ-ADC: a planted exact twin attains the minimal asymmetric distance") {
+    // a twin of query vector 3 shares its codes, and the vector whose
+    // codes are the query's own per-subspace argmin cells minimizes
+    // the ADC sum by construction
+    val twin = t.embeddings.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(888888L))
+    val res = Similarity.pqAdcTopK(t.embeddings.union(twin), nQueries = 5)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val q3 = res.filter(_._1 == 3L)
+    assert(q3.nonEmpty)
+    // the twin shares q3's codes -> survives the ADC shortlist with the
+    // minimal asymmetric distance, and exact rerank puts it at rank 1
+    // with distance exactly zero
+    val twinRow = q3.find(_._3 == 888888L)
+    assert(twinRow.nonEmpty, "twin missing from q3's top-k")
+    assert(twinRow.get._2 == 1 && twinRow.get._4 == 0.0)
+    assert(twinRow.get._5 == q3.map(_._5).min)
+  }
+
+  test("PQ-ADC recall against exact L2 top-k is usable") {
+    val k = 5
+    val adc = Similarity.pqAdcTopK(t.embeddings, nQueries = 10, k = k)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val exact = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      val top = vecs.iterator.filter(_._1 != q).map { case (id, v) =>
+        val d = qv.zip(v).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x
+        }.sum
+        (d, id)
+      }.toSeq.sortBy(identity).take(k).map(_._2).toSet
+      q -> top
+    }.toMap
+    val recall = (0L until 10L).map(q =>
+      (adc(q) & exact(q)).size.toDouble / k).sum / 10
+    assert(recall >= 0.3, s"ADC recall@$k = $recall")
+  }
+
   test("pageRank conserves probability mass on the corpus graph") {
     val pr = Similarity.pageRank(t.embeddings).as[(Long, Double)].collect()
     assert(pr.nonEmpty)
