@@ -11,6 +11,26 @@ class ScalePatternsSpec extends AnyFunSuite {
 
   private def t = Tables(spark, "/root/testdata/sf0.001")
 
+  test("bucketed join: SortMergeJoin with ZERO exchanges under the join") {
+    val sf = "/root/testdata/sf0.001"
+    val joined = ScalePatterns.bucketedJoin(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // same rows as the unbucketed join
+    val plain = Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(Tables(spark, sf).orders
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+    // the aggregated query's ONLY exchange is the custkey rollup
+    val aggPlan = ScalePatterns.bucketedCustomerVolume(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(aggPlan).length
+    assert(nEx <= 2, s"expected only rollup+sort exchanges:\n$aggPlan")
+  }
+
   test("salted join output equals the unsalted join") {
     val salted = ScalePatterns.saltedSkewJoin(t)
     val plain = t.lineitem
