@@ -381,6 +381,43 @@ object CorpusSignals {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Token-distribution drift between two corpus snapshots, per
+    * source: total-variation distance
+    * TVD = ½ Σ_w |p_old(w) − p_new(w)| over the union vocabulary —
+    * the distribution-shift monitor a training pipeline runs when a
+    * crawl refreshes (KL needs a log whose last bits differ across
+    * engines; TVD is +,−,×,÷ only, so it pins bit-exactly). Counts
+    * come from two partial-aggregatable (source, word) groupBys and a
+    * full-outer join (absent words count 0 on their side); the final
+    * sum folds over the word-SORTED per-source diff list (float
+    * addition is order-dependent — the q127 pin), so per-group state
+    * is VOCABULARY-sized, not corpus-sized (the Zipf bound that makes
+    * per-source vocab lists collectable at any corpus scale; past
+    * that, drop the pin for a plain sum and accept ulp variance). */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def counts(df: DataFrame, cn: String) = df
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as(cn))
+    val o = counts(oldDocs, "c_old")
+    val n = counts(newDocs, "c_new")
+    val ot = o.groupBy(col("source")).agg(sum(col("c_old")).as("tot_old"))
+    val nt = n.groupBy(col("source")).agg(sum(col("c_new")).as("tot_new"))
+    o.join(n, Seq("source", "w"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .join(broadcast(ot), "source")
+      .join(broadcast(nt), "source")
+      .select(col("source"), col("w"),
+        abs(col("c_old").cast("double") / col("tot_old").cast("double") -
+          col("c_new").cast("double") / col("tot_new").cast("double"))
+          .as("diff"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        (lit(0.5) * aggregate(
+          array_sort(collect_list(struct(col("w"), col("diff")))),
+          lit(0.0), (acc, x) => acc + x.getField("diff"))).as("tvd"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-scaled source mixture weights — the data-mixing step
     * of a pretraining pipeline (sample source s with p ∝ n_s^α,
     * α=0.5 up-weights low-resource sources). The denominator is a
@@ -646,11 +683,58 @@ object CorpusSignals {
     "q157_bpe_merges" -> ((s, d) =>
       bpeTrainMerges(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
-      sourceOverlapMatrix(Tables(s, d).documents))
+      sourceOverlapMatrix(Tables(s, d).documents)),
+    // snapshot perturbation = the q124 pattern: every 97th doc leaves
+    // the corpus, every 31st gets an edit suffix
+    "q163_token_drift" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      tokenDrift(docs, docs
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(31)) === 0,
+            concat(col("text"), lit(" refreshed crawl content")))
+            .otherwise(col("text"))))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
     "q157_bpe_merges" -> bpeMergesOracle(10),
+    "q163_token_drift" ->
+      """WITH newdocs AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 31 = 0
+        |         THEN text || ' refreshed crawl content'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |co AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c_old
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |cn AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c_new
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM newdocs)
+        |  GROUP BY 1, 2),
+        |tot_o AS (SELECT source, CAST(SUM(c_old) AS BIGINT) AS t
+        |          FROM co GROUP BY 1),
+        |tot_n AS (SELECT source, CAST(SUM(c_new) AS BIGINT) AS t
+        |          FROM cn GROUP BY 1),
+        |diffs AS (
+        |  SELECT j.source, j.w,
+        |    abs(CAST(COALESCE(j.c_old, 0) AS DOUBLE) / CAST(o.t AS DOUBLE)
+        |      - CAST(COALESCE(j.c_new, 0) AS DOUBLE) / CAST(n.t AS DOUBLE))
+        |      AS diff
+        |  FROM (SELECT COALESCE(co.source, cn.source) AS source,
+        |          COALESCE(co.w, cn.w) AS w, c_old, c_new
+        |        FROM co FULL OUTER JOIN cn
+        |          ON co.source = cn.source AND co.w = cn.w) j
+        |  JOIN tot_o o ON j.source = o.source
+        |  JOIN tot_n n ON j.source = n.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  0.5 * list_reduce(list_prepend(0.0, list(diff ORDER BY w)),
+        |    (a, b) -> a + b) AS tvd
+        |FROM diffs GROUP BY source ORDER BY source""".stripMargin,
     "q159_source_overlap" ->
       """WITH g AS (
         |  SELECT DISTINCT source, g FROM (

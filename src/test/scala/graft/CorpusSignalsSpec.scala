@@ -214,6 +214,22 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(m.values.forall(v => v > 0.0 && v <= 1.0))
   }
 
+  test("token drift: TVD is 0 for identical and 1 for disjoint snapshots") {
+    import spark.implicits._
+    val a = Seq(("s", "x y z"), ("s", "x x")).toDF("source", "text")
+    val same = CorpusSignals.tokenDrift(a, a).collect()
+    assert(same.map(_.getDouble(2)).forall(_ == 0.0))
+    val b = Seq(("s", "p q"), ("s", "r")).toDF("source", "text")
+    val disjoint = CorpusSignals.tokenDrift(a, b).collect()
+    assert(disjoint.map(_.getDouble(2)).forall(_ == 1.0))
+    // hand case: old {x:3/5, y:1/5, z:1/5}, new {x:1/3, y:1/3, q:1/3}
+    val c = Seq(("s", "x y q")).toDF("source", "text")
+    val tvd = CorpusSignals.tokenDrift(a, c).head.getDouble(2)
+    val expect = 0.5 * (math.abs(3.0 / 5 - 1.0 / 3) +
+      math.abs(1.0 / 5 - 1.0 / 3) + 1.0 / 5 + 1.0 / 3)
+    assert(math.abs(tvd - expect) < 1e-15)
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(
