@@ -639,6 +639,67 @@ object CorpusSignals {
       .orderBy(col("term"))
   }
 
+  /** BM25 ranked retrieval (Robertson-Spärck Jones): the first
+    * `nQueries` documents act as bag-of-words queries against the
+    * whole corpus, each corpus document scored by
+    * Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    * and the top `k` per query returned — the search tier a curation
+    * pipeline uses for example-based mining and dedup adjudication.
+    *
+    * Cross-engine exactness: idf is the RATIONAL form
+    * (N − df + 0.5)/(df + 0.5) rather than its ln — one IEEE-exact
+    * division instead of a libm transcendental (the q140
+    * probability-not-logprob trade; same monotonicity, so ranking
+    * semantics survive). avgdl = integer token sum / N is one exact
+    * division on identical inputs, and the per-(query, doc) score
+    * folds over the TERM-sorted contribution list (q127 pattern) so
+    * the float sum is order-pinned. Ties and output order break on
+    * doc_id.
+    *
+    * Scale: tf/df/doclen are partial-aggregatable token-keyed
+    * groupBys (one corpus scan); candidate scoring touches only
+    * documents sharing ≥1 query term (the postings intersection, not
+    * the corpus), keyed by term then (query, doc); the top-k window
+    * is query-keyed — per-query state is candidate-sized, and the
+    * 1-row (N, avgdl) relation broadcasts. */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+    val contrib = qterms.join(tf, "t").join(df, "t").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("t"),
+        (((col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+              col("avgdl")))).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("t"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic N-per-group sample: the first `n` docs per
     * language under an md5 ordering — reproducible on any engine and
     * stable as the corpus grows (a doc's hash never changes), unlike
@@ -682,6 +743,8 @@ object CorpusSignals {
       ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
     "q157_bpe_merges" -> ((s, d) =>
       bpeTrainMerges(Tables(s, d).documents)),
+    "q165_bm25_topk" -> ((s, d) =>
+      bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
       sourceOverlapMatrix(Tables(s, d).documents)),
     // snapshot perturbation = the q124 pattern: every 97th doc leaves
@@ -699,6 +762,53 @@ object CorpusSignals {
 
   val oracleSql: Map[String, String] = Map(
     "q157_bpe_merges" -> bpeMergesOracle(10),
+    // rational idf + order-pinned fold => bit-exact; the (1.2 + 1.0)
+    // style subexpressions are spelled as the SAME IEEE ops Spark's
+    // plan computes, never pre-evaluated decimal literals
+    "q165_bm25_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |dfr AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qterms AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents WHERE doc_id < 5),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id, tf.t,
+        |    ((CAST(s.n AS DOUBLE) - tf2.df + 0.5)
+        |      / (CAST(tf2.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |        + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS c
+        |  FROM qterms q
+        |  JOIN tf ON tf.t = q.t
+        |  JOIN dfr tf2 ON tf2.t = q.t
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0, list(c ORDER BY t)),
+        |      (a, b) -> a + b) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+        |FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q163_token_drift" ->
       """WITH newdocs AS (
         |  SELECT source,

@@ -224,6 +224,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-WEIGHTED deterministic sampling: each document is kept
+    * with probability proportional to its [[qualityScores]] score —
+    * the data-mixing move that up-samples high-quality text (the
+    * GPT-3 curation step, Brown et al. 2020, arXiv:2005.14165 §2.2,
+    * samples filtered corpora in proportion to quality), made
+    * REPRODUCIBLE: keep iff `hash(doc_id) mod 10000 <
+    * floor(quality · 10000 · scale)`. Both sides of the comparison
+    * are integers — the md5-prefix bucket is the q101/q134 portable
+    * hash (with its own `wsamp:` salt, so membership is independent
+    * of the split and stratified-sample buckets), and the threshold
+    * is exact because `quality` is bit-identical cross-engine (the
+    * q22 oracle pins it) and ·10⁴·scale + floor are exact IEEE ops
+    * on those bits. Pure narrow projection — no shuffle, no RNG
+    * state, membership stable as the corpus grows. */
+  def weightedQualitySample(t: Tables, scale: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, w => w === "a" || w === "the")).cast("double") /
+        nTokens
+    val quality = qualityScore(nTokens, ttr, stopRatio)
+    val bucket = conv(substring(md5(concat_ws("", lit("wsamp:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10000
+    t.documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        quality.as("quality"), bucket.as("bucket"))
+      .filter(col("bucket") <
+        floor(col("quality") * lit(10000.0) * lit(scale)))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget batch packing: documents in doc_id order are packed
     * greedily into batches of at most ~`budget` tokens (running
     * cumulative token count, batch = floor(cum / budget)) — the shape
@@ -378,6 +411,8 @@ object TextAnalysis {
     "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
     "q134_hash_stratified" ->
       ((s, d) => hashStratifiedSample(Tables(s, d).documents)),
+    "q164_weighted_sample" ->
+      ((s, d) => weightedQualitySample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
@@ -503,6 +538,25 @@ object TextAnalysis {
         |  s.avg_prob
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q164_weighted_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id, lang, source,
+        |      len(toks) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |      CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the'))
+        |        AS DOUBLE) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, lang, source,
+        |            string_split(text, ' ') AS toks FROM documents)))
+        |SELECT doc_id, lang, source, quality
+        |FROM scored
+        |WHERE CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 10000 < floor(quality * 10000.0 * 0.5)
+        |ORDER BY doc_id""".stripMargin,
     "q134_hash_stratified" ->
       """SELECT doc_id, lang, source
         |FROM documents

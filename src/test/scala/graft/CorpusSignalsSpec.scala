@@ -230,6 +230,41 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(math.abs(tvd - expect) < 1e-15)
   }
 
+  test("BM25: self-retrieval wins, tf orders equal-length docs, " +
+    "no-term docs never appear") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "zebra quark"), // the query doc: both terms, shortest
+      (10L, "zebra zebra filler pad"), // tf(zebra)=2, dl=4
+      (11L, "zebra filler filler pad"), // tf(zebra)=1, dl=4
+      (12L, "pad pad pad pad")) // shares no query term
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.bm25TopK(corpus, nQueries = 1, k = 10)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 0 matches both terms at dl=2; 10 beats 11 on tf saturation
+    // at identical length; 12 has no matching term so it is absent
+    assert(got == Seq((0L, 1L, 0L), (0L, 2L, 10L), (0L, 3L, 11L)))
+  }
+
+  test("BM25: rarer term outranks common term at equal tf and length") {
+    import spark.implicits._
+    // 'rare' df=2 (query + one doc); 'common' df=5
+    val corpus = Seq(
+      (0L, "rare common"),
+      (10L, "rare pad pad"),
+      (11L, "common pad pad"),
+      (12L, "common x1 y1"),
+      (13L, "common x2 y2"),
+      (14L, "common x3 y3"))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.bm25TopK(corpus, nQueries = 1, k = 10)
+      .filter(col("doc_id").isin(10L, 11L))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got(10L) < got(11L),
+      s"rare-term doc ranked ${got(10L)} vs common-term ${got(11L)}")
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(

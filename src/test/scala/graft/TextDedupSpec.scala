@@ -238,6 +238,29 @@ class TextDedupSpec extends AnyFunSuite {
       s"en keep rate ${enKept / en} far from 0.2")
   }
 
+  test("weightedQualitySample: growth-stable, rate tracks quality, " +
+    "scale=0 keeps nothing") {
+    val docs = Tables(spark, sf)
+    val kept = TextAnalysis.weightedQualitySample(docs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // membership is a pure per-row function: re-evaluation and corpus
+    // growth never flip existing rows
+    assert(TextAnalysis.weightedQualitySample(docs)
+      .select("doc_id").as[Long].collect().toSet == keptIds)
+    // aggregate keep rate ≈ scale · mean(quality): binomial-loose
+    val q = TextAnalysis.qualityScores(docs)
+      .agg(avg("quality")).head.getDouble(0)
+    val n = docs.documents.count().toDouble
+    val rate = keptIds.size / n
+    assert(rate > 0.5 * q * 0.5 && rate < 1.5 * q * 0.5,
+      s"keep rate $rate far from ${0.5 * q}")
+    // the kept population is quality-SKEWED upward vs the corpus
+    val keptQ = kept.agg(avg("quality")).head.getDouble(0)
+    assert(keptQ >= q, s"sampled mean $keptQ below corpus mean $q")
+    assert(TextAnalysis.weightedQualitySample(docs, scale = 0.0)
+      .count() == 0L)
+  }
+
   test("docVectors: bag-of-words invariance routes permuted copies to one vector") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
