@@ -523,6 +523,45 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Multi-source BFS hop distances on the similarity graph — the
+    * "how far is everything from my seed set" primitive (taxonomy
+    * expansion from labeled seeds, contamination blast-radius,
+    * crawl-frontier depth). Classic frontier relaxation: dist₀ =
+    * {seed → 0}, each round joins the current distances to the edge
+    * list and keeps the per-node minimum — after r rounds dist(v) =
+    * length of the shortest walk ≤ r, so `maxHops` rounds compute
+    * exact BFS distances truncated at maxHops (unreached nodes are
+    * absent, both engines). All-integer arithmetic: hash-exact
+    * against a recursive-CTE oracle with no float caveats at all.
+    *
+    * Scale: the O(n²) pair join materializes ONCE (localCheckpoint)
+    * and each round is one equi-join on src + one min groupBy —
+    * frontier-paced, edge-sized shuffles, lineage one round deep (the
+    * [[pageRank]]/[[Dedup.dupClustersWithRounds]] round discipline).
+    * At 100 TB the edge list is the persisted similarity-graph
+    * artifact and rounds run on it unchanged. */
+  def bfsHops(embeddings: DataFrame, threshold: Double = 0.3,
+      nSources: Int = 3, maxHops: Int = 4): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var dist = embeddings.filter(col("vec_id") < nSources)
+      .select(col("vec_id").as("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < maxHops) {
+      dist = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
+        .union(dist)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist.select(col("id").as("vec_id"), col("hops"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The unrolled DuckDB twin of [[pageRank]] (same `iters`, so
     * operator and oracle cannot drift); MATERIALIZED CTEs for the
     * same inlining-blowup reason as the BPE oracle. */
@@ -560,6 +599,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pagerank" ->
       ((s, d) => pageRank(Tables(s, d).embeddings)),
+    "q166_bfs_hops" ->
+      ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q160_pq_codes" ->
       ((s, d) => pqCodes(Tables(s, d).embeddings)),
     "q161_pq_adc_topk" ->
@@ -585,6 +626,21 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q158_pagerank" -> pageRankOracle(3),
+    "q166_bfs_hops" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${simSql("a", "b")} >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |walk(id, d) AS (
+         |  SELECT vec_id, 0 FROM embeddings WHERE vec_id < 3
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w
+         |  JOIN edges e ON e.src = w.id WHERE w.d < 4)
+         |SELECT id AS vec_id, CAST(MIN(d) AS BIGINT) AS hops
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
     "q152_triangle_counts" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2

@@ -153,6 +153,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) == got(3L))
   }
 
+  test("bfsHops: exact hop counts on a hand path graph, truncated at maxHops") {
+    // v_i = e_i + e_{i+1}: cos with the next node is 0.5, with anything
+    // farther 0 -> the similarity graph at t=0.4 is the path 0-1-2-3-4-5
+    val emb = (0L to 5L).map { i =>
+      val v = Array.fill(8)(0f); v(i.toInt) = 1f; v(i.toInt + 1) = 1f
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.bfsHops(emb, threshold = 0.4, nSources = 1,
+      maxHops = 3).as[(Long, Long)].collect().toMap
+    // nodes 4 and 5 are 4 and 5 hops out -> truncated away
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // isolated source: a seed with no edges still reports distance 0
+    val lone = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val loneGot = Similarity.bfsHops(lone, threshold = 0.5, nSources = 1,
+      maxHops = 2).as[(Long, Long)].collect().toMap
+    assert(loneGot == Map(0L -> 0L))
+  }
+
   test("PQ codes are well-formed and deterministic") {
     val codes = Similarity.pqCodes(t.embeddings, m = 8, ksub = 16)
       .as[(Long, String)].collect()
