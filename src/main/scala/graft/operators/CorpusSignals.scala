@@ -440,6 +440,95 @@ object CorpusSignals {
       .orderBy(col("source"))
   }
 
+  /** Data-selection importance weights, DSIR shape (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like
+    * its unigram distribution is, where "target" is the `targetSource`
+    * slice and "raw" is everything else. Per word, the add-one-
+    * smoothed likelihood ratio p_target(w)/p_raw(w) over the JOINT
+    * vocabulary; per document, the ratio summed over token
+    * OCCURRENCES (repeats count) and its per-token mean. DSIR sums
+    * log-ratios; the ratio sum is the same ranking signal with the
+    * logs traded for IEEE divisions both engines compute identically
+    * (the q140 no-ln discipline), which is what makes the scores
+    * hash-exact instead of libm-dependent.
+    *
+    * The per-doc sum folds over the word-sorted occurrence list —
+    * order pinned for cross-engine bit-exactness (q127 pattern; ties
+    * share a word, hence a value, so tie order cannot matter). At
+    * 100 TB you'd trade the fold for a plain partial-aggregatable
+    * `sum` and broadcast the (vocab-sized) ratio table as a map-side
+    * join — the shuffles here are already O(tokens), same order as
+    * reading the corpus. */
+  def importanceWeights(docs: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val isT = col("source") === targetSource
+    val counts = toks.groupBy(col("w")).agg(
+      count(when(isT, 1)).as("ct"),
+      count(when(!isT, 1)).as("cr"))
+    val totals = counts.agg(
+      count(lit(1)).as("v"),
+      sum(col("ct")).as("t"),
+      sum(col("cr")).as("r"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (((col("ct") + 1L).cast("double") /
+          (col("t") + col("v")).cast("double")) /
+          ((col("cr") + 1L).cast("double") /
+            (col("r") + col("v")).cast("double"))).as("ratio"))
+    toks.filter(!isT)
+      .join(ratios, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("w"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        (col("score") / col("n_tokens").cast("double")).as("mean_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MATERIALIZE the [[sourceMixtureWeights]] mixture: one epoch of
+    * training data where each source contributes ~weight·N rows, as
+    * explicit (doc_id, copy) repetitions — the step that turns a
+    * mixture table into the dataset a trainer actually reads
+    * (over-sampled sources repeat, fractional remainders go to a
+    * deterministic md5-ranked subset, so reruns and engines agree on
+    * EXACTLY which docs get the extra copy).
+    *
+    * All post-weight arithmetic is integer (floor targets, `div`/`%`
+    * copy splits), so the only float step is the weight itself —
+    * already bit-exact per q127 — and the whole materialization
+    * oracle-checks hash-exact.
+    *
+    * Scale: weights/targets are |sources|-sized broadcasts; the only
+    * data-sized work is one per-source rank window (same exchange as
+    * the join) and the explode, whose output is exactly the epoch the
+    * trainer consumes — there is no cheaper shape that still names
+    * every row. */
+  def epochMixture(docs: DataFrame): DataFrame = {
+    val w = sourceMixtureWeights(docs)
+    val tot = w.agg(sum(col("n")).as("total"))
+    val targets = w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        floor(col("weight") * col("total").cast("double")).as("tgt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(win))
+      .join(broadcast(targets), "source")
+      .select(col("doc_id"), col("source"),
+        (expr("tgt div n") +
+          when(col("rk") <= col("tgt") % col("n"), 1L).otherwise(0L))
+          .as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   /** Stateless per-document contamination sweep — the STREAMING twin
     * of [[contamination]]: the eval side collapses into a broadcast
     * gram -> eval-doc-ids map, and each training document computes
@@ -735,6 +824,10 @@ object CorpusSignals {
     }),
     "q127_source_mixture" -> ((s, d) =>
       sourceMixtureWeights(Tables(s, d).documents)),
+    "q168_epoch_mixture" -> ((s, d) =>
+      epochMixture(Tables(s, d).documents)),
+    "q170_importance_weights" -> ((s, d) =>
+      importanceWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q135_dup_span_coverage" ->
@@ -1020,6 +1113,61 @@ object CorpusSignals {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
+    // the smoothing ratio is spelled as the SAME IEEE division tree
+    // Spark computes (no pre-evaluated literals), and the per-doc sum
+    // is the word-ordered fold — the q165 exactness recipe
+    "q170_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w,
+        |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ct,
+        |    CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS cr
+        |  FROM toks GROUP BY w),
+        |totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(ct) AS BIGINT) AS t,
+        |    CAST(sum(cr) AS BIGINT) AS r
+        |  FROM counts),
+        |ratios AS (
+        |  SELECT w,
+        |    (CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) / CAST(r + v AS DOUBLE)) AS ratio
+        |  FROM counts, totals)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
+        |    (a, b) -> a + b) AS score,
+        |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
+        |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_ratio
+        |FROM toks JOIN ratios USING (w)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same denom fold as q127, then pure integer arithmetic: floor
+    // targets, `//` whole copies, md5-ranked remainder, series explode
+    "q168_epoch_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT list_reduce(list_prepend(0.0,
+        |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+        |        (a, b) -> a + b) AS denom FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |t AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) / denom
+        |          * CAST(total AS DOUBLE)) AS BIGINT) AS tgt
+        |      FROM c, d, tot),
+        |r AS (SELECT doc_id, dd.source,
+        |        row_number() OVER (PARTITION BY dd.source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents dd),
+        |nc AS (SELECT doc_id, r.source,
+        |         (tgt // n) + CASE WHEN rk <= (tgt % n)
+        |                           THEN 1 ELSE 0 END AS n_copies
+        |       FROM r JOIN t ON r.source = t.source)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+        |FROM nc WHERE n_copies >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
     "q127_source_mixture" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),

@@ -562,6 +562,73 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** k-core decomposition by degree peeling — the graph-mining density
+    * filter (Seidman 1983): repeatedly delete nodes of degree < k
+    * until every survivor has ≥ k neighbors AMONG SURVIVORS. On the
+    * similarity graph the k-core is the "dense near-dup neighborhood"
+    * detector — nodes a near-dup cluster-collapse would keep pruning,
+    * vs. degree-1 hangers-on that a plain threshold keeps.
+    *
+    * `rounds` peel rounds are run unconditionally (each is a no-op
+    * once converged), so the operator is a pure function of
+    * (graph, k, rounds) and the oracle can unroll the identical
+    * recurrence round by round — the [[CorpusSignals.bpeTrainMerges]]
+    * fixed-round discipline. rounds ≥ graph diameter-ish suffices in
+    * practice; a planted chain in the spec needs every round. Output
+    * is each surviving node with its degree inside the final core.
+    *
+    * Scale: each round is one degree aggregate + two semi joins, all
+    * keyed on node id — edge-sized shuffles, no global state, and the
+    * edge set only shrinks. Rounds localCheckpoint eagerly so lineage
+    * stays one round deep (the [[pageRank]] round discipline). */
+  def kCore(embeddings: DataFrame, threshold: Double = 0.3,
+      k: Int = 2, rounds: Int = 4): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    var edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      edges = edges
+        .join(keep, edges("src") === keep("id"), "left_semi")
+        .join(keep, edges("dst") === keep("id"), "left_semi")
+        .localCheckpoint(true)
+      r += 1
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .select(col("src").as("vec_id"), col("core_degree"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled DuckDB twin of [[kCore]] (same k/rounds, so operator
+    * and oracle cannot drift); MATERIALIZED CTEs for the same
+    * inlining-blowup reason as the BPE oracle. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT src AS id FROM e${r - 1}
+         |  GROUP BY src HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN keep$r a ON e.src = a.id
+         |  JOIN keep$r b ON e.dst = b.id)""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${simSql("a", "b")} >= 0.3),
+       |e0 AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |${peel.mkString(",\n")}
+       |SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY src HAVING count(*) >= $k
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The unrolled DuckDB twin of [[pageRank]] (same `iters`, so
     * operator and oracle cannot drift); MATERIALIZED CTEs for the
     * same inlining-blowup reason as the BPE oracle. */
@@ -601,6 +668,8 @@ object Similarity {
       ((s, d) => pageRank(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
+    "q167_kcore" ->
+      ((s, d) => kCore(Tables(s, d).embeddings)),
     "q160_pq_codes" ->
       ((s, d) => pqCodes(Tables(s, d).embeddings)),
     "q161_pq_adc_topk" ->
@@ -626,6 +695,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q158_pagerank" -> pageRankOracle(3),
+    "q167_kcore" -> kCoreOracle(2, 4),
     "q166_bfs_hops" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |  SELECT a.vec_id AS d1, b.vec_id AS d2

@@ -265,6 +265,53 @@ class CorpusSignalsSpec extends AnyFunSuite {
       s"rare-term doc ranked ${got(10L)} vs common-term ${got(11L)}")
   }
 
+  test("epochMixture: temperature targets, md5 remainder, repeats explode") {
+    import spark.implicits._
+    // sizes 4 and 1 -> weights 2/3, 1/3 of total 5:
+    // tgt(a) = floor(10/3) = 3 of 4 docs (one drops out, md5-ranked),
+    // tgt(b) = floor(5/3) = 1 -> the single doc keeps one copy
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "source")
+    val got = CorpusSignals.epochMixture(docs)
+      .as[(Long, String, Long)].collect()
+    assert(got.count(_._2 == "a") == 3 && got.count(_._2 == "b") == 1)
+    // every emitted (doc, copy) run is contiguous from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length)) }
+    // over-sampling: a tiny source against a big one repeats docs
+    val skewed = ((1L to 60L).map(i => (i, "big")) :+ (1000L, "tiny"))
+      .toDF("doc_id", "source")
+    val copies = CorpusSignals.epochMixture(skewed)
+      .as[(Long, String, Long)].collect()
+      .filter(_._2 == "tiny").map(_._3)
+    // weight(tiny) = 1/(1+sqrt(60)) ~ 0.114 of 61 rows -> ~6 copies
+    assert(copies.length > 1 &&
+      copies.sorted.sameElements(1L to copies.length))
+    // deterministic: same input, same epoch
+    val again = CorpusSignals.epochMixture(docs)
+      .as[(Long, String, Long)].collect()
+    assert(got.sorted.sameElements(again.sorted))
+  }
+
+  test("importanceWeights: target-like raw docs outrank raw-like ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src0", "alpha beta alpha beta gamma"),  // target slice
+      (1L, "src1", "alpha beta gamma alpha beta"),  // target vocabulary
+      (2L, "src1", "delta epsilon zeta delta eta"), // raw-only vocabulary
+      (3L, "src1", "delta epsilon zeta eta theta")
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusSignals.importanceWeights(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // doc 1 uses the words the target slice over-represents
+    assert(got(1L)._4 > got(2L)._4 && got(1L)._4 > got(3L)._4)
+    // the score is the occurrence sum: n_tokens * mean
+    got.values.foreach { case (_, n, score, mean) =>
+      assert(math.abs(score - n * mean) < 1e-9 * math.abs(score)) }
+  }
+
   test("contaminationPerDoc batch form equals the join-form contamination") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val perDoc = CorpusSignals.contaminationPerDoc(

@@ -172,6 +172,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(loneGot == Map(0L -> 0L))
   }
 
+  test("kCore: chain peels round by round, triangle survives as the 2-core") {
+    // triangle 0-1-2 (pairwise cos >= 0.4) with a pendant chain
+    // 0-3-4-5: each peel round removes exactly one chain node, so the
+    // planted graph exercises every round; the triangle is the 2-core
+    val emb = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)), // e1+e2+e6
+      (1L, Seq(0f, 1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)), // e2+e3
+      (2L, Seq(1f, 0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)), // e1+e3
+      (3L, Seq(0f, 0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f)), // e6+e7 -> edge to 0
+      (4L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f, 0f)), // e7+e8
+      (5L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))  // e8+e9
+    ).toDF("vec_id", "embedding")
+    val full = Similarity.kCore(emb, threshold = 0.4, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // truncated peel: after 2 rounds nodes 4/5 are gone but 3 still
+    // pads node 0's degree (the HAVING drops 3 itself from the output)
+    val trunc = Similarity.kCore(emb, threshold = 0.4, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(trunc == Map(0L -> 3L, 1L -> 2L, 2L -> 2L))
+  }
+
   test("PQ codes are well-formed and deterministic") {
     val codes = Similarity.pqCodes(t.embeddings, m = 8, ksub = 16)
       .as[(Long, String)].collect()
