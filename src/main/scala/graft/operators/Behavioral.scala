@@ -165,7 +165,71 @@ object Behavioral {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** RFM segmentation over purchase events: per user the classic
+    * recency / frequency / monetary triple, each banded by fixed
+    * business thresholds into a 1–3 score, concatenated into the
+    * segment label ('333' = best). The reference date is a pinned
+    * parameter (NOT now()): segmentations must be reproducible, and a
+    * wall-clock call would also break cross-engine verification. One
+    * groupBy(user_id); the banding is a pure projection; monetary
+    * accumulates in exact decimal (the [[graft.functions.Exact]]
+    * discipline) so the threshold comparison cannot flap on
+    * float-accumulation order. */
+  def rfmSegments(events: DataFrame,
+      refDate: String = "2024-02-01"): DataFrame = {
+    import graft.functions.Exact.sumD2
+    val r = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(to_timestamp(lit(refDate)), max(col("ts")))
+          .cast("bigint").as("r_days"),
+        count(lit(1)).as("f"),
+        sumD2(col("value")).as("m"))
+    def band(hi: org.apache.spark.sql.Column,
+        mid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(hi, 3).when(mid, 2).otherwise(1)
+    r.select(col("user_id"), col("r_days"), col("f"), col("m"),
+        band(col("r_days") <= 3, col("r_days") <= 7).as("r_score"),
+        band(col("f") >= 16, col("f") >= 10).as("f_score"),
+        band(col("m") >= 800.0, col("m") >= 400.0).as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gap-based sessionization (the BATCH twin of q42's streaming
+    * session windows): a new session starts where the gap since the
+    * user's previous event exceeds `gapMinutes`. lag marks boundaries,
+    * a running sum over the SAME (user, ts, event_id) window numbers
+    * the sessions, one groupBy rolls them up — two window passes and
+    * one aggregate, all partitioned by user_id (never global), so the
+    * plan reuses a single hash partitioning end to end. Duration is
+    * integer epoch-microsecond arithmetic — no float. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+      .withColumn("duration_sec",
+        ((unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+          / 1000000L).cast("bigint"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_rfm_segments" -> ((s, d) => rfmSegments(Tables(s, d).events)),
+    "q173_sessionize" -> ((s, d) => sessionize(Tables(s, d).events)),
     "q103_event_throttle" -> ((s, d) => throttleDedup(Tables(s, d))),
     "q106_event_transitions" -> ((s, d) => eventTransitions(Tables(s, d))),
     "q109_pit_join" -> ((s, d) => pointInTimeJoin(Tables(s, d))),
@@ -176,6 +240,56 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // decimal-exact monetary sum, integer recency, CASE banding —
+    // every compared value is either integer or a single cast
+    "q172_rfm_segments" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+        |      DATE '2024-02-01') AS BIGINT) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, r_days, f, m,
+        |  CASE WHEN r_days <= 3 THEN 3 WHEN r_days <= 7 THEN 2
+        |       ELSE 1 END AS r_score,
+        |  CASE WHEN f >= 16 THEN 3 WHEN f >= 10 THEN 2
+        |       ELSE 1 END AS f_score,
+        |  CASE WHEN m >= 800.0 THEN 3 WHEN m >= 400.0 THEN 2
+        |       ELSE 1 END AS m_score,
+        |  CAST(CASE WHEN r_days <= 3 THEN 3 WHEN r_days <= 7 THEN 2
+        |       ELSE 1 END AS VARCHAR) ||
+        |  CAST(CASE WHEN f >= 16 THEN 3 WHEN f >= 10 THEN 2
+        |       ELSE 1 END AS VARCHAR) ||
+        |  CAST(CASE WHEN m >= 800.0 THEN 3 WHEN m >= 400.0 THEN 2
+        |       ELSE 1 END AS VARCHAR) AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
+    // identical lag -> boundary -> running-sum -> rollup pipeline;
+    // durations in integer epoch microseconds
+    "q173_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b)
+        |SELECT user_id, session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+        |    AS BIGINT) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "q109_pit_join" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,

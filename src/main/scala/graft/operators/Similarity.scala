@@ -103,6 +103,50 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication with the pair space bounded by k-means cells —
+    * cluster the embeddings, compare cosine ONLY within a cell, keep
+    * one representative (the component minimum) per intra-cell
+    * near-dup group. Exactly [[embeddingDedup]]'s decision layer with
+    * the all-pairs candidate generator swapped for the clustered one:
+    * candidate volume drops from n² to Σ|cell|², and at 100 TB the
+    * cell id doubles as the partition-pruning layout (each cell's
+    * pair join is cell-local, embarrassingly parallel across cells —
+    * the paper runs exactly this shape over LAION). Pairs that CROSS
+    * a cell boundary are missed by construction; that recall trade is
+    * the algorithm, not an approximation bug, and the k=1 degenerate
+    * config recovers [[embeddingDedup]] bit-for-bit (spec-pinned).
+    *
+    * Returns (vec_id, cell, rep_id, keep) — rows-only for the oracle
+    * (k-means seeding is engine-specific); the spec pins planted
+    * near-dup groups and the k=1 equivalence. */
+  def semDedup(embeddings: DataFrame, k: Int = 8,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = withNorm(embeddings)
+    val cells = assignCells(emb, kmeansCentroids(emb, k))
+    val e = emb.join(cells, "vec_id")
+    val a = e.select(col("cell"), col("vec_id").as("d1"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("d2"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"))
+    val reps = Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(cells, Seq("vec_id"), "left")
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Fixed hyperplanes from a seeded generator — deterministic across
     * runs and engines; materialized as literal arrays in the plan. */
   private def hyperplanes(nPlanes: Int): Seq[Column] = {
@@ -670,6 +714,8 @@ object Similarity {
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
       ((s, d) => kCore(Tables(s, d).embeddings)),
+    "q176_semdedup" ->
+      ((s, d) => semDedup(Tables(s, d).embeddings)),
     "q160_pq_codes" ->
       ((s, d) => pqCodes(Tables(s, d).embeddings)),
     "q161_pq_adc_topk" ->

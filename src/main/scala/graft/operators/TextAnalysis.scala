@@ -396,7 +396,70 @@ object TextAnalysis {
       substring(md5(col("text")), 1, 8).as("fp_short"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, arXiv:
+    * 2112.11446): each document is kept only if EVERY hard rule
+    * passes, and the failures are named — a curation run needs the
+    * per-rule drop accounting (what fraction died to which rule) as
+    * much as the surviving set. Rules, tuned to this corpus's token
+    * distribution the way Gopher's were tuned to MassiveWeb's:
+    * word count in [`minWords`, `maxWords`], mean word length in
+    * [`minMeanLen`, `maxMeanLen`], at least one stopword, type-token
+    * ratio ≥ `minTtr` (the repetition proxy — the full Gopher
+    * repetition battery is q91).
+    *
+    * Everything is a pure projection (no shuffle at all): mean word
+    * length uses the single-spaced-text identity (chars − spaces) /
+    * words as ONE integer-derived double division, and TTR is
+    * distinct/count — both bit-identical cross-engine. `keep` plus a
+    * deterministic comma-joined `drop_reasons` string make the output
+    * self-auditing; downstream composes `.filter(col("keep"))`. */
+  def gopherRules(docs: DataFrame,
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0,
+      minTtr: Double = 0.45): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen = (length(col("text")) - n + 1).cast("double") /
+      n.cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n.cast("double")
+    val hasStop = arrays_overlap(toks,
+      array(lit("the"), lit("a"), lit("an"), lit("of"), lit("to")))
+    docs.select(col("doc_id"), n.as("n_words"),
+        meanLen.as("mean_word_len"), ttr.as("ttr"),
+        hasStop.as("has_stopword"))
+      .withColumn("drop_reasons", concat_ws(",",
+        when(col("n_words") < minWords, lit("too_short")),
+        when(col("n_words") > maxWords, lit("too_long")),
+        when(col("mean_word_len") < minMeanLen ||
+          col("mean_word_len") > maxMeanLen, lit("word_len")),
+        when(!col("has_stopword"), lit("no_stopword")),
+        when(col("ttr") < minTtr, lit("repetitive"))))
+      .withColumn("keep", col("drop_reasons") === "")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Template/boilerplate detection by shared leading k-token prefix:
+    * machine-generated corpora betray themselves by thousands of
+    * documents opening with the same words. Groups documents on their
+    * first `k` tokens and reports every prefix shared by ≥ `minDocs`
+    * docs with the member count and canonical (smallest) doc_id —
+    * the candidate generator a template-stripping pass consumes. One
+    * hash shuffle on the prefix (map-side combinable); the prefix is
+    * at most k tokens, never the document. */
+  def templatePrefixes(docs: DataFrame, k: Int = 5,
+      minDocs: Long = 2L): DataFrame =
+    docs.select(col("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, k)).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("prefix"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_gopher_rules" ->
+      ((s, d) => gopherRules(Tables(s, d).documents)),
+    "q175_template_prefixes" ->
+      ((s, d) => templatePrefixes(Tables(s, d).documents)),
     "q20_token_stats" -> ((s, d) => tokenStats(Tables(s, d))),
     "q21_word_freq" -> ((s, d) => wordFrequencies(Tables(s, d))),
     "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d))),
@@ -436,6 +499,40 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same integer-derived divisions ((chars-spaces)/words, types/
+    // words) and the same NULL-skipping concat_ws reason assembly
+    "q174_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+        |    list_has_any(string_split(text, ' '),
+        |      ['the', 'a', 'an', 'of', 'to']) AS has_stopword
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN n_words < 20 THEN 'too_short' END,
+        |    CASE WHEN n_words > 80 THEN 'too_long' END,
+        |    CASE WHEN mean_word_len < 4.0 OR mean_word_len > 5.0
+        |         THEN 'word_len' END,
+        |    CASE WHEN NOT has_stopword THEN 'no_stopword' END,
+        |    CASE WHEN ttr < 0.45 THEN 'repetitive' END) AS drop_reasons
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, ttr, has_stopword,
+        |  drop_reasons, drop_reasons = '' AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q175_template_prefixes" ->
+      """SELECT array_to_string(
+        |    list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS canonical_id
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin,
     // q82's machinery made driver-checkable: same docs/pairs CTEs as
     // q26, then the q136 recursive-closure pattern; every edge node's
     // component minimum must match dupClusters exactly

@@ -85,6 +85,46 @@ object TpchShapes {
       .orderBy(col("cntrycode"))
   }
 
+  /** Q8 shape: one supplier nation's share of a region's revenue in
+    * one part family, per order year — the "national market share"
+    * two-sided conditional aggregate. Both the numerator (volume where
+    * the supplying nation is `nation`) and the denominator accumulate
+    * in exact decimal inside ONE aggregate over the same joined rows;
+    * the share is a single double division both engines evaluate
+    * identically (the q58 promo-share recipe). Join order mirrors
+    * selectivity: part (type filter, broadcast) prunes lineitem first,
+    * the region-restricted customer→nation map broadcasts, supplier's
+    * nation name arrives via one more broadcast — the fact table is
+    * touched once and never re-shuffled between aggregates. */
+  def marketShare(t: Tables, region: String = "ASIA",
+      nation: String = "NATION_2", ptype: String = "STANDARD"): DataFrame = {
+    val regionNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val vol = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(18,2)")
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === ptype)),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === nation, vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q6 shape, served through the SQL-TEXT interface: the
     * library's tables registered as temp views and the query executed
     * with `spark.sql` — the surface a SQL-only user consumes. Same
@@ -430,6 +470,7 @@ object TpchShapes {
     "q142_local_supplier_volume" ->
       ((s, d) => localSupplierVolume(Tables(s, d))),
     "q143_nation_year_profit" -> ((s, d) => nationYearProfit(Tables(s, d))),
+    "q171_market_share" -> ((s, d) => marketShare(Tables(s, d))),
     "q144_large_order_customers" ->
       ((s, d) => largeOrderCustomers(Tables(s, d))),
     "q121_customer_distribution" ->
@@ -487,6 +528,30 @@ object TpchShapes {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // the same single-aggregate two-sided conditional sum: numerator
+    // and denominator from one pass, share as one double division
+    "q171_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
     "q143_nation_year_profit" ->
       """SELECT n_name AS nation,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,

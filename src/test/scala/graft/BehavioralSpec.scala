@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavioral
+
+/** Hand-graph tests for the batch behavioral operators added in round
+  * 7 (q172 RFM, q173 sessionization); the full-table forms are
+  * oracle-exact via the driver gate. */
+class BehavioralSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap over 30 min opens a new session, stats exact") {
+    val events = Seq(
+      // user 1: 3 events in one session (gaps 10 min), then a 31-min
+      // gap opens session 2 with a single event
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00")),
+      (3L, 1L, ts("2024-01-01 10:20:00")),
+      (4L, 1L, ts("2024-01-01 10:51:00")),
+      // user 2: exactly-30-min gap does NOT split (predicate is >)
+      (5L, 2L, ts("2024-01-01 09:00:00")),
+      (6L, 2L, ts("2024-01-01 09:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Behavioral.sessionize(events, gapMinutes = 30)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("duration_sec"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 1200L), (1L, 2L, 1L, 0L), (2L, 1L, 2L, 1800L)))
+  }
+
+  test("sessionize ties within a timestamp stay one session via event_id") {
+    val events = Seq(
+      (10L, 7L, ts("2024-01-01 12:00:00")),
+      (11L, 7L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = Behavioral.sessionize(events)
+      .select(col("session_idx"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("rfmSegments bands recency/frequency/monetary at the thresholds") {
+    // user 1: 16 purchases of 50.0 on the ref-date eve -> r=1(<=3):3,
+    // f=16:3, m=800.0 (>=800 boundary inclusive):3 -> segment 333
+    val u1 = (1 to 16).map(i =>
+      (100L + i, 1L, "purchase", ts(f"2024-01-31 10:$i%02d:00"), 50.0))
+    // user 2: one old cheap purchase -> r_days=26:1, f=1:1, m:1
+    val u2 = Seq((200L, 2L, "purchase", ts("2024-01-06 10:00:00"), 10.0))
+    // user 3: clicks only -> no purchases, absent from the output
+    val u3 = Seq((300L, 3L, "click", ts("2024-01-31 10:00:00"), 1.0))
+    val events = (u1 ++ u2 ++ u3)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Behavioral.rfmSegments(events, refDate = "2024-02-01")
+      .select(col("user_id"), col("segment"), col("m"))
+      .as[(Long, String, Double)].collect()
+      .map { case (u, s, m) => u -> (s, m) }.toMap
+    assert(got == Map(1L -> ("333", 800.0), 2L -> ("111", 10.0)))
+  }
+}

@@ -194,6 +194,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trunc == Map(0L -> 3L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("semDedup with k=1 recovers embeddingDedup exactly") {
+    val all = Similarity.embeddingDedup(t.embeddings, threshold = 0.6)
+      .select("vec_id", "rep_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val sem = Similarity.semDedup(t.embeddings, k = 1, threshold = 0.6)
+      .select("vec_id", "rep_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(sem == all)
+  }
+
+  test("semDedup keeps one representative per planted tight group") {
+    // two near-dup pairs far apart + a lone vector; any sane k-means
+    // keeps each pair inside one cell, so both collapse
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 0f, 0f, 1f, 0.01f, 0f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, k = 2, threshold = 0.9)
+      .select("vec_id", "rep_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == (0L, true) && got(1L) == (0L, false))
+    assert(got(2L) == (2L, true) && got(3L) == (2L, false))
+    assert(got(4L) == (4L, true))
+  }
+
   test("PQ codes are well-formed and deterministic") {
     val codes = Similarity.pqCodes(t.embeddings, m = 8, ksub = 16)
       .as[(Long, String)].collect()

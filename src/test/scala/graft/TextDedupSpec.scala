@@ -13,6 +13,41 @@ class TextDedupSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("gopherRules: each rule fires alone, clean doc keeps") {
+    val docs = Seq(
+      // 21 distinct words, mean len 102/21 ~ 4.86, has 'the', ttr 1.0
+      (1L, "the quick brown foxes moved softly over damp grass while " +
+        "small birds called from leafy trees before early light faded away"),
+      (2L, "the cat sat"),                                   // too_short
+      (3L, "the " + (1 to 25).map(i => f"word$i%04d").mkString(" ")), // word_len (mean>5)
+      (4L, (1 to 25).map(i => "cats" + (i % 7)).mkString(" ")), // no_stopword + repetitive
+      (5L, "the " + Seq.fill(24)("right").mkString(" "))     // repetitive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("keep"), col("drop_reasons"))
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (true, ""))
+    assert(got(2L)._2.contains("too_short"))
+    assert(got(3L)._2 == "word_len")
+    assert(got(4L)._2.contains("no_stopword") &&
+      got(4L)._2.contains("repetitive"))
+    assert(got(5L)._2 == "repetitive")
+    assert(!got(2L)._1 && !got(3L)._1 && !got(4L)._1 && !got(5L)._1)
+  }
+
+  test("templatePrefixes groups by first-k tokens, singletons dropped") {
+    val docs = Seq(
+      (10L, "dear customer your order has shipped today"),
+      (11L, "dear customer your order has been delayed"),
+      (12L, "dear customer your order has nothing else"),
+      (13L, "completely unique document body here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.templatePrefixes(docs, k = 5, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("dear customer your order has", 3L, 10L)))
+  }
+
   test("jaccard: exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(jaccard(col("x"), col("y"))).head.getDouble(0)

@@ -29,6 +29,17 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("Q8 shape: dimensions broadcast, shares are valid fractions") {
+    val df = TpchShapes.marketShare(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("o_year")).toSeq == Seq(1996, 1997))
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0 })
+  }
+
   test("Q18 shape: the quantity rollup aggregates lineitem before any join") {
     val df = TpchShapes.largeOrderCustomers(t)
     val plan = df.queryExecution.optimizedPlan.toString
