@@ -67,10 +67,27 @@ object Bench {
       if (v >= 100) num(v, "%.0f")
       else if (v >= 10) num(v, "%.1f")
       else num(v, "%.2f")
-    val qs = results.map { case (k, v) =>
+    // per-query entries are capped at the SLOWEST `MaxQueryEntries`
+    // (deterministic (-time, name) cut): those are the queries a plan
+    // audit reads, and an uncapped map outgrew the tail window once
+    // the registry passed ~160 queries. The dropped fast tail is
+    // summed into "rest" so total always equals the parts; stderr
+    // still carries every per-query timing.
+    val kept = results.sortBy { case (n, v) => (-v, n) }
+      .take(MaxQueryEntries).map(_._1).toSet
+    val qs = results.collect { case (k, v) if kept(k) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + sig2(v)
     }.mkString("{", ",", "}")
+    val restSum = results.collect {
+      case (k, v) if !kept(k) => v
+    }.sum
+    val rest =
+      if (results.size > MaxQueryEntries)
+        s""","rest":${num(restSum, "%.2f")}"""
+      else ""
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs$rest,"sf":"$sfDir"}"""
   }
+
+  private[graft] val MaxQueryEntries = 120
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -301,6 +301,89 @@ object CorpusSignals {
       .orderBy(col("merge_round"))
   }
 
+  /** APPLY the [[bpeTrainMerges]] tokenizer: encode every document
+    * with the learned merge table — the step that turns "trained a
+    * BPE vocab" into "tokenized the corpus with it". The merge list
+    * is model-sized (nMerges rows) and collected once; encoding is
+    * then a PURE NARROW projection — per word, the same double-space
+    * char encoding and the same rank-ordered `replace` chain the
+    * trainer used (one codegen'd expression tree, no joins, no
+    * shuffle, no per-row state), so a 100 TB corpus encodes at scan
+    * speed. Emits the per-document piece string and piece count; the
+    * oracle replays training AND encoding in SQL, so the entire
+    * train→apply loop is hash-exact cross-engine.
+    *
+    * At scale the trained merge table would be a saved artifact
+    * (train once, encode many); re-training here keeps the operator a
+    * pure function of its input, which is what lets the oracle check
+    * it. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges).collect()
+      .sortBy(_.getAs[Int]("merge_round"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    def encodeWord(w: Column): Column = {
+      val s0 = concat(lit("  "),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), "  "), lit("  "))
+      val enc = merges.foldLeft(s0) { case (c, (a, b)) =>
+        call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      call_function("replace", trim(enc), lit("  "), lit(" "))
+    }
+    docs.select(col("doc_id"),
+        array_join(transform(split(col("text"), " "), encodeWord(_)), " ")
+          .as("pieces"))
+      .select(col("doc_id"),
+        size(split(col("pieces"), " ")).as("n_pieces"), col("pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB twin of [[bpeEncode]]: the [[bpeMergesOracle]] train
+    * stages plus a parallel word→sym vocab fold (v0..vN applying each
+    * round's merge to the DISTINCT vocabulary), then a word-position
+    * join that reassembles each document's piece string in order.
+    * chr(1) guards the scalar subqueries if a round ran dry (cannot
+    * happen on corpora where training emitted all rounds — q157
+    * proves it does here). */
+  private[operators] def bpeEncodeOracle(nMerges: Int): String = {
+    val trainStages = bpeMergesOracle(nMerges)
+    // reuse the training CTE block verbatim: strip its WITH and the
+    // final SELECT (everything from the last "SELECT * FROM (")
+    val body = trainStages.stripPrefix("WITH ")
+    val cteBlock = body.substring(0, body.lastIndexOf("\nSELECT * FROM ("))
+    val vocab = (1 to nMerges).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT word, replace(sym,
+         |    coalesce(' ' || (SELECT a FROM m$r) || '  ' ||
+         |      (SELECT b FROM m$r) || ' ', chr(1)),
+         |    coalesce(' ' || (SELECT a FROM m$r) ||
+         |      (SELECT b FROM m$r) || ' ', chr(1))) AS sym
+         |  FROM v${r - 1})""".stripMargin
+    }
+    s"""WITH $cteBlock,
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT word,
+       |    '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+       |      AS sym
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) >= 1),
+       |${vocab.mkString(",\n")},
+       |d AS (
+       |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+       |        FROM documents)),
+       |enc AS (
+       |  SELECT doc_id, pos,
+       |    replace(trim(v.sym), '  ', ' ') AS piece,
+       |    len(string_split(trim(v.sym), '  ')) AS np
+       |  FROM d JOIN v$nMerges v ON d.l[pos] = v.word)
+       |SELECT doc_id,
+       |  CAST(sum(np) AS INTEGER) AS n_pieces,
+       |  string_agg(piece, ' ' ORDER BY pos) AS pieces
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The unrolled DuckDB twin of [[bpeTrainMerges]]: one
     * (pairs -> argmax-by-scalar-subquery -> replace) CTE stage per
     * round, generated for the same `nMerges` so operator and oracle
@@ -503,21 +586,51 @@ object CorpusSignals {
     * oracle-checks hash-exact.
     *
     * Scale: weights/targets are |sources|-sized broadcasts; the only
-    * data-sized work is one per-source rank window (same exchange as
-    * the join) and the explode, whose output is exactly the epoch the
-    * trainer consumes — there is no cheaper shape that still names
-    * every row. */
+    * data-sized work is one rank window per (source, md5-byte bucket)
+    * — 256 buckets per source, so no task ever holds a whole source
+    * (the distributed-rank pattern shared with equiDepthHistogram;
+    * the offset collect is 256·|sources| rows) — and the explode,
+    * whose output is exactly the epoch the trainer consumes — there
+    * is no cheaper shape that still names every row. */
   def epochMixture(docs: DataFrame): DataFrame = {
     val w = sourceMixtureWeights(docs)
     val tot = w.agg(sum(col("n")).as("total"))
     val targets = w.crossJoin(broadcast(tot))
       .select(col("source"), col("n"),
         floor(col("weight") * col("total").cast("double")).as("tgt"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
+    // per-source md5 rank WITHOUT a per-source window (a fixed source
+    // cardinality would funnel each source's whole corpus into one
+    // task at 100×): the md5's leading byte pre-buckets each source
+    // into 256 ranges whose lexicographic order equals the global h
+    // order, per-(source, rb) counts collect to a parallelism-sized
+    // offset map (5×256 rows — the equiDepthHistogram / Describe
+    // distributed-rank pattern), and the window runs per (source, rb)
+    // — 256× the parallelism, same exact rank
+    val hashed = docs.select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("rk", row_number().over(win))
+      .withColumn("rb", conv(substring(col("h"), 1, 2), 16, 10)
+        .cast("int"))
+    val offsets = hashed.groupBy(col("source"), col("rb"))
+      .agg(count(lit(1)).as("bc")).collect()
+      .groupBy(_.getAs[String]("source"))
+      .toSeq.flatMap { case (src, rows) =>
+        var run = 0L
+        rows.sortBy(_.getAs[Int]("rb")).map { r =>
+          val off = run
+          run += r.getAs[Long]("bc")
+          (src, r.getAs[Int]("rb"), off)
+        }
+      }
+    val offExpr = try_element_at(
+      map(offsets.flatMap { case (s, b, off) =>
+        Seq(lit(s + "#" + b), lit(off)): Seq[Column]
+      }: _*),
+      concat(col("source"), lit("#"), col("rb").cast("string")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("rb"))
+      .orderBy(col("h"), col("doc_id"))
+    hashed
+      .withColumn("rk", row_number().over(win).cast("long") + offExpr)
       .join(broadcast(targets), "source")
       .select(col("doc_id"), col("source"),
         (expr("tgt div n") +
@@ -836,6 +949,8 @@ object CorpusSignals {
       ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
     "q157_bpe_merges" -> ((s, d) =>
       bpeTrainMerges(Tables(s, d).documents)),
+    "q177_bpe_encode" -> ((s, d) =>
+      bpeEncode(Tables(s, d).documents)),
     "q165_bm25_topk" -> ((s, d) =>
       bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
@@ -855,6 +970,7 @@ object CorpusSignals {
 
   val oracleSql: Map[String, String] = Map(
     "q157_bpe_merges" -> bpeMergesOracle(10),
+    "q177_bpe_encode" -> bpeEncodeOracle(10),
     // rational idf + order-pinned fold => bit-exact; the (1.2 + 1.0)
     // style subexpressions are spelled as the SAME IEEE ops Spark's
     // plan computes, never pre-evaluated decimal literals

@@ -438,6 +438,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocklist filter (the C4 "bad words" pass, Raffel et al. 2020
+    * §2.2): flag every document containing a blocked term, with the
+    * matched terms in BLOCKLIST order (a filter over the list literal
+    * — a total, engine-independent order where an intersect's order
+    * would be implementation-defined) — curation needs the audit
+    * trail ("dropped for which words"), not just the survivors. The
+    * blocklist is model-sized and inlined as an array literal, so the
+    * scan is a pure narrow projection (membership filter per row, no
+    * join, no shuffle); at 100 TB with a large blocklist this becomes
+    * a broadcast join against the exploded token stream — same
+    * result, still no wide exchange. */
+  def blocklistFilter(docs: DataFrame,
+      blocked: Seq[String] = Seq("spark", "vector", "dup")): DataFrame = {
+    val blockArr = array(blocked.map(lit): _*)
+    docs.select(col("doc_id"),
+        filter(blockArr,
+          b => array_contains(tokens(col("text")), b)).as("matched0"))
+      .select(col("doc_id"),
+        array_join(col("matched0"), ",").as("matched_terms"),
+        (size(col("matched0")) > 0).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`v` terms —
+    * the tokenizer-coverage diagnostic ("how much of each document
+    * does a size-v vocab explain"). The vocab is derived, not given:
+    * top-v tokens by corpus frequency with a total (count, token)
+    * tie-break so the cut is deterministic in both engines. Counting
+    * is one O(tokens) shuffle; the vocab is v rows, broadcast into a
+    * left join against the token stream (never a filter pushed into a
+    * collect); OOV rate is exact-integer division. */
+  def oovRate(docs: DataFrame, v: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(v)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Template/boilerplate detection by shared leading k-token prefix:
     * machine-generated corpora betray themselves by thousands of
     * documents opening with the same words. Groups documents on their
@@ -458,6 +505,10 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_gopher_rules" ->
       ((s, d) => gopherRules(Tables(s, d).documents)),
+    "q178_blocklist_filter" ->
+      ((s, d) => blocklistFilter(Tables(s, d).documents)),
+    "q179_oov_rate" ->
+      ((s, d) => oovRate(Tables(s, d).documents)),
     "q175_template_prefixes" ->
       ((s, d) => templatePrefixes(Tables(s, d).documents)),
     "q20_token_stats" -> ((s, d) => tokenStats(Tables(s, d))),
@@ -525,6 +576,33 @@ object TextAnalysis {
         |SELECT doc_id, n_words, mean_word_len, ttr, has_stopword,
         |  drop_reasons, drop_reasons = '' AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the same list-literal filter, so matched order is pinned to the
+    // blocklist in both engines
+    "q178_blocklist_filter" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(['spark', 'vector', 'dup'],
+        |    b -> list_contains(string_split(text, ' '), b)), ','), '')
+        |    AS matched_terms,
+        |  len(list_filter(['spark', 'vector', 'dup'],
+        |    b -> list_contains(string_split(text, ' '), b))) > 0
+        |    AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same (count, token) total-ordered vocab cut and integer-exact
+    // rate division
+    "q179_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q175_template_prefixes" ->
       """SELECT array_to_string(
         |    list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix,

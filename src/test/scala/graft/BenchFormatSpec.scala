@@ -34,5 +34,20 @@ class BenchFormatSpec extends AnyFunSuite {
     val tiers = Bench.buildJson(Seq("q03_c" -> 12.345, "q04_d" -> 123.45), "/x")
     assert(tiers.contains(""""q03":12.3""") && tiers.contains(""""q04":123"""))
     assert(line.endsWith(""""sf":"/x"}"""))
+    // under the cap there is no "rest" field
+    assert(!line.contains("\"rest\""))
+  }
+
+  test("bench JSON caps per-query entries at the slowest MaxQueryEntries") {
+    val n = Bench.MaxQueryEntries + 30
+    // names q0001..q0150; times rise with the index, so the kept set
+    // is exactly the LAST MaxQueryEntries names
+    val names = (1 to n).map(i => f"q$i%04d_x")
+    val line = Bench.buildJson(names.map(nm =>
+      nm -> nm.drop(1).takeWhile(_ != '_').toDouble), "/x")
+    assert(!line.contains("\"q0001\"") && !line.contains("\"q0030\""))
+    assert(line.contains("\"q0031\"") && line.contains(f"\"q$n%04d\""))
+    // the dropped tail is summed into "rest" (1+2+...+30 = 465)
+    assert(line.contains(""""rest":465.00"""), line)
   }
 }

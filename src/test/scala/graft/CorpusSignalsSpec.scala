@@ -265,6 +265,31 @@ class CorpusSignalsSpec extends AnyFunSuite {
       s"rare-term doc ranked ${got(10L)} vs common-term ${got(11L)}")
   }
 
+  test("bpeEncode applies learned merges greedily left-to-right") {
+    import spark.implicits._
+    // corpus: "ab" dominant -> merge 1 = (a,b); then (ab,ab)? counts:
+    // 4x "abab", 3x "ab", 1x "cd". round1 pairs: (a,b) freq 4*2+3=11
+    // top; round2: (ab,ab) 4 vs (c,d) 1 -> merge (ab,ab); round3 (c,d)
+    val docs = Seq(
+      (1L, "abab abab ab cd"),
+      (2L, "abab abab ab ab")
+    ).toDF("doc_id", "text")
+    val merges = CorpusSignals.bpeTrainMerges(docs, nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges.map(m => (m._2, m._3)) ==
+      Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+    val enc = CorpusSignals.bpeEncode(docs, nMerges = 3)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    // abab -> [abab], ab -> [ab], cd -> [cd]
+    assert(enc(1L) == ((1L, 4, "abab abab ab cd")))
+    assert(enc(2L) == ((2L, 4, "abab abab ab ab")))
+    // odd repetition: "ababab" = greedy left-to-right -> abab + ab
+    val odd = Seq((3L, "ababab")).toDF("doc_id", "text")
+    val encOdd = CorpusSignals.bpeEncode(odd, nMerges = 2)
+      .as[(Long, Int, String)].collect()
+    assert(encOdd.head == ((3L, 2, "abab ab")))
+  }
+
   test("epochMixture: temperature targets, md5 remainder, repeats explode") {
     import spark.implicits._
     // sizes 4 and 1 -> weights 2/3, 1/3 of total 5:
@@ -291,6 +316,12 @@ class CorpusSignalsSpec extends AnyFunSuite {
     val again = CorpusSignals.epochMixture(docs)
       .as[(Long, String, Long)].collect()
     assert(got.sorted.sameElements(again.sorted))
+    // the rank window is bucketed per (source, md5-byte) — never one
+    // task per source
+    val plan = CorpusSignals.epochMixture(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(source"), plan)
+    assert(plan.contains("rb"), plan)
   }
 
   test("importanceWeights: target-like raw docs outrank raw-like ones") {

@@ -48,6 +48,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Seq(("dear customer your order has", 3L, 10L)))
   }
 
+  test("blocklistFilter reports matches in blocklist order") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "dup spark something"),   // both, reported blocklist-order
+      (3L, "vector stuff")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(docs)
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq((1L, "", false), (2L, "spark,dup", true),
+      (3L, "vector", true)))
+  }
+
+  test("oovRate: tokens outside the top-v vocab counted exactly") {
+    // corpus freqs: aa x4, bb x3, cc x2, dd x1 -> v=2 vocab {aa, bb}
+    val docs = Seq(
+      (1L, "aa aa bb cc"),   // 1 oov of 4
+      (2L, "aa aa bb bb cc dd")  // 2 oov of 6
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, v = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.25), (2L, 6L, 2L, 2.0 / 6.0)))
+  }
+
   test("jaccard: exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(jaccard(col("x"), col("y"))).head.getDouble(0)
