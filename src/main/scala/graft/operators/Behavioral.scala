@@ -227,7 +227,94 @@ object Behavioral {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Per-user exponentially-weighted moving average of event values —
+    * the classic smoothed-engagement metric. EWMA is an inherently
+    * ORDERED recurrence (s ← α·x + (1−α)·s), so it folds over each
+    * user's time-sorted value list seeded with the first value — the
+    * same first-element-seeded left fold DuckDB's `list_reduce` runs,
+    * written as the identical two-multiply-one-add IEEE tree, hence
+    * hash-exact. Per-user lists are bounded by a USER's activity (not
+    * the corpus) — the q90 collect discipline; a session-segmented
+    * two-phase scan replaces the fold if single users outgrow memory. */
+  def ewma(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val l = array_sort(collect_list(struct(col("ts"), col("event_id"),
+      col("value"))))
+    val vals = transform(l, e => e.getField("value"))
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), vals.as("v"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(
+          slice(col("v"), lit(2), greatest(size(col("v")) - 1, lit(0))),
+          element_at(col("v"), 1),
+          (s, x) => lit(alpha) * x + lit(1.0 - alpha) * s).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  /** MAD-based robust outliers per event type: flag values more than
+    * `k` median-absolute-deviations from their type's median — the
+    * outlier gate that, unlike the z-score (q110), a single extreme
+    * value cannot drag. Both medians run through the distributed
+    * exact-quantile machinery ([[Describe.groupedExactQuantiles]] —
+    * counts + per-bucket rank, never a per-group sort), and the
+    * |types|-sized median/MAD maps come back as literal columns, so
+    * the final sweep is one narrow pass over the scan. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = Describe.groupedExactQuantiles(events, "event_type",
+      Seq("value"), Seq(0.5)).map { case ((g, _), v) => g -> v.head }
+    val medExpr = try_element_at(
+      map(med.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[org.apache.spark.sql.Column]
+      }: _*), col("event_type"))
+    val dev = events.select(col("event_type"),
+      abs(col("value") - medExpr).as("dev"))
+    val mad = Describe.groupedExactQuantiles(dev, "event_type",
+      Seq("dev"), Seq(0.5)).map { case ((g, _), v) => g -> v.head }
+    val madExpr = try_element_at(
+      map(mad.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[org.apache.spark.sql.Column]
+      }: _*), col("event_type"))
+    events
+      .select(col("event_id"), col("event_type"), col("value"),
+        medExpr.as("med"), madExpr.as("mad"))
+      .filter(abs(col("value") - col("med")) > lit(k) * col("mad"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-type OLS trend over the daily event-count series: slope and
+    * intercept of n ~ day. Every sufficient statistic (Σx, Σy, Σxy,
+    * Σx²) is an INTEGER sum over (epoch-day, count) pairs — exact at
+    * any scale, partial-aggregatable map-side — and only the final
+    * slope/intercept are double divisions both engines evaluate
+    * identically. The regression never sees raw events: it runs over
+    * the |types|·|days| daily rollup. */
+  def trendSlopes(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("slope"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n_days"), col("slope"),
+        ((col("sy").cast("double") -
+          col("slope") * col("sx").cast("double")) /
+          col("n_days").cast("double")).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_ewma" -> ((s, d) => ewma(Tables(s, d).events)),
+    "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
+    "q182_trend_slopes" -> ((s, d) => trendSlopes(Tables(s, d).events)),
     "q172_rfm_segments" -> ((s, d) => rfmSegments(Tables(s, d).events)),
     "q173_sessionize" -> ((s, d) => sessionize(Tables(s, d).events)),
     "q103_event_throttle" -> ((s, d) => throttleDedup(Tables(s, d))),
@@ -240,6 +327,52 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same first-element-seeded left fold over the same (ts, event_id)
+    // order, same 0.3*x + 0.7*s IEEE tree
+    "q180_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (s, x) -> 0.3 * x + 0.7 * s) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact medians both sides (quantile_cont(0.5) = the weighted
+    // interpolation the distributed rank machinery reproduces)
+    "q181_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+        |FROM events e
+        |JOIN med m ON e.event_type = m.event_type
+        |JOIN mad d ON e.event_type = d.event_type
+        |WHERE abs(e.value - m.med) > 3.0 * d.mad
+        |ORDER BY e.event_id""".stripMargin,
+    // integer sufficient statistics, double division only at the end
+    "q182_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) -
+        |    (CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     // decimal-exact monetary sum, integer recency, CASE banding —
     // every compared value is either integer or a single cast
     "q172_rfm_segments" ->

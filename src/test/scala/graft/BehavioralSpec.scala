@@ -47,6 +47,50 @@ class BehavioralSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("ewma folds the hand recurrence in time order") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), 20.0),
+      (3L, 1L, ts("2024-01-01 12:00:00"), 30.0),
+      (4L, 2L, ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Behavioral.ewma(events, alpha = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // s1=10; s2=0.3*20+0.7*10=13; s3=0.3*30+0.7*13=18.1
+    val s3 = 0.3 * 30.0 + 0.7 * (0.3 * 20.0 + 0.7 * 10.0)
+    assert(got(1L) == s3 && got(2L) == 5.0)
+  }
+
+  test("madOutliers flags only beyond k MADs, robust to the outlier itself") {
+    // type A: values 1..7 plus a wild 1000 -> median 4.5, MAD ~ 2,
+    // only 1000 flagged; type B tight cluster -> nothing flagged
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "A", ts("2024-01-01 10:00:00"), v) }
+    val b = Seq(50.0, 51.0, 52.0).zipWithIndex
+      .map { case (v, i) => (100L + i, "B", ts("2024-01-01 10:00:00"), v) }
+    val events = (a ++ b).toDF("event_id", "event_type", "ts", "value")
+    val got = Behavioral.madOutliers(events, k = 3.0)
+      .as[(Long, String, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(7L))
+    assert(got.head._4 == 4.5) // median of 1..7,1000
+  }
+
+  test("trendSlopes recovers an exact linear daily series") {
+    // type 'up': counts 1,2,3 on consecutive days -> slope exactly 1
+    val rows = (0 until 3).flatMap { d =>
+      (0 to d).map(i => (d * 10L + i, "up",
+        ts(f"2024-01-0${d + 1}%d 0$i%d:00:00"), 1.0))
+    }
+    val got = Behavioral.trendSlopes(rows
+        .toDF("event_id", "event_type", "ts", "value"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (_, nDays, slope, intercept) = got.head
+    assert(nDays == 3L && slope == 1.0)
+    // y = x - 19722 for x = epoch day of 2024-01-01 (19723 -> y=1)
+    assert(intercept == 1.0 - slope * 19723.0)
+  }
+
   test("rfmSegments bands recency/frequency/monetary at the thresholds") {
     // user 1: 16 purchases of 50.0 on the ref-date eve -> r=1(<=3):3,
     // f=16:3, m=800.0 (>=800 boundary inclusive):3 -> segment 333

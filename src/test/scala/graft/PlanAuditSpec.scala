@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-WIDE physical-plan audit: every registered query is planned
+  * (not executed) at sf0.001 and scanned for the two classic
+  * scale-killers —
+  *
+  *  1. `CartesianProduct` joins (quadratic row blow-up), and
+  *  2. data-sized UNPARTITIONED windows (`row_number() OVER (ORDER BY
+  *     …)` with no PARTITION BY — the single-reducer sort).
+  *
+  * Each has a small allowlist of queries whose use is deliberate and
+  * documented (a tiny×tiny cross join; windows over provably
+  * parallelism-sized relations). Every new query joins the audit
+  * automatically on registration, so a scale regression fails CI
+  * instead of surfacing in a 100 TB run. Final single-row aggregates
+  * and TakeOrdered/broadcast exchanges are NOT flagged — a global agg
+  * legitimately funnels its few partial rows to one task.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // deliberate cross joins: q18 is the tiny×tiny cross-join demo
+  private val cartesianOk = Set("q18_cross_join")
+
+  // unpartitioned windows over provably tiny relations (documented in
+  // EXPLAIN.md): q67's shard-offset prefix and q149's offset table
+  // both run over exactly #shards (= parallelism) rows
+  private val globalWindowOk = Set("q67_token_batches",
+    "q149_global_row_ids")
+
+  // streaming sources can't plan in a batch session; DSv2/JDBC/report
+  // queries touch external state — they have their own suites
+  private val skip = Set(
+    "q40_tumbling_daily", "q41_sliding_2d", "q42_session_windows",
+    "q83_stream_enrich_category", "q103_event_throttle",
+    "q132_contamination_stream",
+    "q60_waqi_flatten_long", "q61_waqi_pivot_wide",
+    "q62_waqi_per_pollutant", "q63_waqi_dsv2_source",
+    "q86_quality_report", "q162_bucketed_join")
+
+  /** An unpartitioned window spec renders as `windowspecdefinition(`
+    * whose FIRST argument is already an ordering term (`col ASC` /
+    * `col DESC`) — partitioned specs list partition columns first. */
+  private def hasGlobalWindow(plan: String): Boolean =
+    "windowspecdefinition\\(([^,()]*) (ASC|DESC)".r
+      .findFirstIn(plan).isDefined
+
+  test("no registered query plans a CartesianProduct or a global window") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan at $sf: ${e.getMessage}")
+          }
+        if (plan.contains("CartesianProduct") && !cartesianOk(name))
+          offenders += s"$name: CartesianProduct"
+        if (hasGlobalWindow(plan) && !globalWindowOk(name))
+          offenders += s"$name: unpartitioned window"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
