@@ -331,6 +331,61 @@ object ScalePatterns {
     } finally counts.unpersist(false)
   }
 
+  /** CDF / quantile normalization of a column: every DISTINCT value
+    * mapped to its empirical CDF (fraction of rows ≤ v) — the
+    * rank-based feature transform (quantile normalization) that makes
+    * heavy-tailed columns comparable. Output is DOMAIN-sized (one row
+    * per distinct value): a 100 TB column with bounded cardinality
+    * yields a broadcastable lookup table to normalize the raw column.
+    *
+    * Same no-global-window running rank as [[equiDepthHistogram]]:
+    * domain counts, deterministic range buckets, per-bucket window +
+    * a driver prefix over ≤2·parallelism bucket totals. The CDF is a
+    * single LONG/LONG double division — identical cross-engine. */
+  def quantileNormalize(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val m = counts.agg(min(col("v")), max(col("v")),
+        sum(col("cnt"))).head()
+      if (m.isNullAt(2)) return counts
+        .select(col("v").as("value"), col("cnt").as("n"),
+          lit(0.0).as("cdf")).limit(0)
+      val (mn, mx, n) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
+      val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
+      val w = (mx - mn) / parts
+      val rb = if (w > 0)
+        least(floor((col("v") - lit(mn)) / lit(w)), lit(parts - 1L))
+          .cast("int")
+      else lit(0)
+      val bucketed = counts.withColumn("rb", rb)
+      val offsets = bucketed.groupBy(col("rb"))
+        .agg(sum(col("cnt")).as("bc")).collect()
+        .map(r => r.getAs[Int]("rb") -> r.getAs[Long]("bc"))
+        .sortBy(_._1)
+        .scanLeft((0, 0L, 0L)) { case ((_, _, run), (b, bc)) =>
+          (b, run, run + bc)
+        }.drop(1).map { case (b, off, _) => (b, off) }
+      val offExpr = try_element_at(
+        map(offsets.flatMap { case (b, off) =>
+          Seq(lit(b), lit(off)): Seq[Column]
+        }: _*), col("rb"))
+      val wLocal = Window.partitionBy(col("rb")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bucketed
+        .withColumn("cum", sum(col("cnt")).over(wLocal) + offExpr)
+        .select(col("v").as("value"), col("cnt").as("n"),
+          (col("cum").cast("double") / lit(n.toDouble)).as("cdf"))
+        .orderBy(col("value"))
+      // same cache note as equiDepthHistogram: the persist serves the
+      // two driver actions; execution recomputes the domain groupBy
+    } finally counts.unpersist(false)
+  }
+
   /** Join-key distribution profiler: the diagnostic a pipeline runs
     * BEFORE choosing a skew strategy. Top-k heaviest keys with their
     * absolute count, parts-per-million share, and skew factor
@@ -450,6 +505,8 @@ object ScalePatterns {
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
+    "q183_quantile_normalize" -> ((s, d) =>
+      quantileNormalize(Tables(s, d).lineitem, "l_quantity")),
     "q119_key_skew_profile" -> ((s, d) =>
       keySkewProfile(Tables(s, d).events)),
     "q125_join_size_profile" -> ((s, d) =>
@@ -500,6 +557,20 @@ object ScalePatterns {
         |          AS bucket
         |      FROM lineitem)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the oracle IS the global running rank the operator avoids:
+    // cumulative count over value-ordered distinct values, one
+    // LONG/LONG double division
+    "q183_quantile_normalize" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT v AS value, cnt AS n,
+        |  CAST(CAST(sum(cnt) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE) AS cdf
+        |FROM c, t ORDER BY value""".stripMargin,
     "q125_join_size_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
         |SELECT CAST(sum(cnt * cnt) AS BIGINT) AS join_rows,

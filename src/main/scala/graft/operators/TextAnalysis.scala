@@ -435,7 +435,6 @@ object TextAnalysis {
         when(!col("has_stopword"), lit("no_stopword")),
         when(col("ttr") < minTtr, lit("repetitive"))))
       .withColumn("keep", col("drop_reasons") === "")
-      .orderBy(col("doc_id"))
   }
 
   /** Blocklist filter (the C4 "bad words" pass, Raffel et al. 2020
@@ -458,7 +457,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_join(col("matched0"), ",").as("matched_terms"),
         (size(col("matched0")) > 0).as("flagged"))
-      .orderBy(col("doc_id"))
   }
 
   /** Out-of-vocabulary rate against the corpus's own top-`v` terms —
@@ -504,9 +502,11 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_gopher_rules" ->
-      ((s, d) => gopherRules(Tables(s, d).documents)),
+      ((s, d) => gopherRules(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q178_blocklist_filter" ->
-      ((s, d) => blocklistFilter(Tables(s, d).documents)),
+      ((s, d) => blocklistFilter(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q179_oov_rate" ->
       ((s, d) => oovRate(Tables(s, d).documents)),
     "q175_template_prefixes" ->

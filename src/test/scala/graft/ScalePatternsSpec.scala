@@ -206,6 +206,22 @@ class ScalePatternsSpec extends AnyFunSuite {
       s"global window leaked into the plan:\n$plan")
   }
 
+  test("quantileNormalize maps every distinct value to its exact CDF") {
+    import spark.implicits._
+    // values: 1×4, 2×2, 3×2, 10×2  (n=10)
+    val df = (Seq.fill(4)(1.0) ++ Seq.fill(2)(2.0) ++ Seq.fill(2)(3.0) ++
+      Seq.fill(2)(10.0)).toDF("x")
+    val got = graft.operators.ScalePatterns.quantileNormalize(df, "x")
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(got == Seq((1.0, 4L, 0.4), (2.0, 2L, 0.6),
+      (3.0, 2L, 0.8), (10.0, 2L, 1.0)))
+    // null-only and empty inputs produce an empty, correctly-typed frame
+    val empty = graft.operators.ScalePatterns.quantileNormalize(
+      Seq.empty[Option[Double]].toDF("x"), "x")
+    assert(empty.columns.toSeq == Seq("value", "n", "cdf") &&
+      empty.count() == 0)
+  }
+
   test("snapshot diff classifies added / removed / changed rows") {
     import spark.implicits._
     import graft.operators.Merge

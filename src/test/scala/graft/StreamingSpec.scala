@@ -269,6 +269,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("stateless curation filters (gopher rules, blocklist) stream == batch") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown foxes moved softly over damp grass while " +
+        "small birds called from leafy trees before early light faded away"),
+      (2L, "the cat sat"),
+      (3L, "spark dup " + (1 to 20).map(i => s"word$i").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val gq = graft.operators.TextAnalysis.gopherRules(
+      mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "keep", "drop_reasons")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out").start()
+    val bq = graft.operators.TextAnalysis.blocklistFilter(
+      mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("block_out").start()
+    mem.addData(rows(0), rows(1))
+    gq.processAllAvailable(); bq.processAllAvailable()
+    mem.addData(rows(2))
+    gq.processAllAvailable(); bq.processAllAvailable()
+    val gStream = spark.table("gopher_out")
+      .as[(Long, Boolean, String)].collect().toSet
+    val bStream = spark.table("block_out")
+      .as[(Long, String, Boolean)].collect().toSet
+    gq.stop(); bq.stop()
+    val docs = rows.toDF("doc_id", "text")
+    assert(gStream == graft.operators.TextAnalysis.gopherRules(docs)
+      .select("doc_id", "keep", "drop_reasons")
+      .as[(Long, Boolean, String)].collect().toSet)
+    assert(bStream == graft.operators.TextAnalysis.blocklistFilter(docs)
+      .as[(Long, String, Boolean)].collect().toSet)
+    // sanity: doc 1 keeps, doc 3 matched the blocklist
+    assert(gStream.exists(r => r._1 == 1L && r._2))
+    assert(bStream.contains((3L, "spark,dup", true)))
+  }
+
   test("cross-corpus screen runs as a stateless stream-static anti join") {
     implicit val sc = spark.sqlContext
     val base = Seq((0L, "a b c", "en", "base"), (2L, "d e f", "en", "base"))
