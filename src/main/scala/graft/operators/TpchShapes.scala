@@ -125,6 +125,73 @@ object TpchShapes {
       .orderBy(col("o_year"))
   }
 
+  /** Q11 shape: "important stock" — per-part shipped value from one
+    * nation's suppliers, kept only where it exceeds `fraction` of that
+    * nation's total (the HAVING-against-a-scalar-subquery pattern).
+    * This dataset has no partsupp, so stock value is modeled as
+    * shipped quantity × retail price — the SHAPE (two aggregations
+    * over the same join, one reduced to a broadcast scalar, a HAVING
+    * comparing them) is what's exercised. TPC-H scales Q11's fraction
+    * by 1/SF because per-part share shrinks as parts multiply; the
+    * same is done here IN-QUERY: the cut is `mult`× the MEAN per-part
+    * share (2/|parts| of total by default), so the query returns a
+    * meaningful head at every SF. Value accumulates in exact decimal;
+    * the threshold is the identical multiply-then-divide double tree
+    * in both engines. */
+  def importantStock(t: Tables, nation: String = "NATION_2",
+      mult: Double = 2.0): DataFrame = {
+    val suppliers = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val base = t.lineitem
+      .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"),
+        (col("l_quantity").cast("decimal(18,2)") *
+          col("p_retailprice").cast("decimal(18,2)")).as("v"))
+    val total = base.agg(sum(col("v")).cast("double").as("total"),
+      count_distinct(col("p_partkey")).as("nparts"))
+    base.groupBy(col("p_partkey"))
+      .agg(sum(col("v")).cast("double").as("value"))
+      .crossJoin(broadcast(total))
+      .filter(col("value") > lit(mult) * col("total") / col("nparts"))
+      .select(col("p_partkey"), col("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q20 shape: suppliers who dominate the supply of some part — for
+    * each (supplier, part) the shipped quantity in a year, kept where
+    * it exceeds `share` of that part's total for the year, then the
+    * distinct suppliers semi-joined back to their names/nations. The
+    * nested-IN decorrelation: both aggregates are plain keyed
+    * groupBys over the SAME filtered lineitem scan, the per-part
+    * total arrives via an equi-join (broadcast-able: |parts| rows),
+    * and the final step is a semi join — no correlated subquery
+    * survives into the plan. */
+  def dominantSuppliers(t: Tables, share: Double = 0.5,
+      year: String = "1997"): DataFrame = {
+    val li = t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$year-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit(s"${year.toInt + 1}-01-01")))
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+    val perSupp = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sumD2(col("l_quantity")).as("sq"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sumD2(col("l_quantity")).as("tq"))
+    val dominant = perSupp
+      .join(broadcast(perPart), "l_partkey")
+      .filter(col("sq") > lit(share) * col("tq"))
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q6 shape, served through the SQL-TEXT interface: the
     * library's tables registered as temp views and the query executed
     * with `spark.sql` — the surface a SQL-only user consumes. Same
@@ -471,6 +538,9 @@ object TpchShapes {
       ((s, d) => localSupplierVolume(Tables(s, d))),
     "q143_nation_year_profit" -> ((s, d) => nationYearProfit(Tables(s, d))),
     "q171_market_share" -> ((s, d) => marketShare(Tables(s, d))),
+    "q184_important_stock" -> ((s, d) => importantStock(Tables(s, d))),
+    "q185_dominant_suppliers" ->
+      ((s, d) => dominantSuppliers(Tables(s, d))),
     "q144_large_order_customers" ->
       ((s, d) => largeOrderCustomers(Tables(s, d))),
     "q121_customer_distribution" ->
@@ -528,6 +598,49 @@ object TpchShapes {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // same decimal value sums on both sides of the HAVING, one double
+    // multiply for the threshold
+    "q184_important_stock" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(p_retailprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_2')),
+        |tot AS (SELECT CAST(sum(v) AS DOUBLE) AS total,
+        |          CAST(count(DISTINCT p_partkey) AS BIGINT) AS nparts
+        |        FROM base)
+        |SELECT p_partkey, CAST(sum(v) AS DOUBLE) AS value
+        |FROM base, tot
+        |GROUP BY p_partkey, total, nparts
+        |HAVING CAST(sum(v) AS DOUBLE) > 2.0 * total / nparts
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    // both aggregates over the same filtered scan; dominance check is
+    // one double multiply; final semi join via IN
+    "q185_dominant_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_partkey, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |per_supp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |  FROM li GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq
+        |  FROM li GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT DISTINCT l_suppkey FROM per_supp
+        |  JOIN per_part USING (l_partkey)
+        |  WHERE sq > 0.5 * tq)
+        |ORDER BY s_suppkey""".stripMargin,
     // the same single-aggregate two-sided conditional sum: numerator
     // and denominator from one pass, share as one double division
     "q171_market_share" ->

@@ -83,6 +83,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ordered-fold operators are invariant under input partitioning") {
+    // the library's determinism claim, tested head-on: operators whose
+    // results could drift with parallelism (ordered folds, distributed
+    // ranks, driver-collected models) must produce BIT-identical rows
+    // regardless of how the input was partitioned
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val ev = t.events
+    assert(rows(graft.operators.Behavioral.ewma(ev.repartition(3))) ==
+      rows(graft.operators.Behavioral.ewma(ev.repartition(11))))
+    val docs = t.documents
+    assert(rows(graft.operators.CorpusSignals.epochMixture(
+        docs.repartition(3))) ==
+      rows(graft.operators.CorpusSignals.epochMixture(
+        docs.repartition(11))))
+    assert(rows(graft.operators.ScalePatterns.quantileNormalize(
+        t.lineitem.repartition(3), "l_quantity")) ==
+      rows(graft.operators.ScalePatterns.quantileNormalize(
+        t.lineitem.repartition(11), "l_quantity")))
+    assert(rows(graft.operators.CorpusSignals.importanceWeights(
+        docs.repartition(3))) ==
+      rows(graft.operators.CorpusSignals.importanceWeights(
+        docs.repartition(11))))
+  }
+
   test("dedup by fingerprint is idempotent") {
     forAll(Gen.listOfN(10, doc)) { texts =>
       val df = texts.zipWithIndex

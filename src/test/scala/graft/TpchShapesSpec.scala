@@ -40,6 +40,38 @@ class TpchShapesSpec extends AnyFunSuite {
       val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0 })
   }
 
+  test("Q11 shape: adaptive HAVING keeps a meaningful head, no cartesian") {
+    // sf0.01: at sf0.001 the nation's parts are each hit ~once, so no
+    // share clears 2x the mean and the (correct) head is empty
+    val df = TpchShapes.importantStock(
+      Tables(spark, "/root/testdata/sf0.01"))
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // descending by value, and every kept part is above 2x mean share
+    val vals = rows.map(_.getAs[Double]("value")).toSeq
+    assert(vals == vals.sortBy(-_))
+  }
+
+  test("Q20 shape: only suppliers dominating some part survive") {
+    import spark.implicits._
+    val got = TpchShapes.dominantSuppliers(t)
+      .select("s_suppkey").as[Long].collect().toSet
+    // recompute dominance directly
+    val li = t.lineitem.filter(
+      col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_suppkey", "l_partkey", "l_quantity")
+      .as[(Long, Long, Double)].collect()
+    val perPart = li.groupBy(_._2).map { case (p, xs) =>
+      p -> xs.map(_._3).sum }
+    val expect = li.groupBy(x => (x._1, x._2)).collect {
+      case ((s, p), xs) if xs.map(_._3).sum > 0.5 * perPart(p) => s
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("Q18 shape: the quantity rollup aggregates lineitem before any join") {
     val df = TpchShapes.largeOrderCustomers(t)
     val plan = df.queryExecution.optimizedPlan.toString
