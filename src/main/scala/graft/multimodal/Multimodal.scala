@@ -169,6 +169,34 @@ object Multimodal {
         col("f._4").cast("double").as("frame_mean_lum"))
   }
 
+  /** Scene-change detection: consecutive decoded frames compared by
+    * perceptual-hash hamming distance ([[ImageCodec.aHash]] — the
+    * same key [[imageDedup]] buckets on); a distance above
+    * `minHamming` marks a cut. Each clip decodes ONCE inside a narrow
+    * UDF and emits only its (prev, next, distance, is_cut) transition
+    * rows — media bytes never shuffle, the per-clip work is O(frames)
+    * and embarrassingly parallel across clips, which is the whole
+    * 100 TB story for video analytics. Undecodable frames are skipped
+    * (comparison spans the gap — a corrupt frame is not a cut);
+    * malformed containers contribute zero rows. */
+  def sceneChanges(media: DataFrame, minHamming: Int = 10): DataFrame = {
+    val scan = udf((b: Array[Byte]) =>
+      VideoCodec.frameHashes(b).map { hs =>
+        hs.sliding(2).collect { case Seq((i0, t0, h0), (i1, _, h1)) =>
+          (i0, i1, t0, java.lang.Long.bitCount(h0 ^ h1))
+        }.toSeq
+      }.getOrElse(Seq.empty[(Int, Int, Long, Int)]))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), explode(scan(col("bytes"))).as("t"))
+      .select(col("media_id"),
+        col("t._1").as("prev_frame"),
+        col("t._2").as("next_frame"),
+        col("t._3").as("prev_ts_ms"),
+        col("t._4").as("hamming"))
+      .withColumn("is_cut", col("hamming") > minHamming)
+      .orderBy(col("media_id"), col("prev_frame"))
+  }
+
   /** REAL windowed audio analysis: decode each clip once, split into
     * fixed-ms windows, emit per-window RMS + zero-crossing rate —
     * the audio analog of [[sampleFrames]]' explode shape (what a
@@ -304,7 +332,9 @@ object Multimodal {
       audioWindows(materializedMedia(s, d))
         .orderBy("media_id", "window_idx")),
     "q147_image_dedup" -> ((s, d) =>
-      imageDedup(materializedMedia(s, d)))
+      imageDedup(materializedMedia(s, d))),
+    "q186_scene_changes" -> ((s, d) =>
+      sceneChanges(materializedMedia(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map()

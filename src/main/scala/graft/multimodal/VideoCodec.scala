@@ -126,6 +126,20 @@ object VideoCodec {
       }.sortBy(_.tsMs)
     }
 
+  /** Per-frame perceptual hashes of a clip: (frameIdx, tsMs, aHash)
+    * for every frame whose PNG payload REALLY decodes (one container
+    * walk, one ImageIO decode + [[ImageCodec.aHash]] per frame).
+    * None for malformed containers; undecodable frames are skipped —
+    * the scene-change detector then compares across the gap, which is
+    * the robust choice (a corrupt frame is not a cut). */
+  def frameHashes(bytes: Array[Byte]): Option[Seq[(Int, Long, Long)]] =
+    header(bytes).map { case (n, frameMs) =>
+      (0 until n).flatMap { idx =>
+        frameAt(bytes, idx).flatMap(ImageCodec.aHashFromBytes)
+          .map(h => (idx, idx.toLong * frameMs, h)).toSeq
+      }
+    }
+
   /** Image-wide mean Rec.601 luminance in [0,1]; integer accumulation
     * until the final division. */
   def meanLuminance(img: java.awt.image.BufferedImage): Float = {

@@ -117,6 +117,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoCodec.sampleFrames("junk".getBytes, 250).isEmpty)
   }
 
+  test("scene changes: planted cuts found, steady shots stay uncut") {
+    def solidPng(rgb: Int, split: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y,
+          if (split && x >= 8) 0xFFFFFF else rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = solidPng(0x000000, split = false)
+    val contrast = solidPng(0x000000, split = true) // half black half white
+    val clip = VideoCodec.encode(
+      Seq(black, black, contrast, contrast, black), frameMs = 100)
+    val media = Seq((1L, "video", clip)).toDF("media_id", "kind", "bytes")
+    val got = Multimodal.sceneChanges(media, minHamming = 10)
+      .select("prev_frame", "next_frame", "hamming", "is_cut")
+      .as[(Int, Int, Int, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) ==
+      Seq((0, 1, false), (1, 2, true), (2, 3, false), (3, 4, true)))
+    // steady transitions are hash-identical; cuts are far apart
+    assert(got.filter(!_._4).forall(_._3 == 0))
+    assert(got.filter(_._4).forall(_._3 >= 20))
+    // malformed container contributes zero rows
+    val junk = Seq((2L, "video", "junk".getBytes))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.sceneChanges(junk).count() == 0)
+  }
+
   test("q45 frame samples derive from really-decoded frames") {
     val media = Multimodal.syntheticMedia(t).filter(col("kind") === "video")
     val bytes = media.select("media_id", "bytes").as[(Long, Array[Byte])]
