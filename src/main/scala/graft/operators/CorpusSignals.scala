@@ -939,6 +939,13 @@ object CorpusSignals {
       sourceMixtureWeights(Tables(s, d).documents)),
     "q168_epoch_mixture" -> ((s, d) =>
       epochMixture(Tables(s, d).documents)),
+    // OPERATOR COMPOSITION — the dataset builder end to end: the
+    // curated corpus (quality gate -> exact dedup -> decontamination)
+    // fed straight into the temperature-mixture materializer; one
+    // oracle-exact plan from raw docs to the named epoch rows a
+    // trainer reads
+    "q187_epoch_build" -> ((s, d) =>
+      epochMixture(curatedDocs(Tables(s, d).documents))),
     "q170_importance_weights" -> ((s, d) =>
       importanceWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
@@ -1192,6 +1199,58 @@ object CorpusSignals {
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // q130's curation CTEs (with source carried through) feeding
+    // q168's mixture CTEs — the composed oracle proves the ONE-plan
+    // dataset builder end to end
+    "q187_epoch_build" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE source <> 'src0' AND n_chars BETWEEN 200 AND 1200),
+        |keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1),
+        |deduped AS (
+        |  SELECT c.doc_id, c.text, c.source FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.doc_id),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    AS g
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents
+        |        WHERE source = 'src0')),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM deduped)) d
+        |  JOIN eval_grams e ON d.g = e.g),
+        |clean AS (
+        |  SELECT doc_id, source FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |      FROM clean GROUP BY 1),
+        |dn AS (SELECT list_reduce(list_prepend(0.0,
+        |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+        |        (a, b) -> a + b) AS denom FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |t AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) / denom
+        |          * CAST(total AS DOUBLE)) AS BIGINT) AS tgt
+        |      FROM c, dn, tot),
+        |r AS (SELECT doc_id, dd.source,
+        |        row_number() OVER (PARTITION BY dd.source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM clean dd),
+        |nc AS (SELECT doc_id, r.source,
+        |         (tgt // n) + CASE WHEN rk <= (tgt % n)
+        |                           THEN 1 ELSE 0 END AS n_copies
+        |       FROM r JOIN t ON r.source = t.source)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+        |FROM nc WHERE n_copies >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
     "q130_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, n_chars FROM documents

@@ -290,6 +290,27 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(encOdd.head == ((3L, 2, "abab ab")))
   }
 
+  test("epoch build: dedup and decontamination precede the mixture") {
+    import spark.implicits._
+    // per-doc pads (clear minChars without sharing 5-grams across docs)
+    def pad(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+    val dupText = s"alpha beta ${pad("a")}"
+    val docs = Seq(
+      (0L, "src0", s"e1 e2 e3 e4 e5 ${pad("z")}"), // eval doc (excluded)
+      (1L, "srcA", dupText),
+      (2L, "srcA", dupText),                       // exact dup -> drops
+      (3L, "srcA", s"e1 e2 e3 e4 e5 ${pad("b")}"), // contaminated -> drops
+      (4L, "srcB", s"delta epsilon ${pad("c")}")
+    ).map { case (id, src, tx) => (id, src, tx, tx.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val epoch = CorpusSignals.epochMixture(CorpusSignals.curatedDocs(docs))
+      .as[(Long, String, Long)].collect()
+    val ids = epoch.map(_._1).toSet
+    // survivors are exactly {1, 4}: 0 is eval, 2 deduped, 3 contaminated
+    assert(ids.subsetOf(Set(1L, 4L)) && ids.nonEmpty)
+    assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(0L))
+  }
+
   test("epochMixture: temperature targets, md5 remainder, repeats explode") {
     import spark.implicits._
     // sizes 4 and 1 -> weights 2/3, 1/3 of total 5:
