@@ -21,16 +21,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4
-    * refuses to read natively. Read nanos as long and rebuild a micro
-    * timestamp — lossless here (the generator emits micro-aligned
-    * values), and DuckDB's own read truncates to micros identically.
+  /** `events.ts` has shipped in two physical encodings across driver
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 refuses to
+    * read natively, so we read nanos-as-long and rebuild a micro
+    * timestamp — and plain TIMESTAMP(MICROS), which reads directly.
+    * Branch on the type the scan actually resolves so both generations
+    * of data load to the same session-TZ TIMESTAMP column. The nanos
+    * path is lossless here (the generator emits micro-aligned values),
+    * and DuckDB's own read truncates to micros identically.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div` — a double `/` would lose precision at ns-epoch scale
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: integer `div` — a double `/` would lose
+        // precision at ns-epoch scale
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

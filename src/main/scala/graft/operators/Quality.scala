@@ -94,17 +94,27 @@ object Quality {
 
   /** ANALYZE-style column statistics in ONE scan — the numbers a
     * cost-based optimizer and a data-quality monitor both consume:
-    * row count, null count, exact NDV, and min/max per column, one
-    * output row per column via stack(). The count_distincts expand
-    * the aggregate |cols|-fold (the standard ANALYZE trade); every
-    * piece partial-aggregates, so the scan parallelizes and the
-    * result is |cols| rows. min/max serialize to strings for a
-    * uniform schema across column types. */
-  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * row count, null count, NDV, and min/max per column, one output
+    * row per column via stack(). min/max serialize to strings for a
+    * uniform schema across column types.
+    *
+    * NDV mode is the scale knob: the DEFAULT is
+    * `approx_count_distinct` (HLL++, rsd 0.01) — every aggregate then
+    * partial-aggregates in one plain scan with NO multi-distinct
+    * Expand, which is the only plan that survives 100 TB (exact
+    * multi-column count_distinct expands the scan |cols|+1-fold).
+    * `exactNdv = true` is the audit/oracle configuration: bit-exact
+    * NDV at the price of the Expand — fine at bench scale, documented
+    * as non-default for exactly that reason (q153 pins it against
+    * DuckDB; HLL sketches differ across engines so approx can't be
+    * oracle-checked). */
+  def columnStats(df: DataFrame, cols: Seq[String],
+      exactNdv: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
-        count_distinct(col(c)).as(s"${c}__ndv"),
+        (if (exactNdv) count_distinct(col(c))
+         else approx_count_distinct(col(c), 0.01)).as(s"${c}__ndv"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
@@ -142,6 +152,43 @@ object Quality {
           "i -> coalesce(element_at(m, i), 0L) / CAST(n AS DOUBLE)))")
         .as("x"))
 
+  /** GD inner loop over an ALREADY-PERSISTED features frame — shared
+    * by train-only and train-then-score so scoring never rebuilds
+    * features. */
+  private def gdRounds(feat: DataFrame, n: Double, dim: Int,
+      rounds: Int, lr: Double): Array[Double] = {
+    var w = new Array[Double](dim + 1)
+    var r = 0
+    while (r < rounds) {
+      val wLit = array(w.map(lit(_)): _*)
+      val margin = aggregate(
+        zip_with(col("x"), wLit, (x, wi) => x * wi),
+        lit(0.0), (acc, t) => acc + t)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val g = feat
+        .select(col("x"), (p - col("y")).as("err"))
+        .select(posexplode(col("x")).as(Seq("pos", "xi")), col("err"))
+        .groupBy(col("pos"))
+        .agg(sum(col("xi") * col("err")).as("g"))
+        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+      w = w.indices.map(i => w(i) - lr * g(i) / n).toArray
+      r += 1
+    }
+    w
+  }
+
+  /** Deterministic hash-sample predicate over doc_id — the 100 TB
+    * training knob: the classifier only needs a statistical slice to
+    * converge, so training reads `sampleFraction` of the corpus while
+    * scoring still covers all of it. xxhash64 keeps the slice stable
+    * across runs/partitionings (same contract as
+    * [[graft.operators.Dedup.hashStratifiedSample]]). */
+  private def sampled(docs: DataFrame, sampleFraction: Double): DataFrame =
+    if (sampleFraction >= 1.0) docs
+    else docs.filter(
+      pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+        lit((sampleFraction * 1000000L).toLong))
+
   /** Train a logistic-regression quality classifier IN-ENGINE — the
     * corpus-filtering model of GPT-3/PaLM-style curation (Brown et
     * al. 2020, arXiv:2005.14165, Appendix A: a classifier scores
@@ -153,50 +200,64 @@ object Quality {
     * with ONE posexplode + dim-keyed groupBy — the only driver state
     * is the model itself (the [[Similarity.kmeansCentroids]]
     * precedent). Features persist across rounds; lineage never grows
-    * with rounds. */
+    * with rounds. `sampleFraction < 1` trains on a deterministic
+    * hash-slice of the corpus — at 100 TB you train on ~1e-4 of the
+    * data and score everything. */
   def trainQualityClassifier(docs: DataFrame, positive: Column,
-      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0): Array[Double] = {
-    val feat = bowFeatures(docs, positive, dim).persist()
+      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0,
+      sampleFraction: Double = 1.0): Array[Double] = {
+    val feat =
+      bowFeatures(sampled(docs, sampleFraction), positive, dim).persist()
     try {
-      val n = feat.count().toDouble
-      var w = new Array[Double](dim + 1)
-      var r = 0
-      while (r < rounds) {
-        val wLit = array(w.map(lit(_)): _*)
-        val margin = aggregate(
-          zip_with(col("x"), wLit, (x, wi) => x * wi),
-          lit(0.0), (acc, t) => acc + t)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin))
-        val g = feat
-          .select(col("x"), (p - col("y")).as("err"))
-          .select(posexplode(col("x")).as(Seq("pos", "xi")), col("err"))
-          .groupBy(col("pos"))
-          .agg(sum(col("xi") * col("err")).as("g"))
-          .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
-        w = w.indices.map(i => w(i) - lr * g(i) / n).toArray
-        r += 1
-      }
-      w
+      gdRounds(feat, feat.count().toDouble, dim, rounds, lr)
     } finally feat.unpersist(false)
   }
 
   /** Score every document with the trained classifier: one broadcast
-    * weight vector, one row-local fold per document — scan-shaped. */
+    * weight vector, one row-local fold per document — scan-shaped.
+    *
+    * Features are built ONCE: training executes its GD actions against
+    * the persisted frame, scoring projects from the SAME frame, and
+    * the narrow (doc_id, y, prob) result is eagerly localCheckpointed
+    * so the cache can be released before returning (the
+    * [[ScalePatterns.equiDepthHistogram]] unpersist-vs-recompute
+    * trade, resolved here by materializing the 3-column result — tiny
+    * relative to re-tokenizing the corpus). With `sampleFraction < 1`
+    * training filters the SAME persisted features frame down to the
+    * hash-slice (per-doc features are independent, so the filtered
+    * frame is identical to features built from the sampled corpus)
+    * while scoring covers the full corpus. */
   def qualityClassifierScores(docs: DataFrame, positive: Column,
-      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0): DataFrame = {
-    val w = trainQualityClassifier(docs, positive, dim, rounds, lr)
-    val wLit = array(w.map(lit(_)): _*)
-    val margin = aggregate(
-      zip_with(col("x"), wLit, (x, wi) => x * wi),
-      lit(0.0), (acc, t) => acc + t)
-    bowFeatures(docs, positive, dim)
-      .select(col("doc_id"), col("y"),
-        (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"))
-      .orderBy(col("doc_id"))
+      dim: Int = 64, rounds: Int = 15, lr: Double = 2.0,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val fullFeat = bowFeatures(docs, positive, dim).persist()
+    try {
+      val trainFeat =
+        if (sampleFraction >= 1.0) fullFeat
+        else fullFeat.filter(
+          pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+            lit((sampleFraction * 1000000L).toLong))
+      val w = gdRounds(trainFeat, trainFeat.count().toDouble, dim, rounds, lr)
+      val wLit = array(w.map(lit(_)): _*)
+      val margin = aggregate(
+        zip_with(col("x"), wLit, (x, wi) => x * wi),
+        lit(0.0), (acc, t) => acc + t)
+      fullFeat
+        .select(col("doc_id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-margin))).as("prob"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally fullFeat.unpersist(false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exactNdv = the oracle-pinned audit configuration; the library
+    // default is the Expand-free approx path (q188 covers it)
     "q153_column_stats" -> ((s, d) =>
+      columnStats(Tables(s, d).lineitem,
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"),
+        exactNdv = true)),
+    "q188_column_stats_approx" -> ((s, d) =>
       columnStats(Tables(s, d).lineitem,
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"))),
     "q148_quality_classifier" -> ((s, d) =>

@@ -333,14 +333,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("file-source stream with checkpoint: AvailableNow equals batch") {
-    // events.parquet is TIMESTAMP(NANOS); declare ts as long and
-    // rebuild micros, exactly like Tables.events does for batch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.parquet stores ts as TIMESTAMP(MICROS) without UTC
+    // adjustment; declare it NTZ and cast to the session-TZ
+    // timestamp, exactly like Tables.events does for batch
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.TimestampNTZType),
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type",
@@ -358,7 +358,7 @@ class StreamingSpec extends AnyFunSuite {
       srcDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = StreamingOps.tumblingCounts(stream)
     val q = agg.writeStream
       .outputMode("append")
