@@ -533,9 +533,57 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
   }
 
+  /** [[crossCorpusNewAgainst]] with the promised bloom runtime-filter
+    * prefix made code: a Bloom sketch over the base fingerprints is
+    * embedded as a scan-side predicate on the candidates, splitting
+    * them into definite-new rows (bloom says "not in base" — no false
+    * negatives, so they ARE new and bypass the shuffle entirely) and
+    * maybe-dup rows (bloom positive — the exact anti join settles
+    * them, absorbing the ~fpp false positives). Result is row-identical
+    * to the plain form — q189 pins that against q145's oracle.
+    *
+    * Scale shape: the anti-join shuffle now carries only
+    * |dups| + fpp·|new| candidate rows instead of ALL of them — for a
+    * fresh crawl screened against an ingested corpus (mostly-new
+    * traffic) that is the difference between shuffling the crawl and
+    * shuffling almost nothing. Fingerprints are hashed to longs on
+    * both sides so the sketch stays on the proven long-typed
+    * [[RuntimeFilters]] path; a hash collision is just one more false
+    * positive for the anti join. Build cost is two tiny jobs over the
+    * collapsed base hash set (count + sketch), same convention as
+    * [[RuntimeFilters.bloomPrunedOrderRevenue]]: the cache is released
+    * before returning, so the maybe-branch re-derives the base scan
+    * with pushdown at execution time. */
+  def crossCorpusNewBloomScreened(candidates: DataFrame, base: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val fp = md5(array_join(
+      array_sort(array_distinct(split(col("text"), " "))), " "))
+    val baseFps = base.select(fp.as("fp")).distinct()
+    baseFps.persist()
+    val bloom =
+      try RuntimeFilters.buildBloom(
+        baseFps.select(xxhash64(col("fp")).as("h")), "h",
+        baseFps.count(), fpp)
+      finally baseFps.unpersist(false)
+    val withFp = candidates.withColumn("fp", fp)
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    val inBloom = RuntimeFilters.mightContain(bloom, xxhash64(col("fp")))
+    val definiteNew = withFp.filter(!inBloom)
+    val maybeDup = withFp.filter(inBloom).join(baseFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    definiteNew.unionByName(maybeDup)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_cross_corpus_new" -> ((s, d) =>
       crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
+    "q189_cross_corpus_bloom" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      crossCorpusNewBloomScreened(
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .orderBy(col("doc_id"))
+    }),
     "q155_incremental_neardups" -> ((s, d) => {
       val docs = Tables(s, d).documents
       incrementalNearDups(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
@@ -585,18 +633,22 @@ object Dedup {
        |FROM scores ORDER BY doc_id""".stripMargin
   }
 
+  private val crossCorpusOracle =
+    """WITH f AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(text, ' '))), ' ')) AS fp,
+      |    doc_id % 2 = 0 AS isbase
+      |  FROM documents)
+      |SELECT doc_id, lang, source, fp FROM f
+      |WHERE NOT isbase
+      |  AND fp NOT IN (SELECT fp FROM f WHERE isbase)
+      |ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q145_cross_corpus_new" ->
-      """WITH f AS (
-        |  SELECT doc_id, lang, source,
-        |    md5(array_to_string(list_sort(list_distinct(
-        |      string_split(text, ' '))), ' ')) AS fp,
-        |    doc_id % 2 = 0 AS isbase
-        |  FROM documents)
-        |SELECT doc_id, lang, source, fp FROM f
-        |WHERE NOT isbase
-        |  AND fp NOT IN (SELECT fp FROM f WHERE isbase)
-        |ORDER BY doc_id""".stripMargin,
+    "q145_cross_corpus_new" -> crossCorpusOracle,
+    // the bloom-screened split must be row-identical to the plain form
+    "q189_cross_corpus_bloom" -> crossCorpusOracle,
     "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (

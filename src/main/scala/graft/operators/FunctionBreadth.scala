@@ -242,7 +242,12 @@ object FunctionBreadth {
       .agg(
         min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
         max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
-        mode(col("o_orderpriority")).as("top_priority"),
+        // deterministic=true breaks frequency ties to the LOWEST value
+        // — engine-independent (DuckDB's mode tie is row-order
+        // dependent, and sf0.001 actually has a tie; the oracle
+        // replays the same min-among-argmax rule explicitly)
+        mode(col("o_orderpriority"), deterministic = true)
+          .as("top_priority"),
         median(col("o_totalprice")).as("median_price"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
@@ -297,13 +302,25 @@ object FunctionBreadth {
         |    AS last_finished_price
         |FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q96_agg_breadth" ->
-      """SELECT o_orderstatus,
-        |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
-        |  max_by(o_orderkey, o_totalprice) AS priciest_order,
-        |  mode(o_orderpriority) AS top_priority,
-        |  median(o_totalprice) AS median_price,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH pc AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT o_orderstatus, min(o_orderpriority) AS top_priority
+        |  FROM (SELECT *, max(c) OVER (PARTITION BY o_orderstatus) AS cm
+        |        FROM pc) z
+        |  WHERE c = cm GROUP BY 1)
+        |SELECT a.o_orderstatus, a.cheapest_order, a.priciest_order,
+        |  pm.top_priority, a.median_price, a.n
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    min_by(o_orderkey, o_totalprice) AS cheapest_order,
+        |    max_by(o_orderkey, o_totalprice) AS priciest_order,
+        |    median(o_totalprice) AS median_price,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1) a
+        |JOIN pm USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "q97_array_hofs" ->
       """SELECT vec_id,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -1,0 +1,57 @@
+package graft
+
+import scala.sys.process._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O4 (deployment topology) executable artifact: `bin/graft-submit`
+  * resolves DEPLOY.md's cluster shape into a concrete spark-submit
+  * command. --dry-run prints the resolved command line, so the
+  * derivations (shuffle partitions from total cores, AQE + skew-join,
+  * scan split size, resource flags only off local) are pinned here
+  * without launching a JVM. The script is also exercised for real
+  * against sf0.001 (see DEPLOY.md's "smoke run" note).
+  */
+class LauncherSpec extends AnyFunSuite {
+  private val script = "bin/graft-submit"
+
+  private def dryRun(args: String*): String = {
+    val out = new StringBuilder
+    val code = Process(Seq("bash", script, "--dry-run") ++ args,
+      new java.io.File(".")).!(ProcessLogger(s => out.append(s).append('\n'),
+      s => out.append(s).append('\n')))
+    assert(code == 0, s"graft-submit failed:\n$out")
+    out.toString
+  }
+
+  test("script parses (bash -n)") {
+    assert(Seq("bash", "-n", script).! == 0)
+  }
+
+  test("local master: cores from local[N], no executor resource flags") {
+    val cmd = dryRun("--master", "local[32]", "--class", "graft.Bench")
+    assert(cmd.contains("spark-submit"))
+    assert(cmd.contains("--class graft.Bench"))
+    assert(cmd.contains("spark.sql.shuffle.partitions=96")) // 3 x 32
+    assert(cmd.contains("spark.sql.adaptive.enabled=true"))
+    assert(cmd.contains("spark.sql.adaptive.skewJoin.enabled=true"))
+    assert(cmd.contains("spark.sql.files.maxPartitionBytes=268435456"))
+    assert(!cmd.contains("--num-executors"))
+  }
+
+  test("cluster master: DEPLOY.md resource shape and 3x-cores shuffle") {
+    val cmd = dryRun("--master", "yarn", "--executors", "1000",
+      "--executor-cores", "4", "--class", "graft.Verify")
+    assert(cmd.contains("--num-executors 1000"))
+    assert(cmd.contains("--executor-cores 4"))
+    assert(cmd.contains("spark.sql.shuffle.partitions=12000")) // 3 x 4000
+    assert(cmd.contains("spark.executor.memoryOverheadFactor=0.125"))
+  }
+
+  test("app args pass through after --") {
+    val cmd = dryRun("--class", "graft.Verify", "--",
+      "/root/testdata/sf0.001", "/tmp/launcher_out")
+    assert(cmd.contains("/root/testdata/sf0.001"))
+    assert(cmd.contains("/tmp/launcher_out"))
+  }
+}

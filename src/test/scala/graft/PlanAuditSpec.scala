@@ -23,6 +23,30 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("columnStats default path plans without a multi-distinct Expand") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables(spark, sf).lineitem
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity",
+      "l_returnflag")
+    val approx = operators.Quality.columnStats(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      "approx-NDV default must not Expand the scan")
+    // and the audit configuration pays exactly that price — if Spark
+    // ever plans multi-distinct without Expand, this doc-pin tells us
+    val exact = operators.Quality.columnStats(li, cols, exactNdv = true)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"))
+    // same contract, differing only in the ndv column
+    val a = operators.Quality.columnStats(li, cols)
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_value"), col("max_value")).collect().toSeq
+    val e = operators.Quality.columnStats(li, cols, exactNdv = true)
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_value"), col("max_value")).collect().toSeq
+    assert(a == e)
+  }
+
   // deliberate cross joins: q18 is the tiny×tiny cross-join demo
   private val cartesianOk = Set("q18_cross_join")
 
