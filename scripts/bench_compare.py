@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON lines (driver format or raw Bench stdout).
+
+Usage: bench_compare.py OLD.json NEW.json|NEW.log
+Accepts either the driver's BENCH_r{N}.json wrapper (queries live inside
+the 'tail' field's embedded JSON line) or a raw log containing the bare
+{"metric":...} line. Prints common-query totals, the biggest deltas, and
+queries present on only one side.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc["queries"]
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric":.*?"queries":(\{.*?\}).*?\}', text)
+    if not m:
+        sys.exit(f"no bench JSON line found in {path}")
+    return json.loads(m.group(1))
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    common = sorted(set(old) & set(new))
+    t_old = sum(old[q] for q in common)
+    t_new = sum(new[q] for q in common)
+    print(f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s "
+          f"({t_new / t_old:.2f}x)")
+    deltas = sorted(common, key=lambda q: abs(new[q] - old[q]), reverse=True)
+    print("biggest deltas:")
+    for q in deltas[:12]:
+        print(f"  {q}: {old[q]:.2f} -> {new[q]:.2f}")
+    only_new = sorted(set(new) - set(old))
+    only_old = sorted(set(old) - set(new))
+    if only_new:
+        tn = sum(new[q] for q in only_new)
+        print(f"new-only ({len(only_new)}, {tn:.1f}s): " + ", ".join(
+            f"{q}={new[q]:.2f}" for q in sorted(
+                only_new, key=lambda q: -new[q])[:12]))
+    if only_old:
+        print(f"old-only: {', '.join(only_old)}")
+
+
+if __name__ == "__main__":
+    main()

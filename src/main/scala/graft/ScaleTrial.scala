@@ -48,7 +48,10 @@ object ScaleTrial {
     "q138_line_dedup_rewrite", // line-level dedup + rewrite
     "q140_bigram_fluency", // LM scoring with in-engine model
     "q149_global_row_ids", // two-phase global numbering
-    "q153_column_stats") // one-scan ANALYZE
+    "q153_column_stats", // one-scan ANALYZE (exact-NDV audit tier)
+    "q188_column_stats_approx", // ANALYZE default: no multi-distinct Expand
+    "q189_cross_corpus_bloom", // bloom-prefixed anti-join screen
+    "q181_mad_outliers") // events family: 2 rounds of quantile machinery
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -32,6 +32,36 @@ class QualityClassifierSpec extends AnyFunSuite {
       assert(scores(i) < 0.2, s"negative doc $i scored ${scores(i)}"))
   }
 
+  test("sampled training still separates; every doc still scored") {
+    // the 100 TB knob: train on a hash-slice, score the full corpus.
+    // The planted classes are redundant (every pos doc repeats the
+    // same tokens), so a half-corpus slice carries the same signal.
+    val scores = Quality.qualityClassifierScores(planted,
+      col("source") === "hq", dim = 16, rounds = 60, lr = 4.0,
+      sampleFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 40, "scoring must cover held-out docs too")
+    (0L until 20L).foreach(i =>
+      assert(scores(i) > 0.8, s"positive doc $i scored ${scores(i)}"))
+    (20L until 40L).foreach(i =>
+      assert(scores(i) < 0.2, s"negative doc $i scored ${scores(i)}"))
+  }
+
+  test("sampled training reads a strict, deterministic subset") {
+    val full = Quality.trainQualityClassifier(planted,
+      col("source") === "hq", dim = 16, rounds = 3, lr = 1.0)
+    val half1 = Quality.trainQualityClassifier(planted,
+      col("source") === "hq", dim = 16, rounds = 3, lr = 1.0,
+      sampleFraction = 0.5)
+    val half2 = Quality.trainQualityClassifier(planted,
+      col("source") === "hq", dim = 16, rounds = 3, lr = 1.0,
+      sampleFraction = 0.5)
+    assert(half1.toSeq == half2.toSeq,
+      "hash-sampled training must be run-to-run deterministic")
+    assert(full.toSeq != half1.toSeq,
+      "the slice must actually differ from the full corpus")
+  }
+
   test("training moves the weights away from zero-init") {
     val w = Quality.trainQualityClassifier(planted,
       col("source") === "hq", dim = 16, rounds = 5, lr = 1.0)
