@@ -128,6 +128,49 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Quality-aware near-dup collapse: one KEPT document per duplicate
+    * cluster, chosen by HIGHEST quality score (ties to the lowest
+    * doc_id) instead of the arbitrary min-id representative — when a
+    * crawl contains a clean original and a boilerplate-wrapped copy,
+    * min-id keeps whichever was crawled first; this keeps the better
+    * one (the keep-best convention of RefinedWeb-style curation,
+    * Penedo et al. 2023, arXiv:2306.01116 §3.3).
+    *
+    * Composition, no new machinery: exact-jaccard edges
+    * ([[jaccardPairs]]) → [[Dedup.dupClusters]] components → per-doc
+    * [[graft.functions.TextFunctions.qualityScore]] → per-cluster
+    * argmax as `min(struct(-quality, doc_id, quality))` — a plain
+    * partial-aggregatable groupBy, no window. Unclustered docs are
+    * their own singleton cluster (left join + coalesce), so the output
+    * is exactly one row per surviving document. The double negation is
+    * an IEEE sign flip (exact), so the argmax is engine-independent
+    * given identical scores — q190's oracle replays cluster closure,
+    * scoring, and the same ordering rule, hash-exact. At 100 TB swap
+    * the edge generator for the LSH candidates (q82) unchanged. */
+  def bestQualityRepresentatives(documents: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(
+      jaccardPairs(documents).select(col("d1"), col("d2")))
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, w => w === "a" || w === "the")).cast("double") /
+        nTokens
+    val scored = documents.select(col("doc_id"),
+      qualityScore(nTokens, ttr, stopRatio).as("quality"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct((-col("quality")).as("nq"), col("doc_id"),
+          col("quality"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("w.doc_id").as("kept_doc_id"),
+        col("w.quality").as("quality"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Token counting, whitespace vs BPE-ish: the two granularities a
     * training pipeline budgets with (raw words vs pre-tokenizer
     * pieces). The corpus is bare lowercase words, so a punctuated tail
@@ -546,7 +589,9 @@ object TextAnalysis {
     "q156_jaccard_clusters" -> ((s, d) =>
       Dedup.dupClusters(jaccardPairs(Tables(s, d).documents)
           .select(col("d1"), col("d2")))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "q190_best_of_cluster" -> ((s, d) =>
+      bestQualityRepresentatives(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -614,6 +659,62 @@ object TextAnalysis {
     // q82's machinery made driver-checkable: same docs/pairs CTEs as
     // q26, then the q136 recursive-closure pattern; every edge node's
     // component minimum must match dupClusters exactly
+    // q156's closure + q22's scoring + the same argmax rule (quality
+    // DESC, doc_id ASC) — singletons via left join + coalesce
+    "q190_best_of_cluster" ->
+      """WITH RECURSIVE sh_docs AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, lang, source, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh_docs a JOIN sh_docs b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS s, d2 AS t FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |q AS (
+        |  SELECT doc_id,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(toks) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |      CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the'))
+        |        AS DOUBLE) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |    q.quality
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |  JOIN q ON q.doc_id = d.doc_id),
+        |win AS (
+        |  SELECT cluster_id, doc_id, quality,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS nm
+        |  FROM assigned)
+        |SELECT cluster_id, doc_id AS kept_doc_id, quality,
+        |  CAST(nm AS BIGINT) AS n_members
+        |FROM win WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q156_jaccard_clusters" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, lang, source,

@@ -120,6 +120,26 @@ class TextDedupSpec extends AnyFunSuite {
       .subsetOf(pairs))
   }
 
+  test("bestQualityRepresentatives keeps the best doc, not the first") {
+    // docs 10/11/12 are near-dups (same long base text, tiny tails).
+    // 11 has the richest vocabulary (highest ttr -> highest quality),
+    // so it must win even though 10 has the lower id. 50 is a
+    // singleton and survives as its own cluster.
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq(
+      (10L, base + " filler filler filler filler", "en", "s"),
+      (11L, base + " bright unique varied extras", "en", "s"),
+      (12L, base + " filler filler filler extras", "en", "s"),
+      (50L, "completely different standalone text here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.bestQualityRepresentatives(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet == Set(10L, 50L)) // cluster ids are component minima
+    assert(got(10L) == ((11L, 3L)), s"kept ${got(10L)}, want doc 11 of 3")
+    assert(got(50L) == ((50L, 1L)))
+  }
+
   test("dedup_exact partitions the corpus (sum of copies = corpus size)") {
     val t = Tables(spark, sf)
     val total = TextAnalysis.dedupExact(t)
