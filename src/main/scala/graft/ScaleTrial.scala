@@ -125,7 +125,10 @@ object ScaleTrial {
           concat(col("text"), lit(" replica"), col("replica")))
         .withColumn("n_chars", length(col("text"))))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    // events: keep the nanos-as-long ts exactly as Tables wrote it
+    // events: replicate the RAW ts column byte-for-byte (nanosAsLong
+    // covers legacy TIMESTAMP(NANOS) files; current micros files read
+    // as NTZ and rewrite as NTZ) — Tables.events normalizes either
+    // encoding on read, so the replica behaves exactly like the base
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawEvents = spark.read.parquet(s"$baseDir/events.parquet")
     replicate(rawEvents,

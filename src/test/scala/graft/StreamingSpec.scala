@@ -332,6 +332,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed == Set(11L))
   }
 
+  test("bloom-screened cross-corpus screen: stream == batch == plain") {
+    // the bloom sketch is built eagerly from the STATIC base, so the
+    // screened form stays a stateless append-mode stream: a literal
+    // scan predicate + a stream-static anti join + a union of two
+    // streaming branches — no watermark, no state store.
+    implicit val sc = spark.sqlContext
+    val base = Seq((0L, "a b c", "en", "base"), (2L, "d e f", "en", "base"))
+      .toDF("doc_id", "text", "lang", "source")
+    val candRows = Seq(
+      (10L, "c b a a", "en", "crawl"), // dup of base 0
+      (11L, "x y z", "en", "crawl"),   // new
+      (12L, "f e d", "en", "crawl"))   // dup of base 2
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.Dedup.crossCorpusNewBloomScreened(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), base)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xcorpus_bloom_out").start()
+    mem.addData(candRows(0), candRows(1))
+    q.processAllAvailable()
+    mem.addData(candRows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("xcorpus_bloom_out")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val batch = graft.operators.Dedup.crossCorpusNewBloomScreened(
+      candRows.toDF("doc_id", "text", "lang", "source"), base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed == Set(11L))
+  }
+
   test("file-source stream with checkpoint: AvailableNow equals batch") {
     // events.parquet stores ts as TIMESTAMP(MICROS) without UTC
     // adjustment; declare it NTZ and cast to the session-TZ
