@@ -352,6 +352,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum packing: the corpus ordered best-quality-first and
+    * packed greedily into fixed token-budget batches — the "easy/clean
+    * data first" training schedule, materialized as (doc → batch_id)
+    * exactly like [[tokenBatches]] materializes the id-ordered plan.
+    *
+    * Same two-phase prefix sum, different ordering: the running sum
+    * must follow (quality DESC, doc_id), and quality is a
+    * data-dependent double, so shards can't be a pure function of
+    * doc_id. Instead shards are deterministic VALUE ranges over
+    * [min,max] quality (the [[ScalePatterns.equiDepthHistogram]]
+    * device): shard index is monotone in descending quality, equal
+    * scores share a shard, so local window + driver-prefixed shard
+    * offsets reproduce the global running sum EXACTLY — the result is
+    * independent of how many shards the domain splits into, and no
+    * window ever spans more than one shard's rows (the offsets prefix
+    * runs over ≤ 2·parallelism totals). Token counts are integers, so
+    * cum_tokens is exact and the oracle can state the plain global
+    * window. */
+  def curriculumBatches(documents: DataFrame, budget: Int = 5000)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, w => w === "a" || w === "the")).cast("double") /
+        nTokens
+    val scored = documents.select(col("doc_id"),
+      nTokens.as("n_tokens"),
+      qualityScore(nTokens, ttr, stopRatio).as("quality"))
+    val m = scored.agg(min(col("quality")), max(col("quality"))).head()
+    val (mn, mx) = (m.getDouble(0), m.getDouble(1))
+    val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
+    val w = (mx - mn) / parts
+    val shard =
+      if (w > 0)
+        least(floor((lit(mx) - col("quality")) / lit(w)), lit(parts - 1L))
+          .cast("long")
+      else lit(0L)
+    val sharded = scored.withColumn("shard_id", shard)
+    val wLocal = Window.partitionBy(col("shard_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sharded
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    val wOffsets = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard_id"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .select(col("shard_id"),
+        coalesce(sum(col("shard_total")).over(wOffsets), lit(0L))
+          .as("shard_offset"))
+    local
+      .join(broadcast(offsets), Seq("shard_id"))
+      .withColumn("cum_tokens", col("local_cum") + col("shard_offset"))
+      .withColumn("batch_id",
+        floor((col("cum_tokens") - 1) / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"), col("batch_id"))
+      .orderBy(col("cum_tokens"))
+  }
+
   /** Statistical language-model fluency scoring — the KenLM-style
     * quality filter of a pretraining pipeline (CCNet, Wenzek et al.
     * 2020, arXiv:1911.00359, scores documents with an n-gram LM and
@@ -591,7 +654,9 @@ object TextAnalysis {
           .select(col("d1"), col("d2")))
         .orderBy(col("doc_id"))),
     "q190_best_of_cluster" -> ((s, d) =>
-      bestQualityRepresentatives(Tables(s, d).documents))
+      bestQualityRepresentatives(Tables(s, d).documents)),
+    "q191_curriculum_batches" -> ((s, d) =>
+      curriculumBatches(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -659,6 +724,32 @@ object TextAnalysis {
     // q82's machinery made driver-checkable: same docs/pairs CTEs as
     // q26, then the q136 recursive-closure pattern; every edge node's
     // component minimum must match dupClusters exactly
+    // the oracle IS the global window the operator avoids: integer
+    // token cumsum over (quality DESC, doc_id) — bit-stable because
+    // the scores are q22's proven-identical doubles and the sum is
+    // integral
+    "q191_curriculum_batches" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_tokens,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(toks) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |      CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the'))
+        |        AS DOUBLE) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |c AS (
+        |  SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, quality,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, n_tokens, quality, cum_tokens,
+        |  CAST(floor((cum_tokens - 1) / 5000) AS BIGINT) AS batch_id
+        |FROM c ORDER BY cum_tokens""".stripMargin,
     // q156's closure + q22's scoring + the same argmax rule (quality
     // DESC, doc_id ASC) — singletons via left join + coalesce
     "q190_best_of_cluster" ->

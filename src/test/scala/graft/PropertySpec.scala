@@ -107,6 +107,12 @@ class PropertySpec extends AnyFunSuite {
         docs.repartition(3))) ==
       rows(graft.operators.CorpusSignals.importanceWeights(
         docs.repartition(11))))
+    // curriculum packing: the quality-range sharding must reproduce the
+    // global (quality DESC, doc_id) running sum whatever the layout
+    assert(rows(graft.operators.TextAnalysis.curriculumBatches(
+        docs.repartition(3))) ==
+      rows(graft.operators.TextAnalysis.curriculumBatches(
+        docs.repartition(11))))
   }
 
   test("dedup by fingerprint is idempotent") {
