@@ -384,6 +384,10 @@ object TextAnalysis {
       nTokens.as("n_tokens"),
       qualityScore(nTokens, ttr, stopRatio).as("quality"))
     val m = scored.agg(min(col("quality")), max(col("quality"))).head()
+    if (m.isNullAt(0)) // empty corpus: typed empty result, no NPE
+      return scored.select(col("doc_id"), col("n_tokens"),
+        col("quality"), lit(0L).as("cum_tokens"),
+        lit(0L).as("batch_id")).limit(0)
     val (mn, mx) = (m.getDouble(0), m.getDouble(1))
     val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
     val w = (mx - mn) / parts

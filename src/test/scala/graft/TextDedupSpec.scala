@@ -140,6 +140,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(50L) == ((50L, 1L)))
   }
 
+  test("curriculumBatches: greedy quality-first packing on a hand corpus") {
+    // qualities: doc 2 richest, doc 3 poorest; budget 10 packs the
+    // best-first order (2, 1, 3) into batches of cumulative tokens
+    val docs = Seq(
+      (1L, "the alpha beta gamma delta alpha", "en", "s"),     // 6 toks
+      (2L, "the bright unique varied tokens everywhere now", "en", "s"), // 7
+      (3L, "the the the the the the", "en", "s"))              // 6 toks
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.curriculumBatches(docs, budget = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L),
+      s"quality order wrong: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(7L, 13L, 19L)) // running sum
+    assert(got.map(_._3).toSeq == Seq(0L, 1L, 1L))   // 10-token batches
+  }
+
+  test("curriculumBatches and bestQualityRepresentatives: empty corpus") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.curriculumBatches(empty).count() == 0)
+    assert(TextAnalysis.bestQualityRepresentatives(empty).count() == 0)
+  }
+
   test("dedup_exact partitions the corpus (sum of copies = corpus size)") {
     val t = Tables(spark, sf)
     val total = TextAnalysis.dedupExact(t)
