@@ -533,6 +533,67 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
   }
 
+  /** Cross-document EXACT-SUBSTRING dedup with rewrite — the
+    * ExactSubstr deduplication of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499
+    * §4.1) at k-token granularity: any k-token span that already
+    * occurred earlier in the corpus (global first occurrence = lowest
+    * (doc_id, pos)) is CUT from every later occurrence, and each
+    * document is rewritten from its surviving tokens. Finer-grained
+    * than [[graft.operators.CorpusSignals]]' C4 line dedup (spans
+    * cross line boundaries) and stricter than doc-level near-dup —
+    * the boilerplate sentence stamped into a million pages survives
+    * exactly once.
+    *
+    * Relational all the way down, no suffix array needed at this
+    * granularity: (1) slide k-grams with positions — k-bounded
+    * amplification of the token stream; (2) global first occurrence
+    * per gram = partial-aggregatable min(struct(doc_id, pos)) — ONE
+    * gram-keyed shuffle; (3) non-first span occurrences explode to
+    * their k covered token indices, distinct (doc, idx) — the drop
+    * set; (4) tokens anti-join the drop set on (doc, idx) and
+    * re-assemble per doc via collect+sort — ONE doc-keyed shuffle.
+    * Everything is integers and strings (no floats), so q192's oracle
+    * replays the identical algebra in DuckDB hash-exactly. Per-doc
+    * state is bounded by doc length; no windows, no driver data.
+    * Docs shorter than k tokens pass through untouched; a fully
+    * duplicated doc rewrites to the empty string (filter on
+    * n_tokens_kept to drop husks). */
+  def exactSubstrDedup(documents: DataFrame, k: Int = 5): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val spans = docs.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+        .as(Seq("pos", "gram")))
+    val firstOcc = spans.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dupSpans = spans.join(firstOcc, Seq("gram"))
+      .filter(col("doc_id") =!= col("f.doc_id") ||
+        col("pos") =!= col("f.pos"))
+      .select(col("doc_id"), col("pos"))
+    val dropped = dupSpans
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("idx", "tok")))
+    val kept = toks.join(dropped, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(idx, tok))), " +
+            "s -> s.tok)"), " ").as("text_dedup"))
+    docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[crossCorpusNewAgainst]] with the promised bloom runtime-filter
     * prefix made code: a Bloom sketch over the base fingerprints is
     * embedded as a scan-side predicate on the candidates, splitting
@@ -577,6 +638,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_cross_corpus_new" -> ((s, d) =>
       crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
+    "q192_exact_substr_dedup" -> ((s, d) =>
+      exactSubstrDedup(Tables(s, d).documents)),
     "q189_cross_corpus_bloom" -> ((s, d) => {
       val docs = Tables(s, d).documents
       crossCorpusNewBloomScreened(
@@ -649,6 +712,47 @@ object Dedup {
     "q145_cross_corpus_new" -> crossCorpusOracle,
     // the bloom-screened split must be row-identical to the plain form
     "q189_cross_corpus_bloom" -> crossCorpusOracle,
+    // identical algebra: k-gram spans with positions, global first
+    // occurrence per gram (lowest (doc_id, pos)), later occurrences
+    // expand to covered token indices, anti join, ordered re-assembly
+    "q192_exact_substr_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+        |  FROM docs WHERE len(toks) >= 5),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram
+        |  FROM s0),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM spans),
+        |dropped AS (
+        |  SELECT DISTINCT r.doc_id, r.pos + CAST(i.gs AS INTEGER) AS idx
+        |  FROM ranked r, generate_series(0, 4) AS i(gs)
+        |  WHERE r.rn > 1),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) AS INTEGER) - 1 AS idx,
+        |    unnest(toks) AS tok
+        |  FROM docs),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok t ANTI JOIN dropped d
+        |    ON t.doc_id = d.doc_id AND t.idx = d.idx),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text_dedup
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (

@@ -140,6 +140,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(50L) == ((50L, 1L)))
   }
 
+  test("exactSubstrDedup cuts repeated 5-gram spans, keeps first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // owns both 5-grams
+      (2L, "x y a b c d e z"),         // repeats "a b c d e" at pos 2
+      (3L, "a b c d e f"),             // full duplicate of doc 1
+      (4L, "too short"))               // < 5 tokens: untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((6, 0L, "a b c d e f")))  // first occurrence keeps all
+    assert(got(2L) == ((8, 5L, "x y z")))        // span at idx 2..6 cut
+    assert(got(3L) == ((6, 6L, "")))             // fully duplicated -> husk
+    assert(got(4L) == ((2, 0L, "too short")))    // below k: pass-through
+  }
+
   test("curriculumBatches: greedy quality-first packing on a hand corpus") {
     // qualities: doc 2 richest, doc 3 poorest; budget 10 packs the
     // best-first order (2, 1, 3) into batches of cumulative tokens
