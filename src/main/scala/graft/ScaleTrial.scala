@@ -51,7 +51,8 @@ object ScaleTrial {
     "q153_column_stats", // one-scan ANALYZE (exact-NDV audit tier)
     "q188_column_stats_approx", // ANALYZE default: no multi-distinct Expand
     "q189_cross_corpus_bloom", // bloom-prefixed anti-join screen
-    "q181_mad_outliers") // events family: 2 rounds of quantile machinery
+    "q181_mad_outliers", // events family: 2 rounds of quantile machinery
+    "q192_exact_substr_dedup") // token-span dedup on a 10x-denser dup corpus
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
