@@ -12,12 +12,24 @@ import re
 import sys
 
 
+def canon(queries):
+    """Canonicalize per-query keys across encodings: rounds <=8 emitted
+    "q01"/"q135"; round 9+ emits the bare number "1"/"135" (tail-window
+    budget). Both map to qNN (two-digit zero-padded, matching the
+    registry's query names)."""
+    out = {}
+    for k, v in queries.items():
+        digits = k.lstrip("q")
+        out[f"q{int(digits):02d}" if digits.isdigit() else k] = v
+    return out
+
+
 def load(path):
     text = open(path).read()
     try:
         doc = json.loads(text)
         if isinstance(doc, dict) and "queries" in doc:
-            return doc["queries"]
+            return canon(doc["queries"])
         if isinstance(doc, dict) and "tail" in doc:
             text = doc["tail"]
     except json.JSONDecodeError:
@@ -25,7 +37,7 @@ def load(path):
     m = re.search(r'\{"metric":.*?"queries":(\{.*?\}).*?\}', text)
     if not m:
         sys.exit(f"no bench JSON line found in {path}")
-    return json.loads(m.group(1))
+    return canon(json.loads(m.group(1)))
 
 
 def main():
@@ -33,12 +45,19 @@ def main():
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
-    print(f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s "
-          f"({t_new / t_old:.2f}x)")
-    deltas = sorted(common, key=lambda q: abs(new[q] - old[q]), reverse=True)
-    print("biggest deltas:")
-    for q in deltas[:12]:
-        print(f"  {q}: {old[q]:.2f} -> {new[q]:.2f}")
+    if not common:
+        print("no common queries between the two files")
+    elif t_old == 0:
+        print(f"common {len(common)} queries but old total is 0.0s — "
+              f"cannot compute a ratio (new total {t_new:.1f}s)")
+    else:
+        print(f"common {len(common)} queries: {t_old:.1f}s -> {t_new:.1f}s "
+              f"({t_new / t_old:.2f}x)")
+        deltas = sorted(common, key=lambda q: abs(new[q] - old[q]),
+                        reverse=True)
+        print("biggest deltas:")
+        for q in deltas[:12]:
+            print(f"  {q}: {old[q]:.2f} -> {new[q]:.2f}")
     only_new = sorted(set(new) - set(old))
     only_old = sorted(set(old) - set(new))
     if only_new:

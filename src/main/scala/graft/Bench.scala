@@ -53,30 +53,38 @@ object Bench {
   }
 
   // Full-name per-query timings go to stderr for humans; the stdout
-  // JSON uses short qNN keys and 2-decimal per-query values so the
-  // ONE line stays well under the 2000-char stdout tail window the
-  // results are read from — rounds 1-4 exceeded it and the line never
-  // parsed. BenchFormatSpec guards the length against query growth.
+  // JSON must carry EVERY registered query (an aggregate "rest" bucket
+  // is exactly where a per-query regression hides) while the ONE line
+  // stays under the 2000-char stdout tail window it is read back from
+  // (rounds 1-4 exceeded it and the line never parsed). At 184 queries
+  // that forces the densest readable encoding:
+  //   - keys are the query NUMBER only ("q135_dup_span" -> "135",
+  //     "q01_pricing" -> "1") — scripts/bench_compare.py canonicalizes
+  //     both this and the older "q135" form, so cross-round diffs keep
+  //     working;
+  //   - values are 2 significant digits, max 3 chars ("0.5", "3.9",
+  //     "12", "988") — granular enough to catch a 2x regression, and
+  //     the shared-VM noise floor (~±30%) makes more digits false
+  //     precision anyway; stderr keeps the full values;
+  //   - "sf" is the directory basename, not the full path.
+  // BenchFormatSpec guards the worst-case length against query growth.
   def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double, dp: String): String =
       String.format(java.util.Locale.ROOT, dp, Double.box(v))
-    // 2 significant digits per query (run-to-run noise on this shared
-    // VM is up to ~2x, so more precision is false; stderr carries the
-    // full values) keeps the line under the tail window as queries grow
     def sig2(v: Double): String =
-      if (v >= 100) num(v, "%.0f")
-      else if (v >= 10) num(v, "%.1f")
-      else num(v, "%.2f")
-    // per-query entries are capped at the SLOWEST `MaxQueryEntries`
-    // (deterministic (-time, name) cut): those are the queries a plan
-    // audit reads, and an uncapped map outgrew the tail window once
-    // the registry passed ~160 queries. The dropped fast tail is
-    // summed into "rest" so total always equals the parts; stderr
-    // still carries every per-query timing.
+      if (v >= 10) num(v, "%.0f") else num(v, "%.1f")
+    def shortKey(name: String): String = {
+      val digits = name.takeWhile(_ != '_').dropWhile(!_.isDigit)
+      val stripped = digits.dropWhile(_ == '0')
+      if (stripped.isEmpty) "0" else stripped
+    }
+    // emergency valve only: the slowest `MaxQueryEntries` keep their
+    // entry, the rest sum into "rest". Sized far above the registry so
+    // every query is normally present.
     val kept = results.sortBy { case (n, v) => (-v, n) }
       .take(MaxQueryEntries).map(_._1).toSet
     val qs = results.collect { case (k, v) if kept(k) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + sig2(v)
+      "\"" + shortKey(k) + "\":" + sig2(v)
     }.mkString("{", ",", "}")
     val restSum = results.collect {
       case (k, v) if !kept(k) => v
@@ -86,8 +94,9 @@ object Bench {
         s""","rest":${num(restSum, "%.2f")}"""
       else ""
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${num(total, "%.3f")},"unit":"sec","queries":$qs$rest,"sf":"$sfDir"}"""
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","queries":$qs$rest,"sf":"$sfName"}"""
   }
 
-  private[graft] val MaxQueryEntries = 120
+  private[graft] val MaxQueryEntries = 400
 }

@@ -554,7 +554,11 @@ object Dedup {
     * set; (4) tokens anti-join the drop set on (doc, idx) and
     * re-assemble per doc via collect+sort — ONE doc-keyed shuffle.
     * Everything is integers and strings (no floats), so q192's oracle
-    * replays the identical algebra in DuckDB hash-exactly. Per-doc
+    * replays the identical algebra in DuckDB hash-exactly. NOTE: that
+    * oracle SQL hardcodes the DEFAULT k=5 (range(0, len-4),
+    * toks[pos+1:pos+5], generate_series(0,4)) — q192 must keep calling
+    * this operator with the default; any other k is spec-territory,
+    * not oracle-checked. Per-doc
     * state is bounded by doc length; no windows, no driver data.
     * Docs shorter than k tokens pass through untouched; a fully
     * duplicated doc rewrites to the empty string (filter on
@@ -638,6 +642,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_cross_corpus_new" -> ((s, d) =>
       crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
+    // default k=5 only — the q192 oracle SQL is pinned to that k
     "q192_exact_substr_dedup" -> ((s, d) =>
       exactSubstrDedup(Tables(s, d).documents)),
     "q189_cross_corpus_bloom" -> ((s, d) => {

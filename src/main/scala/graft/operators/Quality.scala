@@ -158,6 +158,11 @@ object Quality {
   private def gdRounds(feat: DataFrame, n: Double, dim: Int,
       rounds: Int, lr: Double): Array[Double] = {
     var w = new Array[Double](dim + 1)
+    // No training rows (empty corpus, or a sampleFraction whose
+    // hash-slice selected zero docs): the gradient groupBy would
+    // return no rows and n=0 would divide — the zero-init model is
+    // the defined answer (sigmoid(0) = 0.5 for every doc).
+    if (n == 0) return w
     var r = 0
     while (r < rounds) {
       val wLit = array(w.map(lit(_)): _*)
@@ -183,11 +188,13 @@ object Quality {
     * scoring still covers all of it. xxhash64 keeps the slice stable
     * across runs/partitionings (same contract as
     * [[graft.operators.Dedup.hashStratifiedSample]]). */
+  private def sampledPredicate(sampleFraction: Double): Column =
+    pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+      lit((sampleFraction * 1000000L).toLong)
+
   private def sampled(docs: DataFrame, sampleFraction: Double): DataFrame =
     if (sampleFraction >= 1.0) docs
-    else docs.filter(
-      pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-        lit((sampleFraction * 1000000L).toLong))
+    else docs.filter(sampledPredicate(sampleFraction))
 
   /** Train a logistic-regression quality classifier IN-ENGINE — the
     * corpus-filtering model of GPT-3/PaLM-style curation (Brown et
@@ -234,9 +241,7 @@ object Quality {
     try {
       val trainFeat =
         if (sampleFraction >= 1.0) fullFeat
-        else fullFeat.filter(
-          pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-            lit((sampleFraction * 1000000L).toLong))
+        else fullFeat.filter(sampledPredicate(sampleFraction))
       val w = gdRounds(trainFeat, trainFeat.count().toDouble, dim, rounds, lr)
       val wLit = array(w.map(lit(_)): _*)
       val margin = aggregate(

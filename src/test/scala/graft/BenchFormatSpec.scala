@@ -4,7 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The benchmark's stdout contract: ONE JSON line that must fit the
   * 2000-char output tail it is read back from (with headroom for the
-  * build tool's trailer lines). Guarded here because the failure mode
+  * build tool's trailer lines), while carrying an individual entry for
+  * EVERY registered query — an aggregate bucket is exactly where a
+  * per-query regression hides. Guarded here because the failure mode
   * is silent — the line still prints, it just never parses — and it
   * regresses one registered query at a time. */
 class BenchFormatSpec extends AnyFunSuite {
@@ -15,11 +17,16 @@ class BenchFormatSpec extends AnyFunSuite {
     // significant digits this renders as the 3-char "988")
     val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
-    assert(line.length < 1800,
+    // budget: 2000-char tail minus ~80 chars of sbt trailer lines
+    assert(line.length < 1900,
       s"bench line ${line.length} chars — approaching the 2000-char " +
         "tail window; shorten keys or trim precision")
+    // every registered query gets its own entry — no "rest" bucket
+    assert(!line.contains("\"rest\""),
+      "registry outgrew MaxQueryEntries — per-query coverage lost")
     // short keys must stay unique, or per-query timings collide
-    val short = names.map(_.takeWhile(_ != '_'))
+    val short = names.map(n =>
+      n.takeWhile(_ != '_').dropWhile(!_.isDigit).dropWhile(_ == '0'))
     assert(short.distinct.size == short.size,
       s"duplicate short keys: ${short.diff(short.distinct).distinct}")
   }
@@ -28,25 +35,30 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = Seq("q01_a", "q02_b")
     val line = Bench.buildJson(names.map(_ -> 1.5), "/x")
     // minimal structural check without a JSON lib on the classpath
-    assert(line.startsWith("""{"metric":"total","value":3.000,"""))
-    assert(line.contains(""""q01":1.50""") && line.contains(""""q02":1.50"""))
-    // significant-digit tiers: 12.345 -> "12.3", 123.45 -> "123"
-    val tiers = Bench.buildJson(Seq("q03_c" -> 12.345, "q04_d" -> 123.45), "/x")
-    assert(tiers.contains(""""q03":12.3""") && tiers.contains(""""q04":123"""))
-    assert(line.endsWith(""""sf":"/x"}"""))
+    assert(line.startsWith("""{"metric":"total","value":3.00,"""))
+    // keys are the query number with "q" and zero-padding stripped
+    assert(line.contains(""""1":1.5""") && line.contains(""""2":1.5"""))
+    // significant-digit tiers: 0.46 -> "0.5", 12.345 -> "12", 123.45 -> "123"
+    val tiers = Bench.buildJson(
+      Seq("q03_c" -> 12.345, "q04_d" -> 123.45, "q05_e" -> 0.46), "/x")
+    assert(tiers.contains(""""3":12""") && tiers.contains(""""4":123""")
+      && tiers.contains(""""5":0.5"""))
+    // "sf" is the basename of the data dir, not the full path
+    val sf = Bench.buildJson(names.map(_ -> 1.0), "/root/testdata/sf0.1")
+    assert(sf.endsWith(""""sf":"sf0.1"}"""))
     // under the cap there is no "rest" field
     assert(!line.contains("\"rest\""))
   }
 
   test("bench JSON caps per-query entries at the slowest MaxQueryEntries") {
     val n = Bench.MaxQueryEntries + 30
-    // names q0001..q0150; times rise with the index, so the kept set
+    // names q0001..; times rise with the index, so the kept set
     // is exactly the LAST MaxQueryEntries names
     val names = (1 to n).map(i => f"q$i%04d_x")
     val line = Bench.buildJson(names.map(nm =>
       nm -> nm.drop(1).takeWhile(_ != '_').toDouble), "/x")
-    assert(!line.contains("\"q0001\"") && !line.contains("\"q0030\""))
-    assert(line.contains("\"q0031\"") && line.contains(f"\"q$n%04d\""))
+    assert(!line.contains("\"1\":") && !line.contains("\"30\":"))
+    assert(line.contains("\"31\":") && line.contains(s""""$n":"""))
     // the dropped tail is summed into "rest" (1+2+...+30 = 465)
     assert(line.contains(""""rest":465.00"""), line)
   }

@@ -48,6 +48,27 @@ class LauncherSpec extends AnyFunSuite {
     assert(cmd.contains("spark.executor.memoryOverheadFactor=0.125"))
   }
 
+  test("local[*], bare local, and malformed local masters") {
+    // local[*] = every host core, still the local branch
+    val star = dryRun("--master", "local[*]", "--class", "graft.Bench")
+    assert(!star.contains("--num-executors"),
+      "local[*] fell through to the cluster resource branch")
+    val nproc = Runtime.getRuntime.availableProcessors()
+    assert(star.contains(s"spark.sql.shuffle.partitions=${3 * nproc}"))
+    // bare "local" is Spark's single-thread mode
+    val bare = dryRun("--master", "local", "--class", "graft.Bench")
+    assert(!bare.contains("--num-executors"))
+    assert(bare.contains("spark.sql.shuffle.partitions=3"))
+    // any other local-ish master is rejected, never given the
+    // 1000-executor cluster shape
+    val out = new StringBuilder
+    val code = Process(Seq("bash", script, "--dry-run",
+      "--master", "local-cluster[2,1,1024]"), new java.io.File("."))
+      .!(ProcessLogger(s => out.append(s), s => out.append(s)))
+    assert(code == 2, s"expected rejection, got rc=$code:\n$out")
+    assert(out.toString.contains("unsupported local master"))
+  }
+
   test("app args pass through after --") {
     val cmd = dryRun("--class", "graft.Verify", "--",
       "/root/testdata/sf0.001", "/tmp/launcher_out")
