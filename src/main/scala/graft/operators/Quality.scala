@@ -268,6 +268,13 @@ object Quality {
     "q148_quality_classifier" -> ((s, d) =>
       qualityClassifierScores(Tables(s, d).documents,
         col("source") === "src0")),
+    // the 100 TB training path: train on a deterministic quarter
+    // hash-slice, score the FULL corpus (rows == corpus size — the
+    // driver's rows check pins exactly the scoring-coverage contract;
+    // QualityClassifierSpec pins separability at this fraction)
+    "q193_classifier_sampled" -> ((s, d) =>
+      qualityClassifierScores(Tables(s, d).documents,
+        col("source") === "src0", sampleFraction = 0.25)),
     "q110_value_outliers" -> ((s, d) => valueOutliers(Tables(s, d))),
     "q86_quality_report" -> ((s, d) => dataQualityReport(Tables(s, d)))
   )

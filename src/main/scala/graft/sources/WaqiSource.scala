@@ -45,6 +45,21 @@ object WaqiSource {
           Pollutants.map(p => StructField(p, dayStat)))))))))),
     StructField("_corrupt_record", StringType)))
 
+  /** The Dataset-path fetch: distribute the city list, one partition
+    * per city, and run [[WaqiTransport.fetch]] inside `mapPartitions`
+    * — executor-side and parallel, the Dataset twin of the DataSource
+    * V2 scan in [[WaqiTableProvider]]. At 100 TB-pipeline scale the
+    * city list is a table of millions of URLs and the same shape
+    * holds: the transport ships to executors, payload bytes are born
+    * there, and the driver never sees a body. */
+  def fetchPayloads(spark: SparkSession, cities: Seq[String],
+      transport: WaqiTransport): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.createDataset(cities)
+      .repartition(math.max(cities.size, 1))
+      .mapPartitions(it => it.map(city => (city, transport.fetch(city))))
+  }
+
   /** Parse raw payload strings (one JSON document per city) into the
     * typed layout. PERMISSIVE: bad documents become rows with only
     * `_corrupt_record` set. */

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -16,15 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   spark.read.format("graft.sources.WaqiTableProvider").load()
   *   // => (city string, raw string), one row per city payload
+  *
+  *   spark.read.format("graft.sources.WaqiTableProvider")
+  *     .option("cities", "amsterdam,berlin")
+  *     .option("transport", "graft.sources.HttpWaqiTransport")
+  *     .option("baseUrl", "https://api.waqi.info/feed")
+  *     .option("token", "...").load()        // the LIVE path
   * }}}
   *
-  * One input partition PER CITY: on a cluster each partition's
-  * `PartitionReader` is where the HTTP GET for its city would run
-  * (executor-side, parallel — unlike the reference's sequential
-  * driver-side loop, my_data_pipeline.py:78,155). This container has
-  * no egress, so the reader serves the canned [[WaqiFixtures]]
-  * payloads; the fetch call is the single marked line in
-  * [[WaqiPartitionReader.next]].
+  * One input partition PER CITY: each partition's `PartitionReader`
+  * runs its city's [[WaqiTransport.fetch]] executor-side, in parallel
+  * — unlike the reference's sequential driver-side loop
+  * (my_data_pipeline.py:78,155). The transport is the injection seam:
+  * [[HttpWaqiTransport]] is the real HTTP GET (loopback-exercised in
+  * WaqiDsv2Spec — this container has no egress), and the default
+  * [[FixtureWaqiTransport]] serves the canned payloads so every other
+  * query/spec stays deterministic. A partition carries only (city,
+  * transport class, options) — payload bytes are born on executors
+  * and never route through the driver.
   */
 class WaqiTableProvider extends TableProvider {
 
@@ -32,60 +43,80 @@ class WaqiTableProvider extends TableProvider {
     WaqiTableProvider.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new WaqiTable
+      properties: util.Map[String, String]): Table =
+    new WaqiTable(properties.asScala.toMap)
 }
 
 object WaqiTableProvider {
   val schema: StructType = StructType(Seq(
     StructField("city", StringType, nullable = false),
     StructField("raw", StringType, nullable = false)))
+
+  val DefaultTransport: String = classOf[FixtureWaqiTransport].getName
 }
 
-final class WaqiTable extends Table with SupportsRead {
+final class WaqiTable(properties: Map[String, String])
+    extends Table with SupportsRead {
   override def name(): String = "waqi"
   override def schema(): StructType = WaqiTableProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ScanBuilder with Scan with Batch {
-    override def build(): Scan = this
-    override def readSchema(): StructType = WaqiTableProvider.schema
-    override def toBatch: Batch = this
+      : ScanBuilder = {
+    val opts = properties ++ options.asScala
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = WaqiTableProvider.schema
+      override def toBatch: Batch = this
 
-    override def planInputPartitions(): Array[InputPartition] =
-      WaqiFixtures.all.map { case (city, raw) =>
-        WaqiInputPartition(city, raw): InputPartition
-      }.toArray
-
-    override def createReaderFactory(): PartitionReaderFactory =
-      new PartitionReaderFactory {
-        override def createReader(p: InputPartition)
-            : PartitionReader[InternalRow] =
-          new WaqiPartitionReader(p.asInstanceOf[WaqiInputPartition])
+      override def planInputPartitions(): Array[InputPartition] = {
+        val cities = opts.get("cities") match {
+          case Some(cs) => cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          case None => WaqiFixtures.all.map(_._1)
+        }
+        val fqcn =
+          opts.getOrElse("transport", WaqiTableProvider.DefaultTransport)
+        cities.map { city =>
+          WaqiInputPartition(city, fqcn, opts): InputPartition
+        }.toArray
       }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[InternalRow] =
+            new WaqiPartitionReader(p.asInstanceOf[WaqiInputPartition])
+        }
+    }
   }
 }
 
-/** One (city, payload) unit of work; serialized to executors. */
-final case class WaqiInputPartition(city: String, raw: String)
-    extends InputPartition
+/** One city's unit of work; serialized to executors. Carries the
+  * transport RECIPE (class + options), not a payload — the fetch
+  * itself happens in the reader. */
+final case class WaqiInputPartition(city: String, transportFqcn: String,
+    options: Map[String, String]) extends InputPartition
 
 final class WaqiPartitionReader(p: WaqiInputPartition)
     extends PartitionReader[InternalRow] {
   private var consumed = false
+  private var payload: String = _
 
   override def next(): Boolean =
     if (consumed) false
     else {
-      // REAL IMPLEMENTATION: HTTP GET api.waqi.info/feed/{p.city} here
-      // (executor-side). Zero-egress container => canned payload.
+      // THE fetch: executor-side, one GET per city partition. With
+      // HttpWaqiTransport this is the live api.waqi.info call; the
+      // fixture transport answers from canned payloads.
+      payload = WaqiTransport.instantiate(p.transportFqcn, p.options)
+        .fetch(p.city)
       consumed = true
       true
     }
 
   override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(p.city), UTF8String.fromString(p.raw))
+    InternalRow(UTF8String.fromString(p.city), UTF8String.fromString(payload))
 
   override def close(): Unit = ()
 }

@@ -47,6 +47,33 @@ class QualityClassifierSpec extends AnyFunSuite {
       assert(scores(i) < 0.2, s"negative doc $i scored ${scores(i)}"))
   }
 
+  test("q193 fraction (0.25): sampled model separates, full coverage") {
+    // pins the registered q193_classifier_sampled configuration: a
+    // quarter hash-slice must still carry the planted signal, and
+    // every doc — sampled or not — must come back scored
+    val scores = Quality.qualityClassifierScores(planted,
+      col("source") === "hq", dim = 16, rounds = 60, lr = 4.0,
+      sampleFraction = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 40, "scoring must cover held-out docs too")
+    (0L until 20L).foreach(i =>
+      assert(scores(i) > 0.8, s"positive doc $i scored ${scores(i)}"))
+    (20L until 40L).foreach(i =>
+      assert(scores(i) < 0.2, s"negative doc $i scored ${scores(i)}"))
+  }
+
+  test("empty training slice yields the zero model, scores still total") {
+    // sampleFraction small enough that the xxhash64 slice selects no
+    // docs: gdRounds must return the zero-init weights (every score
+    // exactly 0.5) instead of dividing by zero
+    val scores = Quality.qualityClassifierScores(planted,
+      col("source") === "hq", dim = 16, rounds = 3, lr = 1.0,
+      sampleFraction = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 40)
+    scores.values.foreach(p => assert(p == 0.5, s"expected 0.5, got $p"))
+  }
+
   test("sampled training reads a strict, deterministic subset") {
     val full = Quality.trainQualityClassifier(planted,
       col("source") === "hq", dim = 16, rounds = 3, lr = 1.0)

@@ -1,7 +1,19 @@
 package graft
 
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.HttpServer
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.{FixtureWaqiTransport, HttpWaqiTransport, WaqiFixtures, WaqiSource}
+
+/** S1's two scan paths (DataSource V2 table and Dataset
+  * `fetchPayloads`) and the transport seam behind both: the fixture
+  * transport must reproduce the canned-payload rows exactly, and the
+  * REAL `HttpWaqiTransport` is exercised against a loopback HTTP
+  * server — the same GET -> body -> PERMISSIVE-parse code that would
+  * hit api.waqi.info, minus the egress this sandbox doesn't have. */
 class WaqiDsv2Spec extends AnyFunSuite {
   lazy val spark = SharedSession.spark
 
@@ -14,5 +26,78 @@ class WaqiDsv2Spec extends AnyFunSuite {
     val viaDataset = SparkEntry.queries("q60_waqi_flatten_long")(spark, "")
       .collect().map(_.toSeq).toSeq
     assert(viaDsv2 == viaDataset)
+  }
+
+  test("DSv2 scan with explicitly injected transport ≡ Dataset fixture path") {
+    // the verdict-#4 contract: the transport option drives the scan,
+    // and an injected FixtureWaqiTransport reproduces the fixture
+    // Dataset path row-for-row (cities option also honored)
+    val cities = WaqiFixtures.all.map(_._1)
+    val viaOption = spark.read.format("graft.sources.WaqiTableProvider")
+      .option("transport", classOf[FixtureWaqiTransport].getName)
+      .option("cities", cities.mkString(","))
+      .load().collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    import spark.implicits._
+    val viaDataset = WaqiSource
+      .fetchPayloads(spark, cities, new FixtureWaqiTransport)
+      .toDF("city", "raw").collect().map(_.toSeq)
+      .sortBy(_.head.toString).toSeq
+    assert(viaOption == viaDataset)
+    val canned: Seq[Seq[Any]] = WaqiFixtures.all
+      .map { case (c, r) => Seq[Any](c, r) }.sortBy(_.head.toString)
+    assert(viaOption == canned)
+  }
+
+  test("HttpWaqiTransport: real GET against a loopback server, error dispatch") {
+    val byCity = WaqiFixtures.all.toMap
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/feed", { exchange =>
+        // path /feed/{city}/ — 404 with an HTML-ish body for unknowns
+        val city = exchange.getRequestURI.getPath
+          .stripPrefix("/feed/").stripSuffix("/")
+        val (code, body) = byCity.get(city)
+          .map(p => 200 -> p).getOrElse(404 -> "Error 404: unknown station")
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(code, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+      val http = new HttpWaqiTransport(Map(
+        "baseUrl" -> base, "token" -> "demo"))
+
+      // 1) direct fetch: live GET returns the exact served payload
+      assert(http.fetch("amsterdam") == byCity("amsterdam"))
+
+      // 2) the full DSv2 scan over HTTP ≡ the fixture scan, plus an
+      //    unknown city whose 404 body must land in errors(), not data
+      val cities = WaqiFixtures.all.map(_._1) :+ "atlantis"
+      val scanned = spark.read.format("graft.sources.WaqiTableProvider")
+        .option("transport", classOf[HttpWaqiTransport].getName)
+        .option("baseUrl", base).option("token", "demo")
+        .option("cities", cities.mkString(","))
+        .load()
+      val parsed = WaqiSource.parse(
+        scanned.as[(String, String)](org.apache.spark.sql.Encoders
+          .tuple(org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING)))
+      val okCities = WaqiSource.ok(parsed)
+        .select("city").collect().map(_.getString(0)).sorted.toSeq
+      assert(okCities == Seq("amsterdam", "berlin", "emptyarrays",
+        "noforecast", "paris"))
+      val errCities = WaqiSource.errors(parsed)
+        .select("city").collect().map(_.getString(0)).sorted.toSeq
+      assert(errCities == Seq("atlantis", "errorcity", "httpfail"))
+
+      // 3) connection-level failure (server stopped) -> synthetic
+      //    error-status payload, never a throw
+      server.stop(0)
+      val dead = http.fetch("amsterdam")
+      assert(dead.contains("\"status\": \"error:"), dead)
+    } finally {
+      try server.stop(0) catch { case _: Exception => () }
+    }
   }
 }
