@@ -140,6 +140,46 @@ object AudioCodec {
   def featureFromBytes(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
     decode(bytes).map { case (samples, _) => pooledFeature(samples, dim) }
 
+  /** 64-bit chunked-RMS fingerprint — the audio analog of
+    * [[ImageCodec.aHash]]: the clip is cut into 64 equal-time chunks,
+    * bit k set iff chunk k's RMS energy sits above the mean chunk
+    * RMS. A global gain change scales every chunk RMS and their mean
+    * together, so the above/below-mean pattern (the temporal energy
+    * PROFILE) survives re-levelling, light noise, and re-encoding —
+    * the property that makes this a NEAR-dup key where a content
+    * checksum sees two different files. Integer (Long) accumulation
+    * until the final sqrt, so the result is visitation-order
+    * independent, like [[pooledFeature]]. */
+  def rmsFingerprint(samples: Array[Short]): Long = {
+    val chunks = 64
+    val n = samples.length
+    if (n == 0) return 0L
+    val sq = new Array[Long](chunks)
+    val cnt = new Array[Long](chunks)
+    var i = 0
+    while (i < n) {
+      val s = samples(i).toLong
+      val idx = (i.toLong * chunks / n).toInt
+      sq(idx) += s * s
+      cnt(idx) += 1L
+      i += 1
+    }
+    val rms = Array.tabulate(chunks)(k =>
+      if (cnt(k) == 0L) 0.0 else math.sqrt(sq(k).toDouble / cnt(k)))
+    val mean = rms.sum / chunks
+    var fp = 0L
+    var k = 0
+    while (k < chunks) {
+      if (rms(k) > mean) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** Decode + fingerprint; None when the bytes don't decode. */
+  def fingerprintFromBytes(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { case (samples, _) => rmsFingerprint(samples) }
+
   /** One analysis window: index, start offset in ms, RMS amplitude
     * and zero-crossing rate over the window's really-decoded samples
     * (both in [0,1]). */

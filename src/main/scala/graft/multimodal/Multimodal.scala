@@ -290,6 +290,41 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  private val audioFpUdf =
+    udf((b: Array[Byte]) => AudioCodec.fingerprintFromBytes(b))
+
+  /** 64-bit chunked-RMS fingerprint per audio row ([[AudioCodec
+    * .rmsFingerprint]]); undecodable bytes yield NULL. Narrow
+    * projection — bytes never shuffle. */
+  def audioFingerprints(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), audioFpUdf(col("bytes")).as("afp"))
+
+  /** Perceptual near-duplicate AUDIO dedup — closes the multimodal
+    * family's last asymmetry (images: [[imageDedup]], video:
+    * [[sceneChanges]]): gain-invariant chunked-RMS fingerprints, the
+    * generic chunk-pigeonhole candidate generator + hamming verify
+    * ([[graft.operators.Dedup.hammingPairs]]), connected components,
+    * component-minimum representative, keep = self-representative.
+    * Each clip is decoded ONCE into 8 bytes of fingerprint; every
+    * later stage moves hashes, never media bytes — the same only-
+    * shape-that-survives-100-TB argument as the image path. */
+  def audioDedup(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val fps = audioFingerprints(media).filter(col("afp").isNotNull)
+    val pairs = graft.operators.Dedup.hammingPairs(
+      fps, "media_id", "afp", maxHamming, maxBucket)
+    val clusters = graft.operators.Dedup.dupClusters(
+      pairs.select(col("d1"), col("d2")))
+    fps
+      .join(clusters.withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id"), "left")
+      .select(col("media_id"), col("afp"),
+        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** Serialize an array<float> column to a canonical CSV string —
     * the external harness sorts result rows, so every registered
     * query's output columns must be scalar. */
@@ -333,6 +368,8 @@ object Multimodal {
         .orderBy("media_id", "window_idx")),
     "q147_image_dedup" -> ((s, d) =>
       imageDedup(materializedMedia(s, d))),
+    "q195_audio_dedup" -> ((s, d) =>
+      audioDedup(materializedMedia(s, d))),
     "q186_scene_changes" -> ((s, d) =>
       sceneChanges(materializedMedia(s, d)))
   )

@@ -468,23 +468,39 @@ object Dedup {
     * base x base pairs — the nightly-increment form of [[minhashDedup]]
     * (a growing corpus re-dedups only the increment against touched
     * buckets, not the world). At 100 TB the base side's banded bucket
-    * table is a MATERIALIZED artifact partitioned by (band, bh): the
-    * increment's bucket keys prune partitions, so cost is
-    * O(new + touched buckets). Same verify tier as the batch form
-    * (exact shingle jaccard), same [[capBuckets]] degeneracy guard on
-    * both sides. */
+    * table is a MATERIALIZED artifact — that path is
+    * [[incrementalNearDupsMaterialized]] (q194), which probes the
+    * partition-pruned at-rest table from [[materializedNearDupBase]]
+    * instead of re-shingling the base. Same verify tier as the batch
+    * form (exact shingle jaccard), same [[capBuckets]] degeneracy
+    * guard on both sides. */
   def incrementalNearDups(base: DataFrame, fresh: DataFrame,
       shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val rowsPerBand = numPerms / bands
-    def bucketed(df: DataFrame) =
-      minhashSignatures(df, shingleSize, numPerms)
-        .select(col("doc_id"),
-          explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bh").as("bh"))
-    val bb = capBuckets(bucketed(base), Seq("band", "bh"), maxBucket)
-    val nb = capBuckets(bucketed(fresh), Seq("band", "bh"), maxBucket)
+    val bb = capBuckets(bandBuckets(base, shingleSize, numPerms, bands),
+      Seq("band", "bh"), maxBucket)
+    val nb = capBuckets(bandBuckets(fresh, shingleSize, numPerms, bands),
+      Seq("band", "bh"), maxBucket)
+    verifyFreshBasePairs(bb, nb, base, fresh, shingleSize, threshold)
+  }
+
+  /** (doc_id, band, bh) banded bucket keys — the blocked candidate
+    * space shared by the in-memory and materialized incremental
+    * paths. */
+  private def bandBuckets(df: DataFrame, shingleSize: Int, numPerms: Int,
+      bands: Int): DataFrame =
+    minhashSignatures(df, shingleSize, numPerms)
+      .select(col("doc_id"),
+        explode(bandKeys(col("sig"), bands, numPerms / bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+
+  /** Bucket-join the fresh bucket keys against the base bucket keys
+    * (fresh x base ONLY — base x base pairs are structurally
+    * impossible) and verify candidates with exact shingle jaccard. */
+  private def verifyFreshBasePairs(bb: DataFrame, nb: DataFrame,
+      base: DataFrame, fresh: DataFrame, shingleSize: Int,
+      threshold: Double): DataFrame = {
     val candidates = nb.alias("n").join(bb.alias("b"), Seq("band", "bh"))
       .select(col("n.doc_id").as("d_new"), col("b.doc_id").as("d_base"))
       .distinct()
@@ -497,6 +513,69 @@ object Dedup {
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d_new"), col("d_base"))
+  }
+
+  /** Partition count for the materialized base bucket table:
+    * bands x BhPartitions directories, each holding one slice of the
+    * (band, bh) bucket space. 64 keeps directory counts sane while a
+    * small increment still touches only its own slices. */
+  private val BhPartitions = 64
+
+  private val baseBucketTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The AT-REST form of the incremental-neardup base side: the banded
+    * bucket table written ONCE to the lake as a real catalog table —
+    * partitioned by `pp = band * 64 + (bh mod 64)` (512 directories
+    * covering the (band, bh) bucket space) and bucketed+sorted by `bh`
+    * inside each partition. This is the artifact SURVEY §8 promises
+    * for q155 at 100 TB: the nightly increment never re-shingles the
+    * corpus, it PLANS ITS SCAN from its own touched bucket keys and
+    * reads only those partitions (the [[graft.operators.ScalePatterns
+    * .bucketedTableNames]] precedent, plus partition pruning). Cached
+    * per (session, key) like the q162 bucketed tables. */
+  def materializedNearDupBase(s: SparkSession, base: DataFrame, key: String,
+      shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8): String =
+    baseBucketTables.getOrElseUpdate((s, key), {
+      val name = s"graft_nd_base_${java.lang.Integer.toHexString(key.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft_nd_base_")
+      bandBuckets(base, shingleSize, numPerms, bands)
+        .withColumn("pp", (col("band") * BhPartitions +
+          pmod(col("bh"), lit(BhPartitions.toLong))).cast("int"))
+        .write.partitionBy("pp").bucketBy(8, "bh").sortBy("bh")
+        .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
+      name
+    })
+
+  /** [[incrementalNearDups]] probing the MATERIALIZED base bucket
+    * table instead of re-shingling the base corpus: the increment's
+    * distinct partition keys (bounded by bands x 64 = 512 ints —
+    * parallelism-sized driver state, never data-sized) become a static
+    * `pp IN (...)` partition filter on the base scan, so the probe
+    * reads O(touched partitions), not O(corpus). Result-identical to
+    * the in-memory path (IncrementalMatSpec pins equality, the
+    * PartitionFilters entry, and the single base-table scan); the
+    * verify tier still joins base text, but only for the candidate
+    * doc_ids the pruned bucket join surfaced. */
+  def incrementalNearDupsMaterialized(s: SparkSession, base: DataFrame,
+      fresh: DataFrame, key: String, shingleSize: Int = 3,
+      numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val table = materializedNearDupBase(s, base, key, shingleSize,
+      numPerms, bands)
+    val nb0 = bandBuckets(fresh, shingleSize, numPerms, bands)
+      .withColumn("pp", (col("band") * BhPartitions +
+        pmod(col("bh"), lit(BhPartitions.toLong))).cast("int"))
+    val touched = nb0.select(col("pp")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val bbScan =
+      if (touched.isEmpty) s.table(table).filter(lit(false))
+      else s.table(table).filter(col("pp").isin(touched.map(Int.box): _*))
+    val bb = capBuckets(bbScan.select(col("doc_id"), col("band"), col("bh")),
+      Seq("band", "bh"), maxBucket)
+    val nb = capBuckets(nb0.select(col("doc_id"), col("band"), col("bh")),
+      Seq("band", "bh"), maxBucket)
+    verifyFreshBasePairs(bb, nb, base, fresh, shingleSize, threshold)
   }
 
   /** Cross-corpus dedup screen: drop candidate documents whose content
@@ -656,6 +735,14 @@ object Dedup {
       val docs = Tables(s, d).documents
       incrementalNearDups(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+    // same split probed through the MATERIALIZED at-rest base bucket
+    // table — result-identical to q155 by construction (spec-pinned)
+    "q194_incremental_neardups_mat" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      incrementalNearDupsMaterialized(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), key = d)
     }),
     "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),

@@ -278,6 +278,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.aHashFromBytes("notapng".getBytes).isEmpty)
   }
 
+  /** Clip with a 64-chunk loud/quiet energy ENVELOPE drawn from
+    * envSeed and white-noise content drawn from noiseSeed — the
+    * fingerprint keys on the envelope (temporal energy profile), so
+    * same-envelope clips are near-dups regardless of noise content
+    * and gain, while different envelopes land far apart. */
+  private def envelopedClip(envSeed: Long, noiseSeed: Long,
+      gain: Double = 1.0, n: Int = 8000): Array[Short] =
+    Array.tabulate(n) { i =>
+      val chunk = i.toLong * 64 / n
+      val loud = (AudioCodec.fixtureSample(envSeed, chunk.toInt) & 1) == 0
+      val amp = (if (loud) 1.0 else 0.1) * gain
+      (AudioCodec.fixtureSample(noiseSeed, i) * amp).toShort
+    }
+
+  test("audio rmsFingerprint: profile-keyed, gain/noise invariant") {
+    val f1 = AudioCodec.rmsFingerprint(envelopedClip(7L, 1L))
+    // same envelope, HALF the gain, different noise content
+    val f2 = AudioCodec.rmsFingerprint(envelopedClip(7L, 2L, gain = 0.5))
+    assert(java.lang.Long.bitCount(f1 ^ f2) <= 3,
+      s"re-levelled same-profile clip moved ${java.lang.Long.bitCount(f1 ^ f2)} bits")
+    // different envelope: far apart
+    val f3 = AudioCodec.rmsFingerprint(envelopedClip(8L, 1L))
+    assert(java.lang.Long.bitCount(f1 ^ f3) > 10,
+      "different energy profiles should fingerprint far apart")
+    // degenerate inputs: empty clip is the zero fingerprint, corrupt
+    // bytes decode to None, never an exception
+    assert(AudioCodec.rmsFingerprint(Array.empty[Short]) == 0L)
+    assert(AudioCodec.fingerprintFromBytes("notawav".getBytes).isEmpty)
+  }
+
+  test("audio dedup collapses a planted re-levelled near-duplicate") {
+    val media = Seq(
+      (1L, "audio", AudioCodec.encodeWav(envelopedClip(7L, 1L))),
+      // near-copy: same envelope, re-levelled, fresh noise
+      (2L, "audio", AudioCodec.encodeWav(envelopedClip(7L, 2L, gain = 0.5))),
+      // unrelated profile survives alone
+      (3L, "audio", AudioCodec.encodeWav(envelopedClip(8L, 3L))),
+      (4L, "audio", "corruptcorruptcorrupt".getBytes),
+      (5L, "image", AudioCodec.encodeWav(envelopedClip(7L, 1L))) // wrong kind
+    ).toDF("media_id", "kind", "bytes")
+    val got = Multimodal.audioDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // corrupt + non-audio excluded
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false))) // twin collapsed onto the original
+    assert(got(3L) == ((3L, true)))
+  }
+
   test("image dedup collapses a planted brightness-shifted near-duplicate") {
     val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
     val media = Seq(

@@ -413,6 +413,60 @@ class TextDedupSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("materialized incremental near-dups: pruned scan, identical result") {
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // enough base docs that the 512-way partition space is sparsely
+    // touched by a 2-doc increment
+    val base = ((0L until 60L by 2L).map(i =>
+      (i, s"base doc $i filler tokens " + ("pad" + i + " ") * 6)) :+
+      (100L, baseText)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, baseText + " lambda"),          // near-copy of base 100
+      (3L, "pqr stu vwx yz abc def ghi")   // unrelated
+    ).toDF("doc_id", "text")
+    val key = s"matspec_${System.nanoTime()}"
+    val mat = Dedup.incrementalNearDupsMaterialized(spark, base, fresh, key)
+    val mem = Dedup.incrementalNearDups(base, fresh)
+    assert(mat.collect().toSeq == mem.collect().toSeq)
+    assert(mat.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 100L)))
+
+    // the base side is the AT-REST table, scanned pruned: exactly one
+    // FileSourceScan over the materialized path, with a PartitionFilters
+    // entry on pp that selects a strict subset of the partitions.
+    // (AQE wraps the executed plan — recurse through adaptive nodes.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(mat.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("graft_nd_base_"))
+    assert(scans.size == 1, "expected exactly one scan of the base table")
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("pp"),
+      scan.metadata("PartitionFilters"))
+    // the 2-doc increment touches <= 2 docs x 8 bands = 16 of the
+    // table's partition slices; the scan must read only those
+    val table = Dedup.materializedNearDupBase(spark, base, key)
+    val allParts = spark.table(table).select("pp").distinct().count()
+    assert(allParts > 16, s"test corpus too small to prove pruning ($allParts)")
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead > 0 && partsRead <= 16 && partsRead < allParts,
+      s"scan read $partsRead of $allParts partitions — not pruned")
+    assert(scan.relation.partitionSchema.fieldNames.contains("pp"))
+    assert(!mat.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+
+    // empty increment: no partitions touched, zero rows, no failure
+    val none = Dedup.incrementalNearDupsMaterialized(spark, base,
+      fresh.filter(lit(false)), key)
+    assert(none.count() == 0)
+  }
+
   test("cross-corpus screen drops new docs whose token set exists in base") {
     val docs = Seq(
       (0L, "a b c", "en", "src0"),      // base
