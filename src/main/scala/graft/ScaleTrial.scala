@@ -52,7 +52,11 @@ object ScaleTrial {
     "q188_column_stats_approx", // ANALYZE default: no multi-distinct Expand
     "q189_cross_corpus_bloom", // bloom-prefixed anti-join screen
     "q181_mad_outliers", // events family: 2 rounds of quantile machinery
-    "q192_exact_substr_dedup") // token-span dedup on a 10x-denser dup corpus
+    "q192_exact_substr_dedup", // token-span dedup on a 10x-denser dup corpus
+    "q173_sessionize", // events family: gap-based keyed-window sessions
+    "q190_best_of_cluster", // keep-best over the EXACT pair tier (block², audit-only)
+    "q196_best_of_cluster_lsh", // keep-best over LSH edges — the scale tier
+    "q191_curriculum_batches") // quality-sharded cumsum packing
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

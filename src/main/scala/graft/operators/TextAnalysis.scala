@@ -145,11 +145,34 @@ object TextAnalysis {
     * is exactly one row per surviving document. The double negation is
     * an IEEE sign flip (exact), so the argmax is engine-independent
     * given identical scores — q190's oracle replays cluster closure,
-    * scoring, and the same ordering rule, hash-exact. At 100 TB swap
-    * the edge generator for the LSH candidates (q82) unchanged. */
-  def bestQualityRepresentatives(documents: DataFrame): DataFrame = {
-    val clusters = Dedup.dupClusters(
+    * scoring, and the same ordering rule, hash-exact.
+    *
+    * THIS form rides [[jaccardPairs]] — the EXACT pair tier, which is
+    * O(block²) by design (that's what makes the oracle replayable);
+    * the 10x trial measures it at ~20x, exactly the quadratic the
+    * docstring always warned about. The 100 TB form is
+    * [[bestQualityRepresentativesLsh]] (q196): the SAME collapse over
+    * MinHash-LSH candidate edges, linear in corpus + dup density. */
+  def bestQualityRepresentatives(documents: DataFrame): DataFrame =
+    keepBestPerCluster(documents,
       jaccardPairs(documents).select(col("d1"), col("d2")))
+
+  /** [[bestQualityRepresentatives]] with the edge generator swapped to
+    * MinHash-LSH candidates ([[Dedup.minhashDedup]]) — the scale tier:
+    * candidate volume is bounded by banded buckets (linear in corpus
+    * and dup DENSITY, never block²), and everything downstream — CC,
+    * scoring, per-cluster argmax — is byte-identical machinery. On
+    * exact-duplicate clusters LSH recall is 1, so the two tiers agree
+    * (spec-pinned); on borderline near-dups LSH may miss what the
+    * exact tier finds, which is the standard recall trade every
+    * LSH-tiered dedup in this library documents. */
+  def bestQualityRepresentativesLsh(documents: DataFrame): DataFrame =
+    keepBestPerCluster(documents,
+      Dedup.minhashDedup(documents).select(col("d1"), col("d2")))
+
+  private def keepBestPerCluster(documents: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(edges)
     val toks = tokens(col("text"))
     val nTokens = size(toks)
     val ttr = size(array_distinct(toks)).cast("double") / nTokens
@@ -659,6 +682,10 @@ object TextAnalysis {
         .orderBy(col("doc_id"))),
     "q190_best_of_cluster" -> ((s, d) =>
       bestQualityRepresentatives(Tables(s, d).documents)),
+    // the scale tier: LSH candidate edges, same collapse (rows-only —
+    // MinHash is engine-specific; exact-dup agreement is spec-pinned)
+    "q196_best_of_cluster_lsh" -> ((s, d) =>
+      bestQualityRepresentativesLsh(Tables(s, d).documents)),
     "q191_curriculum_batches" -> ((s, d) =>
       curriculumBatches(Tables(s, d).documents))
   )

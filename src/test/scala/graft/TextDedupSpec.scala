@@ -140,6 +140,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(50L) == ((50L, 1L)))
   }
 
+  test("keep-best LSH tier agrees with the exact tier on duplicate clusters") {
+    // identical texts hash to identical MinHash signatures, so every
+    // band collides and LSH recall is exactly 1 — on such a corpus the
+    // scale tier (q196) must reproduce the exact tier (q190) verbatim,
+    // including the quality-tie-to-lowest-id rule inside the dup
+    // cluster and the untouched singleton
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq(
+      (10L, base, "en", "s"), (11L, base, "en", "s"),
+      (12L, base, "en", "s"),
+      (50L, "completely different standalone text here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val exact = TextAnalysis.bestQualityRepresentatives(docs)
+      .collect().toSeq
+    val lsh = TextAnalysis.bestQualityRepresentativesLsh(docs)
+      .collect().toSeq
+    assert(lsh == exact)
+    assert(exact.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L, 50L -> 50L)) // equal quality -> lowest id kept
+  }
+
   test("exactSubstrDedup cuts repeated 5-gram spans, keeps first occurrence") {
     val docs = Seq(
       (1L, "a b c d e f"),             // owns both 5-grams
