@@ -154,14 +154,23 @@ object Quality {
 
   /** GD inner loop over an ALREADY-PERSISTED features frame — shared
     * by train-only and train-then-score so scoring never rebuilds
-    * features. */
+    * features.
+    *
+    * The per-round gradient is ONE flat scan with dim+1 codegen'd
+    * `sum(x[i] * err)` accumulators (partial-aggregatable, single
+    * output row). Earlier rounds used posexplode + groupBy(pos),
+    * which amplified the features frame (dim+1)x and shuffled the
+    * blow-up EVERY round — at sf0.1 that was 15 rounds x 3.3M
+    * exploded rows for a 65-double answer; the flat form cut
+    * q148/q193 roughly in half (bench r9). Driver state is still just
+    * the model. */
   private def gdRounds(feat: DataFrame, n: Double, dim: Int,
       rounds: Int, lr: Double): Array[Double] = {
     var w = new Array[Double](dim + 1)
     // No training rows (empty corpus, or a sampleFraction whose
-    // hash-slice selected zero docs): the gradient groupBy would
-    // return no rows and n=0 would divide — the zero-init model is
-    // the defined answer (sigmoid(0) = 0.5 for every doc).
+    // hash-slice selected zero docs): the gradient agg would return
+    // nulls and n=0 would divide — the zero-init model is the
+    // defined answer (sigmoid(0) = 0.5 for every doc).
     if (n == 0) return w
     var r = 0
     while (r < rounds) {
@@ -170,13 +179,13 @@ object Quality {
         zip_with(col("x"), wLit, (x, wi) => x * wi),
         lit(0.0), (acc, t) => acc + t)
       val p = lit(1.0) / (lit(1.0) + exp(-margin))
-      val g = feat
-        .select(col("x"), (p - col("y")).as("err"))
-        .select(posexplode(col("x")).as(Seq("pos", "xi")), col("err"))
-        .groupBy(col("pos"))
-        .agg(sum(col("xi") * col("err")).as("g"))
-        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
-      w = w.indices.map(i => w(i) - lr * g(i) / n).toArray
+      val sums = (0 to dim).map(i =>
+        sum(col("x").getItem(i) * col("err")).as(s"g$i"))
+      val row = feat
+        .select((p - col("y")).as("err"), col("x"))
+        .agg(sums.head, sums.tail: _*)
+        .head()
+      w = w.indices.map(i => w(i) - lr * row.getDouble(i) / n).toArray
       r += 1
     }
     w
