@@ -56,19 +56,25 @@ object ScaleTrial {
     "q173_sessionize", // events family: gap-based keyed-window sessions
     "q190_best_of_cluster", // keep-best over the EXACT pair tier (block², audit-only)
     "q196_best_of_cluster_lsh", // keep-best over LSH edges — the scale tier
-    "q191_curriculum_batches") // quality-sharded cumsum packing
+    "q191_curriculum_batches", // quality-sharded cumsum packing
+    "q198_shard_manifest", // partial-agg manifest: nShards rows out
+    "q199_span_decontaminate") // bench-gram broadcast + drop-set rewrite
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    // optional 4th arg: comma-separated query names — rerun a subset
+    // against the (idempotent) replica without paying for the rest
+    val only = if (args.length > 3) args(3).split(",").toSet
+      else Set.empty[String]
     val spark = Bench.timingSession()
     val scaledDir = s"$workDir/x$factor"
     buildScaled(spark, baseDir, scaledDir, factor)
     Bench.warmUp(spark, baseDir)
     Bench.warmUp(spark, scaledDir)
     println(f"${"query"}%-28s ${"base_s"}%8s ${"x" + factor + "_s"}%8s ratio")
-    TrialQueries.foreach { name =>
+    TrialQueries.filter(q => only.isEmpty || only(q)).foreach { name =>
       val fn = SparkEntry.queries(name)
       val base = time(spark, baseDir, fn)
       val scaled = time(spark, scaledDir, fn)

@@ -628,10 +628,13 @@ object Dedup {
     * granularity: (1) slide k-grams with positions — k-bounded
     * amplification of the token stream; (2) global first occurrence
     * per gram = partial-aggregatable min(struct(doc_id, pos)) — ONE
-    * gram-keyed shuffle; (3) non-first span occurrences explode to
-    * their k covered token indices, distinct (doc, idx) — the drop
-    * set; (4) tokens anti-join the drop set on (doc, idx) and
-    * re-assemble per doc via collect+sort — ONE doc-keyed shuffle.
+    * gram-keyed shuffle; (3) non-first span occurrences expand to
+    * their k covered token indices and collapse to one per-doc drop
+    * SET (a groupBy carrying only duplicated-span indices); (4) one
+    * doc-keyed left join hands each doc its drop set and an
+    * index-aware `filter` lambda rewrites the token array in place —
+    * the corpus is never token-exploded or re-assembled
+    * ([[rewriteWithoutSpans]]).
     * Everything is integers and strings (no floats), so q192's oracle
     * replays the identical algebra in DuckDB hash-exactly. NOTE: that
     * oracle SQL hardcodes the DEFAULT k=5 (range(0, len-4),
@@ -645,35 +648,96 @@ object Dedup {
   def exactSubstrDedup(documents: DataFrame, k: Int = 5): DataFrame = {
     val docs = documents.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
-    val spans = docs.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
-        .as(Seq("pos", "gram")))
+    val spans = kGramSpans(docs, k)
     val firstOcc = spans.groupBy(col("gram"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val dupSpans = spans.join(firstOcc, Seq("gram"))
       .filter(col("doc_id") =!= col("f.doc_id") ||
         col("pos") =!= col("f.pos"))
       .select(col("doc_id"), col("pos"))
-    val dropped = dupSpans
+    rewriteWithoutSpans(docs, dupSpans, k, "text_dedup")
+      .orderBy(col("doc_id"))
+  }
+
+  /** k-token spans with 0-based start positions: (doc_id, pos, gram)
+    * for every length-k token window of every doc with ≥ k tokens.
+    * Shared by [[exactSubstrDedup]] and [[spanDecontaminate]]. */
+  private def kGramSpans(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
+        .as(Seq("pos", "gram")))
+
+  /** Cut the k-token spans at `cutSpans` (doc_id, pos) out of `docs`
+    * (doc_id, toks) and rebuild each affected document from its
+    * surviving tokens. The cut indices collapse to ONE per-doc
+    * `collect_set` (bounded by doc length — the same bound the old
+    * collect_list reassembly had) and the rewrite is a single left
+    * join + an index-aware `filter` lambda over the token array: the
+    * corpus is never token-exploded, never anti-joined per token,
+    * never re-assembled per doc. The only shuffles keyed by training
+    * data are the cut-span groupBy (carries CONTAMINATED span
+    * indices, not the corpus) and the one doc-keyed join — which AQE
+    * turns into a broadcast of the drop sets whenever contamination
+    * is sparse, leaving the corpus side completely shuffle-free.
+    * Untouched docs see a null drop set and round-trip
+    * `array_join(toks)` in the same narrow projection. Output:
+    * (doc_id, n_tokens, n_dropped, `outCol`). */
+  private def rewriteWithoutSpans(docs: DataFrame, cutSpans: DataFrame,
+      k: Int, outCol: String): DataFrame = {
+    val dropSets = cutSpans
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
-      .distinct()
-    val toks = docs.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("idx", "tok")))
-    val kept = toks.join(dropped, Seq("doc_id", "idx"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(collect_set(col("idx")).as("drop_idx"))
+    docs.join(dropSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long")
+          .as("n_dropped"),
         array_join(expr(
-          "transform(array_sort(collect_list(struct(idx, tok))), " +
-            "s -> s.tok)"), " ").as("text_dedup"))
-    docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("long").as("n_dropped"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+          "filter(toks, (t, i) -> drop_idx IS NULL OR " +
+            "NOT array_contains(drop_idx, i))"), " ").as(outCol))
+  }
+
+  /** SPAN-LEVEL decontamination: every k-token span of a training
+    * document that also occurs anywhere in a benchmark/eval corpus is
+    * cut and the document rewritten from its surviving tokens — the
+    * surgical alternative to [[CorpusSignals]]' q92 doc-drop
+    * contamination sweep (dropping a whole book for one quoted eval
+    * question wastes the book; cutting the quote keeps it). This is
+    * the eval-overlap variant of Lee et al. 2022's ExactSubstr cut
+    * (arXiv:2107.06499 §4.1 — they dedup train-vs-train; here the
+    * gram universe is train-vs-benchmark) and the span granularity
+    * matches the 13-gram overlap definition GPT-3 used for its
+    * contamination study (Brown et al. 2020, arXiv:2005.14165 §4) at
+    * configurable k.
+    *
+    * Scale shape, and why it beats [[exactSubstrDedup]]'s profile for
+    * this job: the gram-keyed side is only the BENCHMARK's distinct
+    * k-grams — eval suites are MBs against a 100 TB corpus, so that
+    * set broadcast-joins against the training span stream and the
+    * training corpus never shuffles on gram at all. The only wide
+    * work keyed by training data is the drop-set groupBy +
+    * one doc-keyed join, and [[rewriteWithoutSpans]] bounds both by
+    * the contaminated span volume, not the corpus.
+    * Integer/string algebra throughout, so q199's oracle replays it
+    * hash-exactly (oracle pinned to the DEFAULT k=5). */
+  def spanDecontaminate(training: DataFrame, benchmark: DataFrame,
+      k: Int = 5): DataFrame = {
+    val docs = training.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val benchGrams = benchmark
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> array_join(slice(toks, i + 1, $k), ' '))")).as("gram"))
+      .distinct()
+    val hits = kGramSpans(docs, k)
+      .join(benchGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    rewriteWithoutSpans(docs, hits, k, "text_clean")
       .orderBy(col("doc_id"))
   }
 
@@ -724,6 +788,14 @@ object Dedup {
     // default k=5 only — the q192 oracle SQL is pinned to that k
     "q192_exact_substr_dedup" -> ((s, d) =>
       exactSubstrDedup(Tables(s, d).documents)),
+    // every 10th doc plays the benchmark; the rest are training docs
+    // scrubbed of any 5-gram the benchmark contains (oracle pinned to
+    // the default k=5, same convention as q192)
+    "q199_span_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      spanDecontaminate(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }),
     "q189_cross_corpus_bloom" -> ((s, d) => {
       val docs = Tables(s, d).documents
       crossCorpusNewBloomScreened(
@@ -844,6 +916,52 @@ object Dedup {
         |  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
         |  COALESCE(a.text_dedup, '') AS text_dedup
         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // identical span algebra to q192's oracle, but the drop set is
+    // train-spans ∩ benchmark-grams instead of non-first occurrences;
+    // the oracle reassembles EVERY training doc — row-identical to the
+    // Spark semi/anti split because an untouched doc's string_agg over
+    // all its tokens is exactly its original single-space text
+    "q199_span_decontaminate" ->
+      """WITH train AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |bench AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |bgrams AS (
+        |  SELECT DISTINCT array_to_string(toks[pos + 1 : pos + 5], ' ')
+        |    AS gram
+        |  FROM (SELECT toks,
+        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+        |        FROM bench WHERE len(toks) >= 5)),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+        |        FROM train WHERE len(toks) >= 5)),
+        |dropped AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + CAST(i.gs AS INTEGER) AS idx
+        |  FROM spans s JOIN bgrams b USING (gram)
+        |  CROSS JOIN generate_series(0, 4) AS i(gs)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) AS INTEGER) - 1 AS idx,
+        |    unnest(toks) AS tok
+        |  FROM train),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok t ANTI JOIN dropped d
+        |    ON t.doc_id = d.doc_id AND t.idx = d.idx),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(a.text_clean, '') AS text_clean
+        |FROM train d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->

@@ -446,6 +446,42 @@ object ScalePatterns {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic training-shard id: a pure hash projection of
+    * doc_id (the salted-md5-prefix device of q134/q164, so the same
+    * assignment replays in any engine). Shard membership depends on
+    * nothing but the id — re-running the export after an upstream
+    * refresh moves no surviving document between shards, which is
+    * what makes incremental re-export and per-shard integrity
+    * checking possible. */
+  def shardId(nShards: Int): Column =
+    (conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % nShards).cast("int")
+
+  /** Training-shard export manifest: per-shard document/token/char
+    * totals plus an ORDER-INSENSITIVE content checksum (bit_xor of a
+    * per-row md5-prefix long over doc_id:text) — the sidecar every
+    * dataset release ships so a trainer can verify shard integrity
+    * without re-reading the corpus. One hash-keyed groupBy to
+    * `nShards` rows; every aggregate (count, sums, bit_xor) is
+    * partial-aggregatable, so at 100 TB the shuffle carries only
+    * nShards×parallelism partial rows. xor is commutative/associative
+    * and width-preserving, so the checksum is independent of row
+    * order and partitioning — and DuckDB replays it bit-exactly
+    * (q198). The written-artifact twin is
+    * [[graft.sinks.Sinks.writeTrainingShards]], whose layout spec
+    * pins manifest-from-lake ≡ manifest-from-source. */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.withColumn("shard", shardId(nShards))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(cast(conv(substring(md5(concat(" +
+          "cast(doc_id as string), ':', text)), 1, 15), 16, 10) " +
+          "as bigint))").as("content_xor"))
+      .orderBy(col("shard"))
+
   /** Bucketed-table layout: lineitem and orders written ONCE per
     * (session, sfDir) as catalog tables bucketed (and sorted) on
     * their join key, 8 buckets each side. A join on the bucket key
@@ -495,6 +531,8 @@ object ScalePatterns {
     "q162_bucketed_join" -> ((s, d) => bucketedCustomerVolume(s, d)),
     "q149_global_row_ids" -> ((s, d) =>
       globalRowIds(Tables(s, d).documents)),
+    "q198_shard_manifest" -> ((s, d) =>
+      shardManifest(Tables(s, d).documents)),
     // OPERATOR COMPOSITION: corpus quality TIERS = the exact equi-depth
     // histogram applied to the in-engine LM fluency scores — two
     // operators, one still-oracle-exact plan
@@ -524,6 +562,22 @@ object ScalePatterns {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same salted-md5-prefix shard id and the same per-row
+    // md5-prefix long under an order-insensitive bit_xor — 15 hex
+    // chars = 60 bits, so the BIGINT cast is exact in both engines
+    "q198_shard_manifest" ->
+      """WITH sharded AS (
+        |  SELECT CAST(CAST('0x' || substr(md5('shard:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS INTEGER) AS shard,
+        |    doc_id, text, n_chars
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || text), 1, 15) AS BIGINT)) AS content_xor
+        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
     "q162_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -15,9 +15,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class LauncherSpec extends AnyFunSuite {
   private val script = "bin/graft-submit"
 
+  // a placeholder jar so --dry-run needs no prior `sbt package` —
+  // the spec pins the command DERIVATIONS, not the artifact build
+  private val stubJar = {
+    val f = java.io.File.createTempFile("graft-stub", ".jar")
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
   private def dryRun(args: String*): String = {
     val out = new StringBuilder
-    val code = Process(Seq("bash", script, "--dry-run") ++ args,
+    val code = Process(
+      Seq("bash", script, "--dry-run", "--jar", stubJar) ++ args,
       new java.io.File(".")).!(ProcessLogger(s => out.append(s).append('\n'),
       s => out.append(s).append('\n')))
     assert(code == 0, s"graft-submit failed:\n$out")
@@ -62,7 +71,7 @@ class LauncherSpec extends AnyFunSuite {
     // any other local-ish master is rejected, never given the
     // 1000-executor cluster shape
     val out = new StringBuilder
-    val code = Process(Seq("bash", script, "--dry-run",
+    val code = Process(Seq("bash", script, "--dry-run", "--jar", stubJar,
       "--master", "local-cluster[2,1,1024]"), new java.io.File("."))
       .!(ProcessLogger(s => out.append(s), s => out.append(s)))
     assert(code == 2, s"expected rejection, got rc=$code:\n$out")

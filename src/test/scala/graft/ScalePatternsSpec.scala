@@ -246,4 +246,53 @@ class ScalePatternsSpec extends AnyFunSuite {
       }
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("shard manifest: totals partition the corpus, checksum is " +
+    "order-insensitive and content-sensitive") {
+    val docs = t.documents
+    val man = ScalePatterns.shardManifest(docs).collect()
+    assert(man.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+    assert(man.map(_.getLong(1)).sum == docs.count())
+    assert(man.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+    // partitioning/order independence: a repartitioned, reversed scan
+    // produces the identical manifest (xor is commutative)
+    val shuffled = ScalePatterns
+      .shardManifest(docs.repartition(7).orderBy(col("doc_id").desc))
+      .collect()
+    assert(man.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+    // content sensitivity: flipping ONE doc's text flips exactly the
+    // shards whose membership contains it (here: one shard's checksum)
+    val tweaked = ScalePatterns.shardManifest(
+      docs.withColumn("text",
+        when(col("doc_id") === 7L, concat(col("text"), lit(" x")))
+          .otherwise(col("text")))).collect()
+    val diff = man.map(_.toSeq).zip(tweaked.map(_.toSeq))
+      .filter { case (a, b) => a != b }
+    assert(diff.length == 1, s"expected exactly one shard to change")
+  }
+
+  test("writeTrainingShards: shard=N layout, manifest-from-lake equals " +
+    "manifest-from-source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString
+    val docs = t.documents
+    graft.sinks.Sinks.writeTrainingShards(docs, dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.forall { n =>
+      val s = n.stripPrefix("shard=").toInt; s >= 0 && s < 16
+    })
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // the lake partition column matches the deterministic assignment
+    assert(back.filter(col("shard") =!=
+      ScalePatterns.shardId(16)).count() == 0)
+    // and the manifest recomputed FROM the lake is byte-identical
+    val fromLake = ScalePatterns.shardManifest(back.drop("shard"))
+      .collect().map(_.toSeq).toSeq
+    val fromSource = ScalePatterns.shardManifest(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLake == fromSource)
+  }
 }

@@ -177,6 +177,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) == ((2, 0L, "too short")))    // below k: pass-through
   }
 
+  test("spanDecontaminate cuts benchmark 5-grams from training docs only") {
+    val train = Seq(
+      (1L, "p q a b c d e r s"),       // quotes the eval 5-gram at pos 2
+      (2L, "clean text with no overlap at all"), // untouched
+      (3L, "a b c d e"),               // IS the eval text -> husk
+      (4L, "tiny doc"))                // < 5 tokens: untouched
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.spanDecontaminate(train, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((9, 5L, "p q r s")))     // idx 2..6 cut
+    assert(got(2L) == ((7, 0L, "clean text with no overlap at all")))
+    assert(got(3L) == ((5, 5L, "")))            // fully contaminated
+    assert(got(4L) == ((2, 0L, "tiny doc")))
+    // unlike exactSubstrDedup, NO occurrence survives — the first
+    // training quote is cut too (doc 1 and doc 3 both lost the span)
+    assert(got.values.map(_._2).sum == 10L)
+  }
+
+  test("spanDecontaminate with overlapping hits cuts the span union") {
+    // benchmark grams "a b c d e" and "c d e f g" overlap in the
+    // training doc at idx 2..6 and 4..8 -> union 2..8 (7 tokens)
+    val train = Seq((1L, "x y a b c d e f g z")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e"), (101L, "c d e f g"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDecontaminate(train, bench).head
+    assert(got.getInt(1) == 10 && got.getLong(2) == 7L &&
+      got.getString(3) == "x y z")
+  }
+
   test("curriculumBatches: greedy quality-first packing on a hand corpus") {
     // qualities: doc 2 richest, doc 3 poorest; budget 10 packs the
     // best-first order (2, 1, 3) into batches of cumulative tokens
