@@ -723,6 +723,53 @@ object Dedup {
     * the contaminated span volume, not the corpus.
     * Integer/string algebra throughout, so q199's oracle replays it
     * hash-exactly (oracle pinned to the DEFAULT k=5). */
+  /** Contamination REPORT — the reverse audit of
+    * [[spanDecontaminate]]: for every benchmark/eval document, the
+    * fraction of its k-gram spans that occur anywhere in the training
+    * corpus. This is the per-item "dirty fraction" table every eval
+    * release publishes (GPT-3's contamination study reports exactly
+    * this overlap statistic per benchmark, Brown et al. 2020,
+    * arXiv:2005.14165 §4 / App. C) — run it BEFORE training to decide
+    * what to scrub, and after to prove the scrub worked.
+    *
+    * Scale shape: the only thing that ever holds the training
+    * corpus is one left-semi join of training grams against the
+    * BROADCAST distinct benchmark gram set (training never shuffles;
+    * the semi-join output is bounded by |benchmark grams|, not the
+    * corpus). The per-doc rollup then runs entirely on benchmark-
+    * sized data. The contamination rate is a single IEEE division
+    * (the q74 tf/df convention), so q200's oracle replays it
+    * bit-exactly (pinned to the default k=5). */
+  def contaminationReport(training: DataFrame, benchmark: DataFrame,
+      k: Int = 5): DataFrame = {
+    val bdocs = benchmark.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val bspans = kGramSpans(bdocs, k)
+    val benchGramSet = bspans.select(col("gram")).distinct()
+    // training grams that appear in the benchmark — semi join against
+    // the broadcast bench set, collapsed to a distinct gram set whose
+    // size is bounded by |benchmark grams|
+    val hitGrams = kGramSpans(
+      training.select(col("doc_id"), split(col("text"), " ").as("toks")), k)
+      .select(col("gram"))
+      .join(broadcast(benchGramSet), Seq("gram"), "left_semi")
+      .distinct()
+    val perDoc = bspans.join(hitGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    bdocs
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - lit(k - 1), lit(0)).as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   def spanDecontaminate(training: DataFrame, benchmark: DataFrame,
       k: Int = 5): DataFrame = {
     val docs = training.select(col("doc_id"),
@@ -794,6 +841,13 @@ object Dedup {
     "q199_span_decontaminate" -> ((s, d) => {
       val docs = Tables(s, d).documents
       spanDecontaminate(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }),
+    // same 90/10 split, opposite direction: per-benchmark-doc overlap
+    // fraction against the training corpus (oracle pinned to k=5)
+    "q200_contamination_report" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      contaminationReport(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10)) === 0))
     }),
     "q189_cross_corpus_bloom" -> ((s, d) => {
@@ -963,6 +1017,40 @@ object Dedup {
         |  COALESCE(a.text_clean, '') AS text_clean
         |FROM train d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // per-eval-doc span overlap vs training; the rate is ONE IEEE
+    // division (q74's tf/df convention) so it compares bitwise
+    "q200_contamination_report" ->
+      """WITH train AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |bench AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |tg AS (
+        |  SELECT DISTINCT array_to_string(toks[pos + 1 : pos + 5], ' ')
+        |    AS gram
+        |  FROM (SELECT toks,
+        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+        |        FROM train WHERE len(toks) >= 5)),
+        |bs AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+        |        FROM bench WHERE len(toks) >= 5)),
+        |hit AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |  FROM bs SEMI JOIN tg USING (gram)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(greatest(len(b.toks) - 4, 0) AS INTEGER) AS n_spans,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN greatest(len(b.toks) - 4, 0) > 0
+        |    THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+        |      / CAST(greatest(len(b.toks) - 4, 0) AS DOUBLE)
+        |    ELSE 0.0 END AS contamination
+        |FROM bench b LEFT JOIN hit h USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "q30_lang_id" -> langIdOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (

@@ -113,6 +113,13 @@ class PropertySpec extends AnyFunSuite {
         docs.repartition(3))) ==
       rows(graft.operators.TextAnalysis.curriculumBatches(
         docs.repartition(11))))
+    // span decontamination: collect_set order varies with layout, so
+    // the filter-lambda rewrite must not (sets are membership-only)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    assert(rows(graft.operators.Dedup.spanDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0).repartition(3), bench)) ==
+      rows(graft.operators.Dedup.spanDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0).repartition(11), bench)))
   }
 
   test("dedup by fingerprint is idempotent") {

@@ -197,6 +197,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 10L)
   }
 
+  test("contaminationReport: per-eval-doc span overlap fractions") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "z z a b c d e z z"),  // 5 spans, 1 hit ("a b c d e")
+      (20L, "a b c d e f"),        // 2 spans, both hit -> 1.0
+      (30L, "nothing here at all matches nothing really"), // 0 hits
+      (40L, "tiny"))               // < 5 tokens: 0 spans, rate 0.0
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((5, 1L, 0.2)))
+    assert(got(20L) == ((2, 2L, 1.0)))
+    assert(got(30L) == ((3, 0L, 0.0)))
+    assert(got(40L) == ((0, 0L, 0.0)))
+  }
+
   test("spanDecontaminate with overlapping hits cuts the span union") {
     // benchmark grams "a b c d e" and "c d e f g" overlap in the
     // training doc at idx 2..6 and 4..8 -> union 2..8 (7 tokens)
