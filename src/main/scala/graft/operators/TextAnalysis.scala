@@ -667,8 +667,13 @@ object TextAnalysis {
       ((s, d) => bigramFluency(Tables(s, d).documents)),
     // semantic near-dup over DERIVED doc vectors: text corpus routed
     // through the vector dedup stack (cosine pairs -> CC -> keep)
+    // the derived vectors feed THREE consumers inside embeddingDedup
+    // (both sides of the pair join + the final id frame); a
+    // localCheckpoint materializes the explode+2-shuffle derivation
+    // once instead of three times (same device as dupClusters' rounds)
     "q151_docvec_neardup" -> ((s, d) =>
-      Similarity.embeddingDedup(docVectors(Tables(s, d).documents),
+      Similarity.embeddingDedup(
+        docVectors(Tables(s, d).documents).localCheckpoint(),
         threshold = 0.95)),
     // the ORACLE-EXACT tier of q82: the identical dupClusters operator
     // (union-find / star rounds) but fed the exact-jaccard edge set
