@@ -58,7 +58,8 @@ object ScaleTrial {
     "q196_best_of_cluster_lsh", // keep-best over LSH edges — the scale tier
     "q191_curriculum_batches", // quality-sharded cumsum packing
     "q198_shard_manifest", // partial-agg manifest: nShards rows out
-    "q199_span_decontaminate") // bench-gram broadcast + drop-set rewrite
+    "q199_span_decontaminate", // bench-gram broadcast + drop-set rewrite
+    "q200_contamination_report") // broadcast semi join, bench-sized rollup
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -662,12 +662,14 @@ object Dedup {
   /** k-token spans with 0-based start positions: (doc_id, pos, gram)
     * for every length-k token window of every doc with ≥ k tokens.
     * Shared by [[exactSubstrDedup]] and [[spanDecontaminate]]. */
-  private def kGramSpans(docs: DataFrame, k: Int): DataFrame =
+  private def kGramSpans(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"span length k must be >= 1 (got $k)")
     docs.filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $k), " +
           s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
         .as(Seq("pos", "gram")))
+  }
 
   /** Cut the k-token spans at `cutSpans` (doc_id, pos) out of `docs`
     * (doc_id, toks) and rebuild each affected document from its

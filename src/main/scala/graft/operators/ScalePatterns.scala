@@ -453,10 +453,12 @@ object ScalePatterns {
     * refresh moves no surviving document between shards, which is
     * what makes incremental re-export and per-shard integrity
     * checking possible. */
-  def shardId(nShards: Int): Column =
+  def shardId(nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
     (conv(substring(md5(concat(lit("shard:"),
       col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % nShards).cast("int")
+  }
 
   /** Training-shard export manifest: per-shard document/token/char
     * totals plus an ORDER-INSENSITIVE content checksum (bit_xor of a

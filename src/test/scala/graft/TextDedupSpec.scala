@@ -197,6 +197,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 10L)
   }
 
+  test("decontamination family: empty benchmark is a no-op") {
+    val train = Seq((1L, "a b c d e f"), (2L, "tiny")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val clean = Dedup.spanDecontaminate(train, empty)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(clean.toSeq == Seq((1L, 0L, "a b c d e f"), (2L, 0L, "tiny")))
+    // and the reverse report over an empty benchmark is just empty
+    assert(Dedup.contaminationReport(train, empty).count() == 0)
+  }
+
   test("contaminationReport: per-eval-doc span overlap fractions") {
     val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val bench = Seq(
