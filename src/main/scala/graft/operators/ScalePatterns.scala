@@ -472,7 +472,10 @@ object ScalePatterns {
     * order and partitioning — and DuckDB replays it bit-exactly
     * (q198). The written-artifact twin is
     * [[graft.sinks.Sinks.writeTrainingShards]], whose layout spec
-    * pins manifest-from-lake ≡ manifest-from-source. */
+    * pins manifest-from-lake ≡ manifest-from-source; the SAME plan
+    * also runs as a complete-mode stream with nShards rows of state
+    * (continuous export accounting — StreamingSpec pins stream ==
+    * batch). */
   def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
     docs.withColumn("shard", shardId(nShards))
       .groupBy(col("shard"))

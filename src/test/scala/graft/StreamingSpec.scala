@@ -269,6 +269,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("shard manifest streams in complete mode and equals batch") {
+    // continuous export accounting: the manifest's aggregates (count,
+    // sums, bit_xor) are all partial-aggregatable, so the SAME plan
+    // runs as a complete-mode stream with nShards rows of state —
+    // and must converge to the batch manifest whatever the batching
+    implicit val sc = spark.sqlContext
+    val rows = (1L to 40L).map(i => (i, s"tok$i text $i", 10L + i))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.operators.ScalePatterns.shardManifest(
+      mem.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("manifest_out").start()
+    mem.addData(rows.take(25): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(25): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("manifest_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.ScalePatterns.shardManifest(
+      rows.toDF("doc_id", "text", "n_chars")).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stateless curation filters (gopher rules, blocklist) stream == batch") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
