@@ -390,15 +390,32 @@ object Similarity {
       }),
       lit(0.0), (acc, t) => acc + t)
 
-  /** Nearest codebook cell per (vector, subspace): broadcast the
-    * m·ksub codebook, argmin by (dist2, cell) — total and
-    * deterministic. */
+  /** Nearest codebook cell per (vector, subspace): argmin by
+    * (dist2, cell) — total and deterministic. */
   def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
-    subs.join(broadcast(codebook), "sub")
-      .select(col("vec_id"), col("sub"), col("cell"),
-        subDist2(col("sv"), col("centroid")).as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    pqAssignSv(subs, codebook)
+      .select(col("vec_id"), col("sub"), col("cell"))
+
+  /** [[pqAssign]] retaining the subvector column. The codebook rolls
+    * up to ONE per-sub centroid array (m rows, broadcast), so the
+    * assignment is a NARROW per-row argmin inside codegen —
+    * `array_min(struct(d2, cell))` reproduces the old
+    * `min_by(cell, struct(d2, cell))` tie-break bit-for-bit — instead
+    * of an n·m·ksub row explosion through a (vec_id, sub)-keyed
+    * shuffle per Lloyd round. Keeping `sv` on the row also lets the
+    * training update read member subvectors without re-joining the
+    * subs frame. */
+  private def pqAssignSv(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val cells = codebook.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("cells"))
+    subs.join(broadcast(cells), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"),
+        array_min(transform(col("cells"), c =>
+          struct(subDist2(col("sv"), c.getField("centroid")).as("d2"),
+            c.getField("cell").as("cell"))))
+          .getField("cell").as("cell"))
+  }
 
   /** Product-quantization codebooks (Jégou et al. 2011, TPAMI 33(1),
     * "Product Quantization for Nearest Neighbor Search"): the vector
@@ -424,8 +441,7 @@ object Similarity {
       .select(col("sub"), col("vec_id").cast("int").as("cell"),
         transform(col("sv"), x => x.cast("double")).as("centroid"))
     for (_ <- 1 to iters) {
-      val rows = pqAssign(subs, cb)
-        .join(subs, Seq("vec_id", "sub"))
+      val rows = pqAssignSv(subs, cb)
         .select(col("sub"), col("cell"),
           posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
