@@ -790,6 +790,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset-RELEASE pipeline: decontaminate → quality-gate → shard,
+    * emitted as the release's shard manifest — the end-to-end "cut
+    * the eval leakage, drop the husks, ship accountable shards" flow
+    * a training-set release actually runs, composed as ONE Catalyst
+    * plan (the q130/q187 composition convention extended to the r9
+    * operators). Stages:
+    *
+    *   1. [[spanDecontaminate]] vs the benchmark corpus;
+    *   2. release gate: a doc survives iff it lost LESS than half its
+    *      tokens to the scrub AND keeps ≥ `minTokens` — husks and
+    *      mostly-quoted docs don't ship (the kept-token count is
+    *      already on the row: no re-tokenize);
+    *   3. deterministic shard assignment + per-shard manifest with
+    *      the order-insensitive bit_xor checksum over the CLEANED
+    *      text ([[graft.operators.ScalePatterns.shardManifest]]'s
+    *      algebra — what the released lake layout is audited
+    *      against).
+    *
+    * Every stage is integer/string algebra, so the composition stays
+    * hash-exact end-to-end: q201's oracle chains q199's CTE through
+    * the same gate and manifest SQL. Scale shape = q199's (benchmark
+    * grams broadcast, wide work rides contaminated volume) plus one
+    * partial-agg manifest shuffle of nShards×parallelism rows. */
+  def releaseManifest(training: DataFrame, benchmark: DataFrame,
+      k: Int = 5, nShards: Int = 16, minTokens: Int = 20): DataFrame = {
+    val released = spanDecontaminate(training, benchmark, k)
+      .filter(col("n_dropped") * 2 < col("n_tokens") &&
+        col("n_tokens") - col("n_dropped") >= minTokens)
+    released
+      .withColumn("shard", ScalePatterns.shardId(nShards))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens") - col("n_dropped")).as("n_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(concat(" +
+          "cast(doc_id as string), ':', text_clean)), 1, 15), 16, 10) " +
+          "as bigint))").as("content_xor"))
+      .orderBy(col("shard"))
+  }
+
   /** [[crossCorpusNewAgainst]] with the promised bloom runtime-filter
     * prefix made code: a Bloom sketch over the base fingerprints is
     * embedded as a scan-side predicate on the candidates, splitting
@@ -843,6 +882,13 @@ object Dedup {
     "q199_span_decontaminate" -> ((s, d) => {
       val docs = Tables(s, d).documents
       spanDecontaminate(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }),
+    // the composed release pipeline over the same 90/10 split
+    // (oracle pinned to defaults k=5, 16 shards, minTokens=20)
+    "q201_release_manifest" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      releaseManifest(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10)) === 0))
     }),
     // same 90/10 split, opposite direction: per-benchmark-doc overlap
@@ -928,6 +974,50 @@ object Dedup {
       |  AND fp NOT IN (SELECT fp FROM f WHERE isbase)
       |ORDER BY doc_id""".stripMargin
 
+  /** q199's DuckDB twin, also the head CTE of q201's release
+    * pipeline oracle. */
+  private def spanDecontamOracle: String =
+    """WITH train AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |bench AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |bgrams AS (
+      |  SELECT DISTINCT array_to_string(toks[pos + 1 : pos + 5], ' ')
+      |    AS gram
+      |  FROM (SELECT toks,
+      |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+      |        FROM bench WHERE len(toks) >= 5)),
+      |spans AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram
+      |  FROM (SELECT doc_id, toks,
+      |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
+      |        FROM train WHERE len(toks) >= 5)),
+      |dropped AS (
+      |  SELECT DISTINCT s.doc_id, s.pos + CAST(i.gs AS INTEGER) AS idx
+      |  FROM spans s JOIN bgrams b USING (gram)
+      |  CROSS JOIN generate_series(0, 4) AS i(gs)),
+      |tok AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(toks, 1) AS INTEGER) - 1 AS idx,
+      |    unnest(toks) AS tok
+      |  FROM train),
+      |kept AS (
+      |  SELECT t.doc_id, t.idx, t.tok
+      |  FROM tok t ANTI JOIN dropped d
+      |    ON t.doc_id = d.doc_id AND t.idx = d.idx),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY idx) AS text_clean
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  COALESCE(a.text_clean, '') AS text_clean
+      |FROM train d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q145_cross_corpus_new" -> crossCorpusOracle,
     // the bloom-screened split must be row-identical to the plain form
@@ -976,49 +1066,30 @@ object Dedup {
     // identical span algebra to q192's oracle, but the drop set is
     // train-spans ∩ benchmark-grams instead of non-first occurrences;
     // the oracle reassembles EVERY training doc — row-identical to the
-    // Spark semi/anti split because an untouched doc's string_agg over
-    // all its tokens is exactly its original single-space text
-    "q199_span_decontaminate" ->
-      """WITH train AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |  WHERE doc_id % 10 <> 0),
-        |bench AS (
-        |  SELECT string_split(text, ' ') AS toks FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |bgrams AS (
-        |  SELECT DISTINCT array_to_string(toks[pos + 1 : pos + 5], ' ')
-        |    AS gram
-        |  FROM (SELECT toks,
-        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
-        |        FROM bench WHERE len(toks) >= 5)),
-        |spans AS (
-        |  SELECT doc_id, pos,
-        |    array_to_string(toks[pos + 1 : pos + 5], ' ') AS gram
-        |  FROM (SELECT doc_id, toks,
-        |          CAST(unnest(range(0, len(toks) - 4)) AS INTEGER) AS pos
-        |        FROM train WHERE len(toks) >= 5)),
-        |dropped AS (
-        |  SELECT DISTINCT s.doc_id, s.pos + CAST(i.gs AS INTEGER) AS idx
-        |  FROM spans s JOIN bgrams b USING (gram)
-        |  CROSS JOIN generate_series(0, 4) AS i(gs)),
-        |tok AS (
-        |  SELECT doc_id,
-        |    CAST(generate_subscripts(toks, 1) AS INTEGER) - 1 AS idx,
-        |    unnest(toks) AS tok
-        |  FROM train),
-        |kept AS (
-        |  SELECT t.doc_id, t.idx, t.tok
-        |  FROM tok t ANTI JOIN dropped d
-        |    ON t.doc_id = d.doc_id AND t.idx = d.idx),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |    string_agg(tok, ' ' ORDER BY idx) AS text_clean
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
-        |  CAST(len(d.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
-        |  COALESCE(a.text_clean, '') AS text_clean
-        |FROM train d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    // Spark filter-lambda rewrite because an untouched doc's
+    // string_agg over all its tokens is exactly its original
+    // single-space text
+    "q199_span_decontaminate" -> spanDecontamOracle,
+    // q199's CTE chained through the release gate and the q198
+    // manifest algebra — the whole pipeline replayed in one statement
+    "q201_release_manifest" ->
+      s"""WITH rel AS ($spanDecontamOracle),
+        |released AS (
+        |  SELECT doc_id, n_tokens, n_dropped, text_clean FROM rel
+        |  WHERE n_dropped * 2 < n_tokens
+        |    AND n_tokens - n_dropped >= 20),
+        |sharded AS (
+        |  SELECT CAST(CAST('0x' || substr(md5('shard:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS INTEGER) AS shard,
+        |    doc_id, text_clean,
+        |    n_tokens - n_dropped AS kept_tokens
+        |  FROM released)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(kept_tokens) AS BIGINT) AS n_tokens,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || text_clean), 1, 15) AS BIGINT)) AS content_xor
+        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
     // per-eval-doc span overlap vs training; the rate is ONE IEEE
     // division (q74's tf/df convention) so it compares bitwise
     "q200_contamination_report" ->

@@ -197,6 +197,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 10L)
   }
 
+  test("releaseManifest gates husks and mostly-quoted docs, ships the rest") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "p q r s t u v w"),           // clean 8 toks -> ships
+      (2L, "a b c d e"),                 // husk -> gated
+      (3L, "x a b c d e y z w q"))       // loses 5 of 10 -> gated (not < half)
+      .toDF("doc_id", "text")
+    val man = Dedup.releaseManifest(train, bench, nShards = 4, minTokens = 3)
+      .collect()
+    assert(man.map(_.getLong(1)).sum == 1L)   // only doc 1 ships
+    assert(man.map(_.getLong(2)).sum == 8L)   // with all 8 tokens
+    assert(man.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
+  }
+
   test("decontamination family: empty benchmark is a no-op") {
     val train = Seq((1L, "a b c d e f"), (2L, "tiny")).toDF("doc_id", "text")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
