@@ -59,7 +59,8 @@ object ScaleTrial {
     "q191_curriculum_batches", // quality-sharded cumsum packing
     "q198_shard_manifest", // partial-agg manifest: nShards rows out
     "q199_span_decontaminate", // bench-gram broadcast + drop-set rewrite
-    "q200_contamination_report") // broadcast semi join, bench-sized rollup
+    "q200_contamination_report", // broadcast semi join, bench-sized rollup
+    "q201_release_manifest") // composed release pipeline, one plan
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
