@@ -56,23 +56,27 @@ object Bench {
   // JSON must carry EVERY registered query (an aggregate "rest" bucket
   // is exactly where a per-query regression hides) while the ONE line
   // stays under the 2000-char stdout tail window it is read back from
-  // (rounds 1-4 exceeded it and the line never parsed). At 184 queries
-  // that forces the densest readable encoding:
+  // (rounds 1-4 exceeded it and the line never parsed). At ~200
+  // queries that forces the densest readable encoding:
   //   - keys are the query NUMBER only ("q135_dup_span" -> "135",
   //     "q01_pricing" -> "1") — scripts/bench_compare.py canonicalizes
   //     both this and the older "q135" form, so cross-round diffs keep
   //     working;
-  //   - values are 2 significant digits, max 3 chars ("0.5", "3.9",
-  //     "12", "988") — granular enough to catch a 2x regression, and
-  //     the shared-VM noise floor (~±30%) makes more digits false
-  //     precision anyway; stderr keeps the full values;
+  //   - values are INTEGER seconds hard-capped at "99" (≤2 chars by
+  //     construction, so the line length is BOUNDED no matter the
+  //     timings — the 199-query registry made the earlier 3-char
+  //     "0.5"-style encoding overflow the tail at its own realistic
+  //     worst case). Sub-second deltas were never signal on this VM
+  //     (±30%-2x noise, BENCH_ADJUDICATION_r9.md); a ≥1 s regression
+  //     still shows, a ≥99 s query is a catastrophe whose magnitude
+  //     stderr and "value" carry;
   //   - "sf" is the directory basename, not the full path.
   // BenchFormatSpec guards the worst-case length against query growth.
   def buildJson(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double, dp: String): String =
       String.format(java.util.Locale.ROOT, dp, Double.box(v))
     def sig2(v: Double): String =
-      if (v >= 10) num(v, "%.0f") else num(v, "%.1f")
+      if (v >= 99) "99" else num(v, "%.0f")
     def shortKey(name: String): String = {
       val digits = name.takeWhile(_ != '_').dropWhile(!_.isDigit)
       val stripped = digits.dropWhile(_ == '0')

@@ -203,6 +203,36 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** INTRA-document repeated-line collapse with rewrite — the
+    * within-page dedup step of MassiveText/RefinedWeb-style cleaning
+    * (Rae et al. 2021 §A.1.2 drop pages that repeat themselves;
+    * Penedo et al. 2023, arXiv:2306.01116 §3 REWRITE them): every
+    * repeated line inside a single document is removed after its
+    * first occurrence in that document. [[lineDedupRewrite]] (q138)
+    * is the CROSS-corpus form of the same rewrite; this one's scope
+    * is a single row, which changes the execution story completely.
+    *
+    * Scale: because the dedup key never leaves the row, the whole
+    * operator is ONE narrow projection — split, regroup into
+    * `lineTokens`-token lines, `array_distinct` (order-preserving:
+    * first occurrence survives), rejoin. Zero shuffle, zero
+    * aggregation state, codegen end to end; at 100 TB it runs at
+    * scan speed on however many partitions the corpus has. The
+    * oracle states the exploded window/row_number form, proving the
+    * row-local rewrite equals the relational one bit-for-bit. */
+  def intraDocLineDedup(docs: DataFrame, lineTokens: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, cast(ceil(size(split(text, ' '))" +
+          s"/$lineTokens.0d) as int)-1), i -> array_join(" +
+          s"slice(split(text, ' '), i*$lineTokens+1, $lineTokens), ' '))")
+        .as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(array_distinct(col("ls"))).cast("long").as("n_kept"),
+        array_join(array_distinct(col("ls")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+
   /** Character-pair frequencies across the corpus — the first merge
     * step of BPE vocabulary induction (Sennrich et al. 2016,
     * arXiv:1508.07909): the most frequent adjacent symbol pair is the
@@ -739,6 +769,46 @@ object CorpusSignals {
           "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
           "element_at(t, i+4)))"))).as("g"))
 
+  /** Marginal-novelty curve of the corpus's sources — how many
+    * distinct 5-grams each source adds that no earlier source (in
+    * deterministic lexicographic source order) already contributed,
+    * plus the cumulative distinct-gram count after ingesting sources
+    * in that order. This is the Heaps-law ingest diagnostic behind
+    * "is the next crawl worth it": a source whose `novelty_rate`
+    * (new grams / its own distinct grams) is near zero duplicates
+    * the corpus you already have ([[tokenDrift]] answers the same
+    * question for RE-crawls of one source; this ranks sources
+    * against each other).
+    *
+    * Scale: distinct (source, gram) is one gram-keyed aggregation —
+    * O(tokens) shuffle, partial-aggregating; the first-contributor
+    * is min(source) per gram (again gram-keyed, map-side
+    * combinable); everything after runs on ≤ #sources rows, and the
+    * one unpartitioned window rides THAT parallelism-sized relation
+    * (PlanAuditSpec-allowlisted like q67/q149's offset tables). */
+  def sourceNoveltyCurve(docs: DataFrame): DataFrame = {
+    val sg = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("source"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+          "element_at(t, i+4)))"))).as("g"))
+      .distinct()
+    val perSource = sg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val news = sg.groupBy(col("g")).agg(min(col("source")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("new_grams"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    perSource.join(news, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("cum_distinct", sum(col("new_grams")).over(w))
+      .withColumn("novelty_rate",
+        col("new_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** The cleaned corpus the curation workflow keeps: quality gate →
     * exact dedup (min-id representative per content hash) → optional
     * MinHash near-dup collapse (candidate pairs via LSH, transitive
@@ -954,6 +1024,8 @@ object CorpusSignals {
       ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
     "q138_line_dedup_rewrite" ->
       ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
+    "q197_intradoc_line_dedup" ->
+      ((s, d) => intraDocLineDedup(Tables(s, d).documents)),
     "q157_bpe_merges" -> ((s, d) =>
       bpeTrainMerges(Tables(s, d).documents)),
     "q177_bpe_encode" -> ((s, d) =>
@@ -962,6 +1034,8 @@ object CorpusSignals {
       bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
       sourceOverlapMatrix(Tables(s, d).documents)),
+    "q204_source_novelty" -> ((s, d) =>
+      sourceNoveltyCurve(Tables(s, d).documents)),
     // snapshot perturbation = the q124 pattern: every 97th doc leaves
     // the corpus, every 31st gets an edit suffix
     "q163_token_drift" -> ((s, d) => {
@@ -1083,6 +1157,64 @@ object CorpusSignals {
         |FROM inter JOIN sizes x ON inter.s1 = x.source
         |JOIN sizes y ON inter.s2 = y.source
         |ORDER BY s1, s2""".stripMargin,
+    // min(VARCHAR) is codepoint-lexicographic in both engines; the
+    // running sum is CAST to BIGINT (DuckDB sums BIGINT into HUGEINT)
+    "q204_source_novelty" ->
+      """WITH sg AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      generate_series(1, len(t)-4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |        || t[i+3] || ' ' || t[i+4]))) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 5)),
+        |per_source AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM sg GROUP BY source),
+        |news AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS new_grams
+        |  FROM (SELECT min(source) AS source FROM sg GROUP BY g)
+        |  GROUP BY source)
+        |SELECT p.source, p.n_grams,
+        |  COALESCE(n.new_grams, 0) AS new_grams,
+        |  CAST(sum(COALESCE(n.new_grams, 0))
+        |    OVER (ORDER BY p.source) AS BIGINT) AS cum_distinct,
+        |  CAST(COALESCE(n.new_grams, 0) AS DOUBLE)
+        |    / CAST(p.n_grams AS DOUBLE) AS novelty_rate
+        |FROM per_source p LEFT JOIN news n ON n.source = p.source
+        |ORDER BY p.source""".stripMargin,
+    // the window/row_number relational statement of the row-local
+    // array_distinct rewrite — scope is PARTITION BY (doc_id, line),
+    // first occurrence by line_no; proves the narrow form exactly
+    "q197_intradoc_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(gs - 1 AS BIGINT) AS line_no,
+        |    array_to_string(list_slice(t, (gs-1)*8+1, (gs-1)*8+8), ' ')
+        |      AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(1, CAST(ceil(len(t)/8.0) AS BIGINT)+1))
+        |            AS gs
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, line_no, line FROM (
+        |    SELECT doc_id, line_no, line,
+        |      row_number() OVER (PARTITION BY doc_id, line
+        |        ORDER BY line_no) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY line_no) AS new_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(ceil(len(string_split(d.text, ' '))/8.0) AS BIGINT)
+        |    AS n_lines,
+        |  a.n_kept, a.new_text
+        |FROM documents d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q138_line_dedup_rewrite" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -487,6 +487,42 @@ object ScalePatterns {
           "as bigint))").as("content_xor"))
       .orderBy(col("shard"))
 
+  /** Release-to-release diff of two corpus snapshots at SHARD
+    * granularity: both sides roll up to their [[shardManifest]] (the
+    * per-shard doc/token/char totals + order-insensitive content
+    * checksum every release ships), and the manifests full-outer join
+    * on shard id — `changed` when the content checksum moved,
+    * `unchanged` when it didn't, `added`/`removed` when a shard
+    * exists on one side only. This is how a 100 TB dataset release is
+    * audited WITHOUT diffing documents: because [[shardId]] is a pure
+    * hash of doc_id, an edited or deleted doc perturbs exactly one
+    * shard's xor checksum, and the diff touches 2·nShards manifest
+    * rows no matter how big the corpora are. Doc-level drill-down on
+    * the flagged shards is [[graft.operators.Merge.snapshotDiff]]
+    * (q124) filtered to `shard_id IN (changed)` — this operator tells
+    * you which partitions to bother reading. */
+  def releaseDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      nShards: Int = 16): DataFrame = {
+    def side(docs: DataFrame, p: String): DataFrame =
+      shardManifest(docs, nShards).select(col("shard"),
+        col("n_docs").as(s"${p}_docs"),
+        col("n_tokens").as(s"${p}_tokens"),
+        col("content_xor").as(s"${p}_xor"))
+    side(oldDocs, "old").join(side(newDocs, "new"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("old_xor").isNull, lit("added"))
+          .when(col("new_xor").isNull, lit("removed"))
+          .when(col("old_xor") === col("new_xor"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("old_docs"), lit(0L)).as("old_docs"),
+        coalesce(col("new_docs"), lit(0L)).as("new_docs"),
+        (coalesce(col("new_docs"), lit(0L)) -
+          coalesce(col("old_docs"), lit(0L))).as("delta_docs"),
+        (coalesce(col("new_tokens"), lit(0L)) -
+          coalesce(col("old_tokens"), lit(0L))).as("delta_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** Bucketed-table layout: lineitem and orders written ONCE per
     * (session, sfDir) as catalog tables bucketed (and sorted) on
     * their join key, 8 buckets each side. A join on the bucket key
@@ -538,6 +574,17 @@ object ScalePatterns {
       globalRowIds(Tables(s, d).documents)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
+    // snapshot perturbation = the q163/q124 convention: every 97th doc
+    // leaves the new release, every 31st gets an edit suffix
+    "q203_release_diff" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      releaseDiff(docs, docs
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(31)) === 0,
+            concat(col("text"), lit(" refreshed crawl content")))
+            .otherwise(col("text"))))
+    }),
     // OPERATOR COMPOSITION: corpus quality TIERS = the exact equi-depth
     // histogram applied to the in-engine LM fluency scores — two
     // operators, one still-oracle-exact plan
@@ -583,6 +630,49 @@ object ScalePatterns {
         |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
         |    || ':' || text), 1, 15) AS BIGINT)) AS content_xor
         |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
+    // both sides replay the q198 manifest algebra (same shard hash,
+    // same 60-bit xor checksum) over the q163-convention perturbation,
+    // then full-outer join on shard — integers and strings only
+    "q203_release_diff" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0
+        |      THEN text || ' refreshed crawl content' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |oldm AS (
+        |  SELECT CAST(CAST('0x' || substr(md5('shard:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(count(*) AS BIGINT) AS old_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS old_tokens,
+        |    bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || text), 1, 15) AS BIGINT)) AS old_xor
+        |  FROM documents GROUP BY 1),
+        |newm AS (
+        |  SELECT CAST(CAST('0x' || substr(md5('shard:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS INTEGER) AS shard,
+        |    CAST(count(*) AS BIGINT) AS new_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS new_tokens,
+        |    bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':' || text), 1, 15) AS BIGINT)) AS new_xor
+        |  FROM newdocs GROUP BY 1)
+        |SELECT COALESCE(o.shard, n.shard) AS shard,
+        |  CASE WHEN o.old_xor IS NULL THEN 'added'
+        |       WHEN n.new_xor IS NULL THEN 'removed'
+        |       WHEN o.old_xor = n.new_xor THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(o.old_docs, 0) AS old_docs,
+        |  COALESCE(n.new_docs, 0) AS new_docs,
+        |  COALESCE(n.new_docs, 0) - COALESCE(o.old_docs, 0)
+        |    AS delta_docs,
+        |  COALESCE(n.new_tokens, 0) - COALESCE(o.old_tokens, 0)
+        |    AS delta_tokens
+        |FROM oldm o FULL OUTER JOIN newm n ON o.shard = n.shard
+        |ORDER BY shard""".stripMargin,
     "q162_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -128,6 +128,67 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** All-pairs sparse-cosine similarity by POSTING-LIST join — the
+    * inverted-index formulation of near-dup pair generation (Bayardo,
+    * Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search":
+    * score pairs only through the terms they share, and prune the
+    * high-frequency terms that generate quadratically many pairs).
+    * Documents are 3-gram-shingle tf vectors; any gram with document
+    * frequency > `maxDf` is dropped from the term space (the
+    * frequency-pruning of §4 there — a corpus-common gram carries no
+    * near-dup signal but contributes df² candidate pairs), and a pair
+    * qualifies when its cosine over the CAPPED space ≥ `threshold`.
+    *
+    * Exactness: tf, df, the pair dot product, and both norms are
+    * integer aggregates (order-independent), the threshold test is
+    * dot² ≥ t²·‖a‖²·‖b‖² on exactly-converted doubles, and the
+    * reported cosine is one correctly-rounded sqrt + division — so
+    * the whole operator replays bit-exactly in the oracle. The 0.5
+    * default sits in a huge empirical gap (background pairs ≤ ~0.07,
+    * planted near-dups ≥ ~0.8 at every SF).
+    *
+    * Scale: every stage is keyed on gram or doc — O(tokens) shuffle —
+    * and the pair generator's volume is Σ_kept-gram df² ≤ maxDf ·
+    * (kept gram occurrences), i.e. LINEAR in corpus size for a fixed
+    * cap (under Heaps-law vocab growth kept occurrences grow with the
+    * corpus, never faster). Contrast [[jaccardPairs]], whose
+    * (lang, source) blocking is O(block²) by design: this is the
+    * unblocked tier you run when no blocking key exists. */
+  def sparseCosinePairs(docs: DataFrame, threshold: Double = 0.5,
+      maxDf: Long = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t)-2), i -> concat(" +
+        "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+        "element_at(t, i+2)))")).as("g"))
+    val tf = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val kept = tf.join(
+      dfr.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = kept.select(col("g"), col("doc_id").as("d1"),
+      col("tf").as("tf1"))
+    val b = kept.select(col("g"), col("doc_id").as("d2"),
+      col("tf").as("tf2"))
+    a.join(b, Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("tf1") * col("tf2")).as("dot"))
+      .join(norms.select(col("doc_id").as("d1"), col("n2").as("n2a")),
+        Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("n2").as("n2b")),
+        Seq("d2"))
+      .filter(col("dot").cast("double") * col("dot").cast("double") >=
+        lit(threshold * threshold) * (col("n2a") * col("n2b")).cast("double"))
+      .select(col("d1"), col("d2"), col("dot"),
+        (col("dot").cast("double") /
+          sqrt((col("n2a") * col("n2b")).cast("double"))).as("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Quality-aware near-dup collapse: one KEPT document per duplicate
     * cluster, chosen by HIGHEST quality score (ties to the lowest
     * doc_id) instead of the arbitrary min-id representative — when a
@@ -692,10 +753,51 @@ object TextAnalysis {
     "q196_best_of_cluster_lsh" -> ((s, d) =>
       bestQualityRepresentativesLsh(Tables(s, d).documents)),
     "q191_curriculum_batches" -> ((s, d) =>
-      curriculumBatches(Tables(s, d).documents))
+      curriculumBatches(Tables(s, d).documents)),
+    "q202_sparse_cosine_pairs" -> ((s, d) =>
+      sparseCosinePairs(Tables(s, d).documents))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // integer tf/df/dot/norms all the way down; the threshold test and
+    // the final cosine are the SAME exactly-converted double ops
+    // (0.5*0.5 is exact in IEEE, sqrt and / are correctly rounded), so
+    // the posting-list join replays bit-exactly
+    "q202_sparse_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |  FROM grams GROUP BY doc_id, g),
+        |dfr AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        |kept AS (
+        |  SELECT tf.doc_id, tf.g, tf.tf
+        |  FROM tf JOIN dfr USING (g) WHERE dfr.df <= 20),
+        |norms AS (
+        |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+        |  FROM kept GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d.d1, d.d2, d.dot,
+        |  CAST(d.dot AS DOUBLE)
+        |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+        |FROM dots d
+        |JOIN norms na ON na.doc_id = d.d1
+        |JOIN norms nb ON nb.doc_id = d.d2
+        |WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+        |  >= (0.5 * 0.5) * CAST(na.n2 * nb.n2 AS DOUBLE)
+        |ORDER BY d.d1, d.d2""".stripMargin,
     // same integer-derived divisions ((chars-spaces)/words, types/
     // words) and the same NULL-skipping concat_ws reason assembly
     "q174_gopher_rules" ->

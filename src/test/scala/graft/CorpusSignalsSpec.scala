@@ -375,4 +375,70 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(perDoc == joined)
     assert(perDoc.nonEmpty)
   }
+
+  test("intraDocLineDedup collapses repeats INSIDE a doc, scope is one row") {
+    import spark.implicits._
+    val l1 = "a b c d e f g h"
+    val l2 = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$l1 $l2 $l1"), // line repeated within the doc
+      (2L, l1),             // same line in ANOTHER doc — must survive
+      (3L, "x y")           // short doc: one partial line
+    ).toDF("doc_id", "text")
+    val got = CorpusSignals.intraDocLineDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 2L, s"$l1 $l2")))
+    assert(got(2L) == ((1L, 1L, l1))) // cross-doc repeat untouched (q138's job)
+    assert(got(3L) == ((1L, 1L, "x y")))
+  }
+
+  test("intraDocLineDedup keeps the FIRST occurrence in document order") {
+    import spark.implicits._
+    val l1 = "a b c d e f g h"
+    val l2 = "p q r s t u v w"
+    val got = CorpusSignals.intraDocLineDedup(
+      Seq((1L, s"$l2 $l1 $l2")).toDF("doc_id", "text")).collect()
+    assert(got.head.getString(3) == s"$l2 $l1")
+  }
+
+  test("intraDocLineDedup is a pure projection: no hash shuffle in the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = CorpusSignals.intraDocLineDedup(docs)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the presentation sort's range
+    // partitioning — the rewrite itself must never shuffle
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("sourceNoveltyCurve: hand corpus novelty and cumulative counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "1 2 3 4 5 6", "srcA"), // grams {1-5, 2-6}: both new
+      (2L, "2 3 4 5 6 7", "srcB"), // {2-6 seen in A, 3-7 new}
+      (3L, "1 2 3 4 5", "srcC")    // {1-5 seen} — nothing new
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.sourceNoveltyCurve(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      "srcA" -> ((2L, 2L, 2L, 1.0)),
+      "srcB" -> ((2L, 1L, 3L, 0.5)),
+      "srcC" -> ((1L, 0L, 3L, 0.0))))
+  }
+
+  test("sourceNoveltyCurve counts grams once per source, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "1 2 3 4 5", "srcA"),
+      (2L, "1 2 3 4 5", "srcA"), // duplicate within the source: one gram
+      (3L, "too short", "srcA")  // < 5 tokens: contributes nothing
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.sourceNoveltyCurve(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == (("srcA", 1L, 1L, 1L, 1.0)))
+  }
 }

@@ -54,8 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // EXPLAIN.md): q67's shard-offset prefix and q149's offset table
   // both run over exactly #shards (= parallelism) rows; q191's offset
   // prefix runs over ≤ 2·parallelism quality-range shard totals
+  // q204's cumulative-novelty prefix runs over ≤ #sources rows
   private val globalWindowOk = Set("q67_token_batches",
-    "q149_global_row_ids", "q191_curriculum_batches")
+    "q149_global_row_ids", "q191_curriculum_batches",
+    "q204_source_novelty")
 
   // streaming sources can't plan in a batch session; DSv2/JDBC/report
   // queries touch external state — they have their own suites

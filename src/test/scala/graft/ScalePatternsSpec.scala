@@ -295,4 +295,36 @@ class ScalePatternsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(fromLake == fromSource)
   }
+
+  test("releaseDiff classifies added / removed / changed / unchanged shards") {
+    // 40 docs over 4 shards; shard assignment is the deterministic md5
+    // hash, so carve the release pair by shard id: old lacks shard 0
+    // (-> added), new lacks shard 1 (-> removed), one doc of shard 2
+    // is edited (-> changed), shard 3 is untouched (-> unchanged)
+    val base = (1L to 40L).map(i => (i, s"tok$i alpha beta"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("s", ScalePatterns.shardId(4))
+    val bySh = base.select("doc_id", "s").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert((0 to 3).forall(s => bySh(s).nonEmpty)) // all shards populated
+    val editId = bySh(2).min
+    val oldDocs = base.filter(col("s") =!= 0).drop("s")
+    val newDocs = base.filter(col("s") =!= 1).drop("s")
+      .withColumn("text",
+        when(col("doc_id") === editId, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val got = ScalePatterns.releaseDiff(oldDocs, newDocs, nShards = 4)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0)._1 == "added" && got(0)._2 == 0 &&
+      got(0)._3 == bySh(0).size)
+    assert(got(1)._1 == "removed" && got(1)._3 == 0 &&
+      got(1)._4 == -bySh(1).size.toLong)
+    assert(got(2)._1 == "changed" && got(2)._2 == got(2)._3)
+    // the edit added one token to one doc of shard 2
+    assert(got(2)._5 == 1L)
+    assert(got(3)._1 == "unchanged" && got(3)._4 == 0 && got(3)._5 == 0)
+  }
 }

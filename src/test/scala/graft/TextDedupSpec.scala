@@ -571,4 +571,51 @@ class TextDedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L))
   }
+
+  test("sparseCosinePairs: hand-computed cosine over the shared-gram space") {
+    val docs = Seq(
+      (1L, "u v w x"),     // grams {u v w, v w x}, norm2 = 2
+      (2L, "u v w y"),     // grams {u v w, v w y}, norm2 = 2
+      (3L, "z1 z2 z3 z4")  // disjoint
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosinePairs(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // dot = 1 (the shared gram), cosine = 1/sqrt(2*2) = 0.5 — the
+    // threshold is inclusive, and the value is IEEE-exact
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("sparseCosinePairs: the df cap removes corpus-common grams") {
+    // four docs all built from ONE gram — with maxDf=3 the gram's
+    // df=4 exceeds the cap and no pair survives; raising the cap to 4
+    // admits all C(4,2)=6 pairs at cosine 1.0
+    val docs = (1L to 4L).map(i => (i, "m m m")).toDF("doc_id", "text")
+    assert(TextAnalysis.sparseCosinePairs(docs, maxDf = 3).count() == 0)
+    val all = TextAnalysis.sparseCosinePairs(docs, maxDf = 4).collect()
+    assert(all.length == 6)
+    assert(all.forall(r => r.getDouble(3) == 1.0 &&
+      r.getLong(0) < r.getLong(1)))
+  }
+
+  test("sparseCosinePairs: threshold drops weak overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // 4 grams, norm2 = 4
+      (2L, "a b c x y z")  // 4 grams, shares only "a b c" -> cos = 1/4
+    ).toDF("doc_id", "text")
+    assert(TextAnalysis.sparseCosinePairs(docs).count() == 0)
+    val low = TextAnalysis.sparseCosinePairs(docs, threshold = 0.25)
+      .collect()
+    assert(low.length == 1 && low.head.getDouble(3) == 0.25)
+  }
+
+  test("sparseCosinePairs finds the planted near-dup families at sf0.001") {
+    val docs = Tables(spark, sf).documents
+    val pairs = TextAnalysis.sparseCosinePairs(docs).collect()
+    assert(pairs.nonEmpty)
+    // every reported pair clears the threshold; orientation is d1 < d2
+    assert(pairs.forall(r => r.getDouble(3) >= 0.5 &&
+      r.getLong(0) < r.getLong(1)))
+  }
 }
