@@ -60,7 +60,10 @@ object ScaleTrial {
     "q198_shard_manifest", // partial-agg manifest: nShards rows out
     "q199_span_decontaminate", // bench-gram broadcast + drop-set rewrite
     "q200_contamination_report", // broadcast semi join, bench-sized rollup
-    "q201_release_manifest") // composed release pipeline, one plan
+    "q201_release_manifest", // composed release pipeline, one plan
+    "q197_intradoc_line_dedup", // zero-shuffle projection: must be ~flat
+    "q202_sparse_cosine_pairs", // df-capped posting join on a denser corpus
+    "q204_source_novelty") // gram-keyed argmin + tiny cum window
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

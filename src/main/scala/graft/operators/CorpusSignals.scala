@@ -217,7 +217,10 @@ object CorpusSignals {
     * `lineTokens`-token lines, `array_distinct` (order-preserving:
     * first occurrence survives), rejoin. Zero shuffle, zero
     * aggregation state, codegen end to end; at 100 TB it runs at
-    * scan speed on however many partitions the corpus has. The
+    * scan speed on however many partitions the corpus has — and, like
+    * every stateless projection in this library, UNCHANGED as an
+    * append-mode stream (no sort here; the registry adds the
+    * presentation order, StreamingSpec pins stream == batch). The
     * oracle states the exploded window/row_number form, proving the
     * row-local rewrite equals the relational one bit-for-bit. */
   def intraDocLineDedup(docs: DataFrame, lineTokens: Int = 8): DataFrame =
@@ -231,7 +234,6 @@ object CorpusSignals {
         size(col("ls")).cast("long").as("n_lines"),
         size(array_distinct(col("ls"))).cast("long").as("n_kept"),
         array_join(array_distinct(col("ls")), " ").as("new_text"))
-      .orderBy(col("doc_id"))
 
   /** Character-pair frequencies across the corpus — the first merge
     * step of BPE vocabulary induction (Sennrich et al. 2016,
@@ -1025,7 +1027,8 @@ object CorpusSignals {
     "q138_line_dedup_rewrite" ->
       ((s, d) => lineDedupRewrite(Tables(s, d).documents)),
     "q197_intradoc_line_dedup" ->
-      ((s, d) => intraDocLineDedup(Tables(s, d).documents)),
+      ((s, d) => intraDocLineDedup(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q157_bpe_merges" -> ((s, d) =>
       bpeTrainMerges(Tables(s, d).documents)),
     "q177_bpe_encode" -> ((s, d) =>

@@ -487,6 +487,36 @@ object ScalePatterns {
           "as bigint))").as("content_xor"))
       .orderBy(col("shard"))
 
+  /** Incremental manifest update WITHOUT rescanning the base corpus:
+    * because every [[shardManifest]] aggregate is algebraic — counts
+    * and sums ADD, and the content checksum is a bit_xor (commutative,
+    * associative, self-inverse) — the manifest of `base ∪ increment`
+    * is exactly the per-shard merge of the two manifests:
+    * `merged.content_xor = base.content_xor XOR inc.content_xor`.
+    * So a nightly ingest updates the release accounting by reading
+    * nShards manifest rows plus the increment ONLY — the 100 TB base
+    * is never touched (the q120 algebraic-state-merge discipline
+    * applied to the release artifact). Shards absent on one side pass
+    * through (xor with nothing is identity); disjointness of doc_ids
+    * is the caller's contract, same as any append ingest. */
+  def mergeManifests(base: DataFrame, inc: DataFrame): DataFrame = {
+    def side(m: DataFrame, p: String): DataFrame =
+      m.select(col("shard"), col("n_docs").as(s"${p}_d"),
+        col("n_tokens").as(s"${p}_t"), col("sum_chars").as(s"${p}_c"),
+        col("content_xor").as(s"${p}_x"))
+    side(base, "b").join(side(inc, "i"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("b_d"), lit(0L)) + coalesce(col("i_d"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_t"), lit(0L)) + coalesce(col("i_t"), lit(0L)))
+          .as("n_tokens"),
+        (coalesce(col("b_c"), lit(0L)) + coalesce(col("i_c"), lit(0L)))
+          .as("sum_chars"),
+        // XOR with the identity 0 where a side is absent
+        expr("coalesce(b_x, 0L) ^ coalesce(i_x, 0L)").as("content_xor"))
+      .orderBy(col("shard"))
+  }
+
   /** Release-to-release diff of two corpus snapshots at SHARD
     * granularity: both sides roll up to their [[shardManifest]] (the
     * per-shard doc/token/char totals + order-insensitive content
@@ -574,6 +604,15 @@ object ScalePatterns {
       globalRowIds(Tables(s, d).documents)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
+    // the merge must equal the direct whole-corpus manifest — the
+    // oracle IS q198's SQL over all documents, so the xor/sum algebra
+    // is proven, not asserted
+    "q206_manifest_merge" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      mergeManifests(
+        shardManifest(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+        shardManifest(docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+    }),
     // snapshot perturbation = the q163/q124 convention: every 97th doc
     // leaves the new release, every 31st gets an edit suffix
     "q203_release_diff" -> ((s, d) => {
@@ -618,6 +657,21 @@ object ScalePatterns {
     // md5-prefix long under an order-insensitive bit_xor — 15 hex
     // chars = 60 bits, so the BIGINT cast is exact in both engines
     "q198_shard_manifest" ->
+      """WITH sharded AS (
+        |  SELECT CAST(CAST('0x' || substr(md5('shard:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS INTEGER) AS shard,
+        |    doc_id, text, n_chars
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':' || text), 1, 15) AS BIGINT)) AS content_xor
+        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
+    // the merged split manifests must equal the whole-corpus manifest
+    // — same SQL as q198, proving the algebraic-merge identity
+    "q206_manifest_merge" ->
       """WITH sharded AS (
         |  SELECT CAST(CAST('0x' || substr(md5('shard:'
         |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16

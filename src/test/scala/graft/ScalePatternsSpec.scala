@@ -296,6 +296,31 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(fromLake == fromSource)
   }
 
+  test("mergeManifests: merged split manifests equal the direct manifest") {
+    val docs = t.documents
+    val whole = ScalePatterns.shardManifest(docs)
+      .collect().map(_.toSeq).toSeq
+    // two-way split on an arbitrary predicate
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val merged = ScalePatterns.mergeManifests(
+      ScalePatterns.shardManifest(a), ScalePatterns.shardManifest(b))
+      .collect().map(_.toSeq).toSeq
+    assert(merged == whole)
+    // three-way (associativity in practice) and empty-side identity
+    val c3 = Seq(0, 1, 2).map(r =>
+      ScalePatterns.shardManifest(docs.filter(col("doc_id") % 3 === r)))
+    val merged3 = ScalePatterns.mergeManifests(
+      ScalePatterns.mergeManifests(c3(0), c3(1)), c3(2))
+      .collect().map(_.toSeq).toSeq
+    assert(merged3 == whole)
+    val withEmpty = ScalePatterns.mergeManifests(
+      ScalePatterns.shardManifest(docs),
+      ScalePatterns.shardManifest(docs.filter(lit(false))))
+      .collect().map(_.toSeq).toSeq
+    assert(withEmpty == whole)
+  }
+
   test("releaseDiff classifies added / removed / changed / unchanged shards") {
     // 40 docs over 4 shards; shard assignment is the deterministic md5
     // hash, so carve the release pair by shard id: old lacks shard 0

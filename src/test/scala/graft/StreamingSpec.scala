@@ -330,6 +330,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(bStream.contains((3L, "spark,dup", true)))
   }
 
+  test("intra-doc line dedup streams unchanged (pure projection)") {
+    implicit val sc = spark.sqlContext
+    val l1 = "a b c d e f g h"
+    val l2 = "p q r s t u v w"
+    val rows = Seq((1L, s"$l1 $l2 $l1"), (2L, l1), (3L, "x y"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.CorpusSignals.intraDocLineDedup(
+      mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("intradoc_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("intradoc_out")
+      .as[(Long, Long, Long, String)].collect().toSet
+    q.stop()
+    val batch = graft.operators.CorpusSignals.intraDocLineDedup(
+      rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 3L, 2L, s"$l1 $l2")))
+  }
+
   test("cross-corpus screen runs as a stateless stream-static anti join") {
     implicit val sc = spark.sqlContext
     val base = Seq((0L, "a b c", "en", "base"), (2L, "d e f", "en", "base"))
