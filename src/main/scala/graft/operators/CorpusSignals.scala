@@ -541,18 +541,26 @@ object CorpusSignals {
     * transcendentals, where decimal accumulation can't apply): both
     * engines run the identical 0.0-seeded left fold and produce the
     * same bits. Sources are few by construction, so the fold's
-    * collect_list is one tiny row. */
-  def sourceMixtureWeights(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    * collect_list is one tiny row.
+    *
+    * `keyCol` generalizes the mixing key: "source" is the corpus-mix
+    * default; "lang" gives the language-balancing schedule of
+    * multilingual pretraining (XLM-R, Conneau et al. 2020,
+    * arXiv:1911.02116 §3.1 — the same n^α temperature up-weights
+    * low-resource languages). Any data-FIXED-cardinality column
+    * works; the machinery is unchanged. */
+  def sourceMixtureWeights(docs: DataFrame,
+      keyCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val denom = counts.agg(
       aggregate(
-        array_sort(collect_list(struct(col("source"), col("n")))),
+        array_sort(collect_list(struct(col(keyCol), col("n")))),
         lit(0.0),
         (acc, x) => acc + sqrt(x.getField("n").cast("double"))).as("denom"))
     counts.crossJoin(broadcast(denom))
-      .select(col("source"), col("n"),
+      .select(col(keyCol), col("n"),
         (sqrt(col("n").cast("double")) / col("denom")).as("weight"))
-      .orderBy(col("source"))
+      .orderBy(col(keyCol))
   }
 
   /** Data-selection importance weights, DSIR shape (Xie et al. 2023,
@@ -623,28 +631,33 @@ object CorpusSignals {
     * (the distributed-rank pattern shared with equiDepthHistogram;
     * the offset collect is 256·|sources| rows) — and the explode,
     * whose output is exactly the epoch the trainer consumes — there
-    * is no cheaper shape that still names every row. */
-  def epochMixture(docs: DataFrame): DataFrame = {
-    val w = sourceMixtureWeights(docs)
+    * is no cheaper shape that still names every row.
+    *
+    * `keyCol` follows [[sourceMixtureWeights]]: "lang" materializes
+    * the language-balanced epoch of multilingual pretraining (q207),
+    * byte-identical machinery. */
+  def epochMixture(docs: DataFrame,
+      keyCol: String = "source"): DataFrame = {
+    val w = sourceMixtureWeights(docs, keyCol)
     val tot = w.agg(sum(col("n")).as("total"))
     val targets = w.crossJoin(broadcast(tot))
-      .select(col("source"), col("n"),
+      .select(col(keyCol), col("n"),
         floor(col("weight") * col("total").cast("double")).as("tgt"))
-    // per-source md5 rank WITHOUT a per-source window (a fixed source
-    // cardinality would funnel each source's whole corpus into one
-    // task at 100×): the md5's leading byte pre-buckets each source
+    // per-key md5 rank WITHOUT a per-key window (a fixed key
+    // cardinality would funnel each key's whole corpus into one
+    // task at 100×): the md5's leading byte pre-buckets each key
     // into 256 ranges whose lexicographic order equals the global h
-    // order, per-(source, rb) counts collect to a parallelism-sized
-    // offset map (5×256 rows — the equiDepthHistogram / Describe
-    // distributed-rank pattern), and the window runs per (source, rb)
+    // order, per-(key, rb) counts collect to a parallelism-sized
+    // offset map (|keys|×256 rows — the equiDepthHistogram / Describe
+    // distributed-rank pattern), and the window runs per (key, rb)
     // — 256× the parallelism, same exact rank
-    val hashed = docs.select(col("doc_id"), col("source"),
+    val hashed = docs.select(col("doc_id"), col(keyCol),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("rb", conv(substring(col("h"), 1, 2), 16, 10)
         .cast("int"))
-    val offsets = hashed.groupBy(col("source"), col("rb"))
+    val offsets = hashed.groupBy(col(keyCol), col("rb"))
       .agg(count(lit(1)).as("bc")).collect()
-      .groupBy(_.getAs[String]("source"))
+      .groupBy(_.getAs[String](keyCol))
       .toSeq.flatMap { case (src, rows) =>
         var run = 0L
         rows.sortBy(_.getAs[Int]("rb")).map { r =>
@@ -657,19 +670,19 @@ object CorpusSignals {
       map(offsets.flatMap { case (s, b, off) =>
         Seq(lit(s + "#" + b), lit(off)): Seq[Column]
       }: _*),
-      concat(col("source"), lit("#"), col("rb").cast("string")))
+      concat(col(keyCol), lit("#"), col("rb").cast("string")))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"), col("rb"))
+      .partitionBy(col(keyCol), col("rb"))
       .orderBy(col("h"), col("doc_id"))
     hashed
       .withColumn("rk", row_number().over(win).cast("long") + offExpr)
-      .join(broadcast(targets), "source")
-      .select(col("doc_id"), col("source"),
+      .join(broadcast(targets), keyCol)
+      .select(col("doc_id"), col(keyCol),
         (expr("tgt div n") +
           when(col("rk") <= col("tgt") % col("n"), 1L).otherwise(0L))
           .as("n_copies"))
       .filter(col("n_copies") >= 1)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col(keyCol),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .orderBy(col("doc_id"), col("copy"))
   }
@@ -1011,6 +1024,10 @@ object CorpusSignals {
       sourceMixtureWeights(Tables(s, d).documents)),
     "q168_epoch_mixture" -> ((s, d) =>
       epochMixture(Tables(s, d).documents)),
+    // the SAME mixture machinery keyed on language — the XLM-R-style
+    // low-resource-language up-weighting schedule, materialized
+    "q207_lang_epoch_mixture" -> ((s, d) =>
+      epochMixture(Tables(s, d).documents, keyCol = "lang")),
     // OPERATOR COMPOSITION — the dataset builder end to end: the
     // curated corpus (quality gate -> exact dedup -> decontamination)
     // fed straight into the temperature-mixture materializer; one
@@ -1051,6 +1068,33 @@ object CorpusSignals {
             .otherwise(col("text"))))
     })
   )
+
+  /** The q168 mixture-materialization oracle parameterized on the mix
+    * key (q168: source; q207: lang) — ONE generator, so the two
+    * registered forms cannot drift from each other. */
+  private def epochMixtureOracle(key: String): String =
+    s"""WITH c AS (SELECT $key, CAST(count(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY 1),
+       |d AS (SELECT list_reduce(list_prepend(0.0,
+       |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY $key)),
+       |        (a, b) -> a + b) AS denom FROM c),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       |t AS (SELECT $key, n,
+       |        CAST(floor(sqrt(CAST(n AS DOUBLE)) / denom
+       |          * CAST(total AS DOUBLE)) AS BIGINT) AS tgt
+       |      FROM c, d, tot),
+       |r AS (SELECT doc_id, dd.$key,
+       |        row_number() OVER (PARTITION BY dd.$key
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |      FROM documents dd),
+       |nc AS (SELECT doc_id, r.$key,
+       |         (tgt // n) + CASE WHEN rk <= (tgt % n)
+       |                           THEN 1 ELSE 0 END AS n_copies
+       |       FROM r JOIN t ON r.$key = t.$key)
+       |SELECT doc_id, $key,
+       |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+       |FROM nc WHERE n_copies >= 1
+       |ORDER BY doc_id, copy""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q157_bpe_merges" -> bpeMergesOracle(10),
@@ -1455,29 +1499,8 @@ object CorpusSignals {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same denom fold as q127, then pure integer arithmetic: floor
     // targets, `//` whole copies, md5-ranked remainder, series explode
-    "q168_epoch_mixture" ->
-      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        |           FROM documents GROUP BY 1),
-        |d AS (SELECT list_reduce(list_prepend(0.0,
-        |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
-        |        (a, b) -> a + b) AS denom FROM c),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
-        |t AS (SELECT source, n,
-        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) / denom
-        |          * CAST(total AS DOUBLE)) AS BIGINT) AS tgt
-        |      FROM c, d, tot),
-        |r AS (SELECT doc_id, dd.source,
-        |        row_number() OVER (PARTITION BY dd.source
-        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |      FROM documents dd),
-        |nc AS (SELECT doc_id, r.source,
-        |         (tgt // n) + CASE WHEN rk <= (tgt % n)
-        |                           THEN 1 ELSE 0 END AS n_copies
-        |       FROM r JOIN t ON r.source = t.source)
-        |SELECT doc_id, source,
-        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
-        |FROM nc WHERE n_copies >= 1
-        |ORDER BY doc_id, copy""".stripMargin,
+    "q168_epoch_mixture" -> epochMixtureOracle("source"),
+    "q207_lang_epoch_mixture" -> epochMixtureOracle("lang"),
     "q127_source_mixture" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |           FROM documents GROUP BY 1),

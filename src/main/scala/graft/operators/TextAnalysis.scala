@@ -165,8 +165,12 @@ object TextAnalysis {
     val tf = grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // kept feeds THREE consumers (both posting-join sides + norms) —
+    // localCheckpoint materializes the tf+df derivation once instead
+    // of three times (the q151 device)
     val kept = tf.join(
       dfr.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+      .localCheckpoint()
     val norms = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = kept.select(col("g"), col("doc_id").as("d1"),

@@ -376,6 +376,31 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty)
   }
 
+  test("lang-keyed epoch mixture up-weights the low-resource language") {
+    import spark.implicits._
+    // 96 docs of "hi", 4 of "lo": n^0.5 temperature gives lo a
+    // weight share of sqrt(4)/(sqrt(96)+sqrt(4)) ~ 0.17 of the epoch
+    // vs its raw 0.04 — every lo doc repeats, hi docs thin out
+    val docs = ((1L to 96L).map(i => (i, s"t$i", "hi")) ++
+      (97L to 100L).map(i => (i, s"t$i", "lo")))
+      .toDF("doc_id", "text", "lang")
+    val epoch = CorpusSignals.epochMixture(docs, keyCol = "lang")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val loShare = epoch("lo").toDouble / (epoch("hi") + epoch("lo"))
+    assert(loShare > 0.1 && loShare < 0.3, s"lo share $loShare")
+    assert(epoch("lo") >= 4 * 3) // each lo doc at least tripled
+    // and the source-keyed default is untouched machinery: same rows
+    // as keying on a constant-renamed copy of the column
+    val viaSource = CorpusSignals.epochMixture(
+      docs.withColumnRenamed("lang", "source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaLang = CorpusSignals.epochMixture(docs, keyCol = "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaSource == viaLang)
+  }
+
   test("intraDocLineDedup collapses repeats INSIDE a doc, scope is one row") {
     import spark.implicits._
     val l1 = "a b c d e f g h"
