@@ -84,6 +84,54 @@ object Sketches {
       .select(col("k").as("user_id"), col("est"))
   }
 
+  /** The token stream with the CMS SCREEN applied: every token row
+    * evaluates its own sketch estimate ROW-LOCALLY (least over d
+    * lookups into the broadcast d·w counter map — model-sized driver
+    * state, the RuntimeFilters discipline) and survives only if the
+    * estimate clears the `1/share` frequency threshold. One-sided CMS
+    * error (est ≥ exact) makes the screen a guaranteed SUPERSET of
+    * the true heavy tokens — no false negatives, pruning invisible to
+    * the final answer. */
+  def cmsScreenedTokens(docs: DataFrame, share: Long): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("k"))
+    val n = toks.count()
+    val counters = cmsSketch(toks, "k", Depth, Width).collect()
+    val cmap = map(counters.flatMap { r =>
+      Seq(lit(r.getInt(0).toLong * Width + r.getLong(1)),
+        lit(r.getLong(2))): Seq[org.apache.spark.sql.Column]
+    }: _*)
+    val est = least((0 until Depth).map { d =>
+      coalesce(try_element_at(cmap,
+        lit(d.toLong * Width) +
+          pmod(xxhash64(lit(d), col("k")), lit(Width))), lit(0L))
+    }: _*)
+    toks.filter(est * lit(share) > lit(n))
+  }
+
+  /** EXACT heavy hitters by the classic two-pass sketch-then-verify
+    * (Cormode & Muthukrishnan 2005 §3.1 turned into an exact
+    * algorithm): pass 1 builds the d·w-counter sketch; pass 2 counts
+    * EXACTLY, but only the rows whose row-local estimate cleared the
+    * threshold — at 100 TB the groupBy shuffle carries the heavy
+    * candidates' occurrences instead of the entire long tail, which
+    * is the whole cost of a frequent-terms query over a Heaps-law
+    * vocabulary. Because the screen is a superset (one-sided error),
+    * the output is IDENTICAL to the unscreened plain groupBy — the
+    * q117/q189 invisible-prune discipline, so the oracle is ordinary
+    * SQL with a HAVING, no sketch in sight. The final integer
+    * comparison `share·cnt > N` keeps the threshold rational/exact. */
+  def exactHeavyTokens(docs: DataFrame, share: Long = 200,
+      screened: Boolean = true): DataFrame = {
+    val toks =
+      if (screened) cmsScreenedTokens(docs, share)
+      else docs.select(explode(split(col("text"), " ")).as("k"))
+    val n = docs.select(explode(split(col("text"), " "))).count()
+    toks.groupBy(col("k")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * lit(share) > lit(n))
+      .select(col("k").as("token"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
   /** q100: approximate quantiles via percentile_approx (Greenwald-
     * Khanna sketch; mergeable, bounded memory — the 100 TB answer
     * when Describe.exactQuantiles' domain-sized counts pass is too
@@ -106,8 +154,23 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables(s, d))),
-    "q100_approx_quantiles" -> ((s, d) => approxQuantiles(Tables(s, d)))
+    "q100_approx_quantiles" -> ((s, d) => approxQuantiles(Tables(s, d))),
+    "q208_exact_heavy_tokens" -> ((s, d) =>
+      exactHeavyTokens(Tables(s, d).documents))
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  // the CMS screen is provably invisible (superset prefilter), so the
+  // oracle is the plain HAVING form — no sketch arithmetic to replay
+  val oracleSql: Map[String, String] = Map(
+    "q208_exact_heavy_tokens" ->
+      """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |      FROM documents)
+        |GROUP BY t
+        |HAVING 200 * count(*) >
+        |  (SELECT count(*)
+        |   FROM (SELECT unnest(string_split(text, ' ')) AS t2
+        |         FROM documents))
+        |ORDER BY n_occurrences DESC, token""".stripMargin
+  )
 }

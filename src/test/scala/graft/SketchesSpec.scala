@@ -94,6 +94,34 @@ class SketchesSpec extends AnyFunSuite {
       s"est $est exceeds exact $exact + 2N²/w")
   }
 
+  test("exact heavy tokens: CMS screen is invisible, and it prunes") {
+    import spark.implicits._
+    val docs = t.documents
+    // invisibility: the screened two-pass answer equals the plain
+    // groupBy + HAVING answer exactly (superset prefilter)
+    val screened = Sketches.exactHeavyTokens(docs).collect().toSeq
+    val plain = Sketches.exactHeavyTokens(docs, screened = false)
+      .collect().toSeq
+    assert(screened == plain && screened.nonEmpty)
+
+    // prune volume on a planted frame where the screen MUST fire:
+    // one heavy token (1500 of 2000 occurrences) + 500 singletons;
+    // a singleton's estimate is its own count plus collision mass —
+    // far under the 10% threshold — so the screened stream carries
+    // (almost) only the heavy token's occurrences
+    val planted = ((1 to 500).map(i => s"rare$i") ++
+      Seq(Seq.fill(1500)("heavy").mkString(" ")))
+      .zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      .toDF("doc_id", "text")
+    val total = 2000L
+    val kept = Sketches.cmsScreenedTokens(planted, share = 10).count()
+    assert(kept >= 1500 && kept < total / 2 + 1500,
+      s"screen kept $kept of $total token rows")
+    val hh = Sketches.exactHeavyTokens(planted, share = 10).collect()
+    assert(hh.map(_.getString(0)).toSeq == Seq("heavy"))
+    assert(hh.head.getLong(1) == 1500L)
+  }
+
   test("CMS inner product of disjoint key sets is zero, not empty") {
     import spark.implicits._
     import graft.operators.Sketches
