@@ -259,6 +259,23 @@ object TextAnalysis {
       .orderBy(col("cluster_id"))
   }
 
+  /** Near-dup cluster-SIZE distribution — the health audit of a dedup
+    * run: how many duplicate clusters of each size the corpus holds
+    * (web-crawl dup clusters are heavy-tailed; a spike at one giant
+    * size usually means boilerplate or a crawler loop, the first
+    * thing a curation engineer looks at before collapsing anything).
+    * Pure composition: the q156 oracle-exact edge tier → connected
+    * components → two tiny keyed rollups; only docs IN the dup graph
+    * appear (singletons are the corpus minus the distribution's
+    * mass, sizes here are ≥ 2 by construction). Scale rides the
+    * underlying tiers — swap [[Dedup.minhashDedup]] edges in for the
+    * 100 TB run exactly as q196 does for keep-best. */
+  def clusterSizeDistribution(documents: DataFrame): DataFrame =
+    Dedup.dupClusters(jaccardPairs(documents).select(col("d1"), col("d2")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Token counting, whitespace vs BPE-ish: the two granularities a
     * training pipeline budgets with (raw words vs pre-tokenizer
     * pieces). The corpus is bare lowercase words, so a punctuated tail
@@ -759,8 +776,40 @@ object TextAnalysis {
     "q191_curriculum_batches" -> ((s, d) =>
       curriculumBatches(Tables(s, d).documents)),
     "q202_sparse_cosine_pairs" -> ((s, d) =>
-      sparseCosinePairs(Tables(s, d).documents))
+      sparseCosinePairs(Tables(s, d).documents)),
+    "q209_cluster_sizes" -> ((s, d) =>
+      clusterSizeDistribution(Tables(s, d).documents))
   )
+
+  /** The q156 closure oracle (brute-force jaccard edges + recursive
+    * transitive closure + component minima) as ONE shared literal:
+    * q156 states it directly, q209 rolls it up — the two cannot
+    * drift. */
+  private val jaccardClustersSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+2], ' ')))
+      |    ELSE [text] END AS sh
+      |  FROM (SELECT doc_id, lang, source, text,
+      |          string_split(text, ' ') AS toks FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM docs a JOIN docs b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |      AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT d1 AS s, d2 AS t FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM edges
+      |  UNION
+      |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+      |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+      |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // integer tf/df/dot/norms all the way down; the threshold test and
@@ -948,31 +997,16 @@ object TextAnalysis {
         |SELECT cluster_id, doc_id AS kept_doc_id, quality,
         |  CAST(nm AS BIGINT) AS n_members
         |FROM win WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-    "q156_jaccard_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, lang, source,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(toks[i:i+2], ' ')))
-        |    ELSE [text] END AS sh
-        |  FROM (SELECT doc_id, lang, source, text,
-        |          string_split(text, ' ') AS toks FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM docs a JOIN docs b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        |edges AS (
-        |  SELECT d1 AS s, d2 AS t FROM pairs
-        |  UNION SELECT d2, d1 FROM pairs),
-        |reach(s, t) AS (
-        |  SELECT s, t FROM edges
-        |  UNION
-        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
-        |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
-        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q156_jaccard_clusters" -> jaccardClustersSql,
+    // rollup of the SAME closure — one shared literal, no drift
+    "q209_cluster_sizes" ->
+      s"""WITH base AS ($jaccardClustersSql),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM base GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     // the WHOLE derived-vector pipeline is SQL-expressible because the
     // bucket hash is the portable md5-prefix (q101 pattern): rebuild
     // the hashed-tf vectors, all-pairs cosine at 0.95, transitive

@@ -572,6 +572,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("clusterSizeDistribution: planted clusters roll up by size") {
+    // two 2-clusters + one 3-cluster of exact copies; unique docs
+    // stay out of the distribution (they are not in the dup graph)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"), (4L, "epsilon zeta eta theta"),
+      (5L, "iota kappa lambda mu"), (6L, "iota kappa lambda mu"),
+      (7L, "iota kappa lambda mu"),
+      (8L, "unique nu xi omicron")
+    ).map { case (i, t) => (i, t, "en", "src1") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.clusterSizeDistribution(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(2L -> 2L, 3L -> 1L))
+  }
+
   test("sparseCosinePairs: hand-computed cosine over the shared-gram space") {
     val docs = Seq(
       (1L, "u v w x"),     // grams {u v w, v w x}, norm2 = 2
