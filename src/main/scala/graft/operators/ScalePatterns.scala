@@ -386,6 +386,33 @@ object ScalePatterns {
     } finally counts.unpersist(false)
   }
 
+  /** CCNet-style fluency BANDS (Wenzek et al. 2019, arXiv:1911.00359
+    * §4.3: bucket a crawl into head/middle/tail thirds by LM
+    * perplexity and train on the head+middle): every scoreable doc
+    * gets its exact empirical-CDF tercile of the in-engine
+    * [[TextAnalysis.bigramFluency]] score. Composition, no new
+    * machinery — the per-value CDF comes from [[quantileNormalize]]'s
+    * no-global-window distributed rank, broadcast back onto the
+    * scored docs (the lookup is domain-sized); band cuts are the
+    * identical correctly-rounded `cdf·3 ≤ k` float ops in both
+    * engines, so the assignment replays hash-exact against a
+    * cume_dist() oracle. Unscoreable docs (no bigrams) drop, as
+    * CCNet drops what its LM cannot score. */
+  def fluencyBands(docs: DataFrame): DataFrame = {
+    val fl = TextAnalysis.bigramFluency(docs)
+      .filter(col("avg_prob").isNotNull)
+      .localCheckpoint() // feeds the rank AND the final join — score once
+    val lookup = quantileNormalize(fl, "avg_prob")
+    fl.join(broadcast(lookup
+        .select(col("value").as("avg_prob"), col("cdf"))),
+        Seq("avg_prob"))
+      .select(col("doc_id"), col("avg_prob"), col("cdf"),
+        when(col("cdf") * lit(3.0) <= lit(1.0), lit("tail"))
+          .when(col("cdf") * lit(3.0) <= lit(2.0), lit("middle"))
+          .otherwise(lit("head")).as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Join-key distribution profiler: the diagnostic a pipeline runs
     * BEFORE choosing a skew strategy. Top-k heaviest keys with their
     * absolute count, parts-per-million share, and skew factor
@@ -631,6 +658,10 @@ object ScalePatterns {
       equiDepthHistogram(
         TextAnalysis.bigramFluency(Tables(s, d).documents),
         "avg_prob", buckets = 10, sumScale = 12)),
+    // CCNet head/middle/tail: per-DOC band assignment (q154 is the
+    // per-bucket rollup of the same scores)
+    "q210_fluency_bands" -> ((s, d) =>
+      fluencyBands(Tables(s, d).documents)),
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
@@ -734,6 +765,19 @@ object ScalePatterns {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // q140's CTE + the standard cume_dist (ties-inclusive count ≤ v
+    // over n — the SAME correctly-rounded division quantileNormalize
+    // computes) + identical float band cuts
+    "q210_fluency_bands" ->
+      s"""WITH fl AS (${TextAnalysis.oracleSql("q140_bigram_fluency")}),
+         |b AS (SELECT doc_id, avg_prob,
+         |        cume_dist() OVER (ORDER BY avg_prob) AS cdf
+         |      FROM fl WHERE avg_prob IS NOT NULL)
+         |SELECT doc_id, avg_prob, cdf,
+         |  CASE WHEN cdf * 3.0 <= 1.0 THEN 'tail'
+         |       WHEN cdf * 3.0 <= 2.0 THEN 'middle'
+         |       ELSE 'head' END AS band
+         |FROM b ORDER BY doc_id""".stripMargin,
     // the q140 oracle inlines as the source CTE, so the two stay in
     // lockstep by construction
     "q154_fluency_tiers" ->

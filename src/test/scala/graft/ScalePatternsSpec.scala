@@ -296,6 +296,31 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(fromLake == fromSource)
   }
 
+  test("fluencyBands: terciles are contiguous in score and ~equal-mass") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val rows = ScalePatterns.fluencyBands(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3)))
+    val scoreable = graft.operators.TextAnalysis.bigramFluency(docs)
+      .filter(col("avg_prob").isNotNull).count()
+    assert(rows.length == scoreable && rows.nonEmpty)
+    val byBand = rows.groupBy(_._4).view.mapValues(_.map(_._2))
+    assert(byBand.keySet == Set("tail", "middle", "head"))
+    // bands partition the score axis contiguously
+    assert(byBand("tail").max <= byBand("middle").min)
+    assert(byBand("middle").max <= byBand("head").min)
+    // equal mass up to value ties at the cut points
+    val n = rows.length
+    Seq("tail", "middle", "head").foreach { b =>
+      val c = byBand(b).size
+      assert(math.abs(c - n / 3.0) < n * 0.1 + 5, s"$b has $c of $n")
+    }
+    // cume_dist semantics: cdf is the ties-inclusive rank fraction
+    val sorted = rows.sortBy(_._2)
+    assert(rows.forall { case (_, v, cdf, _) =>
+      cdf == sorted.count(_._2 <= v).toDouble / n })
+  }
+
   test("mergeManifests: merged split manifests equal the direct manifest") {
     val docs = t.documents
     val whole = ScalePatterns.shardManifest(docs)
