@@ -63,7 +63,10 @@ object ScaleTrial {
     "q201_release_manifest", // composed release pipeline, one plan
     "q197_intradoc_line_dedup", // zero-shuffle projection: must be ~flat
     "q202_sparse_cosine_pairs", // df-capped posting join on a denser corpus
-    "q204_source_novelty") // gram-keyed argmin + tiny cum window
+    "q204_source_novelty", // gram-keyed argmin + tiny cum window
+    "q206_manifest_merge", // two manifests + an nShards-row join
+    "q208_exact_heavy_tokens", // CMS screen + candidate-only exact agg
+    "q210_fluency_bands") // LM scoring + distributed-rank CDF lookup
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

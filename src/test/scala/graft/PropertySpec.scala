@@ -120,6 +120,23 @@ class PropertySpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 10 =!= 0).repartition(3), bench)) ==
       rows(graft.operators.Dedup.spanDecontaminate(
         docs.filter(col("doc_id") % 10 =!= 0).repartition(11), bench)))
+    // posting-list cosine: integer tf/df/dot/norm aggregates commute,
+    // so the pair set and every reported double must be layout-free
+    assert(rows(graft.operators.TextAnalysis.sparseCosinePairs(
+        docs.repartition(3))) ==
+      rows(graft.operators.TextAnalysis.sparseCosinePairs(
+        docs.repartition(11))))
+    // two-pass heavy hitters: the sketch counters are integer sums and
+    // the screen is a superset whatever the layout
+    assert(rows(graft.operators.Sketches.exactHeavyTokens(
+        docs.repartition(3))) ==
+      rows(graft.operators.Sketches.exactHeavyTokens(
+        docs.repartition(11))))
+    // fluency bands: scoring fold + distributed-rank CDF + float cuts
+    assert(rows(graft.operators.ScalePatterns.fluencyBands(
+        docs.repartition(3))) ==
+      rows(graft.operators.ScalePatterns.fluencyBands(
+        docs.repartition(11))))
   }
 
   test("dedup by fingerprint is idempotent") {
