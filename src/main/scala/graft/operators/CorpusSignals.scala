@@ -687,6 +687,46 @@ object CorpusSignals {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** The dataset CARD — the one-row summary every dataset release
+    * ships (the quantitative half of a datasheet/model-card data
+    * section): corpus size, language/source breadth, exact-duplicate
+    * mass, benchmark contamination, and the Gopher-rule keep count,
+    * computed as ONE composed plan over the training side. Every
+    * stat is an integer count (no float accumulation anywhere), so
+    * the card is hash-exact cross-engine; every branch is a partial
+    * aggregate or a broadcast-gram semi join collapsing to ONE row,
+    * and the final assembly crossJoins six single-row frames — the
+    * q48/q64 scalar-broadcast shape, nothing data-sized moves. The
+    * two distinct-counts that would otherwise plan a multi-distinct
+    * Expand (q153's lesson) run as separate tiny distinct+count
+    * branches instead. */
+  def releaseCard(docs: DataFrame, evalSource: String = "src0"): DataFrame = {
+    val train = docs.filter(col("source") =!= evalSource)
+    val base = train.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val nl = train.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("n_langs"))
+    val ns = train.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val nd = train.select(md5(col("text")).as("h")).distinct()
+      .agg(count(lit(1)).as("n_distinct_texts"))
+    val evalG = fiveGrams(docs.filter(col("source") === evalSource))
+      .select(col("g")).distinct()
+    val nc = fiveGrams(train).join(broadcast(evalG), "g")
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_contaminated"))
+    val gk = TextAnalysis.gopherRules(train).filter(col("keep"))
+      .agg(count(lit(1)).as("n_gopher_keep"))
+    base.crossJoin(broadcast(nl)).crossJoin(broadcast(ns))
+      .crossJoin(broadcast(nd)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(gk))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        col("n_contaminated"), col("n_gopher_keep"))
+  }
+
   /** Stateless per-document contamination sweep — the STREAMING twin
     * of [[contamination]]: the eval side collapses into a broadcast
     * gram -> eval-doc-ids map, and each training document computes
@@ -1056,6 +1096,8 @@ object CorpusSignals {
       sourceOverlapMatrix(Tables(s, d).documents)),
     "q204_source_novelty" -> ((s, d) =>
       sourceNoveltyCurve(Tables(s, d).documents)),
+    "q211_release_card" -> ((s, d) =>
+      releaseCard(Tables(s, d).documents)),
     // snapshot perturbation = the q124 pattern: every 97th doc leaves
     // the corpus, every 31st gets an edit suffix
     "q163_token_drift" -> ((s, d) => {
@@ -1204,6 +1246,51 @@ object CorpusSignals {
         |FROM inter JOIN sizes x ON inter.s1 = x.source
         |JOIN sizes y ON inter.s2 = y.source
         |ORDER BY s1, s2""".stripMargin,
+    // every stat is an integer count; the gopher-keep branch inlines
+    // the q174 oracle and filters to the train side by doc_id join,
+    // so the two keep definitions cannot drift
+    "q211_release_card" ->
+      s"""WITH train AS (
+         |  SELECT * FROM documents WHERE source <> 'src0'),
+         |base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM train),
+         |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |       FROM train),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT)
+         |         AS n_sources FROM train),
+         |nd AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
+         |         AS ndt FROM train),
+         |eg AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, len(t)-4),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |        || t[i+3] || ' ' || t[i+4]))) AS g
+         |    FROM (SELECT string_split(text, ' ') AS t FROM documents
+         |          WHERE source = 'src0')
+         |    WHERE len(t) >= 5)),
+         |nc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_contaminated FROM (
+         |    SELECT DISTINCT doc_id FROM (
+         |      SELECT doc_id, unnest(list_distinct(list_transform(
+         |        generate_series(1, len(t)-4),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |          || t[i+3] || ' ' || t[i+4]))) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM train)
+         |      WHERE len(t) >= 5)
+         |    WHERE g IN (SELECT g FROM eg))),
+         |gk AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_gopher_keep
+         |  FROM (${TextAnalysis.oracleSql("q174_gopher_rules")}) q
+         |  JOIN train USING (doc_id) WHERE q.keep)
+         |SELECT base.n_docs, base.n_tokens, nl.n_langs, ns.n_sources,
+         |  base.n_docs - nd.ndt AS n_exact_dups,
+         |  nc.n_contaminated, gk.n_gopher_keep
+         |FROM base, nl, ns, nd, nc, gk""".stripMargin,
     // min(VARCHAR) is codepoint-lexicographic in both engines; the
     // running sum is CAST to BIGINT (DuckDB sums BIGINT into HUGEINT)
     "q204_source_novelty" ->

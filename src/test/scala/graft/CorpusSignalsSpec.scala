@@ -376,6 +376,35 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty)
   }
 
+  test("releaseCard: every stat verifiable by hand on a planted corpus") {
+    import spark.implicits._
+    val good = "the quick brown foxes moved softly over damp grass " +
+      "while small birds called from leafy trees before early light " +
+      "faded away"
+    val docs = Seq(
+      // eval side (excluded from the card's counts)
+      (0L, "held out benchmark question words here", "en", "src0"),
+      // train: a gopher-keeping doc, twice (one exact dup)
+      (1L, good, "en", "src1"),
+      (2L, good, "en", "src1"),
+      // contaminated: contains the eval 5-gram verbatim
+      (3L, "prefix held out benchmark question words here suffix",
+        "fr", "src2"),
+      // too short -> gopher drops it
+      (4L, "the cat sat", "en", "src2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = CorpusSignals.releaseCard(docs).head()
+    assert(r.getLong(0) == 4)                      // n_docs
+    val nTokens = Seq(good, good,
+      "prefix held out benchmark question words here suffix",
+      "the cat sat").map(_.split(" ").length.toLong).sum
+    assert(r.getLong(1) == nTokens)                // n_tokens
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2) // n_langs, n_sources
+    assert(r.getLong(4) == 1)                      // n_exact_dups
+    assert(r.getLong(5) == 1)                      // n_contaminated (doc 3)
+    assert(r.getLong(6) == 2)                      // n_gopher_keep (1 and 2)
+  }
+
   test("lang-keyed epoch mixture up-weights the low-resource language") {
     import spark.implicits._
     // 96 docs of "hi", 4 of "lo": n^0.5 temperature gives lo a
