@@ -225,11 +225,14 @@ object CorpusSignals {
     * row-local rewrite equals the relational one bit-for-bit. */
   def intraDocLineDedup(docs: DataFrame, lineTokens: Int = 8): DataFrame =
     docs
+      // split ONCE into a bound column: Catalyst does not hoist
+      // loop-invariant subexpressions out of lambda bodies, so a
+      // split inside the transform would re-tokenize per line
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), expr(
-        s"transform(sequence(0, cast(ceil(size(split(text, ' '))" +
-          s"/$lineTokens.0d) as int)-1), i -> array_join(" +
-          s"slice(split(text, ' '), i*$lineTokens+1, $lineTokens), ' '))")
-        .as("ls"))
+        s"transform(sequence(0, cast(ceil(size(t)/$lineTokens.0d) " +
+          s"as int)-1), i -> array_join(" +
+          s"slice(t, i*$lineTokens+1, $lineTokens), ' '))").as("ls"))
       .select(col("doc_id"),
         size(col("ls")).cast("long").as("n_lines"),
         size(array_distinct(col("ls"))).cast("long").as("n_kept"),
@@ -636,8 +639,12 @@ object CorpusSignals {
     * `keyCol` follows [[sourceMixtureWeights]]: "lang" materializes
     * the language-balanced epoch of multilingual pretraining (q207),
     * byte-identical machinery. */
-  def epochMixture(docs: DataFrame,
+  def epochMixture(docs0: DataFrame,
       keyCol: String = "source"): DataFrame = {
+    // the offset map and the driver-side grouping key the mix key as
+    // a STRING — cast once here so any data-fixed-cardinality column
+    // (int cluster ids included) works, as the docstring promises
+    val docs = docs0.withColumn(keyCol, col(keyCol).cast("string"))
     val w = sourceMixtureWeights(docs, keyCol)
     val tot = w.agg(sum(col("n")).as("total"))
     val targets = w.crossJoin(broadcast(tot))
@@ -814,11 +821,15 @@ object CorpusSignals {
   }
 
   /** Distinct 5-grams per document — shared candidate unit of the
-    * contamination sweep and the curation pipeline. */
-  private def fiveGrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    * contamination sweep, the curation pipeline, the novelty curve,
+    * and the dataset card. ONE gram-construction expression for all
+    * of them; `keyCol` selects which column rides alongside the gram
+    * (doc_id for contamination, source for the novelty curve). */
+  private def fiveGrams(docs: DataFrame,
+      keyCol: String = "doc_id"): DataFrame =
+    docs.select(col(keyCol), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col(keyCol), explode(array_distinct(expr(
         "transform(sequence(1, size(t)-4), i -> concat(" +
           "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
           "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
@@ -842,14 +853,7 @@ object CorpusSignals {
     * one unpartitioned window rides THAT parallelism-sized relation
     * (PlanAuditSpec-allowlisted like q67/q149's offset tables). */
   def sourceNoveltyCurve(docs: DataFrame): DataFrame = {
-    val sg = docs.select(col("source"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .select(col("source"), explode(array_distinct(expr(
-        "transform(sequence(1, size(t)-4), i -> concat(" +
-          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
-          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
-          "element_at(t, i+4)))"))).as("g"))
-      .distinct()
+    val sg = fiveGrams(docs, keyCol = "source").distinct()
     val perSource = sg.groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"))
     val news = sg.groupBy(col("g")).agg(min(col("source")).as("source"))

@@ -392,19 +392,21 @@ object ScalePatterns {
     * gets its exact empirical-CDF tercile of the in-engine
     * [[TextAnalysis.bigramFluency]] score. Composition, no new
     * machinery — the per-value CDF comes from [[quantileNormalize]]'s
-    * no-global-window distributed rank, broadcast back onto the
-    * scored docs (the lookup is domain-sized); band cuts are the
-    * identical correctly-rounded `cdf·3 ≤ k` float ops in both
-    * engines, so the assignment replays hash-exact against a
-    * cume_dist() oracle. Unscoreable docs (no bigrams) drop, as
-    * CCNet drops what its LM cannot score. */
+    * no-global-window distributed rank, joined back onto the scored
+    * docs by a PLAIN value equi-join (avg_prob is a continuous
+    * per-doc score, so the lookup is distinct-score-sized — corpus
+    * order in the worst case, which is why it must NOT be a forced
+    * broadcast); band cuts are the identical correctly-rounded
+    * `cdf·3 ≤ k` float ops in both engines, so the assignment
+    * replays hash-exact against a cume_dist() oracle. Unscoreable
+    * docs (no bigrams) drop, as CCNet drops what its LM cannot
+    * score. */
   def fluencyBands(docs: DataFrame): DataFrame = {
     val fl = TextAnalysis.bigramFluency(docs)
       .filter(col("avg_prob").isNotNull)
       .localCheckpoint() // feeds the rank AND the final join — score once
     val lookup = quantileNormalize(fl, "avg_prob")
-    fl.join(broadcast(lookup
-        .select(col("value").as("avg_prob"), col("cdf"))),
+    fl.join(lookup.select(col("value").as("avg_prob"), col("cdf")),
         Seq("avg_prob"))
       .select(col("doc_id"), col("avg_prob"), col("cdf"),
         when(col("cdf") * lit(3.0) <= lit(1.0), lit("tail"))
@@ -560,11 +562,16 @@ object ScalePatterns {
     * you which partitions to bother reading. */
   def releaseDiff(oldDocs: DataFrame, newDocs: DataFrame,
       nShards: Int = 16): DataFrame = {
-    def side(docs: DataFrame, p: String): DataFrame =
-      shardManifest(docs, nShards).select(col("shard"),
+    // the diff consumes docs/tokens/xor only — synthesize n_chars if
+    // the snapshot lacks it rather than forcing the column on callers
+    def side(docs: DataFrame, p: String): DataFrame = {
+      val d = if (docs.columns.contains("n_chars")) docs
+        else docs.withColumn("n_chars", length(col("text")).cast("long"))
+      shardManifest(d, nShards).select(col("shard"),
         col("n_docs").as(s"${p}_docs"),
         col("n_tokens").as(s"${p}_tokens"),
         col("content_xor").as(s"${p}_xor"))
+    }
     side(oldDocs, "old").join(side(newDocs, "new"), Seq("shard"), "full_outer")
       .select(col("shard"),
         when(col("old_xor").isNull, lit("added"))

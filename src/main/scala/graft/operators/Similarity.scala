@@ -267,19 +267,40 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
+    try ivfServe(
+      ivfProbedCells(queries, cents, nprobe),
+      celled.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding"), col("nrm")),
+      k)
+    finally emb.unpersist(false)
+  }
+
+  /** The probe step shared by the in-memory and at-rest IVF tiers:
+    * rank the broadcast centroids per query, keep the `nprobe`
+    * nearest cells. ONE implementation, so the tiers cannot diverge
+    * on tie-breaking or ordering. */
+  private def ivfProbedCells(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
-    val probed = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"),
         cosinePrenormed(dot(col("qv"), col("centroid")), col("qn"),
           col("cn")).as("csim"))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+  }
+
+  /** The serve step shared by both IVF tiers: exact-rank the probed
+    * cells' candidates per query. `candidates` carries
+    * (neighbor_id, cell, embedding, nrm) from either the in-memory
+    * celled frame or the pruned at-rest scan. */
+  private def ivfServe(probed: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    try celled.select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding"), col("nrm"))
+    candidates
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -289,7 +310,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
-    finally emb.unpersist(false)
   }
 
   /** The AT-REST form of [[ivfTopK]]'s index — what the docstring
@@ -341,15 +361,7 @@ object Similarity {
     val queries = withNorm(embeddings).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val probed = queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
-        cosinePrenormed(dot(col("qv"), col("centroid")), col("qn"),
-          col("cn")).as("csim"))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val probed = ivfProbedCells(queries, cents, nprobe)
     val scan =
       if (!pruned) s.table(table)
       else {
@@ -358,19 +370,10 @@ object Similarity {
         if (touched.isEmpty) s.table(table).filter(lit(false))
         else s.table(table).filter(col("cell").isin(touched.map(Int.box): _*))
       }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scan.select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding"), col("nrm"))
-      .join(broadcast(probed), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosinePrenormed(dot(col("qv"), col("embedding")), col("qn"),
-          col("nrm")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rank"))
+    ivfServe(probed,
+      scan.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding"), col("nrm")),
+      k)
   }
 
   /** Per-label embedding centroids (class prototypes — the reduction

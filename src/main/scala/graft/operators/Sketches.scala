@@ -94,7 +94,15 @@ object Sketches {
     * the final answer. */
   def cmsScreenedTokens(docs: DataFrame, share: Long): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("k"))
-    val n = toks.count()
+    screenTokens(toks, toks.count(), share)
+  }
+
+  /** The screen itself, given the already-tokenized stream and its
+    * total — factored out so [[exactHeavyTokens]] pays for the
+    * tokenize+count job ONCE, not once here and once for its own
+    * threshold. */
+  private def screenTokens(toks: DataFrame, n: Long,
+      share: Long): DataFrame = {
     val counters = cmsSketch(toks, "k", Depth, Width).collect()
     val cmap = map(counters.flatMap { r =>
       Seq(lit(r.getInt(0).toLong * Width + r.getLong(1)),
@@ -122,10 +130,9 @@ object Sketches {
     * comparison `share·cnt > N` keeps the threshold rational/exact. */
   def exactHeavyTokens(docs: DataFrame, share: Long = 200,
       screened: Boolean = true): DataFrame = {
-    val toks =
-      if (screened) cmsScreenedTokens(docs, share)
-      else docs.select(explode(split(col("text"), " ")).as("k"))
-    val n = docs.select(explode(split(col("text"), " "))).count()
+    val all = docs.select(explode(split(col("text"), " ")).as("k"))
+    val n = all.count() // the one full tokenize+count — shared with the screen
+    val toks = if (screened) screenTokens(all, n, share) else all
     toks.groupBy(col("k")).agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * lit(share) > lit(n))
       .select(col("k").as("token"), col("n_occurrences"))

@@ -428,6 +428,14 @@ class CorpusSignalsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(viaSource == viaLang)
+    // non-string mixing keys work (cast once inside the operator):
+    // an INT cluster id keys the same machinery
+    val intKeyed = docs.withColumn("cl",
+      when(col("lang") === "lo", 1).otherwise(0))
+    val viaInt = CorpusSignals.epochMixture(intKeyed, keyCol = "cl")
+      .groupBy("cl").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaInt("1") == epoch("lo") && viaInt("0") == epoch("hi"))
   }
 
   test("intraDocLineDedup collapses repeats INSIDE a doc, scope is one row") {
