@@ -543,24 +543,48 @@ object TextAnalysis {
     * scoring joins each bigram occurrence to its two count relations
     * on their natural keys; V broadcasts as one row. No stage exceeds
     * O(corpus tokens). */
-  def bigramFluency(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val uni = toks.select(explode(col("t")).as("w1"))
+  def bigramFluency(docs: DataFrame): DataFrame =
+    bigramFluencyOn(docs, docs)
+
+  /** HELD-OUT form of [[bigramFluency]] — the model trains on one
+    * corpus and scores ANOTHER, which is the actual CCNet deployment
+    * shape (the KenLM trains on the clean target domain, e.g.
+    * Wikipedia, and scores the crawl). Unseen words and bigrams get
+    * the add-one floor their missing counts imply — COALESCE(c,0)
+    * before the same IEEE division, so P(w2|w1) = 1/(c(w1)+V) for an
+    * unseen bigram and 1/V for an unseen conditioning word — the
+    * smoothing doing exactly its out-of-vocabulary job, still
+    * bit-exact cross-engine. With `model eq score` the left joins
+    * never miss (every scored bigram is a model bigram), so
+    * [[bigramFluency]] delegates here and q140 pins the shared
+    * kernel. */
+  def bigramFluencyOn(model: DataFrame, score: DataFrame): DataFrame = {
+    val mtoks = model.select(split(col("text"), " ").as("t"))
+    val uni = mtoks.select(explode(col("t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = toks.filter(size(col("t")) >= 2)
+    val bc = mtoks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bi = score
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(t)-1), " +
           "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col.w1").as("w1"), col("col.w2").as("w2"))
-    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val probs = bi.join(bc, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    val probs = bi.join(bc, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("p"),
-        ((col("c12") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")).as("prob"))
+        ((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          .as("prob"))
     val scored = probs.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
       (aggregate(
@@ -568,7 +592,7 @@ object TextAnalysis {
         lit(0.0),
         (acc, x) => acc + x.getField("prob")) / count(lit(1)))
         .as("avg_prob"))
-    docs.select(col("doc_id"))
+    score.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -778,7 +802,14 @@ object TextAnalysis {
     "q202_sparse_cosine_pairs" -> ((s, d) =>
       sparseCosinePairs(Tables(s, d).documents)),
     "q209_cluster_sizes" -> ((s, d) =>
-      clusterSizeDistribution(Tables(s, d).documents))
+      clusterSizeDistribution(Tables(s, d).documents)),
+    // the CCNet deployment shape: LM trained on the clean target
+    // slice (src0), scoring the crawl (everything else)
+    "q212_heldout_fluency" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      bigramFluencyOn(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"))
+    })
   )
 
   /** The q156 closure oracle (brute-force jaccard edges + recursive
@@ -1051,6 +1082,49 @@ object TextAnalysis {
          |SELECT vec_id, rep_id, (rep_id = vec_id) AS keep
          |FROM rep ORDER BY vec_id""".stripMargin
     },
+    // q140's algebra with the model CTEs built from src0 only and the
+    // LEFT joins + COALESCE floors that held-out scoring requires
+    // (unseen bigram -> 1/(c1+V), unseen conditioning word -> 1/V)
+    "q212_heldout_fluency" ->
+      """WITH mtoks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE source = 'src0'),
+        |sdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM mtoks) GROUP BY w1),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |              FROM mtoks WHERE len(t) >= 2))
+        |  GROUP BY w1, w2),
+        |bi AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
+        |    t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM sdocs)
+        |        WHERE len(t) >= 2)),
+        |probs AS (
+        |  SELECT doc_id, p,
+        |    CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(c1, 0) + v AS DOUBLE) AS prob
+        |  FROM bi LEFT JOIN bc USING (w1, w2)
+        |  LEFT JOIN uni USING (w1)
+        |  CROSS JOIN voc),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
+        |      (a, b) -> a + b) / count(*) AS avg_prob
+        |  FROM probs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  s.avg_prob
+        |FROM sdocs d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q140_bigram_fluency" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

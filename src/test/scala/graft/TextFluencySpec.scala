@@ -40,4 +40,25 @@ class TextFluencySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(1L) > got(2L))
   }
+
+  test("held-out scoring: unseen bigrams and words get the add-one floors") {
+    // model: "a b a" -> unigrams a=2 b=1 (V=2); bigram counts
+    // (a,b)=1, (b,a)=1
+    val model = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),   // seen bigram:        (1+1)/(2+2) = 0.5
+      (2L, "a a"),   // unseen bigram, seen w1: (0+1)/(2+2) = 0.25
+      (3L, "z a")    // unseen w1:          (0+1)/(0+2) = 0.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluencyOn(model, score).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.25, 3L -> 0.5))
+  }
+
+  test("bigramFluencyOn(docs, docs) is exactly bigramFluency") {
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.bigramFluencyOn(docs, docs).collect().toSeq ==
+      TextAnalysis.bigramFluency(docs).collect().toSeq)
+  }
 }
