@@ -600,6 +600,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Row-LOCAL form of [[bigramFluencyOn]] — the STREAMING twin: the
+    * trained model (unigram counts, bigram counts, V) collapses into
+    * broadcast sorted parallel arrays (the [[graft.operators
+    * .CorpusSignals.contaminationPerDoc]] device — the model side is
+    * the small clean target slice by construction, Zipf-bounded word
+    * types + its own token count, the same driver-state class as
+    * k-means centroids), and each document computes its whole score
+    * inside ONE udf projection: same per-bigram IEEE division, same
+    * ascending-position addition order as the join form's sorted
+    * fold, so the two forms are BIT-identical (spec-pinned, and q213
+    * registers this form against q212's oracle). No join, no
+    * aggregation, no state — it runs append-mode on an unbounded
+    * readStream exactly as on a batch frame. */
+  def fluencyScoreLocal(model: DataFrame, score: DataFrame): DataFrame = {
+    val mtoks = model.select(split(col("text"), " ").as("t"))
+    val uniRows = mtoks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val bcRows = mtoks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val v = uniRows.length.toLong
+    val bcast = score.sparkSession.sparkContext.broadcast(
+      (uniRows.map(_._1), uniRows.map(_._2),
+        bcRows.map(_._1), bcRows.map(_._2)))
+    val scoreUdf = udf((text: String) => {
+      val t = text.split(" ", -1) // same regex semantics as F.split
+      if (t.length < 2) None
+      else {
+        val (uw, uc, bw, bc2) = bcast.value
+        var sum = 0.0
+        var i = 0
+        while (i + 1 < t.length) { // ascending position = the fold order
+          val bj = java.util.Arrays.binarySearch(
+            bw.asInstanceOf[Array[AnyRef]], t(i) + " " + t(i + 1))
+          val c12 = if (bj >= 0) bc2(bj) else 0L
+          val uj = java.util.Arrays.binarySearch(
+            uw.asInstanceOf[Array[AnyRef]], t(i))
+          val c1 = if (uj >= 0) uc(uj) else 0L
+          sum += (c12 + 1).toDouble / (c1 + v).toDouble
+          i += 1
+        }
+        Some((t.length - 1).toLong, sum / (t.length - 1).toDouble)
+      }
+    })
+    score.select(col("doc_id"), scoreUdf(col("text")).as("s"))
+      .select(col("doc_id"),
+        coalesce(col("s._1"), lit(0L)).as("n_bigrams"),
+        col("s._2").as("avg_prob"))
+  }
+
   /** Hashed-tf document vectors — in-engine featurization carrying the
     * TEXT corpus into the VECTOR operator family (cosine pairs, ANN,
     * [[Similarity.embeddingDedup]], [[Similarity.nearestCentroid]]):
@@ -809,6 +864,14 @@ object TextAnalysis {
       val docs = Tables(s, d).documents
       bigramFluencyOn(docs.filter(col("source") === "src0"),
         docs.filter(col("source") =!= "src0"))
+    }),
+    // the row-local streaming twin, registered against the SAME
+    // oracle — the udf kernel must reproduce the join form bit-exactly
+    "q213_heldout_fluency_local" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      fluencyScoreLocal(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -841,6 +904,47 @@ object TextAnalysis {
       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
       |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  private val heldoutFluencySql: String =
+      """WITH mtoks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE source = 'src0'),
+        |sdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM mtoks) GROUP BY w1),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |              FROM mtoks WHERE len(t) >= 2))
+        |  GROUP BY w1, w2),
+        |bi AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
+        |    t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM sdocs)
+        |        WHERE len(t) >= 2)),
+        |probs AS (
+        |  SELECT doc_id, p,
+        |    CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(c1, 0) + v AS DOUBLE) AS prob
+        |  FROM bi LEFT JOIN bc USING (w1, w2)
+        |  LEFT JOIN uni USING (w1)
+        |  CROSS JOIN voc),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
+        |      (a, b) -> a + b) / count(*) AS avg_prob
+        |  FROM probs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  s.avg_prob
+        |FROM sdocs d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // integer tf/df/dot/norms all the way down; the threshold test and
@@ -1085,46 +1189,10 @@ object TextAnalysis {
     // q140's algebra with the model CTEs built from src0 only and the
     // LEFT joins + COALESCE floors that held-out scoring requires
     // (unseen bigram -> 1/(c1+V), unseen conditioning word -> 1/V)
-    "q212_heldout_fluency" ->
-      """WITH mtoks AS (
-        |  SELECT string_split(text, ' ') AS t FROM documents
-        |  WHERE source = 'src0'),
-        |sdocs AS (
-        |  SELECT doc_id, text FROM documents WHERE source <> 'src0'),
-        |uni AS (
-        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(t) AS w1 FROM mtoks) GROUP BY w1),
-        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        |bc AS (
-        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
-        |        FROM (SELECT t, unnest(range(1, len(t))) AS i
-        |              FROM mtoks WHERE len(t) >= 2))
-        |  GROUP BY w1, w2),
-        |bi AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
-        |    t[i+1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM sdocs)
-        |        WHERE len(t) >= 2)),
-        |probs AS (
-        |  SELECT doc_id, p,
-        |    CAST(COALESCE(c12, 0) + 1 AS DOUBLE)
-        |      / CAST(COALESCE(c1, 0) + v AS DOUBLE) AS prob
-        |  FROM bi LEFT JOIN bc USING (w1, w2)
-        |  LEFT JOIN uni USING (w1)
-        |  CROSS JOIN voc),
-        |scored AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
-        |      (a, b) -> a + b) / count(*) AS avg_prob
-        |  FROM probs GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-        |  s.avg_prob
-        |FROM sdocs d LEFT JOIN scored s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q212_heldout_fluency" -> heldoutFluencySql,
+    // the row-local udf form answers the IDENTICAL SQL — udf parity
+    // is oracle-checked, not just spec-asserted
+    "q213_heldout_fluency_local" -> heldoutFluencySql,
     "q140_bigram_fluency" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

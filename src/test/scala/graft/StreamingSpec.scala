@@ -354,6 +354,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 3L, 2L, s"$l1 $l2")))
   }
 
+  test("row-local fluency scoring streams unchanged (broadcast model)") {
+    implicit val sc = spark.sqlContext
+    val model = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val rows = Seq((1L, "a b"), (2L, "z q"), (3L, "one"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.fluencyScoreLocal(
+      model, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fluency_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("fluency_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.TextAnalysis.fluencyScoreLocal(
+      model, rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("cross-corpus screen runs as a stateless stream-static anti join") {
     implicit val sc = spark.sqlContext
     val base = Seq((0L, "a b c", "en", "base"), (2L, "d e f", "en", "base"))

@@ -61,4 +61,15 @@ class TextFluencySpec extends AnyFunSuite {
     assert(TextAnalysis.bigramFluencyOn(docs, docs).collect().toSeq ==
       TextAnalysis.bigramFluency(docs).collect().toSeq)
   }
+
+  test("row-local scorer is bit-identical to the join form at sf0.001") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val model = docs.filter(col("source") === "src0")
+    val rest = docs.filter(col("source") =!= "src0")
+    val joins = TextAnalysis.bigramFluencyOn(model, rest)
+      .collect().map(_.toSeq).toSeq
+    val local = TextAnalysis.fluencyScoreLocal(model, rest)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(local == joins && local.nonEmpty)
+  }
 }
