@@ -401,8 +401,16 @@ object ScalePatterns {
     * replays hash-exact against a cume_dist() oracle. Unscoreable
     * docs (no bigrams) drop, as CCNet drops what its LM cannot
     * score. */
-  def fluencyBands(docs: DataFrame): DataFrame = {
-    val fl = TextAnalysis.bigramFluency(docs)
+  def fluencyBands(docs: DataFrame): DataFrame =
+    fluencyBandsOn(docs, docs)
+
+  /** [[fluencyBands]] with the LM held out — scores come from
+    * [[TextAnalysis.bigramFluencyOn]](model, score), terciles from
+    * the scored side's own distribution. With `model eq score` this
+    * IS fluencyBands (the delegation above), so q210 pins the shared
+    * banding kernel. */
+  def fluencyBandsOn(model: DataFrame, score: DataFrame): DataFrame = {
+    val fl = TextAnalysis.bigramFluencyOn(model, score)
       .filter(col("avg_prob").isNotNull)
       .localCheckpoint() // feeds the rank AND the final join — score once
     val lookup = quantileNormalize(fl, "avg_prob")
@@ -414,6 +422,15 @@ object ScalePatterns {
           .otherwise(lit("head")).as("band"))
       .orderBy(col("doc_id"))
   }
+
+  /** The COMPLETE CCNet gate (Wenzek 2019 §4.3): train the LM on the
+    * clean target slice, band the crawl by held-out score, keep
+    * head + middle and drop the tail third — raw crawl in, CCNet
+    * survivors out, one composed plan over three operators. */
+  def ccnetKeep(model: DataFrame, score: DataFrame): DataFrame =
+    fluencyBandsOn(model, score)
+      .filter(col("band") =!= "tail")
+      .orderBy(col("doc_id"))
 
   /** Join-key distribution profiler: the diagnostic a pipeline runs
     * BEFORE choosing a skew strategy. Top-k heaviest keys with their
@@ -669,6 +686,12 @@ object ScalePatterns {
     // per-bucket rollup of the same scores)
     "q210_fluency_bands" -> ((s, d) =>
       fluencyBands(Tables(s, d).documents)),
+    // the complete CCNet gate: held-out LM, tail third dropped
+    "q214_ccnet_keep" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      ccnetKeep(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"))
+    }),
     "q90_user_sequences" -> ((s, d) => userSequences(Tables(s, d).events)),
     "q118_equi_depth_hist" -> ((s, d) =>
       equiDepthHistogram(Tables(s, d).lineitem, "l_extendedprice")),
@@ -772,6 +795,20 @@ object ScalePatterns {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // q212's held-out CTE + cume_dist + the q210 band cuts + the
+    // tail-drop filter — the whole gate in one statement
+    "q214_ccnet_keep" ->
+      s"""WITH fl AS (${TextAnalysis.heldoutFluencySql}),
+         |b AS (SELECT doc_id, avg_prob,
+         |        cume_dist() OVER (ORDER BY avg_prob) AS cdf
+         |      FROM fl WHERE avg_prob IS NOT NULL)
+         |SELECT doc_id, avg_prob, cdf,
+         |  CASE WHEN cdf * 3.0 <= 1.0 THEN 'tail'
+         |       WHEN cdf * 3.0 <= 2.0 THEN 'middle'
+         |       ELSE 'head' END AS band
+         |FROM b
+         |WHERE NOT (cdf * 3.0 <= 1.0)
+         |ORDER BY doc_id""".stripMargin,
     // q140's CTE + the standard cume_dist (ties-inclusive count ≤ v
     // over n — the SAME correctly-rounded division quantileNormalize
     // computes) + identical float band cuts

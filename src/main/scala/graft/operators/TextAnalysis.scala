@@ -905,7 +905,7 @@ object TextAnalysis {
       |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
-  private val heldoutFluencySql: String =
+  private[operators] val heldoutFluencySql: String =
       """WITH mtoks AS (
         |  SELECT string_split(text, ' ') AS t FROM documents
         |  WHERE source = 'src0'),
