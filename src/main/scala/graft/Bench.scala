@@ -77,11 +77,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, dp, Double.box(v))
     def sig2(v: Double): String =
       if (v >= 99) "99" else num(v, "%.0f")
-    def shortKey(name: String): String = {
-      val digits = name.takeWhile(_ != '_').dropWhile(!_.isDigit)
-      val stripped = digits.dropWhile(_ == '0')
-      if (stripped.isEmpty) "0" else stripped
-    }
+    val shortKey = Bench.shortKey _
     // emergency valve only: the slowest `MaxQueryEntries` keep their
     // entry, the rest sum into "rest". Sized far above the registry so
     // every query is normally present.
@@ -100,6 +96,14 @@ object Bench {
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","queries":$qs$rest,"sf":"$sfName"}"""
+  }
+
+  /** "q135_dup_span" -> "135": exposed so BenchFormatSpec's key-
+    * uniqueness guard tests THIS derivation, not a private copy. */
+  private[graft] def shortKey(name: String): String = {
+    val digits = name.takeWhile(_ != '_').dropWhile(!_.isDigit)
+    val stripped = digits.dropWhile(_ == '0')
+    if (stripped.isEmpty) "0" else stripped
   }
 
   private[graft] val MaxQueryEntries = 400

@@ -73,9 +73,14 @@ object ScaleTrial {
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
     // optional 4th arg: comma-separated query names — rerun a subset
-    // against the (idempotent) replica without paying for the rest
+    // against the (idempotent) replica without paying for the rest.
+    // Unknown names fail FAST (before the expensive replica build),
+    // not as a silent zero-query run.
     val only = if (args.length > 3) args(3).split(",").toSet
       else Set.empty[String]
+    val unknown = only.diff(TrialQueries.toSet)
+    require(unknown.isEmpty,
+      s"not in TrialQueries: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = Bench.timingSession()
     val scaledDir = s"$workDir/x$factor"
     buildScaled(spark, baseDir, scaledDir, factor)

@@ -537,7 +537,11 @@ object Dedup {
   def materializedNearDupBase(s: SparkSession, base: DataFrame, key: String,
       shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8): String =
     baseBucketTables.getOrElseUpdate((s, key), {
-      val name = s"graft_nd_base_${java.lang.Integer.toHexString(key.hashCode)}"
+      // sanitized FULL key in the table name (hashCode alone can
+      // collide across keys and silently overwrite another base)
+      val name = "graft_nd_base_" +
+        key.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+        "_" + java.lang.Integer.toHexString(key.hashCode)
       val dir = java.nio.file.Files.createTempDirectory("graft_nd_base_")
       bandBuckets(base, shingleSize, numPerms, bands)
         .withColumn("pp", (col("band") * BhPartitions +
@@ -563,9 +567,12 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val table = materializedNearDupBase(s, base, key, shingleSize,
       numPerms, bands)
+    // the increment's signatures feed the touched-partition collect
+    // AND the bucket join — localCheckpoint runs the minhash job once
     val nb0 = bandBuckets(fresh, shingleSize, numPerms, bands)
       .withColumn("pp", (col("band") * BhPartitions +
         pmod(col("bh"), lit(BhPartitions.toLong))).cast("int"))
+      .localCheckpoint()
     val touched = nb0.select(col("pp")).distinct()
       .collect().map(_.getInt(0)).sorted
     val bbScan =
@@ -748,9 +755,12 @@ object Dedup {
       split(col("text"), " ").as("toks"))
     val bspans = kGramSpans(bdocs, k)
     val benchGramSet = bspans.select(col("gram")).distinct()
-    // training grams that appear in the benchmark — semi join against
-    // the broadcast bench set, collapsed to a distinct gram set whose
-    // size is bounded by |benchmark grams|
+    // training grams that appear in the benchmark — the broadcast
+    // semi join filters the corpus-sized gram stream MAP-SIDE (no
+    // training shuffle), and the distinct's partial aggregation
+    // combines the surviving occurrences before its exchange, so the
+    // shuffle carries at most parallelism × |benchmark grams| partial
+    // rows (never the raw hit-occurrence volume)
     val hitGrams = kGramSpans(
       training.select(col("doc_id"), split(col("text"), " ").as("toks")), k)
       .select(col("gram"))
@@ -776,13 +786,11 @@ object Dedup {
       k: Int = 5): DataFrame = {
     val docs = training.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
-    val benchGrams = benchmark
-      .select(split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(explode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> array_join(slice(toks, i + 1, $k), ' '))")).as("gram"))
-      .distinct()
+    // the SAME gram constructor as the report and the rewrite kernel
+    // (one definition — the decontaminate/report pair cannot drift)
+    val benchGrams = kGramSpans(
+      benchmark.select(col("doc_id"), split(col("text"), " ").as("toks")),
+      k).select(col("gram")).distinct()
     val hits = kGramSpans(docs, k)
       .join(benchGrams, Seq("gram"))
       .select(col("doc_id"), col("pos"))

@@ -831,7 +831,10 @@ object TextAnalysis {
     // the derived vectors feed THREE consumers inside embeddingDedup
     // (both sides of the pair join + the final id frame); a
     // localCheckpoint materializes the explode+2-shuffle derivation
-    // once instead of three times (same device as dupClusters' rounds)
+    // once instead of three times (same device as dupClusters'
+    // rounds). Lifecycle: checkpoint blocks are persisted RDD blocks,
+    // so the ContextCleaner unpersists them once the frame becomes
+    // unreachable — repeated invocations do not pin storage forever.
     "q151_docvec_neardup" -> ((s, d) =>
       Similarity.embeddingDedup(
         docVectors(Tables(s, d).documents).localCheckpoint(),

@@ -25,9 +25,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // every registered query gets its own entry — no "rest" bucket
     assert(!line.contains("\"rest\""),
       "registry outgrew MaxQueryEntries — per-query coverage lost")
-    // short keys must stay unique, or per-query timings collide
-    val short = names.map(n =>
-      n.takeWhile(_ != '_').dropWhile(!_.isDigit).dropWhile(_ == '0'))
+    // short keys must stay unique, or per-query timings collide —
+    // tested through the REAL derivation, not a copy that could drift
+    val short = names.map(Bench.shortKey)
     assert(short.distinct.size == short.size,
       s"duplicate short keys: ${short.diff(short.distinct).distinct}")
   }
