@@ -66,7 +66,11 @@ object ScaleTrial {
     "q204_source_novelty", // gram-keyed argmin + tiny cum window
     "q206_manifest_merge", // two manifests + an nShards-row join
     "q208_exact_heavy_tokens", // CMS screen + candidate-only exact agg
-    "q210_fluency_bands") // LM scoring + distributed-rank CDF lookup
+    "q210_fluency_bands", // LM scoring + distributed-rank CDF lookup
+    "q211_release_card", // six 1-row branches, scalar assembly
+    "q212_heldout_fluency", // model left joins, crawl-side scan
+    "q213_heldout_fluency_local", // broadcast-model udf projection
+    "q214_ccnet_keep") // the composed held-out gate
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
