@@ -907,6 +907,46 @@ object CorpusSignals {
     afterNearDup.join(contaminatedIds, Seq("doc_id"), "left_anti")
   }
 
+  /** The curation WATERFALL — per-stage attrition of the q130
+    * pipeline (raw → chars quality gate → exact dedup →
+    * decontamination), one row per stage with surviving doc/char
+    * mass. This is the report every curation run logs first: where
+    * the corpus went. Stages replicate [[curatedDocs]]'s exact
+    * algebra (and the oracle reuses q130's CTEs), so the funnel and
+    * the pipeline cannot disagree about who survives.
+    *
+    * Scale: each stage row is ONE partial aggregate of a stage
+    * relation the composed plan already builds; the union moves four
+    * rows. Catalyst shares nothing between the stage scans here
+    * (they are separate aggregates by construction), which at 100 TB
+    * you'd amortize by persisting `deduped` — the only stage two
+    * consumers read. */
+  def curationFunnel(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200): DataFrame = {
+    val raw = docs.filter(col("source") =!= evalSource)
+    val corpus = raw.filter(col("n_chars").between(minChars, maxChars))
+    val keep = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = corpus.join(keep, Seq("doc_id"), "left_semi")
+    val evalGrams = fiveGrams(docs.filter(col("source") === evalSource))
+      .select(col("g")).distinct()
+    val contaminatedIds = fiveGrams(deduped)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("s"))
+        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), coalesce(col("s"), lit(0L)).as("n_chars_total"))
+    stage(raw, 0, "raw")
+      .unionAll(stage(corpus, 1, "quality_gate"))
+      .unionAll(stage(deduped, 2, "exact_dedup"))
+      .unionAll(stage(clean, 3, "decontaminated"))
+      .orderBy(col("stage"))
+  }
+
   /** The whole curation workflow as ONE composed plan — the user
     * story this library exists for: [[curatedDocs]] (quality gate →
     * exact dedup → optional near-dup collapse → decontamination) →
@@ -1102,6 +1142,8 @@ object CorpusSignals {
       sourceNoveltyCurve(Tables(s, d).documents)),
     "q211_release_card" -> ((s, d) =>
       releaseCard(Tables(s, d).documents)),
+    "q215_curation_funnel" -> ((s, d) =>
+      curationFunnel(Tables(s, d).documents)),
     // snapshot perturbation = the q124 pattern: every 97th doc leaves
     // the corpus, every 31st gets an edit suffix
     "q163_token_drift" -> ((s, d) => {
@@ -1250,6 +1292,52 @@ object CorpusSignals {
         |FROM inter JOIN sizes x ON inter.s1 = x.source
         |JOIN sizes y ON inter.s2 = y.source
         |ORDER BY s1, s2""".stripMargin,
+    // q130's stage CTEs verbatim, each counted — the funnel and the
+    // pipeline share one algebra
+    "q215_curation_funnel" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE source <> 'src0'),
+        |corpus AS (
+        |  SELECT * FROM raw WHERE n_chars BETWEEN 200 AND 1200),
+        |keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1),
+        |deduped AS (
+        |  SELECT c.doc_id, c.text, c.n_chars FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.doc_id),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    AS g
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents
+        |        WHERE source = 'src0')),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM deduped)) d
+        |  JOIN eval_grams e ON d.g = e.g),
+        |clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT * FROM (
+        |  SELECT 0 AS stage, 'raw' AS stage_name,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars_total
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM corpus
+        |  UNION ALL
+        |  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM deduped
+        |  UNION ALL
+        |  SELECT 3, 'decontaminated', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM clean)
+        |ORDER BY stage""".stripMargin,
     // every stat is an integer count; the gopher-keep branch inlines
     // the q174 oracle and filters to the train side by doc_id join,
     // so the two keep definitions cannot drift

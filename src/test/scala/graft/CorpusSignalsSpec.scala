@@ -376,6 +376,24 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty)
   }
 
+  test("curationFunnel: monotone attrition, last stage equals curatedDocs") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val f = CorpusSignals.curationFunnel(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f.map(x => (x._1, x._2)).toSeq == Seq(
+      (0, "raw"), (1, "quality_gate"), (2, "exact_dedup"),
+      (3, "decontaminated")))
+    // docs and chars can only shrink down the funnel
+    assert(f.sliding(2).forall { case Array(a, b) =>
+      b._3 <= a._3 && b._4 <= a._4 })
+    // the funnel's last stage IS the curated survivor set
+    val curated = CorpusSignals.curatedDocs(docs)
+    assert(f.last._3 == curated.count())
+    assert(f.last._4 ==
+      curated.agg(sum(col("n_chars"))).head.getLong(0))
+    assert(f.head._3 > f.last._3) // the test corpus actually attrits
+  }
+
   test("releaseCard: every stat verifiable by hand on a planted corpus") {
     import spark.implicits._
     val good = "the quick brown foxes moved softly over damp grass " +
