@@ -70,7 +70,8 @@ object ScaleTrial {
     "q211_release_card", // six 1-row branches, scalar assembly
     "q212_heldout_fluency", // model left joins, crawl-side scan
     "q213_heldout_fluency_local", // broadcast-model udf projection
-    "q214_ccnet_keep") // the composed held-out gate
+    "q214_ccnet_keep", // the composed held-out gate
+    "q215_curation_funnel") // four stage aggregates, four rows out
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
