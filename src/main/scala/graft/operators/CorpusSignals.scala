@@ -921,8 +921,11 @@ object CorpusSignals {
     * (they are separate aggregates by construction), which at 100 TB
     * you'd amortize by persisting `deduped` — the only stage two
     * consumers read. */
-  def curationFunnel(docs: DataFrame, evalSource: String = "src0",
-      minChars: Long = 200, maxChars: Long = 1200): DataFrame = {
+  /** The four stage relations of the q130 curation algebra, shared
+    * by the corpus-level ([[curationFunnel]]) and per-source
+    * ([[curationFunnelBySource]]) waterfalls. */
+  private def curationStages(docs: DataFrame, evalSource: String,
+      minChars: Long, maxChars: Long): Seq[(Int, String, DataFrame)] = {
     val raw = docs.filter(col("source") =!= evalSource)
     val corpus = raw.filter(col("n_chars").between(minChars, maxChars))
     val keep = corpus.groupBy(md5(col("text")).as("h"))
@@ -935,17 +938,36 @@ object CorpusSignals {
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct()
     val clean = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
-    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("s"))
-        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"), coalesce(col("s"), lit(0L)).as("n_chars_total"))
-    stage(raw, 0, "raw")
-      .unionAll(stage(corpus, 1, "quality_gate"))
-      .unionAll(stage(deduped, 2, "exact_dedup"))
-      .unionAll(stage(clean, 3, "decontaminated"))
-      .orderBy(col("stage"))
+    Seq((0, "raw", raw), (1, "quality_gate", corpus),
+      (2, "exact_dedup", deduped), (3, "decontaminated", clean))
   }
+
+  def curationFunnel(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200): DataFrame =
+    curationStages(docs, evalSource, minChars, maxChars).map {
+      case (ord, name, df) =>
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s"))
+          .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), coalesce(col("s"), lit(0L)).as("n_chars_total"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+
+  /** [[curationFunnel]] split by SOURCE — which feed is full of
+    * undersized docs, duplicates, or benchmark leakage: the triage
+    * view a curation engineer reads before deciding which crawl to
+    * fix. Same shared stage algebra; each stage rolls up per source
+    * (map-side-combinable, |sources|·4 rows out). A source whose
+    * docs all die at some stage simply has no row there — absence IS
+    * the signal, and the oracle states the same group-wise shape. */
+  def curationFunnelBySource(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200): DataFrame =
+    curationStages(docs, evalSource, minChars, maxChars).map {
+      case (ord, name, df) =>
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s"))
+          .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+            col("source"), col("n_docs"),
+            coalesce(col("s"), lit(0L)).as("n_chars_total"))
+    }.reduce(_ unionAll _).orderBy(col("stage"), col("source"))
 
   /** The whole curation workflow as ONE composed plan — the user
     * story this library exists for: [[curatedDocs]] (quality gate →
@@ -1144,6 +1166,8 @@ object CorpusSignals {
       releaseCard(Tables(s, d).documents)),
     "q215_curation_funnel" -> ((s, d) =>
       curationFunnel(Tables(s, d).documents)),
+    "q216_funnel_by_source" -> ((s, d) =>
+      curationFunnelBySource(Tables(s, d).documents)),
     // snapshot perturbation = the q124 pattern: every 97th doc leaves
     // the corpus, every 31st gets an edit suffix
     "q163_token_drift" -> ((s, d) => {
@@ -1292,6 +1316,56 @@ object CorpusSignals {
         |FROM inter JOIN sizes x ON inter.s1 = x.source
         |JOIN sizes y ON inter.s2 = y.source
         |ORDER BY s1, s2""".stripMargin,
+    // the same stage CTEs rolled up per source; a source with no
+    // survivors at a stage has no row there (GROUP BY semantics on
+    // both engines)
+    "q216_funnel_by_source" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, n_chars, source FROM documents
+        |  WHERE source <> 'src0'),
+        |corpus AS (
+        |  SELECT * FROM raw WHERE n_chars BETWEEN 200 AND 1200),
+        |keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1),
+        |deduped AS (
+        |  SELECT c.doc_id, c.text, c.n_chars, c.source FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.doc_id),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    AS g
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents
+        |        WHERE source = 'src0')),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM deduped)) d
+        |  JOIN eval_grams e ON d.g = e.g),
+        |clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT * FROM (
+        |  SELECT 0 AS stage, 'raw' AS stage_name, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS n_chars_total
+        |  FROM raw GROUP BY source
+        |  UNION ALL
+        |  SELECT 1, 'quality_gate', source, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT)
+        |  FROM corpus GROUP BY source
+        |  UNION ALL
+        |  SELECT 2, 'exact_dedup', source, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT)
+        |  FROM deduped GROUP BY source
+        |  UNION ALL
+        |  SELECT 3, 'decontaminated', source, CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(n_chars), 0) AS BIGINT)
+        |  FROM clean GROUP BY source)
+        |ORDER BY stage, source""".stripMargin,
     // q130's stage CTEs verbatim, each counted — the funnel and the
     // pipeline share one algebra
     "q215_curation_funnel" ->

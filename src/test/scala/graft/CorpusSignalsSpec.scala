@@ -394,6 +394,28 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(f.head._3 > f.last._3) // the test corpus actually attrits
   }
 
+  test("per-source funnel sums to the corpus funnel at every stage") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val whole = CorpusSignals.curationFunnel(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val bySrc = CorpusSignals.curationFunnelBySource(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view
+      .mapValues(rows => (rows.map(_._2).sum, rows.map(_._3).sum)).toMap
+    assert(bySrc == whole)
+    // per-source attrition is monotone too
+    val perSource = CorpusSignals.curationFunnelBySource(docs).collect()
+      .map(r => (r.getString(2), r.getInt(0), r.getLong(3)))
+      .groupBy(_._1)
+    perSource.values.foreach { rows =>
+      val byStage = rows.sortBy(_._2).map(_._3).toSeq
+      assert(byStage.sliding(2).forall {
+        case Seq(a, b) => b <= a
+        case _ => true
+      })
+    }
+  }
+
   test("releaseCard: every stat verifiable by hand on a planted corpus") {
     import spark.implicits._
     val good = "the quick brown foxes moved softly over damp grass " +
