@@ -794,7 +794,52 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("prefix"))
 
+  /** Per-document Simpson token diversity — the aggregate
+    * repetitiveness signal complementing [[CorpusSignals
+    * .repetitionSignals]]'s dup-word/top-bigram fractions: Simpson
+    * index Σ(cᵢ/n)² over the doc's token counts (the probability two
+    * random tokens match) and its inverse, the EFFECTIVE vocabulary
+    * size n²/Σcᵢ² — low effective vocab = boilerplate/loops/gibberish
+    * repetition regardless of which token repeats.
+    *
+    * The whole operator is ONE narrow projection (the q197
+    * zero-shuffle shape): the token counts never leave the row —
+    * Σcᵢ² comes from a run-length fold over the doc's SORTED token
+    * array (extending a run from r to r+1 adds 2r+1), so there is no
+    * (doc, token) explode, no shuffle, and the plan is codegen end to
+    * end at any corpus size. All counts are exact integers and each
+    * reported ratio is a single correctly-rounded IEEE division of
+    * exactly-converted longs, so the relational GROUP-BY oracle
+    * replays it hash-exact. */
+  def tokenDiversity(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val z = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("sq"), lit(0L).as("types"))
+    val folded = aggregate(array_sort(toks), z, (acc, x) =>
+      when(acc.getField("run") > lit(0L) && x === acc.getField("prev"),
+        struct(x.as("prev"),
+          (acc.getField("run") + lit(1L)).as("run"),
+          (acc.getField("sq") + acc.getField("run") * lit(2L) + lit(1L))
+            .as("sq"),
+          acc.getField("types").as("types")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          (acc.getField("sq") + lit(1L)).as("sq"),
+          (acc.getField("types") + lit(1L)).as("types"))))
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        folded.getField("types").as("n_types"),
+        folded.getField("sq").as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        (col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast("double") /
+          col("sum_sq").cast("double")).as("eff_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_token_diversity" ->
+      ((s, d) => tokenDiversity(Tables(s, d).documents)),
     "q174_gopher_rules" ->
       ((s, d) => gopherRules(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
@@ -989,6 +1034,25 @@ object TextAnalysis {
         |WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
         |  >= (0.5 * 0.5) * CAST(na.n2 * nb.n2 AS DOUBLE)
         |ORDER BY d.d1, d.d2""".stripMargin,
+    // exact integer token counts (the relational GROUP-BY twin of the
+    // row-local run-length fold) and single long/long IEEE divisions
+    "q218_token_diversity" ->
+      """WITH tc AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c*c) AS BIGINT) AS sum_sq
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, sum_sq,
+        |  CAST(sum_sq AS DOUBLE)
+        |    / CAST(n_tokens*n_tokens AS DOUBLE) AS simpson,
+        |  CAST(n_tokens*n_tokens AS DOUBLE)
+        |    / CAST(sum_sq AS DOUBLE) AS eff_vocab
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // same integer-derived divisions ((chars-spaces)/words, types/
     // words) and the same NULL-skipping concat_ws reason assembly
     "q174_gopher_rules" ->

@@ -634,4 +634,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getDouble(3) >= 0.5 &&
       r.getLong(0) < r.getLong(1)))
   }
+
+  test("tokenDiversity: repetitive doc collapses, diverse doc spreads") {
+    val docs = Seq(
+      (1L, "x x x x"),      // one type: simpson 1, eff_vocab 1
+      (2L, "a b c d"),      // all distinct: simpson 1/n, eff_vocab n
+      (3L, "a a b b")       // two types of 2: sum_sq 8, eff 16/8 = 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((4L, 1L, 16L, 1.0, 1.0)))
+    assert(got(2L) == ((4L, 4L, 4L, 0.25, 4.0)))
+    assert(got(3L) == ((4L, 2L, 8L, 0.5, 2.0)))
+  }
+
+  test("tokenDiversity run-length fold == relational groupBy counts") {
+    // the zero-shuffle fold must agree with the (doc, token) rollup it
+    // replaces, over real corpus text
+    val docs = Tables(spark, sf).documents.limit(200).localCheckpoint()
+    val folded = TextAnalysis.tokenDiversity(docs)
+      .select("doc_id", "n_tokens", "n_types", "sum_sq")
+    val relational = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    assert(folded.exceptAll(relational).isEmpty &&
+      relational.exceptAll(folded).isEmpty)
+  }
+
+  test("tokenDiversity is a pure projection: no hash shuffle in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tokenDiversity(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
