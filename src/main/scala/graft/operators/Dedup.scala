@@ -89,6 +89,72 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** MinHash estimator CALIBRATION — the audit that turns "we trust
+    * the sketch" into a driver-checked number. [[minhashSignatures]]'s
+    * xxhash64 family is engine-specific (q28 is rows-only), so this
+    * audit uses a PORTABLE permutation family — minhash_i = min over
+    * the doc's distinct shingles of md5("i:" || shingle), lexicographic
+    * min over hex strings — that any engine replays bit-exactly. For
+    * every candidate pair sharing a RARE shingle (document frequency ≤
+    * `maxDf` — the [[TextAnalysis.sparseCosinePairs]] posting-list
+    * device, which reaches the cross-source near-dup families a
+    * (lang, source) block tier never pairs) it reports the
+    * signature-agreement estimate (matching positions / numPerms — the
+    * unbiased MinHash estimator, Broder 1997) next to the EXACT
+    * shingle Jaccard and the absolute error, for pairs with exact
+    * similarity ≥ `minJaccard` (0.25 sits in the empirical gap between
+    * the ≥0.8 planted near-dup band and the <0.1 background, so the
+    * audited region is the one a dedup threshold lives in).
+    *
+    * Scale: signatures are ROW-LOCAL (numPerms·|shingles| md5 calls per
+    * doc, no explode/groupBy — cheaper than [[minhashSignatures]]'s
+    * shuffle for bounded numPerms); candidate volume is ≤ maxDf · kept
+    * gram occurrences — linear in corpus size for a fixed cap.
+    * Estimator quality (E[est] = J, |err| ≲ 1/√numPerms) is what the
+    * driver check certifies on real pairs. */
+  def minhashCalibration(docs: DataFrame, shingleSize: Int = 3,
+      numPerms: Int = 16, minJaccard: Double = 0.25,
+      maxDf: Long = 20): DataFrame = {
+    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(col("sh"),
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    // feeds the posting explode AND both pair sides — materialize the
+    // signatures once (the q151/q202 localCheckpoint device)
+    val based = docs
+      .select(col("doc_id"), sortedShingles(col("text"), shingleSize).as("sh"))
+      .withColumn("sig", sig)
+      .localCheckpoint()
+    // candidate tier: docs sharing a RARE shingle (df-capped posting
+    // join, the q202 Bayardo device) — linear in corpus for a fixed
+    // cap, and it reaches the cross-source near-dup families that a
+    // (lang, source) block tier never pairs
+    val post = based.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfr = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val kept = post.join(
+      dfr.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+    val cand = kept.select(col("g"), col("doc_id").as("d1"))
+      .join(kept.select(col("g"), col("doc_id").as("d2")), Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val matches = size(filter(sequence(lit(0), lit(numPerms - 1)),
+      i => element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1)))
+    cand
+      .join(based.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("sig").as("sig1")), "d1")
+      .join(based.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"),
+        matches.cast("long").as("n_match"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("n_match"),
+        (col("n_match").cast("double") / numPerms).as("est_jaccard"),
+        col("jaccard"),
+        abs(col("n_match").cast("double") / numPerms - col("jaccard"))
+          .as("abs_err"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Bound every BLOCK of an exact pair tier to its `maxBlock` first
     * members under the caller's total order `ord` — the anti-quadratic
     * guard for blocking keys whose cardinality is data-fixed
@@ -928,6 +994,8 @@ object Dedup {
     }),
     "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
+    "q217_minhash_calibration" ->
+      ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),
     "q82_dup_clusters" ->
@@ -1027,6 +1095,46 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same md5("i:"||shingle) permutation family, same lexicographic
+    // hex min, same matches/16 estimator and the q26 exact-jaccard
+    // formula — the sketch itself replays, not just its output
+    "q217_minhash_calibration" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh,
+        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM docs),
+        |post AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+        |dfr AS (SELECT g, count(*) AS df FROM post GROUP BY g),
+        |kept AS (
+        |  SELECT p.doc_id, p.g FROM post p JOIN dfr USING (g)
+        |  WHERE dfr.df <= 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT d1, d2,
+        |    CAST(len(list_filter(range(16),
+        |      i -> x.sig[i + 1] = y.sig[i + 1])) AS BIGINT) AS n_match,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sigs x ON x.doc_id = cand.d1
+        |  JOIN sigs y ON y.doc_id = cand.d2)
+        |SELECT d1, d2, n_match,
+        |  CAST(n_match AS DOUBLE) / 16 AS est_jaccard, jaccard,
+        |  abs(CAST(n_match AS DOUBLE) / 16 - jaccard) AS abs_err
+        |FROM pairs WHERE jaccard >= 0.25
+        |ORDER BY d1, d2""".stripMargin,
     "q145_cross_corpus_new" -> crossCorpusOracle,
     // the bloom-screened split must be row-identical to the plain form
     "q189_cross_corpus_bloom" -> crossCorpusOracle,

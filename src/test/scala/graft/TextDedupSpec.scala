@@ -635,6 +635,49 @@ class TextDedupSpec extends AnyFunSuite {
       r.getLong(0) < r.getLong(1)))
   }
 
+  test("minhashCalibration: identical docs estimate exactly 1") {
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq((1L, text), (2L, text), (3L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs).collect()
+    // only the identical pair clears minJaccard; disjoint docs never pair
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getLong(2) == 16L && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("minhashCalibration: estimator lands near exact jaccard on " +
+      "planted partial overlap") {
+    // 12 tokens -> 10 shingles; second doc shares a 7-token prefix
+    // (5 shared shingles) => J = 5 / 15 = 1/3
+    val a = "a b c d e f g h i j k l"
+    val b = "a b c d e f g m n o p q"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs, minJaccard = 0.1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-15)
+    // k=16 estimator: within 4 standard errors of truth (SE ~ 0.118)
+    assert(r.getDouble(5) <= 4 * math.sqrt(r.getDouble(4) *
+      (1 - r.getDouble(4)) / 16))
+    // est is n_match/16 by construction
+    assert(r.getDouble(3) == r.getLong(2).toDouble / 16)
+  }
+
+  test("minhashCalibration audits the sf0.001 near-dup band accurately") {
+    val docs = Tables(spark, sf).documents
+    val got = Dedup.minhashCalibration(docs).collect()
+    assert(got.nonEmpty)
+    // the audited region is the planted near-dup band; the k=16
+    // estimator must track exact jaccard closely there (J >= 0.8 =>
+    // SE <= 0.1; 4 SE is a generous but real certification)
+    assert(got.forall(r => r.getDouble(4) >= 0.25))
+    val meanErr = got.map(_.getDouble(5)).sum / got.length
+    assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
+  }
+
   test("tokenDiversity: repetitive doc collapses, diverse doc spreads") {
     val docs = Seq(
       (1L, "x x x x"),      // one type: simpson 1, eff_vocab 1
