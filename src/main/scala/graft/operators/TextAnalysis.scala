@@ -794,6 +794,49 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("prefix"))
 
+  /** Per-SOURCE robust calibration of the in-engine fluency score —
+    * the fix for "quality scores are not comparable across sources"
+    * (a crawl and a curated corpus have different score distributions,
+    * so one global threshold over- or under-filters every source):
+    * each scoreable doc gets its [[bigramFluency]] score re-expressed
+    * as a robust z-score within its source, (score − median_src) /
+    * MAD_src — median/MAD instead of mean/std so a source's outlier
+    * tail cannot drag its own calibration (the q181 robustness
+    * argument applied to corpus curation).
+    *
+    * Both per-source medians ride [[Describe.groupedExactQuantiles]]
+    * (counts + distributed rank — never a per-group sort), the
+    * |sources|-sized med/MAD maps come back as literal columns, and
+    * the final score is two IEEE ops (subtract, divide) on values the
+    * oracle reproduces bitwise — hash-exact end to end. MAD = 0
+    * (constant-score source) yields NULL via the same nullif algebra
+    * in both engines. */
+  def calibratedFluency(docs: DataFrame): DataFrame = {
+    val fl = bigramFluency(docs)
+      .filter(col("avg_prob").isNotNull)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint() // scored once; feeds two quantile passes + output
+    val med = Describe.groupedExactQuantiles(fl, "source",
+      Seq("avg_prob"), Seq(0.5)).map { case ((g, _), v) => g -> v.head }
+    val medExpr = try_element_at(
+      map(med.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[org.apache.spark.sql.Column]
+      }: _*), col("source"))
+    val dev = fl.select(col("source"),
+      abs(col("avg_prob") - medExpr).as("dev"))
+    val mad = Describe.groupedExactQuantiles(dev, "source",
+      Seq("dev"), Seq(0.5)).map { case ((g, _), v) => g -> v.head }
+    val madExpr = try_element_at(
+      map(mad.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[org.apache.spark.sql.Column]
+      }: _*), col("source"))
+    fl.select(col("doc_id"), col("source"), col("avg_prob"),
+        medExpr.as("med"), madExpr.as("mad"))
+      .withColumn("robust_z", (col("avg_prob") - col("med")) /
+        when(col("mad") === 0.0, lit(null)).otherwise(col("mad")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document Simpson token diversity — the aggregate
     * repetitiveness signal complementing [[CorpusSignals
     * .repetitionSignals]]'s dup-word/top-bigram fractions: Simpson
@@ -840,6 +883,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_token_diversity" ->
       ((s, d) => tokenDiversity(Tables(s, d).documents)),
+    "q220_calibrated_fluency" ->
+      ((s, d) => calibratedFluency(Tables(s, d).documents)),
     "q174_gopher_rules" ->
       ((s, d) => gopherRules(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
@@ -993,6 +1038,40 @@ object TextAnalysis {
         |  s.avg_prob
         |FROM sdocs d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** q140's DuckDB twin, shared verbatim by every oracle that builds
+    * on the in-engine fluency score (q220 here; q154/q210 inline it
+    * cross-module via `oracleSql("q140_bigram_fluency")`). */
+  private[operators] val bigramFluencySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+      |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
+      |    t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |bc AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM bi GROUP BY w1, w2),
+      |probs AS (
+      |  SELECT doc_id, p,
+      |    CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS prob
+      |  FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1)
+      |  CROSS JOIN voc),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
+      |      (a, b) -> a + b) / count(*) AS avg_prob
+      |  FROM probs GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+      |  s.avg_prob
+      |FROM documents d LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // integer tf/df/dot/norms all the way down; the threshold test and
@@ -1260,36 +1339,26 @@ object TextAnalysis {
     // the row-local udf form answers the IDENTICAL SQL — udf parity
     // is oracle-checked, not just spec-asserted
     "q213_heldout_fluency_local" -> heldoutFluencySql,
-    "q140_bigram_fluency" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |uni AS (
-        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
-        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        |bi AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
-        |    t[i+1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |        FROM toks WHERE len(t) >= 2)),
-        |bc AS (
-        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |  FROM bi GROUP BY w1, w2),
-        |probs AS (
-        |  SELECT doc_id, p,
-        |    CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS prob
-        |  FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1)
-        |  CROSS JOIN voc),
-        |scored AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
-        |      (a, b) -> a + b) / count(*) AS avg_prob
-        |  FROM probs GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-        |  s.avg_prob
-        |FROM documents d LEFT JOIN scored s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q140_bigram_fluency" -> bigramFluencySql,
+    // q140's CTE (the shared literal above — the two cannot drift) +
+    // quantile_cont med/MAD per source + the same two IEEE ops
+    "q220_calibrated_fluency" ->
+      s"""WITH fl0 AS ($bigramFluencySql),
+         |fl AS (
+         |  SELECT f.doc_id, d.source, f.avg_prob
+         |  FROM fl0 f JOIN documents d USING (doc_id)
+         |  WHERE f.avg_prob IS NOT NULL),
+         |med AS (
+         |  SELECT source, quantile_cont(avg_prob, 0.5) AS med
+         |  FROM fl GROUP BY source),
+         |mad AS (
+         |  SELECT f.source, quantile_cont(abs(f.avg_prob - m.med), 0.5)
+         |    AS mad
+         |  FROM fl f JOIN med m USING (source) GROUP BY f.source)
+         |SELECT f.doc_id, f.source, f.avg_prob, m.med, d.mad,
+         |  (f.avg_prob - m.med) / nullif(d.mad, 0) AS robust_z
+         |FROM fl f JOIN med m USING (source) JOIN mad d USING (source)
+         |ORDER BY f.doc_id""".stripMargin,
     "q164_weighted_sample" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, source,

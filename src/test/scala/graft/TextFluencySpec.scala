@@ -72,4 +72,39 @@ class TextFluencySpec extends AnyFunSuite {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(local == joins && local.nonEmpty)
   }
+
+  test("calibratedFluency: median doc scores 0, signs split, " +
+      "constant source yields NULL") {
+    // srcA: three docs with distinct fluency scores -> the median doc
+    // gets robust_z = 0.0, the others split by sign.
+    // srcB: identical docs -> identical scores -> MAD 0 -> NULL z.
+    val docs = Seq(
+      (1L, "a b a b a", "srcA"), (2L, "a b c d e", "srcA"),
+      (3L, "e d c b a", "srcA"),
+      (4L, "x y x y", "srcB"), (5L, "x y x y", "srcB"),
+      (6L, "x y x y", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.calibratedFluency(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), if (r.isNullAt(5)) None
+          else Some(r.getDouble(5))))).toMap
+    assert(got.size == 6)
+    val aZ = Seq(1L, 2L, 3L).map(got(_)._3.get)
+    assert(aZ.count(_ == 0.0) == 1)
+    assert(aZ.count(_ > 0) == 1 && aZ.count(_ < 0) == 1)
+    assert(Seq(4L, 5L, 6L).forall(got(_)._3.isEmpty))
+  }
+
+  test("calibratedFluency re-centers every source at sf0.001") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val cal = TextAnalysis.calibratedFluency(docs).collect()
+    assert(cal.nonEmpty)
+    // per source: at least one doc at/below and one at/above median
+    val bySrc = cal.groupBy(_.getString(1))
+    assert(bySrc.size > 1)
+    bySrc.foreach { case (src, rows) =>
+      val zs = rows.filter(!_.isNullAt(5)).map(_.getDouble(5))
+      assert(zs.exists(_ <= 0) && zs.exists(_ >= 0), src)
+    }
+  }
 }
