@@ -794,6 +794,36 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("prefix"))
 
+  /** Per-document NEAREST-DUPLICATE report — the human-audit view of
+    * a dedup run ("show me each flagged doc's closest neighbor"),
+    * composed from [[sparseCosinePairs]]'s posting-list tier: the pair
+    * set is symmetrized and each participating doc keeps its SINGLE
+    * strongest neighbor (highest cosine, ties to the smallest neighbor
+    * id) plus how many candidates it had. The per-doc argmax is a
+    * partial-aggregatable min(struct(−cosine, neighbor, dot)) — the
+    * q190 keep-best device, no window — so the rollup adds one
+    * doc-keyed shuffle of pair-volume rows to q202's cost and nothing
+    * else. Negating a double is exact, so min(−cosine) ≡ max(cosine)
+    * bitwise and the row_number oracle replays the same choice. */
+  def nearestDuplicates(docs: DataFrame, threshold: Double = 0.5,
+      maxDf: Long = 20): DataFrame = {
+    val pairs = sparseCosinePairs(docs, threshold, maxDf)
+    val sym = pairs
+      .select(col("d1").as("doc_id"), col("d2").as("neighbor"),
+        col("dot"), col("cosine"))
+      .unionByName(pairs.select(col("d2").as("doc_id"),
+        col("d1").as("neighbor"), col("dot"), col("cosine")))
+    sym.groupBy(col("doc_id"))
+      .agg(
+        min(struct((-col("cosine")).as("nc"), col("neighbor").as("nb"),
+          col("dot").as("dt"))).as("b"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("doc_id"), col("b.nb").as("neighbor"),
+        col("b.dt").as("dot"), (-col("b.nc")).as("cosine"),
+        col("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-SOURCE robust calibration of the in-engine fluency score —
     * the fix for "quality scores are not comparable across sources"
     * (a crawl and a curated corpus have different score distributions,
@@ -885,6 +915,8 @@ object TextAnalysis {
       ((s, d) => tokenDiversity(Tables(s, d).documents)),
     "q220_calibrated_fluency" ->
       ((s, d) => calibratedFluency(Tables(s, d).documents)),
+    "q221_nearest_duplicates" ->
+      ((s, d) => nearestDuplicates(Tables(s, d).documents)),
     "q174_gopher_rules" ->
       ((s, d) => gopherRules(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
@@ -1073,46 +1105,65 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q202's DuckDB twin (shared verbatim with q221's composition). */
+  private[operators] val sparseCosineSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(t)-2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks),
+      |tf AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+      |  FROM grams GROUP BY doc_id, g),
+      |dfr AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g),
+      |kept AS (
+      |  SELECT tf.doc_id, tf.g, tf.tf
+      |  FROM tf JOIN dfr USING (g) WHERE dfr.df <= 20),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+      |  FROM kept GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM kept a JOIN kept b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d.d1, d.d2, d.dot,
+      |  CAST(d.dot AS DOUBLE)
+      |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+      |FROM dots d
+      |JOIN norms na ON na.doc_id = d.d1
+      |JOIN norms nb ON nb.doc_id = d.d2
+      |WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+      |  >= (0.5 * 0.5) * CAST(na.n2 * nb.n2 AS DOUBLE)
+      |ORDER BY d.d1, d.d2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // integer tf/df/dot/norms all the way down; the threshold test and
     // the final cosine are the SAME exactly-converted double ops
     // (0.5*0.5 is exact in IEEE, sqrt and / are correctly rounded), so
     // the posting-list join replays bit-exactly
-    "q202_sparse_cosine_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, len(t)-2),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-        |  FROM toks),
-        |tf AS (
-        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
-        |  FROM grams GROUP BY doc_id, g),
-        |dfr AS (
-        |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g),
-        |kept AS (
-        |  SELECT tf.doc_id, tf.g, tf.tf
-        |  FROM tf JOIN dfr USING (g) WHERE dfr.df <= 20),
-        |norms AS (
-        |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
-        |  FROM kept GROUP BY doc_id),
-        |dots AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-        |  FROM kept a JOIN kept b
-        |    ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d.d1, d.d2, d.dot,
-        |  CAST(d.dot AS DOUBLE)
-        |    / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
-        |FROM dots d
-        |JOIN norms na ON na.doc_id = d.d1
-        |JOIN norms nb ON nb.doc_id = d.d2
-        |WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
-        |  >= (0.5 * 0.5) * CAST(na.n2 * nb.n2 AS DOUBLE)
-        |ORDER BY d.d1, d.d2""".stripMargin,
+    "q202_sparse_cosine_pairs" -> sparseCosineSql,
+    // q202's CTE symmetrized, then per-doc argmax replayed as the
+    // (cosine DESC, neighbor ASC) row_number the min(struct) encodes
+    "q221_nearest_duplicates" ->
+      s"""WITH p AS ($sparseCosineSql),
+         |sym AS (
+         |  SELECT d1 AS doc_id, d2 AS neighbor, dot, cosine FROM p
+         |  UNION ALL
+         |  SELECT d2 AS doc_id, d1 AS neighbor, dot, cosine FROM p)
+         |SELECT doc_id, neighbor, dot, cosine, n_candidates FROM (
+         |  SELECT doc_id, neighbor, dot, cosine,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cosine DESC, neighbor) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS n_candidates
+         |  FROM sym) q WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     // exact integer token counts (the relational GROUP-BY twin of the
     // row-local run-length fold) and single long/long IEEE divisions
     "q218_token_diversity" ->

@@ -678,6 +678,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(meanErr < 0.1, s"mean |est - exact| = $meanErr")
   }
 
+  test("nearestDuplicates keeps the strongest neighbor, ties to " +
+      "smallest id") {
+    val fam = "a b c d e f g h"
+    val docs = Seq(
+      (1L, fam),                 // identical to 2 and 3 (cos 1.0 both)
+      (2L, fam), (3L, fam),
+      (4L, "a b c d e f x y"),   // similar but weaker to the family
+      (5L, "p q r s t u v w")    // unrelated: must not appear
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.nearestDuplicates(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1.0) // tie 2 vs 3 -> 2
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1.0)
+    assert(got(3L)._1 == 1L && got(3L)._2 == 1.0)
+    // doc 4's best neighbor is one of the identical family, cos < 1
+    assert(Set(1L, 2L, 3L).contains(got(4L)._1) && got(4L)._2 < 1.0)
+  }
+
+  test("nearestDuplicates agrees with the strongest q202 pair per doc") {
+    val docs = Tables(spark, sf).documents
+    val pairs = TextAnalysis.sparseCosinePairs(docs).collect()
+      .flatMap(r => Seq(
+        (r.getLong(0), (r.getLong(1), r.getDouble(3))),
+        (r.getLong(1), (r.getLong(0), r.getDouble(3)))))
+    val expect = pairs.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2).minBy { case (nb, cos) => (-cos, nb) }
+    }
+    val got = TextAnalysis.nearestDuplicates(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("tokenDiversity: repetitive doc collapses, diverse doc spreads") {
     val docs = Seq(
       (1L, "x x x x"),      // one type: simpson 1, eff_vocab 1
