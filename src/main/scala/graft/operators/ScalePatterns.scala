@@ -492,6 +492,40 @@ object ScalePatterns {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch-seeded deterministic data ORDER — the trainer-side shuffle:
+    * every epoch must visit the corpus in a different but REPRODUCIBLE
+    * order (elastic restarts, tensor-parallel replicas and data-loader
+    * workers all have to agree on example k of epoch e without
+    * coordinating). Order key = md5("epoch<e>:" || doc_id) — a pure
+    * projection, so the permutation is a property of the DATA, not of
+    * partitioning or cluster shape — and the contiguous position comes
+    * from the [[globalRowIds]] two-phase prefix device re-keyed for a
+    * HASH ordering: the shard is the key's first hex byte (shard order
+    * == key order because the int value of a hex prefix is monotone in
+    * the string), ranks run per-shard in parallel, and the offset
+    * prefix rides 256 count rows. The oracle IS the avoided global
+    * `row_number() OVER (ORDER BY md5(...))`. */
+  def epochShuffle(docs: DataFrame, epoch: Int): DataFrame = {
+    val sharded = docs.select(col("doc_id"))
+      .withColumn("k", md5(concat(lit(s"epoch$epoch:"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard_id", conv(substring(col("k"), 1, 2), 16, 10)
+        .cast("int"))
+    val wLocal = Window.partitionBy(col("shard_id"))
+      .orderBy(col("k"), col("doc_id"))
+    val wOffsets = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("shard_id"),
+        coalesce(sum(col("n")).over(wOffsets), lit(0L)).as("off"))
+    sharded
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("shard_id"))
+      .select(col("doc_id"), (col("local_rn") + col("off")).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-shard id: a pure hash projection of
     * doc_id (the salted-md5-prefix device of q134/q164, so the same
     * assignment replays in any engine). Shard membership depends on
@@ -653,6 +687,8 @@ object ScalePatterns {
     "q162_bucketed_join" -> ((s, d) => bucketedCustomerVolume(s, d)),
     "q149_global_row_ids" -> ((s, d) =>
       globalRowIds(Tables(s, d).documents)),
+    "q222_epoch_shuffle" -> ((s, d) =>
+      epochShuffle(Tables(s, d).documents, epoch = 3)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
     // the merge must equal the direct whole-corpus manifest — the
@@ -838,6 +874,12 @@ object ScalePatterns {
     "q149_global_row_ids" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the global hash-ordered window the sharded form avoids
+    "q222_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY
+        |    md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q118_equi_depth_hist" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n,

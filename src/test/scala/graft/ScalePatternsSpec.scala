@@ -377,4 +377,29 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(got(2)._5 == 1L)
     assert(got(3)._1 == "unchanged" && got(3)._4 == 0 && got(3)._5 == 0)
   }
+
+  test("epochShuffle: positions are a permutation matching the global " +
+      "hash order; epochs differ; partitioning-invariant") {
+    val docs = t.documents.limit(300).localCheckpoint()
+    val e1 = ScalePatterns.epochShuffle(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // permutation of 1..n
+    assert(e1.values.toSeq.sorted == (1L to e1.size.toLong))
+    // equals the data-sized global window it avoids
+    val direct = docs
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == direct)
+    // a different epoch is a different permutation of the same ids
+    val e2 = ScalePatterns.epochShuffle(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2.keySet == e1.keySet && e2 != e1)
+    // pure function of the data: partitioning cannot change it
+    val rep = ScalePatterns.epochShuffle(docs.repartition(7), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == e1)
+  }
 }
