@@ -852,6 +852,45 @@ object CorpusSignals {
     * combinable); everything after runs on ≤ #sources rows, and the
     * one unpartitioned window rides THAT parallelism-sized relation
     * (PlanAuditSpec-allowlisted like q67/q149's offset tables). */
+  /** Vocabulary COVERAGE curve from the token frequency SPECTRUM —
+    * the "how big must the tokenizer vocab be" / Heaps-Zipf diagnostic
+    * a release ships next to its dataset card: one row per distinct
+    * occurrence count c, with the number of word types at exactly c,
+    * the vocabulary size if the cut-off keeps types occurring ≥ c
+    * times, and the fraction of ALL corpus tokens that vocabulary
+    * covers. Reading top-down: "the 1,000 most frequent types cover
+    * 78% of tokens" — the curve that sizes vocab/OOV trade-offs
+    * ([[graft.operators.TextAnalysis.oovRate]] measures one chosen
+    * cut; this ranks every possible cut at once).
+    *
+    * Scale: NO per-token ranking — the curve needs only the
+    * counts-of-counts rollup (word counts → spectrum), which by Zipf
+    * is O(√total_tokens) rows (a count value c has ~N/c(c+1) types;
+    * distinct c values stop near √N), so the single cumulative window
+    * rides a vocab-BOUNDED tiny relation (PlanAuditSpec-allowlisted)
+    * while both aggregations beneath are map-side-combinable
+    * gram-keyed groupBys. All integers plus one final long/long IEEE
+    * division — hash-exact by construction. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val spectrum = wc.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+    val tot = broadcast(spectrum.agg(
+      sum(col("c") * col("n_types")).as("total_tokens")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    spectrum.crossJoin(tot)
+      .select(col("c").as("min_count"), col("n_types"),
+        sum(col("n_types")).over(w).cast("long").as("vocab_size"),
+        sum(col("c") * col("n_types")).over(w).cast("long")
+          .as("cum_tokens"),
+        (sum(col("c") * col("n_types")).over(w).cast("double") /
+          col("total_tokens").cast("double")).as("coverage"))
+      .orderBy(col("min_count").desc)
+  }
+
   def sourceNoveltyCurve(docs: DataFrame): DataFrame = {
     val sg = fiveGrams(docs, keyCol = "source").distinct()
     val perSource = sg.groupBy(col("source"))
@@ -1160,6 +1199,8 @@ object CorpusSignals {
       bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
       sourceOverlapMatrix(Tables(s, d).documents)),
+    "q223_vocab_coverage" -> ((s, d) =>
+      vocabCoverage(Tables(s, d).documents)),
     "q204_source_novelty" -> ((s, d) =>
       sourceNoveltyCurve(Tables(s, d).documents)),
     "q211_release_card" -> ((s, d) =>
@@ -1209,6 +1250,28 @@ object CorpusSignals {
        |ORDER BY doc_id, copy""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same counts-of-counts rollup, same count-descending cumulative
+    // window, one exact long/long division
+    "q223_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |sp AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM wc GROUP BY c),
+        |t AS (SELECT CAST(sum(c * n_types) AS BIGINT) AS total_tokens
+        |      FROM sp)
+        |SELECT c AS min_count, n_types,
+        |  CAST(sum(n_types) OVER (ORDER BY c DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c * n_types) OVER (ORDER BY c DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(CAST(sum(c * n_types) OVER (ORDER BY c DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+        |    / CAST(t.total_tokens AS DOUBLE) AS coverage
+        |FROM sp, t ORDER BY min_count DESC""".stripMargin,
     "q157_bpe_merges" -> bpeMergesOracle(10),
     "q177_bpe_encode" -> bpeEncodeOracle(10),
     // rational idf + order-pinned fold => bit-exact; the (1.2 + 1.0)

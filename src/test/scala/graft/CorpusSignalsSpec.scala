@@ -543,4 +543,32 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)) == (("srcA", 1L, 1L, 1L, 1.0)))
   }
+
+  test("vocabCoverage: hand-computed spectrum and cumulative coverage") {
+    import spark.implicits._
+    // counts: a=3 b=2 c=1 -> spectrum (3,1) (2,1) (1,1), 6 tokens
+    val in = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = CorpusSignals.vocabCoverage(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (3L, 1L, 1L, 3L, 0.5),
+      (2L, 1L, 2L, 5L, 5.0 / 6),
+      (1L, 1L, 3L, 6L, 1.0)))
+  }
+
+  test("vocabCoverage: full curve ends at coverage 1 over the corpus " +
+      "vocab; coverage monotone as the cut loosens") {
+    val got = CorpusSignals.vocabCoverage(docs).collect()
+    assert(got.nonEmpty)
+    val last = got.last
+    assert(last.getLong(0) == got.map(_.getLong(0)).min)
+    assert(last.getDouble(4) == 1.0)
+    val cov = got.map(_.getDouble(4)).toSeq
+    assert(cov == cov.sorted, "coverage must grow as min_count drops")
+    // vocab_size at the loosest cut = total distinct tokens
+    val types = docs.select(explode(split(col("text"), " "))).distinct()
+      .count()
+    assert(last.getLong(2) == types)
+  }
 }

@@ -55,9 +55,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // both run over exactly #shards (= parallelism) rows; q191's offset
   // prefix runs over ≤ 2·parallelism quality-range shard totals
   // q204's cumulative-novelty prefix runs over ≤ #sources rows
+  // q222's offset prefix runs over ≤ 256 hash-shard count rows
+  // q223's cumulative-coverage prefix runs over the counts-of-counts
+  // rollup — O(√total_tokens) rows by Zipf, vocab-bounded
   private val globalWindowOk = Set("q67_token_batches",
     "q149_global_row_ids", "q191_curriculum_batches",
-    "q204_source_novelty")
+    "q204_source_novelty", "q222_epoch_shuffle",
+    "q223_vocab_coverage")
 
   // streaming sources can't plan in a batch session; DSv2/JDBC/report
   // queries touch external state — they have their own suites
