@@ -373,6 +373,35 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer FERTILITY per source — the tokenizer-health report run
+    * after (re)training a vocab: pieces-per-word (fertility — how many
+    * BPE pieces an average word fragments into; a language/source the
+    * merge table underserves shows fertility ≫ 1 and trains slower on
+    * fewer effective tokens) and chars-per-piece (compression) under
+    * the [[bpeTrainMerges]] tokenizer, by composition with
+    * [[bpeEncode]]. A |sources|-row report: the encode stays the
+    * scan-speed narrow projection, the rollup is one map-side-
+    * combinable groupBy on source, and both ratios are single IEEE
+    * divisions of exact integer sums — so the full train→encode→audit
+    * chain replays hash-exact in the oracle. */
+  def bpeFertility(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeEncode(docs, nMerges)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces").cast("long")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("pieces_per_word"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("source"))
+
   /** The DuckDB twin of [[bpeEncode]]: the [[bpeMergesOracle]] train
     * stages plus a parallel word→sym vocab fold (v0..vN applying each
     * round's merge to the DISTINCT vocabulary), then a word-position
@@ -1195,6 +1224,8 @@ object CorpusSignals {
       bpeTrainMerges(Tables(s, d).documents)),
     "q177_bpe_encode" -> ((s, d) =>
       bpeEncode(Tables(s, d).documents)),
+    "q219_bpe_fertility" -> ((s, d) =>
+      bpeFertility(Tables(s, d).documents)),
     "q165_bm25_topk" -> ((s, d) =>
       bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
@@ -1274,6 +1305,23 @@ object CorpusSignals {
         |FROM sp, t ORDER BY min_count DESC""".stripMargin,
     "q157_bpe_merges" -> bpeMergesOracle(10),
     "q177_bpe_encode" -> bpeEncodeOracle(10),
+    // q177's full train+encode oracle as the inner query, rolled up
+    // per source with the same integer sums and IEEE divisions
+    "q219_bpe_fertility" ->
+      s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |    AS n_words,
+         |  CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(CAST(sum(e.n_pieces) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |        AS DOUBLE) AS pieces_per_word,
+         |  CAST(CAST(sum(d.n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(e.n_pieces) AS BIGINT) AS DOUBLE)
+         |    AS chars_per_piece
+         |FROM (${bpeEncodeOracle(10)}) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // rational idf + order-pinned fold => bit-exact; the (1.2 + 1.0)
     // style subexpressions are spelled as the SAME IEEE ops Spark's
     // plan computes, never pre-evaluated decimal literals

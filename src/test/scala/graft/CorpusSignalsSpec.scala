@@ -544,6 +544,35 @@ class CorpusSignalsSpec extends AnyFunSuite {
       r.getDouble(4)) == (("srcA", 1L, 1L, 1L, 1.0)))
   }
 
+  test("bpeFertility: per-source rollup agrees with a direct " +
+      "recomputation from the encode; every word is >= 1 piece") {
+    import spark.implicits._
+    val in = Seq(
+      // srcA repeats one word everywhere -> its chars get merged into
+      // few pieces; srcB is all rare words -> stays fragmented
+      (1L, "aaaa aaaa aaaa aaaa", "srcA", 19L),
+      (2L, "aaaa aaaa aaaa", "srcA", 14L),
+      (3L, "qfxzv wkjnm aabbc ddeef", "srcB", 23L),
+      (4L, "ppqrs ttuuv wwxxy zzabc", "srcB", 23L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = CorpusSignals.bpeFertility(in).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val enc = CorpusSignals.bpeEncode(in).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expA = (enc(1L) + enc(2L)).toLong
+    val expB = (enc(3L) + enc(4L)).toLong
+    assert(got("srcA") == ((2L, 7L, expA, 33L,
+      expA.toDouble / 7, 33.0 / expA)))
+    assert(got("srcB") == ((2L, 8L, expB, 46L,
+      expB.toDouble / 8, 46.0 / expB)))
+    // fertility >= 1 (a word is at least one piece), and the repeated
+    // word merges further than the rare ones
+    assert(got.values.forall(_._5 >= 1.0))
+    assert(got("srcA")._5 < got("srcB")._5)
+  }
+
   test("vocabCoverage: hand-computed spectrum and cumulative coverage") {
     import spark.implicits._
     // counts: a=3 b=2 c=1 -> spectrum (3,1) (2,1) (1,1), 6 tokens
