@@ -94,8 +94,10 @@ object Bench {
         s""","rest":${num(restSum, "%.2f")}"""
       else ""
     val total = results.map(_._2).sum
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","queries":$qs$rest,"sf":"$sfName"}"""
+    // "sf" was dropped at 216 queries (line budget): the bench always
+    // runs at the driver-fixed SF (SPARK_GRAFT_SF_DIR), recorded by
+    // the driver next to the tail — it was redundant inside the line
+    s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","queries":$qs$rest}"""
   }
 
   /** "q135_dup_span" -> "135": exposed so BenchFormatSpec's key-

@@ -71,7 +71,14 @@ object ScaleTrial {
     "q212_heldout_fluency", // model left joins, crawl-side scan
     "q213_heldout_fluency_local", // broadcast-model udf projection
     "q214_ccnet_keep", // the composed held-out gate
-    "q215_curation_funnel") // four stage aggregates, four rows out
+    "q215_curation_funnel", // four stage aggregates, four rows out
+    "q217_minhash_calibration", // row-local md5 sigs + df-capped posting join
+    "q218_token_diversity", // zero-shuffle run-length fold: must be ~flat
+    "q219_bpe_fertility", // train+encode compose + source rollup
+    "q220_calibrated_fluency", // LM scores + 2 rounds of quantile machinery
+    "q221_nearest_duplicates", // q202 pairs + doc-keyed argmax rollup
+    "q222_epoch_shuffle", // hash-sharded two-phase prefix rank
+    "q223_vocab_coverage") // counts-of-counts spectrum + tiny window
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

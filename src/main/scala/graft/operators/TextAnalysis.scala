@@ -907,12 +907,14 @@ object TextAnalysis {
           (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"),
         ((col("n_tokens") * col("n_tokens")).cast("double") /
           col("sum_sq").cast("double")).as("eff_vocab"))
-      .orderBy(col("doc_id"))
+    // no presentation sort here: the pure projection also runs as an
+    // append-mode stream (q197 convention — registration orders it)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_token_diversity" ->
-      ((s, d) => tokenDiversity(Tables(s, d).documents)),
+      ((s, d) => tokenDiversity(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q220_calibrated_fluency" ->
       ((s, d) => calibratedFluency(Tables(s, d).documents)),
     "q221_nearest_duplicates" ->

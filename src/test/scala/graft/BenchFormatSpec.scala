@@ -45,9 +45,10 @@ class BenchFormatSpec extends AnyFunSuite {
       Seq("q03_c" -> 12.345, "q04_d" -> 123.45, "q05_e" -> 0.46), "/x")
     assert(tiers.contains(""""3":12""") && tiers.contains(""""4":99""")
       && tiers.contains(""""5":0"""))
-    // "sf" is the basename of the data dir, not the full path
+    // "sf" was dropped from the line at 216 queries (length budget —
+    // the driver fixes the SF and records it next to the tail)
     val sf = Bench.buildJson(names.map(_ -> 1.0), "/root/testdata/sf0.1")
-    assert(sf.endsWith(""""sf":"sf0.1"}"""))
+    assert(!sf.contains("\"sf\"") && sf.endsWith("}"))
     // under the cap there is no "rest" field
     assert(!line.contains("\"rest\""))
   }

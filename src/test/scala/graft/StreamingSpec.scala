@@ -354,6 +354,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 3L, 2L, s"$l1 $l2")))
   }
 
+  test("token diversity streams unchanged (pure projection)") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq((1L, "x x x x"), (2L, "a b c d"), (3L, "a a b b"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.tokenDiversity(
+      mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tokdiv_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("tokdiv_out")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    q.stop()
+    val batch = graft.operators.TextAnalysis.tokenDiversity(
+      rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 4L, 1L, 16L, 1.0, 1.0)))
+  }
+
   test("row-local fluency scoring streams unchanged (broadcast model)") {
     implicit val sc = spark.sqlContext
     val model = Seq((0L, "a b a b c")).toDF("doc_id", "text")
