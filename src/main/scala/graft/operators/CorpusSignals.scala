@@ -1081,6 +1081,32 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/test split LEAKAGE audit — the reason dedup must run
+    * BEFORE splitting (Lee et al. 2022 §6: near-duplicate train/test
+    * pairs inflate every benchmark number): every near-duplicate pair
+    * of [[TextAnalysis.sparseCosinePairs]]'s posting tier whose two
+    * docs landed in DIFFERENT [[datasetSplit]] splits, with both split
+    * labels and the cosine — the concrete leak list an eval audit
+    * reads, not just a count. Composition only: the pair tier is
+    * linear in corpus (df-capped), the split is a pure hash
+    * projection, and the two label joins are doc-keyed on the tiny
+    * pair set — so the audit costs one q202 plus pair-volume joins at
+    * any corpus size, and every column is integer/string/replayed-
+    * float algebra (hash-exact end to end). */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = TextAnalysis.sparseCosinePairs(docs, threshold)
+    val split = datasetSplit(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("split1")),
+        "d1")
+      .join(split.select(col("doc_id").as("d2"), col("split").as("split2")),
+        "d2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"), col("split1"), col("split2"),
+        col("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Inverted index build: term → document frequency + the posting
     * list of the first 20 doc ids (serialized CSV so the oracle can
     * compare it). One explode + one (term)-keyed window + one groupBy
@@ -1212,6 +1238,8 @@ object CorpusSignals {
     "q170_importance_weights" -> ((s, d) =>
       importanceWeights(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
+    "q224_split_leakage" ->
+      ((s, d) => splitLeakage(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q135_dup_span_coverage" ->
       ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
@@ -1873,6 +1901,25 @@ object CorpusSignals {
         |        (a, b) -> a + b) AS denom FROM c)
         |SELECT source, n, sqrt(CAST(n AS DOUBLE)) / denom AS weight
         |FROM c, d ORDER BY source""".stripMargin,
+    // q202's shared pair CTE + the q101 split replay: pairs whose
+    // endpoints hash into different splits
+    "q224_split_leakage" ->
+      s"""WITH p AS (${TextAnalysis.sparseCosineSql}),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |           1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |           1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT p.d1, p.d2, a.split AS split1, b.split AS split2,
+         |  p.cosine
+         |FROM p
+         |JOIN s a ON a.doc_id = p.d1
+         |JOIN s b ON b.doc_id = p.d2
+         |WHERE a.split <> b.split
+         |ORDER BY p.d1, p.d2""".stripMargin,
     "q101_dataset_split" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -457,6 +457,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing-efficiency report over [[tokenBatches]] — the shard-build
+    * audit a trainer reads before committing a corpus to fixed-budget
+    * example packing: per batch, the document count, the packed token
+    * mass, the covered doc-id range, and the FILL fraction
+    * (tokens/budget — under 1 means padding waste, over 1 means a doc
+    * straddled the boundary into this batch; both are the costs the
+    * budget choice trades). One batch-keyed map-side-combinable
+    * rollup on top of the two-phase prefix plan; batch count =
+    * ⌈corpus tokens / budget⌉, so the output is corpus/budget-sized
+    * and every stat is an exact integer plus one IEEE division. */
+  def packingEfficiency(t: Tables, budget: Int = 5000,
+      numShards: Int = 32): DataFrame =
+    tokenBatches(t, budget, numShards)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("batch_id"), col("n_docs"), col("batch_tokens"),
+        col("first_doc"), col("last_doc"),
+        (col("batch_tokens").cast("double") / budget).as("fill"))
+      .orderBy(col("batch_id"))
+
   /** Curriculum packing: the corpus ordered best-quality-first and
     * packed greedily into fixed token-budget batches — the "easy/clean
     * data first" training schedule, materialized as (doc → batch_id)
@@ -946,6 +969,8 @@ object TextAnalysis {
     "q164_weighted_sample" ->
       ((s, d) => weightedQualitySample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
+    "q225_packing_efficiency" ->
+      ((s, d) => packingEfficiency(Tables(s, d))),
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
     "q140_bigram_fluency" ->
@@ -1106,6 +1131,18 @@ object TextAnalysis {
       |  s.avg_prob
       |FROM documents d LEFT JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q67's DuckDB twin (shared verbatim with q225's rollup). */
+  private[operators] val tokenBatchesSql: String =
+    """SELECT doc_id, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      |  CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1) / 5000) AS BIGINT)
+      |    AS batch_id
+      |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
   /** q202's DuckDB twin (shared verbatim with q221's composition). */
   private[operators] val sparseCosineSql: String =
@@ -1518,16 +1555,17 @@ object TextAnalysis {
         |  substr(md5(text), 1, 8) AS fp_short
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    "q67_token_batches" ->
-      """SELECT doc_id, n_tokens,
-        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-        |  CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1) / 5000) AS BIGINT)
-        |    AS batch_id
-        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+    "q67_token_batches" -> tokenBatchesSql,
+    // q67's CTE (the shared literal) + one batch-keyed rollup and a
+    // single exact-long/int division for the fill fraction
+    "q225_packing_efficiency" ->
+      s"""WITH b AS ($tokenBatchesSql)
+         |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+         |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / 5000 AS fill
+         |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     // chr(201)=É composed, chr(769)=combining acute (decomposed e'),
     // chr(64257)=ﬁ ligature, chr(186)=º, chr(9)=tab — identical bytes
     // to the Spark-side literals

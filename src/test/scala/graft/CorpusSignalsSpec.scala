@@ -573,6 +573,42 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got("srcA")._5 < got("srcB")._5)
   }
 
+  test("splitLeakage reports exactly the cross-split near-dup pairs") {
+    import spark.implicits._
+    // identical docs -> every pair is a perfect near-dup; which pairs
+    // LEAK is decided by the md5 split the operator replays. Family
+    // kept BELOW the df cap (20) so its grams stay in the term space,
+    // with ids picked to land in more than one split.
+    val fam = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val probe = (1L to 60L).map(i => (i, fam)).toDF("doc_id", "text")
+    val bySplit = CorpusSignals.datasetSplit(probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).sorted }
+    assert(bySplit.size > 1)
+    // ≤ 12 docs total: grams have df ≤ 12 ≤ maxDf
+    val ids = bySplit.values.flatMap(_.take(4)).toSeq.sorted
+    val split = CorpusSignals.datasetSplit(probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val in = ids.map(i => (i, fam)).toDF("doc_id", "text")
+    val got = CorpusSignals.splitLeakage(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getDouble(4)))
+    val expect = (for {
+      a <- ids; b <- ids if a < b && split(a) != split(b)
+    } yield (a, b, split(a), split(b), 1.0)).toSeq
+    assert(got.toSeq.sorted == expect.sorted && expect.nonEmpty)
+  }
+
+  test("splitLeakage: same-split near-dups are NOT leaks") {
+    val got = CorpusSignals.splitLeakage(docs).collect()
+    assert(got.forall(r => r.getString(2) != r.getString(3)))
+    // and every leak is a genuine q202 pair
+    val pairs = graft.operators.TextAnalysis.sparseCosinePairs(docs)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(r => pairs.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("vocabCoverage: hand-computed spectrum and cumulative coverage") {
     import spark.implicits._
     // counts: a=3 b=2 c=1 -> spectrum (3,1) (2,1) (1,1), 6 tokens

@@ -711,6 +711,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("packingEfficiency: batches partition the corpus token mass, " +
+      "ranges are disjoint, fill is exact") {
+    val t = Tables(spark, sf)
+    val got = TextAnalysis.packingEfficiency(t).collect()
+    assert(got.nonEmpty)
+    val corpusTokens = t.documents
+      .select(sum(size(tokens(col("text")))).cast("long")).head.getLong(0)
+    assert(got.map(_.getLong(2)).sum == corpusTokens)
+    assert(got.forall(r => r.getLong(1) >= 1))
+    assert(got.forall(r => r.getDouble(5) == r.getLong(2).toDouble / 5000))
+    // batches cover consecutive, non-overlapping doc-id ranges
+    val ranges = got.sortBy(_.getLong(0))
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    })
+    // all but the last batch reach at least the budget once straddle
+    // docs are counted where their cumsum ends
+    assert(got.dropRight(1).forall(r => r.getLong(2) > 0))
+  }
+
   test("tokenDiversity: repetitive doc collapses, diverse doc spreads") {
     val docs = Seq(
       (1L, "x x x x"),      // one type: simpson 1, eff_vocab 1
