@@ -1081,6 +1081,62 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget WATERFILLING allocation — the balanced-mixture
+    * answer to "we can afford B training tokens; how many from each
+    * source?": every source keeps all its tokens up to a common cap C,
+    * where C is the largest integer with Σᵢ min(nᵢ, C) ≤ B — small
+    * sources survive whole, the crawl giants absorb the truncation
+    * (the max-min-fair allocation; [[sourceMixtureWeights]]'s n^α
+    * temperature answers the same question as a RATIO schedule, this
+    * answers it as a hard budget). Solved exactly in one pass over the
+    * |sources|-row rollup: sorted ascending by size, Sₖ = prefixₖ +
+    * (m−k)·nₖ (the budget consumed if C = nₖ) is monotone in k, so
+    * k* = #{k : Sₖ ≤ B} and C = (B − prefix_{k*}) div (m − k*) —
+    * all integer algebra (div = floor division), hash-exact.
+    *
+    * Scale: the corpus contributes ONE map-side-combinable groupBy to
+    * |sources| rows; the ranking window and the 1-row solve ride that
+    * data-fixed tiny relation (PlanAuditSpec-allowlisted), and the
+    * per-source output is broadcastable to drive the actual sampler
+    * ([[graft.operators.Dedup.hashStratifiedSample]] with rate =
+    * alloc/n per source). `budgetDen`: B = total div budgetDen. */
+  def budgetWaterfill(docs: DataFrame, budgetDen: Long = 2L): DataFrame = {
+    require(budgetDen >= 1, s"budgetDen must be >= 1 (got $budgetDen)")
+    val win = org.apache.spark.sql.expressions.Window
+    val totals = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val ord = win.orderBy(col("n_tokens"), col("source"))
+    val ranked = totals
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("prefix", sum(col("n_tokens")).over(
+        ord.rowsBetween(win.unboundedPreceding, 0)))
+    val g = broadcast(ranked
+      .withColumn("m", count(lit(1)).over(
+        win.rowsBetween(win.unboundedPreceding, win.unboundedFollowing)))
+      .withColumn("total", sum(col("n_tokens")).over(
+        win.rowsBetween(win.unboundedPreceding, win.unboundedFollowing)))
+      .withColumn("b", expr(s"total div $budgetDen"))
+      .withColumn("s_k",
+        col("prefix") + (col("m") - col("k")) * col("n_tokens"))
+      .agg(
+        max(col("m")).as("m"), max(col("b")).as("b"),
+        max(col("n_tokens")).as("max_n"),
+        sum(when(col("s_k") <= col("b"), 1L).otherwise(0L)).as("kstar"),
+        coalesce(max(when(col("s_k") <= col("b"), col("prefix"))), lit(0L))
+          .as("pstar"))
+      .select(col("b"),
+        when(col("kstar") === col("m"), col("max_n"))
+          .otherwise(expr("(b - pstar) div (m - kstar)")).as("cap")))
+    totals.crossJoin(g)
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+        (col("n_tokens") > col("cap")).as("capped"),
+        col("cap"), col("b").as("budget"))
+      .orderBy(col("source"))
+  }
+
   /** Train/test split LEAKAGE audit — the reason dedup must run
     * BEFORE splitting (Lee et al. 2022 §6: near-duplicate train/test
     * pairs inflate every benchmark number): every near-duplicate pair
@@ -1240,6 +1296,8 @@ object CorpusSignals {
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q224_split_leakage" ->
       ((s, d) => splitLeakage(Tables(s, d).documents)),
+    "q227_budget_waterfill" ->
+      ((s, d) => budgetWaterfill(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q135_dup_span_coverage" ->
       ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
@@ -1901,6 +1959,43 @@ object CorpusSignals {
         |        (a, b) -> a + b) AS denom FROM c)
         |SELECT source, n, sqrt(CAST(n AS DOUBLE)) / denom AS weight
         |FROM c, d ORDER BY source""".stripMargin,
+    // same ascending (n_tokens, source) ranking, the same monotone
+    // S_k feasibility count, and the same integer floor divisions
+    "q227_budget_waterfill" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n_tokens) AS BIGINT) // 2 AS b,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_n
+        |  FROM t),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+        |  FROM t),
+        |ks AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN r.prefix + (tot.m - r.k) * r.n_tokens
+        |      <= tot.b THEN 1 ELSE 0 END) AS BIGINT) AS kstar,
+        |    CAST(coalesce(max(CASE WHEN r.prefix + (tot.m - r.k)
+        |      * r.n_tokens <= tot.b THEN r.prefix END), 0)
+        |      AS BIGINT) AS pstar
+        |  FROM r, tot),
+        |g AS (
+        |  SELECT tot.b,
+        |    CASE WHEN ks.kstar = tot.m THEN tot.max_n
+        |         ELSE (tot.b - ks.pstar) // (tot.m - ks.kstar)
+        |    END AS cap
+        |  FROM ks, tot)
+        |SELECT t.source, t.n_tokens,
+        |  least(t.n_tokens, g.cap) AS alloc_tokens,
+        |  t.n_tokens > g.cap AS capped, g.cap, g.b AS budget
+        |FROM t, g ORDER BY t.source""".stripMargin,
     // q202's shared pair CTE + the q101 split replay: pairs whose
     // endpoints hash into different splits
     "q224_split_leakage" ->

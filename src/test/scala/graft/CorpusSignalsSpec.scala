@@ -573,6 +573,44 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got("srcA")._5 < got("srcB")._5)
   }
 
+  test("budgetWaterfill: hand-solved cap, small sources survive whole") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    // totals: A=10, B=20, C=100; budget = 130 div 2 = 65
+    // sorted asc: S1=10+2*10=30, S2=30+20=50, S3=130 -> kstar=2,
+    // pstar=30, cap=(65-30) div 1 = 35
+    val in = Seq(
+      (1L, words("a", 10), "srcA"),
+      (2L, words("b", 20), "srcB"),
+      (3L, words("c", 100), "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.budgetWaterfill(in).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("srcA") == ((10L, 10L, false, 35L, 65L)))
+    assert(got("srcB") == ((20L, 20L, false, 35L, 65L)))
+    assert(got("srcC") == ((100L, 35L, true, 35L, 65L)))
+  }
+
+  test("budgetWaterfill: cap is maximal-feasible on the real corpus; " +
+      "full budget allocates everything") {
+    val got = CorpusSignals.budgetWaterfill(docs).collect()
+    assert(got.nonEmpty)
+    val budget = got.head.getLong(5)
+    val cap = got.head.getLong(4)
+    val ns = got.map(_.getLong(1))
+    // feasible at C, infeasible at C+1 (maximality), allocs consistent
+    assert(ns.map(n => math.min(n, cap)).sum <= budget)
+    assert(ns.map(n => math.min(n, cap + 1)).sum > budget)
+    assert(got.forall(r => r.getLong(2) == math.min(r.getLong(1), cap)))
+    assert(got.forall(r => r.getBoolean(3) == (r.getLong(1) > cap)))
+    // budgetDen = 1: budget >= total, nobody capped
+    val full = CorpusSignals.budgetWaterfill(docs, budgetDen = 1L)
+      .collect()
+    assert(full.forall(r => r.getLong(2) == r.getLong(1) &&
+      !r.getBoolean(3)))
+  }
+
   test("splitLeakage reports exactly the cross-split near-dup pairs") {
     import spark.implicits._
     // identical docs -> every pair is a perfect near-dup; which pairs

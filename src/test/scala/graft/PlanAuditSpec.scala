@@ -58,10 +58,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // q222's offset prefix runs over ≤ 256 hash-shard count rows
   // q223's cumulative-coverage prefix runs over the counts-of-counts
   // rollup — O(√total_tokens) rows by Zipf, vocab-bounded
+  // q227's ranking + solve windows ride the |sources|-row rollup
+  // q225 inherits q67's #shards-row offset window (same plan + rollup)
   private val globalWindowOk = Set("q67_token_batches",
     "q149_global_row_ids", "q191_curriculum_batches",
     "q204_source_novelty", "q222_epoch_shuffle",
-    "q223_vocab_coverage")
+    "q223_vocab_coverage", "q227_budget_waterfill",
+    "q225_packing_efficiency")
 
   // streaming sources can't plan in a batch session; DSv2/JDBC/report
   // queries touch external state — they have their own suites
