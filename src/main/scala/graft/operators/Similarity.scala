@@ -747,6 +747,76 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Label-propagation COMMUNITIES on the similarity graph (Raghavan
+    * 2007, made deterministic): labels start as node ids; each
+    * synchronous round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label — the
+    * linear-time community detector that needs no cluster count,
+    * complementing [[Dedup.dupClusters]] (connectivity = one
+    * community) with density-based splits of connected regions.
+    * Fixed `rounds` keeps it a pure function of (graph, rounds) so
+    * the oracle unrolls the identical recurrence (the [[kCore]]
+    * discipline); all-integer algebra, hash-exact with no float
+    * caveats.
+    *
+    * Scale: each round is one edge equi-join + a (node, label)-keyed
+    * count (map-side combinable) + a partial-aggregatable
+    * min(struct(−cnt, label)) argmax — edge-sized shuffles, no
+    * window, lineage one round deep via the localCheckpoint round
+    * discipline. */
+  def labelPropagation(embeddings: DataFrame, threshold: Double = 0.3,
+      rounds: Int = 3): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      labels = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("b"))
+        .select(col("src").as("id"), col("b.l").as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels.select(col("id").as("vec_id"), col("label").as("community"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled DuckDB twin of [[labelPropagation]] (same rounds —
+    * operator and oracle cannot drift); the min(struct(−cnt, label))
+    * argmax replays as (count DESC, label) row_number. */
+  private def labelPropagationOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT src AS id, label FROM (
+         |    SELECT e.src, l.label,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l${r - 1} l ON e.dst = l.id
+         |    GROUP BY e.src, l.label) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${simSql("a", "b")} >= 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges),
+       |${steps.mkString(",\n")}
+       |SELECT id AS vec_id, label AS community FROM l$rounds
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The unrolled DuckDB twin of [[kCore]] (same k/rounds, so operator
     * and oracle cannot drift); MATERIALIZED CTEs for the same
     * inlining-blowup reason as the BPE oracle. */
@@ -810,6 +880,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pagerank" ->
       ((s, d) => pageRank(Tables(s, d).embeddings)),
+    "q226_label_propagation" ->
+      ((s, d) => labelPropagation(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -845,6 +917,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q158_pagerank" -> pageRankOracle(3),
+    "q226_label_propagation" -> labelPropagationOracle(3),
     "q167_kcore" -> kCoreOracle(2, 4),
     "q166_bfs_hops" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (

@@ -333,4 +333,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pr.nonEmpty)
     assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("labelPropagation: two planted cliques converge to their min ids") {
+    val a = Seq(1.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f) // orthogonal: no cross-clique edges
+    val df = Seq(
+      (1L, a), (2L, a), (3L, a), (4L, a),
+      (10L, b), (11L, b), (12L, b), (13L, b)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.labelPropagation(df, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+  }
+
+  test("labelPropagation communities refine graph connectivity") {
+    val got = Similarity.labelPropagation(t.embeddings)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // every community label is itself a member of the community's
+    // connected region: labels come from the label space of node ids
+    assert(got.values.toSet.subsetOf(got.keySet))
+    // deterministic: a second run is bit-identical
+    val again = Similarity.labelPropagation(t.embeddings)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
