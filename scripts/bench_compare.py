@@ -16,7 +16,8 @@ def canon(queries):
     """Canonicalize per-query keys across encodings: rounds <=8 emitted
     "q01"/"q135"; round 9+ emits the bare number "1"/"135" (tail-window
     budget). Both map to qNN (two-digit zero-padded, matching the
-    registry's query names)."""
+    registry's query names). Round 10+ OMITS entries that ran <0.5s
+    (same budget) — main() gap-fills those to 0.0."""
     out = {}
     for k, v in queries.items():
         digits = k.lstrip("q")
@@ -42,6 +43,12 @@ def load(path):
 
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    # a key present in OLD but absent in NEW means "ran <0.5s in new"
+    # (round 10+ omits sub-second entries; queries are never removed),
+    # so the common set is old's keys with new gap-filled at 0.0 —
+    # a 5s -> 0.4s improvement or 0.4s -> 5s regression both show.
+    new = {q: new.get(q, 0.0) for q in old} | {
+        q: v for q, v in new.items() if q not in old}
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)

@@ -78,7 +78,10 @@ object ScaleTrial {
     "q220_calibrated_fluency", // LM scores + 2 rounds of quantile machinery
     "q221_nearest_duplicates", // q202 pairs + doc-keyed argmax rollup
     "q222_epoch_shuffle", // hash-sharded two-phase prefix rank
-    "q223_vocab_coverage") // counts-of-counts spectrum + tiny window
+    "q223_vocab_coverage", // counts-of-counts spectrum + tiny window
+    "q224_split_leakage", // q202 pairs + hash-split label joins
+    "q225_packing_efficiency", // q67 prefix plan + batch rollup
+    "q227_budget_waterfill") // one source rollup + tiny solve
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -13,9 +13,10 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON stays under the tail window at worst-case timings") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // the "99" cap bounds every value to 2 chars, so THIS line is the
-    // worst case over all possible timings — the length guard is
-    // timing-independent by construction
+    // the "9" cap bounds every value to 1 char and slow queries all
+    // materialize entries, so THIS line is the worst case over all
+    // possible timings — the length guard is timing-independent by
+    // construction
     val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
     // budget: 2000-char tail minus ~80 chars of sbt trailer lines
@@ -39,12 +40,15 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","value":2.80,"""))
     // keys are the query number with "q" and zero-padding stripped
     assert(line.contains(""""1":1""") && line.contains(""""2":1"""))
-    // integer-second rendering, hard-capped at 99:
-    // 0.46 -> "0", 12.345 -> "12", 123.45 -> "99"
+    // single-digit rendering capped at 9; sub-0.5s entries are
+    // OMITTED (absence decodes as "ran in <0.5s" — every registered
+    // query always runs)
     val tiers = Bench.buildJson(
-      Seq("q03_c" -> 12.345, "q04_d" -> 123.45, "q05_e" -> 0.46), "/x")
-    assert(tiers.contains(""""3":12""") && tiers.contains(""""4":99""")
-      && tiers.contains(""""5":0"""))
+      Seq("q03_c" -> 12.345, "q04_d" -> 123.45, "q05_e" -> 0.46,
+        "q06_f" -> 1.4), "/x")
+    assert(tiers.contains(""""3":9""") && tiers.contains(""""4":9"""))
+    assert(!tiers.contains("\"5\":"))
+    assert(tiers.contains(""""6":1"""))
     // "sf" was dropped from the line at 216 queries (length budget —
     // the driver fixes the SF and records it next to the tail)
     val sf = Bench.buildJson(names.map(_ -> 1.0), "/root/testdata/sf0.1")
