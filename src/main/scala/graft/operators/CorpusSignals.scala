@@ -1163,6 +1163,61 @@ object CorpusSignals {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Leakage-SAFE split: [[datasetSplit]] with the q224 leak list
+    * acted on — any val/test doc that near-duplicates a TRAIN doc is
+    * reassigned to train (the eval item is burned: once its twin is
+    * trained on, it can never measure generalization; quarantining it
+    * into train preserves the data while keeping eval clean). Val↔test
+    * cross-leaks don't touch train and are left to the q224 report.
+    * Composition of [[splitLeakage]] + one doc-keyed left join; the
+    * reassignment is a projection, so the operator costs one leak
+    * audit at any corpus size and stays hash-exact (pure composition
+    * of replayed algebra). */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val base = datasetSplit(docs).select(col("doc_id"), col("split"))
+    val leaks = splitLeakage(docs, threshold)
+    val burned = leaks.filter(col("split1") === "train")
+      .select(col("d2").as("doc_id"))
+      .union(leaks.filter(col("split2") === "train")
+        .select(col("d1").as("doc_id")))
+      .distinct()
+      .withColumn("burn", lit(true))
+    base.join(burned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("burn"), lit("train")).otherwise(col("split"))
+          .as("split"),
+        coalesce(col("burn"), lit(false)).as("reassigned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REALIZE the [[budgetWaterfill]] allocation as an actual sampled
+    * corpus: per source, documents are kept by the deterministic
+    * hash-threshold rule bucket(doc)·n_src < alloc_src·10⁶ (bucket =
+    * md5 in [0, 10⁶)), so the expected kept token mass per source is
+    * exactly its waterfilled allocation — small sources ship whole,
+    * capped sources ship a stable alloc/n-rate slice. All-integer
+    * comparison (the q134/q164 growth-stable keep-decision device:
+    * re-running after an upstream refresh never flips a surviving
+    * doc), one broadcast join of the |sources|-row allocation table —
+    * the operator that turns the budget ANSWER into the dataset a
+    * trainer reads. */
+  def waterfillSample(docs: DataFrame, budgetDen: Long = 2L): DataFrame = {
+    val alloc = budgetWaterfill(docs, budgetDen)
+      .select(col("source"), col("n_tokens").as("src_tokens"),
+        col("alloc_tokens"))
+    val bucket = conv(substring(md5(concat(lit("wfill:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(bucket * col("src_tokens") <
+        col("alloc_tokens") * lit(1000000L))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Inverted index build: term → document frequency + the posting
     * list of the first 20 doc ids (serialized CSV so the oracle can
     * compare it). One explode + one (term)-keyed window + one groupBy
@@ -1298,6 +1353,10 @@ object CorpusSignals {
       ((s, d) => splitLeakage(Tables(s, d).documents)),
     "q227_budget_waterfill" ->
       ((s, d) => budgetWaterfill(Tables(s, d).documents)),
+    "q228_leakage_safe_split" ->
+      ((s, d) => leakageSafeSplit(Tables(s, d).documents)),
+    "q229_waterfill_sample" ->
+      ((s, d) => waterfillSample(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
     "q135_dup_span_coverage" ->
       ((s, d) => dupSpanCoverage(Tables(s, d).documents)),
@@ -1365,6 +1424,41 @@ object CorpusSignals {
        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
        |FROM nc WHERE n_copies >= 1
        |ORDER BY doc_id, copy""".stripMargin
+
+  /** The q227 waterfill solve as a CTE chain (t → tot → r → ks → g),
+    * shared verbatim by the q227 and q229 oracles so the allocation
+    * and its realized sample cannot drift. */
+  private val waterfillSolveCtes: String =
+    """t AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(n_tokens) AS BIGINT) // 2 AS b,
+      |    CAST(max(n_tokens) AS BIGINT) AS max_n
+      |  FROM t),
+      |r AS (
+      |  SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      |  FROM t),
+      |ks AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN r.prefix + (tot.m - r.k) * r.n_tokens
+      |      <= tot.b THEN 1 ELSE 0 END) AS BIGINT) AS kstar,
+      |    CAST(coalesce(max(CASE WHEN r.prefix + (tot.m - r.k)
+      |      * r.n_tokens <= tot.b THEN r.prefix END), 0)
+      |      AS BIGINT) AS pstar
+      |  FROM r, tot),
+      |g AS (
+      |  SELECT tot.b,
+      |    CASE WHEN ks.kstar = tot.m THEN tot.max_n
+      |         ELSE (tot.b - ks.pstar) // (tot.m - ks.kstar)
+      |    END AS cap
+      |  FROM ks, tot)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // same counts-of-counts rollup, same count-descending cumulative
@@ -1962,40 +2056,55 @@ object CorpusSignals {
     // same ascending (n_tokens, source) ranking, the same monotone
     // S_k feasibility count, and the same integer floor divisions
     "q227_budget_waterfill" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS m,
-        |    CAST(sum(n_tokens) AS BIGINT) // 2 AS b,
-        |    CAST(max(n_tokens) AS BIGINT) AS max_n
-        |  FROM t),
-        |r AS (
-        |  SELECT source, n_tokens,
-        |    CAST(row_number() OVER (ORDER BY n_tokens, source)
-        |      AS BIGINT) AS k,
-        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
-        |  FROM t),
-        |ks AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN r.prefix + (tot.m - r.k) * r.n_tokens
-        |      <= tot.b THEN 1 ELSE 0 END) AS BIGINT) AS kstar,
-        |    CAST(coalesce(max(CASE WHEN r.prefix + (tot.m - r.k)
-        |      * r.n_tokens <= tot.b THEN r.prefix END), 0)
-        |      AS BIGINT) AS pstar
-        |  FROM r, tot),
-        |g AS (
-        |  SELECT tot.b,
-        |    CASE WHEN ks.kstar = tot.m THEN tot.max_n
-        |         ELSE (tot.b - ks.pstar) // (tot.m - ks.kstar)
-        |    END AS cap
-        |  FROM ks, tot)
-        |SELECT t.source, t.n_tokens,
-        |  least(t.n_tokens, g.cap) AS alloc_tokens,
-        |  t.n_tokens > g.cap AS capped, g.cap, g.b AS budget
-        |FROM t, g ORDER BY t.source""".stripMargin,
+      s"""WITH $waterfillSolveCtes
+         |SELECT t.source, t.n_tokens,
+         |  least(t.n_tokens, g.cap) AS alloc_tokens,
+         |  t.n_tokens > g.cap AS capped, g.cap, g.b AS budget
+         |FROM t, g ORDER BY t.source""".stripMargin,
+    // the q227 solve chain (shared literal) + the integer
+    // hash-threshold keep rule bucket·n < alloc·10^6
+    "q229_waterfill_sample" ->
+      s"""WITH $waterfillSolveCtes,
+         |a AS (
+         |  SELECT t.source, t.n_tokens AS src_tokens,
+         |    least(t.n_tokens, g.cap) AS alloc
+         |  FROM t, g)
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN a USING (source)
+         |WHERE (CAST('0x' || substr(md5('wfill:'
+         |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
+         |  * a.src_tokens < a.alloc * 1000000
+         |ORDER BY d.doc_id""".stripMargin,
+    // q224's leak algebra + the burn rule: eval docs twinning a train
+    // doc are reassigned to train
+    "q228_leakage_safe_split" ->
+      s"""WITH p AS (${TextAnalysis.sparseCosineSql}),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |           1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |           1, 8) AS BIGINT) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |leak AS (
+         |  SELECT p.d1, p.d2, a.split AS split1, b.split AS split2
+         |  FROM p
+         |  JOIN s a ON a.doc_id = p.d1
+         |  JOIN s b ON b.doc_id = p.d2
+         |  WHERE a.split <> b.split),
+         |burned AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT d2 AS doc_id FROM leak WHERE split1 = 'train'
+         |    UNION ALL
+         |    SELECT d1 AS doc_id FROM leak WHERE split2 = 'train') u)
+         |SELECT s.doc_id,
+         |  CASE WHEN burned.doc_id IS NOT NULL THEN 'train'
+         |       ELSE s.split END AS split,
+         |  burned.doc_id IS NOT NULL AS reassigned
+         |FROM s LEFT JOIN burned USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // q202's shared pair CTE + the q101 split replay: pairs whose
     // endpoints hash into different splits
     "q224_split_leakage" ->

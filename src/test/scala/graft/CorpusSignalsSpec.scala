@@ -611,6 +611,61 @@ class CorpusSignalsSpec extends AnyFunSuite {
       !r.getBoolean(3)))
   }
 
+  test("leakageSafeSplit burns train-twinned eval docs into train; " +
+      "clean docs keep their split") {
+    import spark.implicits._
+    val fam = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val lone = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    val probe = (1L to 60L).map(i => (i, fam)).toDF("doc_id", "text")
+    val split = CorpusSignals.datasetSplit(probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val bySplit = split.toSeq.groupBy(_._2)
+      .map { case (s, xs) => s -> xs.map(_._1).sorted }
+    assert(bySplit.contains("train"))
+    // family: one train twin + eval twins (must burn); plus a lone
+    // eval doc with its own text (must keep its split)
+    val famIds = (bySplit("train").take(1) ++
+      bySplit.filter(_._1 != "train").values.flatMap(_.take(2))).toSeq
+    val loneId = bySplit.filter(_._1 != "train").values.head.last
+    assert(!famIds.contains(loneId))
+    val in = (famIds.map(i => (i, fam)) :+ ((loneId, lone)))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.leakageSafeSplit(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(got.keySet == (famIds :+ loneId).toSet)
+    famIds.foreach { i =>
+      assert(got(i)._1 == "train", s"doc $i must end in train")
+      assert(got(i)._2 == (split(i) != "train"))
+    }
+    assert(got(loneId) == ((split(loneId), false)))
+  }
+
+  test("waterfillSample ships uncapped sources whole and a stable " +
+      "near-allocation slice of capped ones") {
+    import spark.implicits._
+    val doc = "t1 t2 t3 t4 t5" // 5 tokens
+    // big: 400 docs = 2000 tokens; small: 10 docs = 50 tokens
+    // budget 1025 -> cap 975: small uncapped, big rate 0.4875
+    val in = ((1L to 400L).map(i => (i, doc, "big")) ++
+      (1001L to 1010L).map(i => (i, doc, "small")))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusSignals.waterfillSample(in).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._2)
+    // uncapped source ships every doc (bucket < 10^6 strictly)
+    assert(bySrc("small").map(_._1).toSet == (1001L to 1010L).toSet)
+    // capped source lands near its 975-token allocation (±5 sigma of
+    // the binomial keep process, sigma ~ 50 tokens)
+    val bigTokens = bySrc("big").map(_._3).sum
+    assert(bigTokens > 975 - 250 && bigTokens < 975 + 250,
+      s"big kept $bigTokens tokens vs 975 allocated")
+    // deterministic: a rerun is identical
+    val again = CorpusSignals.waterfillSample(in).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("splitLeakage reports exactly the cross-split near-dup pairs") {
     import spark.implicits._
     // identical docs -> every pair is a perfect near-dup; which pairs

@@ -64,7 +64,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_global_row_ids", "q191_curriculum_batches",
     "q204_source_novelty", "q222_epoch_shuffle",
     "q223_vocab_coverage", "q227_budget_waterfill",
-    "q225_packing_efficiency")
+    "q225_packing_efficiency", "q229_waterfill_sample")
 
   // streaming sources can't plan in a batch session; DSv2/JDBC/report
   // queries touch external state — they have their own suites
