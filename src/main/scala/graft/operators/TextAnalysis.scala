@@ -480,6 +480,32 @@ object TextAnalysis {
         (col("batch_tokens").cast("double") / budget).as("fill"))
       .orderBy(col("batch_id"))
 
+  /** Document LENGTH spectrum in power-of-two buckets — the
+    * sequence-length histogram a packing/curriculum design reads
+    * before choosing a context budget (how much of the corpus is
+    * snippets vs long-form; what fraction of docs would truncate at
+    * 2^k tokens). The bucket is the INTEGER bit length of the token
+    * count (floor(log2 n) without touching floats — `floor(log2(·))`
+    * flips at exact powers of two under 1-ulp libm differences, the
+    * cross-engine trap this avoids), so every column is exact integer
+    * algebra plus one IEEE division for the doc share. One map-side-
+    * combinable groupBy to ≤ 64 rows. */
+  def lengthSpectrum(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val bucket = (length(bin(n)) - 1).cast("long")
+    val t = broadcast(docs.agg(count(lit(1)).as("total_docs")))
+    docs.select(bucket.as("log2_bucket"), n.as("n"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_len"), max(col("n")).as("max_len"))
+      .crossJoin(t)
+      .select(col("log2_bucket"), col("n_docs"), col("n_tokens"),
+        col("min_len"), col("max_len"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("doc_share"))
+      .orderBy(col("log2_bucket"))
+  }
+
   /** Curriculum packing: the corpus ordered best-quality-first and
     * packed greedily into fixed token-budget batches — the "easy/clean
     * data first" training schedule, materialized as (doc → batch_id)
@@ -971,6 +997,8 @@ object TextAnalysis {
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
     "q225_packing_efficiency" ->
       ((s, d) => packingEfficiency(Tables(s, d))),
+    "q230_length_spectrum" ->
+      ((s, d) => lengthSpectrum(Tables(s, d).documents)),
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
     "q140_bigram_fluency" ->
@@ -1556,6 +1584,26 @@ object TextAnalysis {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q67_token_batches" -> tokenBatchesSql,
+    // bucket = integer bit length (len of the binary rendering - 1):
+    // floor(log2) without floats, so engines cannot disagree at
+    // exact powers of two
+    "q230_length_spectrum" ->
+      """WITH d AS (
+        |  SELECT CAST(len(format('{:b}',
+        |      len(string_split(text, ' ')))) - 1 AS BIGINT)
+        |      AS log2_bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total_docs
+        |      FROM documents)
+        |SELECT log2_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(min(n) AS BIGINT) AS min_len,
+        |  CAST(max(n) AS BIGINT) AS max_len,
+        |  CAST(count(*) AS DOUBLE) / CAST(t.total_docs AS DOUBLE)
+        |    AS doc_share
+        |FROM d, t GROUP BY log2_bucket, t.total_docs
+        |ORDER BY log2_bucket""".stripMargin,
     // q67's CTE (the shared literal) + one batch-keyed rollup and a
     // single exact-long/int division for the fill fraction
     "q225_packing_efficiency" ->

@@ -734,6 +734,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.dropRight(1).forall(r => r.getLong(2) > 0))
   }
 
+  test("lengthSpectrum: integer bit-length buckets, exact at powers " +
+      "of two, shares sum to 1") {
+    def doc(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    // lengths 1,2,3,4,8: buckets 0,1,1,2,3 — the 2^k edges land in
+    // the HIGHER bucket (bit length), never off-by-one via float log
+    val docs = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3)),
+      (4L, doc(4)), (5L, doc(8))).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, 1L, 0.2)))
+    assert(got(1L) == ((2L, 5L, 2L, 3L, 0.4)))
+    assert(got(2L) == ((1L, 4L, 4L, 4L, 0.2)))
+    assert(got(3L) == ((1L, 8L, 8L, 8L, 0.2)))
+    assert(got.values.map(_._5).sum == 1.0)
+  }
+
   test("tokenDiversity: repetitive doc collapses, diverse doc spreads") {
     val docs = Seq(
       (1L, "x x x x"),      // one type: simpson 1, eff_vocab 1
