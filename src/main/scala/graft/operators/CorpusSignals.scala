@@ -1163,6 +1163,45 @@ object CorpusSignals {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Contamination BLAST RADIUS — how far benchmark leakage spreads
+    * through the near-duplicate graph: hop 0 is the q92 contamination
+    * set (train docs sharing a 5-gram with the eval source), and hop
+    * k ≤ `hops` adds train docs within k near-dup edges of a
+    * contaminated one (a near-copy of a contaminated page is itself
+    * suspect even when the paraphrase broke the exact 5-gram — the
+    * transitive-taint sweep a conservative decontamination runs
+    * before deciding its drop set). Frontier relaxation over the
+    * [[TextAnalysis.sparseCosinePairs]] train-side edge tier — the
+    * [[Similarity.bfsHops]] recurrence re-keyed to documents; all
+    * integer, hop counts exact, hash-exact against unrolled rounds.
+    *
+    * Scale: the seed join is one broadcast-gram semi-join shape
+    * (q92), edges are the linear df-capped posting tier, and each of
+    * the ≤ `hops` rounds is one edge equi-join + a min groupBy with
+    * lineage one round deep. */
+  def contaminationBlastRadius(docs: DataFrame,
+      evalSource: String = "src0", hops: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val train = docs.filter(col("source") =!= evalSource)
+    val pairs = TextAnalysis.sparseCosinePairs(train, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var dist = contamination(docs, evalSource)
+      .select(col("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < hops) {
+      dist = dist.join(edges, dist("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), (col("hops") + 1L).as("hops"))
+        .union(dist)
+        .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist.orderBy(col("doc_id"))
+  }
+
   /** Leakage-SAFE split: [[datasetSplit]] with the q224 leak list
     * acted on — any val/test doc that near-duplicates a TRAIN doc is
     * reassigned to train (the eval item is burned: once its twin is
@@ -1355,6 +1394,8 @@ object CorpusSignals {
       ((s, d) => budgetWaterfill(Tables(s, d).documents)),
     "q228_leakage_safe_split" ->
       ((s, d) => leakageSafeSplit(Tables(s, d).documents)),
+    "q231_contamination_radius" ->
+      ((s, d) => contaminationBlastRadius(Tables(s, d).documents)),
     "q229_waterfill_sample" ->
       ((s, d) => waterfillSample(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
@@ -2076,6 +2117,41 @@ object CorpusSignals {
          |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
          |  * a.src_tokens < a.alloc * 1000000
          |ORDER BY d.doc_id""".stripMargin,
+    // q92's seed algebra + q202's edge tier over the train slice +
+    // the unrolled min-hop relaxation rounds
+    "q231_contamination_radius" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |allgrams AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(t)-4),
+         |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+         |        ||' '||t[i+4]))) AS g
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT g FROM allgrams WHERE source = 'src0'),
+         |seeds AS (
+         |  SELECT DISTINCT a.doc_id FROM allgrams a JOIN ev USING (g)
+         |  WHERE a.source <> 'src0'),
+         |p AS (${TextAnalysis.sparseCosineSqlWhere("source <> 'src0'")}),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM p
+         |  UNION ALL SELECT d2, d1 FROM p),
+         |h0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS hops FROM seeds),
+         |h1 AS (
+         |  SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops FROM (
+         |    SELECT e.dst AS doc_id, h.hops + 1 AS hops
+         |    FROM edges e JOIN h0 h ON e.src = h.doc_id
+         |    UNION ALL SELECT doc_id, hops FROM h0) u
+         |  GROUP BY doc_id),
+         |h2 AS (
+         |  SELECT doc_id, CAST(min(hops) AS BIGINT) AS hops FROM (
+         |    SELECT e.dst AS doc_id, h.hops + 1 AS hops
+         |    FROM edges e JOIN h1 h ON e.src = h.doc_id
+         |    UNION ALL SELECT doc_id, hops FROM h1) u
+         |  GROUP BY doc_id)
+         |SELECT doc_id, hops FROM h2 ORDER BY doc_id""".stripMargin,
     // q224's leak algebra + the burn rule: eval docs twinning a train
     // doc are reassigned to train
     "q228_leakage_safe_split" ->

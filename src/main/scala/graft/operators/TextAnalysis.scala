@@ -1172,12 +1172,26 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  /** q202's DuckDB twin (shared verbatim with q221's composition). */
+  /** q202's DuckDB twin over a filtered corpus slice (q231 runs the
+    * pair tier on the train side only). */
+  private[operators] def sparseCosineSqlWhere(pred: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE ($pred) AND len(string_split(text, ' ')) >= 3),""".stripMargin +
+      "\n" + sparseCosineSqlBody
+
+  /** q202's DuckDB twin (shared verbatim with the q221/q224/q228
+    * compositions). */
   private[operators] val sparseCosineSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |grams AS (
+      |  WHERE len(string_split(text, ' ')) >= 3),""".stripMargin +
+      "\n" + sparseCosineSqlBody
+
+  // def, not val: referenced by vals declared ABOVE it (object init
+  // order would otherwise null it out)
+  private def sparseCosineSqlBody: String =
+    """grams AS (
       |  SELECT doc_id, unnest(list_transform(
       |    generate_series(1, len(t)-2),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g

@@ -611,6 +611,28 @@ class CorpusSignalsSpec extends AnyFunSuite {
       !r.getBoolean(3)))
   }
 
+  test("contaminationBlastRadius: gram-hit docs at hop 0, their " +
+      "near-dups at hop 1, unrelated docs absent") {
+    import spark.implicits._
+    val gram = "g1 g2 g3 g4 g5"
+    val fill = (1 to 12).map("f" + _).mkString(" ")
+    val in = Seq(
+      (100L, s"$gram extra words here", "src0"),   // eval doc
+      (1L, s"$gram $fill", "src1"),                // hop 0: shares gram
+      (2L, s"gX g2 g3 g4 g5 $fill", "src1"),       // hop 1: near-dup of 1
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "src1")      // unrelated
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.contaminationBlastRadius(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == 1L)
+    assert(!got.contains(3L) && !got.contains(100L))
+    // hop-0 set IS the q92 contamination set
+    val seeds = CorpusSignals.contamination(in).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == 0L).keySet == seeds)
+  }
+
   test("leakageSafeSplit burns train-twinned eval docs into train; " +
       "clean docs keep their split") {
     import spark.implicits._
