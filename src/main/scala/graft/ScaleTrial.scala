@@ -81,7 +81,9 @@ object ScaleTrial {
     "q223_vocab_coverage", // counts-of-counts spectrum + tiny window
     "q224_split_leakage", // q202 pairs + hash-split label joins
     "q225_packing_efficiency", // q67 prefix plan + batch rollup
-    "q227_budget_waterfill") // one source rollup + tiny solve
+    "q227_budget_waterfill", // one source rollup + tiny solve
+    "q230_length_spectrum", // row-local bucket + tiny groupBy
+    "q231_contamination_radius") // seed semi-join + frontier rounds
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
