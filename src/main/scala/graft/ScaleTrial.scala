@@ -83,7 +83,9 @@ object ScaleTrial {
     "q225_packing_efficiency", // q67 prefix plan + batch rollup
     "q227_budget_waterfill", // one source rollup + tiny solve
     "q230_length_spectrum", // row-local bucket + tiny groupBy
-    "q231_contamination_radius") // seed semi-join + frontier rounds
+    "q231_contamination_radius", // seed semi-join + frontier rounds
+    "q233_contamination_by_source", // q92 sweep + source rollup
+    "q234_quality_length_joint") // LM scores + CDF + bucket rollup
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1163,6 +1163,30 @@ object CorpusSignals {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Per-SOURCE contamination triage — which feed is quoting the
+    * benchmark: for every non-eval source, its doc count, how many of
+    * its docs share a 5-gram with the eval source (the q92 set), and
+    * the contamination rate — the |sources|-row view that decides
+    * whether to scrub a feed (low rate → q199's span surgery) or drop
+    * it (high rate → the crawl is derivative). One left join of the
+    * contaminated-doc set onto the corpus + a source-keyed map-side
+    * rollup; integers + one IEEE division. */
+  def contaminationBySource(docs: DataFrame,
+      evalSource: String = "src0"): DataFrame = {
+    val hits = contamination(docs, evalSource)
+      .select(col("doc_id")).withColumn("hit", lit(1L))
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_docs").cast("double")).as("contamination_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Contamination BLAST RADIUS — how far benchmark leakage spreads
     * through the near-duplicate graph: hop 0 is the q92 contamination
     * set (train docs sharing a 5-gram with the eval source), and hop
@@ -1396,6 +1420,8 @@ object CorpusSignals {
       ((s, d) => leakageSafeSplit(Tables(s, d).documents)),
     "q231_contamination_radius" ->
       ((s, d) => contaminationBlastRadius(Tables(s, d).documents)),
+    "q233_contamination_by_source" ->
+      ((s, d) => contaminationBySource(Tables(s, d).documents)),
     "q229_waterfill_sample" ->
       ((s, d) => waterfillSample(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
@@ -2117,6 +2143,30 @@ object CorpusSignals {
          |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
          |  * a.src_tokens < a.alloc * 1000000
          |ORDER BY d.doc_id""".stripMargin,
+    // q92's gram-hit set rolled up per source, same integer counts
+    // and a single division
+    "q233_contamination_by_source" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text,' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(t)-4),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+        |        ||' '||t[i+4]))) AS g
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id FROM grams a JOIN ev USING (g)
+        |  WHERE a.source <> 'src0')
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(hits.doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(count(hits.doc_id) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS contamination_rate
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q92's seed algebra + q202's edge tier over the train slice +
     // the unrolled min-hop relaxation rounds
     "q231_contamination_radius" ->

@@ -281,6 +281,33 @@ object Dedup {
       languageId(col("text"), langProfiles).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID with a CONFIDENCE margin — the router decision the
+    * bare q30 argmax hides: a doc whose best and second-best stopword
+    * profiles score within 0 of each other is code-mixed/ambiguous and
+    * should go to a heavier classifier, not a language bucket.
+    * Per doc: the argmax label (identical to [[langId]]'s earliest-
+    * wins rule), the best overlap score, the margin to the runner-up,
+    * and `confident` = positive score AND positive margin. Scores are
+    * integer set-intersection sizes over a data-fixed profile
+    * constant, computed in ONE narrow projection (no shuffle), and the
+    * top-2 come from sorting the |langs|-length score array row-
+    * locally — all integer algebra, so the generated oracle replays it
+    * hash-exact. */
+  def langIdConfidence(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (_, words) =>
+      size(array_intersect(toks, array(words.map(lit): _*))).cast("long")
+    }
+    val srt = reverse(array_sort(array(scores: _*)))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+        languageId(col("text"), langProfiles).as("predicted_lang"),
+        element_at(srt, 1).as("top_score"),
+        (element_at(srt, 1) - element_at(srt, 2)).as("margin"))
+      .withColumn("confident",
+        col("top_score") > 0L && col("margin") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns pairwise matches into KEEP/DROP decisions (similarity
     * is not transitive, so near-dup groups are components, not
@@ -1010,6 +1037,8 @@ object Dedup {
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
     "q30_lang_id" -> ((s, d) => langId(Tables(s, d).documents)),
+    "q232_langid_confidence" ->
+      ((s, d) => langIdConfidence(Tables(s, d).documents)),
     "q82_dup_clusters" ->
       ((s, d) => dupClusters(minhashDedup(Tables(s, d).documents))),
     "q133_order_sessions" -> ((s, d) => orderSessions(Tables(s, d).orders))
@@ -1048,6 +1077,47 @@ object Dedup {
        |  CASE WHEN greatest($greatest) = 0 THEN 'und'
        |$arms
        |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q232 oracle: q30's generated score/argmax algebra plus the
+    * row-local top-2 of the score list (list_reverse_sort ≡ Spark's
+    * reverse(array_sort)) — all integers, shared generation with
+    * [[langIdOracle]] so the two cannot drift. */
+  private def langIdConfidenceOracle: String = {
+    val langs = langProfiles.keys.toSeq.sorted
+    def sc(l: String) = s"s_$l"
+    val scoreCols = langs.map { l =>
+      val words = langProfiles(l).map(w => s"'${w}'").mkString(", ")
+      s"  len(list_intersect(tk, [$words])) AS ${sc(l)}"
+    }.mkString(",\n")
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) s"    ELSE '$l' END AS predicted_lang"
+      else {
+        val conds = rest.map(o => s"${sc(l)} >= ${sc(o)}").mkString(" AND ")
+        s"    WHEN $conds THEN '$l'"
+      }
+    }.mkString("\n")
+    val greatest = langs.map(sc).mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents),
+       |scores AS (
+       |  SELECT doc_id, labeled_lang,
+       |$scoreCols
+       |  FROM toks),
+       |ranked AS (
+       |  SELECT doc_id, labeled_lang,
+       |    CASE WHEN greatest($greatest) = 0 THEN 'und'
+       |$arms,
+       |    list_reverse_sort([$greatest]) AS srt
+       |  FROM scores)
+       |SELECT doc_id, labeled_lang, predicted_lang,
+       |  CAST(srt[1] AS BIGINT) AS top_score,
+       |  CAST(srt[1] - srt[2] AS BIGINT) AS margin,
+       |  srt[1] > 0 AND srt[1] - srt[2] > 0 AS confident
+       |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
   private val crossCorpusOracle =
@@ -1253,6 +1323,7 @@ object Dedup {
         |FROM bench b LEFT JOIN hit h USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "q30_lang_id" -> langIdOracle,
+    "q232_langid_confidence" -> langIdConfidenceOracle,
     "q133_order_sessions" ->
       """WITH flagged AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,

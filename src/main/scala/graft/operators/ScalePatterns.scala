@@ -423,6 +423,26 @@ object ScalePatterns {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-band × length joint distribution — the confound check a
+    * CCNet-style gate runs before trusting its own terciles: if the
+    * "tail" band is just the short-doc bucket, the LM score is
+    * measuring length, not fluency, and the gate needs length
+    * stratification first. One row per (band, log2-length bucket)
+    * with doc and token mass — [[fluencyBands]] joined to the
+    * [[graft.operators.TextAnalysis.lengthSpectrum]] bucket rule
+    * (integer bit length, float-free) and rolled up map-side to ≤
+    * 3·64 rows. */
+  def qualityLengthJoint(docs: DataFrame): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    val len = docs.select(col("doc_id"),
+      (length(bin(n)) - 1).cast("long").as("log2_bucket"), n.as("n"))
+    fluencyBands(docs).select(col("doc_id"), col("band"))
+      .join(len, Seq("doc_id"))
+      .groupBy(col("band"), col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy(col("band"), col("log2_bucket"))
+  }
+
   /** The COMPLETE CCNet gate (Wenzek 2019 §4.3): train the LM on the
     * clean target slice, band the crawl by held-out score, keep
     * head + middle and drop the tail third — raw crawl in, CCNet
@@ -720,6 +740,8 @@ object ScalePatterns {
         "avg_prob", buckets = 10, sumScale = 12)),
     // CCNet head/middle/tail: per-DOC band assignment (q154 is the
     // per-bucket rollup of the same scores)
+    "q234_quality_length_joint" -> ((s, d) =>
+      qualityLengthJoint(Tables(s, d).documents)),
     "q210_fluency_bands" -> ((s, d) =>
       fluencyBands(Tables(s, d).documents)),
     // the complete CCNet gate: held-out LM, tail third dropped
@@ -845,6 +867,31 @@ object ScalePatterns {
          |FROM b
          |WHERE NOT (cdf * 3.0 <= 1.0)
          |ORDER BY doc_id""".stripMargin,
+    // q210's band CTEs + the q230 integer bit-length bucket, rolled
+    // up to (band, bucket) — the length-confound check
+    "q234_quality_length_joint" ->
+      s"""WITH fl AS (${TextAnalysis.oracleSql("q140_bigram_fluency")}),
+         |b AS (SELECT doc_id, avg_prob,
+         |        cume_dist() OVER (ORDER BY avg_prob) AS cdf
+         |      FROM fl WHERE avg_prob IS NOT NULL),
+         |bands AS (
+         |  SELECT doc_id,
+         |    CASE WHEN cdf * 3.0 <= 1.0 THEN 'tail'
+         |         WHEN cdf * 3.0 <= 2.0 THEN 'middle'
+         |         ELSE 'head' END AS band
+         |  FROM b),
+         |len AS (
+         |  SELECT doc_id,
+         |    CAST(len(format('{:b}',
+         |        len(string_split(text, ' ')))) - 1 AS BIGINT)
+         |      AS log2_bucket,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT bands.band, len.log2_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len.n) AS BIGINT) AS n_tokens
+         |FROM bands JOIN len USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q140's CTE + the standard cume_dist (ties-inclusive count ≤ v
     // over n — the SAME correctly-rounded division quantileNormalize
     // computes) + identical float band cuts

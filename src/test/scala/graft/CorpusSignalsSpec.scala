@@ -611,6 +611,24 @@ class CorpusSignalsSpec extends AnyFunSuite {
       !r.getBoolean(3)))
   }
 
+  test("contaminationBySource: rates hand-checked per source, eval " +
+      "source absent") {
+    import spark.implicits._
+    val gram = "g1 g2 g3 g4 g5"
+    val in = Seq(
+      (100L, s"$gram extra words", "src0"),      // eval
+      (1L, s"$gram f1 f2 f3", "srcA"),           // contaminated
+      (2L, "c1 c2 c3 c4 c5 c6", "srcA"),         // clean
+      (3L, "d1 d2 d3 d4 d5 d6", "srcB")          // clean source
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.contaminationBySource(in).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set("srcA", "srcB"))
+    assert(got("srcA") == ((2L, 1L, 0.5)))
+    assert(got("srcB") == ((1L, 0L, 0.0)))
+  }
+
   test("contaminationBlastRadius: gram-hit docs at hop 0, their " +
       "near-dups at hop 1, unrelated docs absent") {
     import spark.implicits._

@@ -378,6 +378,20 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(got(3)._1 == "unchanged" && got(3)._4 == 0 && got(3)._5 == 0)
   }
 
+  test("qualityLengthJoint partitions the scoreable corpus by band " +
+      "and length bucket") {
+    val docs = t.documents
+    val joint = ScalePatterns.qualityLengthJoint(docs).collect()
+    assert(joint.nonEmpty)
+    val bandTotals = joint.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val bands = ScalePatterns.fluencyBands(docs).collect()
+      .groupBy(_.getString(3)).view.mapValues(_.length.toLong).toMap
+    assert(bandTotals == bands)
+    // every cell is a real (band, bucket) with positive mass
+    assert(joint.forall(r => r.getLong(2) >= 1 && r.getLong(3) >= 1))
+  }
+
   test("epochShuffle: positions are a permutation matching the global " +
       "hash order; epochs differ; partitioning-invariant") {
     val docs = t.documents.limit(300).localCheckpoint()

@@ -734,6 +734,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.dropRight(1).forall(r => r.getLong(2) > 0))
   }
 
+  test("langIdConfidence: clear doc confident, tie doc margin 0, " +
+      "gibberish und") {
+    val docs = Seq(
+      (1L, "the a of cat sat", "en"),   // en=3, margin 3
+      (2L, "la maison grande", "fr"),   // es=1, fr=1 tie -> es, margin 0
+      (3L, "xyzzy qqq www", "zz")       // no profile hit -> und
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.langIdConfidence(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == (("en", 3L, 3L, true)))
+    assert(got(2L) == (("es", 1L, 0L, false))) // ambiguous: es/fr tie
+    assert(got(3L) == (("und", 0L, 0L, false)))
+    // the argmax label always agrees with q30's langId
+    val plain = Dedup.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.view.mapValues(_._1).toMap == plain)
+  }
+
   test("lengthSpectrum: integer bit-length buckets, exact at powers " +
       "of two, shares sum to 1") {
     def doc(n: Int) = (1 to n).map("w" + _).mkString(" ")
