@@ -85,7 +85,8 @@ object ScaleTrial {
     "q230_length_spectrum", // row-local bucket + tiny groupBy
     "q231_contamination_radius", // seed semi-join + frontier rounds
     "q233_contamination_by_source", // q92 sweep + source rollup
-    "q234_quality_length_joint") // LM scores + CDF + bucket rollup
+    "q234_quality_length_joint", // LM scores + CDF + bucket rollup
+    "q235_cleaning_impact_card") // five 1-row branches, scalar assembly
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1163,6 +1163,32 @@ object CorpusSignals {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** CLEANING-impact card — the one-row "what would cleaning buy us"
+    * estimate a curation run logs BEFORE committing to the pipeline
+    * (the before-picture to [[curationFunnel]]'s after-picture):
+    * corpus totals, exact-duplicate doc mass, intra-document repeated
+    * 8-token lines, near-duplicate pair count from the posting tier,
+    * and benchmark-contaminated doc count. Every branch collapses to
+    * ONE row before the q211-style scalar crossJoin assembly, every
+    * stat is an exact integer, and each branch replays its parent
+    * operator's algebra (md5 fingerprints, the q197 line rule, the
+    * q202 pair tier, the q92 sweep) so the card cannot disagree with
+    * the operators it summarizes. */
+  def cleaningImpactCard(docs: DataFrame,
+      evalSource: String = "src0"): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val ex = docs.agg((count(lit(1)) -
+      count_distinct(md5(col("text")))).as("exact_dup_docs"))
+    val intra = intraDocLineDedup(docs)
+      .agg(sum(col("n_lines") - col("n_kept")).as("intradoc_dup_lines"))
+    val nd = TextAnalysis.sparseCosinePairs(docs)
+      .agg(count(lit(1)).as("neardup_pairs"))
+    val cont = contamination(docs, evalSource)
+      .agg(count(lit(1)).as("contaminated_docs"))
+    tot.crossJoin(ex).crossJoin(intra).crossJoin(nd).crossJoin(cont)
+  }
+
   /** Per-SOURCE contamination triage — which feed is quoting the
     * benchmark: for every non-eval source, its doc count, how many of
     * its docs share a 5-gram with the eval source (the q92 set), and
@@ -1422,6 +1448,8 @@ object CorpusSignals {
       ((s, d) => contaminationBlastRadius(Tables(s, d).documents)),
     "q233_contamination_by_source" ->
       ((s, d) => contaminationBySource(Tables(s, d).documents)),
+    "q235_cleaning_impact_card" ->
+      ((s, d) => cleaningImpactCard(Tables(s, d).documents)),
     "q229_waterfill_sample" ->
       ((s, d) => waterfillSample(Tables(s, d).documents)),
     "q102_inverted_index" -> ((s, d) => invertedIndex(Tables(s, d).documents)),
@@ -2143,6 +2171,50 @@ object CorpusSignals {
          |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
          |  * a.src_tokens < a.alloc * 1000000
          |ORDER BY d.doc_id""".stripMargin,
+    // five 1-row branches, each replaying its parent operator's
+    // integer algebra, assembled by scalar cross join
+    "q235_cleaning_impact_card" ->
+      s"""WITH tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |ex AS (
+         |  SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         |    AS exact_dup_docs
+         |  FROM documents),
+         |intra AS (
+         |  SELECT CAST(sum(n_lines - n_kept) AS BIGINT)
+         |    AS intradoc_dup_lines
+         |  FROM (
+         |    SELECT len(ls) AS n_lines,
+         |      len(list_distinct(ls)) AS n_kept
+         |    FROM (
+         |      SELECT list_transform(
+         |        range(CAST(ceil(len(t) / 8.0) AS INT)),
+         |        i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS ls
+         |      FROM (SELECT string_split(text, ' ') AS t
+         |            FROM documents) x) y) z),
+         |nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS neardup_pairs
+         |  FROM (${TextAnalysis.sparseCosineSql}) p),
+         |cont AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS contaminated_docs
+         |  FROM (
+         |    WITH toks AS (
+         |      SELECT doc_id, source, string_split(text,' ') AS t
+         |      FROM documents),
+         |    grams AS (
+         |      SELECT doc_id, source,
+         |        unnest(list_distinct(list_transform(
+         |          generate_series(1, len(t)-4),
+         |          i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+         |            ||' '||t[i+4]))) AS g
+         |      FROM toks),
+         |    ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+         |    SELECT DISTINCT a.doc_id FROM grams a JOIN ev USING (g)
+         |    WHERE a.source <> 'src0') h)
+         |SELECT * FROM tot, ex, intra, nd, cont""".stripMargin,
     // q92's gram-hit set rolled up per source, same integer counts
     // and a single division
     "q233_contamination_by_source" ->

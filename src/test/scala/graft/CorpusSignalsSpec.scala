@@ -611,6 +611,25 @@ class CorpusSignalsSpec extends AnyFunSuite {
       !r.getBoolean(3)))
   }
 
+  test("cleaningImpactCard: every stat hand-verifiable on a planted " +
+      "corpus") {
+    import spark.implicits._
+    val a = "g1 g2 g3 g4 g5 f1 f2 f3 f4 f5"        // 10 tokens
+    val l8 = "x1 x2 x3 x4 x5 x6 x7 x8"              // one 8-token line
+    val in = Seq(
+      (100L, "g1 g2 g3 g4 g5 e1 e2", "src0"),       // eval: 7 tokens
+      (1L, a, "src1"),                               // contaminated
+      (2L, a, "src1"),                               // exact dup of 1
+      (3L, s"$l8 $l8", "src1")                       // intra-doc repeat
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusSignals.cleaningImpactCard(in).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5)) ==
+      ((4L, 43L, 1L, 1L, 1L, 2L)))
+  }
+
   test("contaminationBySource: rates hand-checked per source, eval " +
       "source absent") {
     import spark.implicits._
