@@ -1298,11 +1298,17 @@ object CorpusSignals {
     val bucket = conv(substring(md5(concat(lit("wfill:"),
       col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 1000000L
+    // DECIMAL(38,0) products: bucket (<10^6) times a 100 TB source's
+    // token count (~10^13) exceeds Long range, where non-ANSI Spark
+    // would WRAP SILENTLY — decimal keeps the comparison exact at any
+    // scale and DuckDB replays it identically
     docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(broadcast(alloc), Seq("source"))
-      .filter(bucket * col("src_tokens") <
-        col("alloc_tokens") * lit(1000000L))
+      .filter(bucket.cast("decimal(38,0)") *
+        col("src_tokens").cast("decimal(38,0)") <
+        col("alloc_tokens").cast("decimal(38,0)") *
+          lit(1000000L).cast("decimal(38,0)"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -2167,9 +2173,12 @@ object CorpusSignals {
          |SELECT d.doc_id, d.source,
          |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
          |FROM documents d JOIN a USING (source)
-         |WHERE (CAST('0x' || substr(md5('wfill:'
-         |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)
-         |  * a.src_tokens < a.alloc * 1000000
+         |WHERE CAST(CAST('0x' || substr(md5('wfill:'
+         |    || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+         |    AS DECIMAL(38,0))
+         |  * CAST(a.src_tokens AS DECIMAL(38,0))
+         |  < CAST(a.alloc AS DECIMAL(38,0)) * CAST(1000000
+         |    AS DECIMAL(38,0))
          |ORDER BY d.doc_id""".stripMargin,
     // five 1-row branches, each replaying its parent operator's
     // integer algebra, assembled by scalar cross join
