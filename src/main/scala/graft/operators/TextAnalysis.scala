@@ -573,6 +573,75 @@ object TextAnalysis {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Per-source quality-ranked token-budget QUOTA — the RefinedWeb /
+    * Gopher "cap any one domain" curation rule (Penedo et al. 2023,
+    * arXiv:2306.01116 caps per-domain document share; Rae et al. 2021
+    * §A1.1 subsamples dominant sources): within each source, documents
+    * are ranked best-quality-first (tie: doc_id) and admitted while
+    * the source's cumulative token mass has not yet reached `budget` —
+    * the crossing document still ships, so every non-empty source
+    * reaches ≥ min(budget, its total). Unlike [[graft.operators
+    * .CorpusSignals.waterfillSample]] (a RANDOM hash-slice realizing a
+    * global allocation), the quota is deterministic and quality-
+    * greedy: a 50 TB crawl contributes its best `budget` tokens, not a
+    * random sample.
+    *
+    * Scale: the running sum must follow (quality DESC, doc_id) WITHIN
+    * each source, and a single source can be most of the corpus, so a
+    * plain per-source window is a 50 TB single-partition sort. Same
+    * fix as [[curriculumBatches]], applied per group: deterministic
+    * quality-VALUE-range shards inside each source (shard index
+    * monotone in descending quality, computed from a broadcast
+    * |sources|-row min/max rollup), local windows over (source,
+    * shard), and per-(source,shard) offsets whose prefix window is
+    * PARTITIONED BY source over ≤ 2·parallelism rows per source. All
+    * integer token arithmetic — the oracle states the plain
+    * per-source global window and matches hash-exactly. */
+  def sourceQuota(documents: DataFrame, budget: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, w => w === "a" || w === "the")).cast("double") /
+        nTokens
+    val scored = documents.select(col("doc_id"), col("source"),
+      nTokens.cast("long").as("n_tokens"),
+      qualityScore(nTokens, ttr, stopRatio).as("quality"))
+    val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
+    // per-source quality range — |sources| rows, broadcast back; an
+    // empty corpus yields an empty rollup (no driver head(), no NPE)
+    val ranges = scored.groupBy(col("source"))
+      .agg(min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+    val width = (col("q_max") - col("q_min")) / lit(parts)
+    val sharded = scored.join(broadcast(ranges), Seq("source"))
+      .withColumn("shard_id",
+        when(width > 0,
+          least(floor((col("q_max") - col("quality")) / width),
+            lit(parts - 1L)).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("q_min", "q_max")
+    val wLocal = Window.partitionBy(col("source"), col("shard_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOffsets = Window.partitionBy(col("source")).orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("shard_id"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .select(col("source"), col("shard_id"),
+        coalesce(sum(col("shard_total")).over(wOffsets), lit(0L))
+          .as("shard_offset"))
+    sharded
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "shard_id"))
+      .withColumn("cum_tokens", col("local_cum") + col("shard_offset"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Statistical language-model fluency scoring — the KenLM-style
     * quality filter of a pretraining pipeline (CCNet, Wenzek et al.
     * 2020, arXiv:1911.00359, scores documents with an n-gram LM and
@@ -1034,6 +1103,8 @@ object TextAnalysis {
       bestQualityRepresentativesLsh(Tables(s, d).documents)),
     "q191_curriculum_batches" -> ((s, d) =>
       curriculumBatches(Tables(s, d).documents)),
+    "q236_source_quota" -> ((s, d) =>
+      sourceQuota(Tables(s, d).documents)),
     "q202_sparse_cosine_pairs" -> ((s, d) =>
       sparseCosinePairs(Tables(s, d).documents)),
     "q209_cluster_sizes" -> ((s, d) =>
@@ -1354,6 +1425,33 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, quality, cum_tokens,
         |  CAST(floor((cum_tokens - 1) / 5000) AS BIGINT) AS batch_id
         |FROM c ORDER BY cum_tokens""".stripMargin,
+    // the oracle IS the per-source global window the operator shards:
+    // integer token cumsum over (PARTITION BY source, quality DESC,
+    // doc_id); the keep rule admits docs while the budget is unmet
+    // (the crossing doc ships). Pinned to the default budget = 600.
+    "q236_source_quota" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+        |      AS quality
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      len(toks) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |      CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the'))
+        |        AS DOUBLE) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |c AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    quality,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 600
+        |ORDER BY doc_id""".stripMargin,
     // q156's closure + q22's scoring + the same argmax rule (quality
     // DESC, doc_id ASC) — singletons via left join + coalesce
     "q190_best_of_cluster" ->

@@ -265,11 +265,64 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == Seq(0L, 1L, 1L))   // 10-token batches
   }
 
+  test("sourceQuota: per-source quality-greedy admission, crossing doc ships") {
+    // source A: doc 2 richest (7 toks), then 1 (6), then 3 (6);
+    // budget 10 admits 2 (cum_before 0) and 1 (cum_before 7) — the
+    // crossing doc ships — then stops (cum_before 13). Source B has
+    // one 6-token doc: admitted whole (budget > total).
+    val docs = Seq(
+      (1L, "the alpha beta gamma delta alpha", "en", "A"),
+      (2L, "the bright unique varied tokens everywhere now", "en", "A"),
+      (3L, "the the the the the the", "en", "A"),
+      (4L, "the only doc in this source", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.sourceQuota(docs, budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "A", 13L), (2L, "A", 7L), (4L, "B", 6L)),
+      s"quota admission wrong: ${got.toSeq}")
+  }
+
+  test("sourceQuota: sharded form == plain per-source window; coverage") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sf)
+    val got = TextAnalysis.sourceQuota(t.documents, budget = 60L).collect()
+    // reference: the single per-source window the operator shards
+    val toks = split(col("text"), " ")
+    val nTokens = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTokens
+    val stop = size(filter(toks, w => w === "a" || w === "the"))
+      .cast("double") / nTokens
+    val q = ttr * 0.5 + (lit(1.0) - stop) * 0.3 +
+      least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.2
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = t.documents
+      .select(col("doc_id"), col("source"),
+        nTokens.cast("long").as("n_tokens"), q.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < 60L)
+      .orderBy(col("doc_id")).collect()
+    assert(got.toSeq == ref.toSeq)
+    // every non-empty source reaches >= min(budget, its own total)
+    val totals = t.documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("n")).groupBy("source").agg(sum("n").as("total"))
+      .as[(String, Long)].collect().toMap
+    val kept = got.groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    totals.foreach { case (s, total) =>
+      assert(kept.getOrElse(s, 0L) >= math.min(60L, total),
+        s"source $s under quota: kept=${kept.get(s)} total=$total")
+    }
+  }
+
   test("curriculumBatches and bestQualityRepresentatives: empty corpus") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
     assert(TextAnalysis.curriculumBatches(empty).count() == 0)
     assert(TextAnalysis.bestQualityRepresentatives(empty).count() == 0)
+    assert(TextAnalysis.sourceQuota(empty).count() == 0)
   }
 
   test("dedup_exact partitions the corpus (sum of copies = corpus size)") {
