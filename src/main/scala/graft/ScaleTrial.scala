@@ -86,7 +86,10 @@ object ScaleTrial {
     "q231_contamination_radius", // seed semi-join + frontier rounds
     "q233_contamination_by_source", // q92 sweep + source rollup
     "q234_quality_length_joint", // LM scores + CDF + bucket rollup
-    "q235_cleaning_impact_card") // five 1-row branches, scalar assembly
+    "q235_cleaning_impact_card", // five 1-row branches, scalar assembly
+    "q236_source_quota", // per-source sharded quality cumsum
+    "q237_source_overlap", // gram-keyed self-join, source-df bounded
+    "q238_interleaved_order") // per-source two-phase rank + closed form
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

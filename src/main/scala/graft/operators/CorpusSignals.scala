@@ -1480,6 +1480,8 @@ object CorpusSignals {
       vocabCoverage(Tables(s, d).documents)),
     "q204_source_novelty" -> ((s, d) =>
       sourceNoveltyCurve(Tables(s, d).documents)),
+    "q237_source_overlap" -> ((s, d) =>
+      sourceOverlapMatrix(Tables(s, d).documents)),
     "q211_release_card" -> ((s, d) =>
       releaseCard(Tables(s, d).documents)),
     "q215_curation_funnel" -> ((s, d) =>
@@ -1876,6 +1878,33 @@ object CorpusSignals {
         |    / CAST(p.n_grams AS DOUBLE) AS novelty_rate
         |FROM per_source p LEFT JOIN news n ON n.source = p.source
         |ORDER BY p.source""".stripMargin,
+    // the operator's exact 3-gram construction: distinct (source,
+    // gram), gram-keyed self-join for intersections (empty
+    // intersections correctly absent), inclusion-exclusion union;
+    // integer counts + one IEEE division — hash-exact
+    "q237_source_overlap" ->
+      """WITH sg AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(t)-2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 3)),
+        |sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM sg GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.s1, i.s2, za.n AS n1, zb.n AS n2, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE)
+        |    / CAST(za.n + zb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sizes za ON za.source = i.s1
+        |JOIN sizes zb ON zb.source = i.s2
+        |ORDER BY s1, s2""".stripMargin,
     // the window/row_number relational statement of the row-local
     // array_distinct rewrite — scope is PARTITION BY (doc_id, line),
     // first occurrence by line_no; proves the narrow form exactly

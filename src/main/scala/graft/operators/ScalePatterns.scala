@@ -546,6 +546,62 @@ object ScalePatterns {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-INTERLEAVED deterministic training order — round-robin
+    * across sources over each source's [[epochShuffle]]-style hash
+    * order: position 1..|sources| is one doc from every source,
+    * position |sources|+1 starts the second pass, and when a source
+    * exhausts, the remaining sources keep rotating. A trainer reading
+    * positions in order sees the mixture at every window — no
+    * source-run batches (a pure hash shuffle like q222 makes runs
+    * merely IMPROBABLE; interleaving makes them impossible while each
+    * source's internal order stays epoch-seeded random).
+    *
+    * The naive statement is `row_number() OVER (ORDER BY src_rank,
+    * source)` — a global sort through one reducer. Instead the global
+    * position has a CLOSED FORM given the |sources|-row size table:
+    * for a doc at 0-based rank r in source s,
+    * `pos = Σ_s' min(r, n_s') + |{s' < s : n_s' > r}| + 1`
+    * (full rotations below rank r, plus sources ahead of s still alive
+    * in rotation r). Per-source ranks come from the q222 two-phase
+    * device PARTITIONED BY source (local ranks per (source, hex-byte
+    * shard), offset prefix per source over ≤256 rows), and the size
+    * table broadcasts as one sorted struct array folded row-locally —
+    * every window partitioned, shuffle cost one count rollup, and the
+    * oracle states the avoided global window verbatim. */
+  def interleavedOrder(docs: DataFrame, epoch: Int = 0): DataFrame = {
+    val sharded = docs.select(col("doc_id"), col("source"))
+      .withColumn("k", md5(concat(lit(s"epoch$epoch:"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard_id", conv(substring(col("k"), 1, 2), 16, 10)
+        .cast("int"))
+    val wLocal = Window.partitionBy(col("source"), col("shard_id"))
+      .orderBy(col("k"), col("doc_id"))
+    val wOffsets = Window.partitionBy(col("source")).orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("shard_id"),
+        coalesce(sum(col("n")).over(wOffsets), lit(0L)).as("off"))
+    val ranked = sharded
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("source", "shard_id"))
+      .select(col("doc_id"), col("source"),
+        (col("local_rn") + col("off") - 1).as("src_rank"))
+    // |sources|-row size table as ONE broadcast sorted struct array:
+    // the closed-form position is a row-local integer fold over it
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("source").as("s"),
+        col("n").as("n")))).as("sz"))
+    ranked.crossJoin(broadcast(sizes))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (aggregate(col("sz"), lit(0L), (acc, x) =>
+          acc + least(col("src_rank"), x.getField("n")) +
+            when(x.getField("s") < col("source") &&
+              x.getField("n") > col("src_rank"), lit(1L))
+              .otherwise(lit(0L))) + 1L).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-shard id: a pure hash projection of
     * doc_id (the salted-md5-prefix device of q134/q164, so the same
     * assignment replays in any engine). Shard membership depends on
@@ -709,6 +765,8 @@ object ScalePatterns {
       globalRowIds(Tables(s, d).documents)),
     "q222_epoch_shuffle" -> ((s, d) =>
       epochShuffle(Tables(s, d).documents, epoch = 3)),
+    "q238_interleaved_order" -> ((s, d) =>
+      interleavedOrder(Tables(s, d).documents, epoch = 3)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
     // the merge must equal the direct whole-corpus manifest — the
@@ -928,6 +986,19 @@ object ScalePatterns {
         |  row_number() OVER (ORDER BY
         |    md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle states BOTH avoided global forms verbatim: the
+    // per-source hash-order rank and the global interleave window
+    // row_number() OVER (ORDER BY src_rank, source)
+    "q238_interleaved_order" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |  row_number() OVER (ORDER BY src_rank, source) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q118_equi_depth_hist" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
         |  min(v) AS lo, max(v) AS hi,

@@ -416,4 +416,43 @@ class ScalePatternsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep == e1)
   }
+
+  test("interleavedOrder: closed-form pos == global interleave window; " +
+      "round-robin blocks while all sources alive; partitioning-invariant") {
+    val docs = t.documents.limit(300).localCheckpoint()
+    val got = ScalePatterns.interleavedOrder(docs, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // permutation of 1..n
+    assert(got.map(_._4).sorted.toSeq == (1L to got.length.toLong))
+    // equals the global two-window form it avoids
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source")).orderBy(
+      md5(concat(lit("epoch1:"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    val direct = docs
+      .select(col("doc_id"), col("source"),
+        (row_number().over(wSrc) - 1).cast("long").as("src_rank"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        row_number().over(Window.orderBy(col("src_rank"), col("source")))
+          .cast("long").as("pos"))
+      .orderBy(col("doc_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == direct.toSeq)
+    // while every source is still alive, each block of |sources|
+    // consecutive positions holds |sources| DISTINCT sources
+    val bySrc = got.groupBy(_._2)
+    val nSources = bySrc.size
+    val minSize = bySrc.values.map(_.length).min
+    val inOrder = got.sortBy(_._4)
+    (0 until minSize).foreach { b =>
+      val block = inOrder.slice(b * nSources, (b + 1) * nSources)
+      assert(block.map(_._2).distinct.length == nSources,
+        s"block $b repeats a source: ${block.map(_._2).toSeq}")
+    }
+    // pure function of the data: partitioning cannot change it
+    val rep = ScalePatterns.interleavedOrder(docs.repartition(7), epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep == got.map(r => r._1 -> r._4).toMap)
+  }
 }
