@@ -360,6 +360,17 @@ class TextDedupSpec extends AnyFunSuite {
       .head.getInt(0) == 3)
   }
 
+  test("approxTokenCount: == word count on word bags; splits punctuation") {
+    val df = Seq(("plain word bag text", "it's pi=3.14, ok!")).toDF("a", "b")
+    val got = df.select(
+      graft.functions.TextFunctions.approxTokenCount(col("a")),
+      graft.functions.TextFunctions.approxTokenCount(col("b"))).head
+    assert(got.getInt(0) == 4) // == whitespace count on the bag
+    // splits BEFORE each punct char (runs, not singles):
+    // it | 's | pi | =3 | .14 | , | ok | ! = 8
+    assert(got.getInt(1) == 8)
+  }
+
   test("capBlocks: default caps leave q26/q112 output unchanged " +
     "(cap does not fire on test data)") {
     val docs = Tables(spark, sf).documents

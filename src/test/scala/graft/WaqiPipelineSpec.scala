@@ -61,6 +61,24 @@ class WaqiPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("splitByKey: per-key family partitions the long table (P6 parity)") {
+    val long = Flatten.longFormat(WaqiSource.ok(parsed),
+      WaqiSource.Pollutants)
+    val fam = Reshape.splitByKey(long, WaqiSource.Pollutants)
+    assert(fam.keySet == WaqiSource.Pollutants.toSet)
+    // each member holds exactly its key's rows; members partition long
+    fam.foreach { case (k, df) =>
+      assert(df.filter(col("pollutant") =!= k).isEmpty)
+    }
+    assert(fam.values.map(_.count()).sum == long.count())
+  }
+
+  test("dayToDate parses the reference's string day; garbage -> null") {
+    val got = Seq("2026-08-10", "not a day")
+      .toDF("d").select(Scalars.dayToDate(col("d"))).collect()
+    assert(got(0).getDate(0).toString == "2026-08-10" && got(1).isNullAt(0))
+  }
+
   test("end-to-end app: reports per pollutant, errors counted") {
     val r = AirQualityApp.run(spark)
     assert(r.nErrors == 2)
