@@ -89,7 +89,8 @@ object ScaleTrial {
     "q235_cleaning_impact_card", // five 1-row branches, scalar assembly
     "q236_source_quota", // per-source sharded quality cumsum
     "q237_source_overlap", // gram-keyed self-join, source-df bounded
-    "q238_interleaved_order") // per-source two-phase rank + closed form
+    "q238_interleaved_order", // per-source two-phase rank + closed form
+    "q239_eval_holdout") // custom TopK: k-bounded heaps before shuffle
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

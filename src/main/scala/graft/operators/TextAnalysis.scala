@@ -372,6 +372,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Exactly-k-per-source deterministic EVAL HOLDOUT — the
+    * fixed-SIZE counterpart to [[hashStratifiedSample]]'s fixed-RATE
+    * slice: an eval suite needs "exactly k docs from every source"
+    * (comparable per-source metrics, bounded benchmark cost), chosen
+    * by a salted-hash order so the pick is a property of the data,
+    * not of partitioning ("eval:" salt — independent of the split/
+    * strat/wsamp hash families). Sources with fewer than k docs keep
+    * everything — row_number semantics, no padding.
+    *
+    * The naive form is a per-source row_number window ≤ k — which
+    * sorts a 50 TB source in one partition. This routes through the
+    * [[graft.plans.TopK]] custom physical operator instead: k-bounded
+    * heaps per source BEFORE the shuffle, so only ≤ k·partitions
+    * candidate rows cross the exchange and no full sort exists
+    * anywhere. The oracle states the avoided window verbatim —
+    * passing it proves the custom operator's row_number semantics on
+    * a second table and key shape (q06f pins it on orders). */
+  def evalHoldoutPerSource(docs: DataFrame, k: Int = 5): DataFrame =
+    graft.plans.TopK.perKey(
+      docs.select(col("doc_id"), col("source"),
+        md5(concat(lit("eval:"), col("doc_id").cast("string")))
+          .as("k_eval")),
+      Seq("source"),
+      Seq("k_eval" -> false, "doc_id" -> false),
+      k = k)
+      .select(col("doc_id"), col("source"), col("k_eval"))
+      .orderBy(col("doc_id"))
+
   /** Quality-WEIGHTED deterministic sampling: each document is kept
     * with probability proportional to its [[qualityScores]] score —
     * the data-mixing move that up-samples high-quality text (the
@@ -1061,6 +1089,8 @@ object TextAnalysis {
     "q66_stratified_sample" -> ((s, d) => stratifiedSample(Tables(s, d))),
     "q134_hash_stratified" ->
       ((s, d) => hashStratifiedSample(Tables(s, d).documents)),
+    "q239_eval_holdout" ->
+      ((s, d) => evalHoldoutPerSource(Tables(s, d).documents)),
     "q164_weighted_sample" ->
       ((s, d) => weightedQualitySample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
@@ -1616,6 +1646,17 @@ object TextAnalysis {
         |  USING (lang)
         |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
         |    1, 8) AS BIGINT) % 10000 < keep_below
+        |ORDER BY doc_id""".stripMargin,
+    // the oracle IS the per-source window the custom TopK operator
+    // avoids: row_number over the salted-hash order, <= k (default 5)
+    "q239_eval_holdout" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    md5('eval:' || CAST(doc_id AS VARCHAR)) AS k_eval,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      md5('eval:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, k_eval FROM r WHERE rn <= 5
         |ORDER BY doc_id""".stripMargin,
     "q84_bpe_token_count" ->
       s"""SELECT doc_id,

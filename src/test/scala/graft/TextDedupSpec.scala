@@ -317,6 +317,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("evalHoldoutPerSource: exactly min(k, |source|) docs per source; " +
+      "pick is partitioning-invariant") {
+    val t = Tables(spark, sf)
+    val sizes = t.documents.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val got = TextAnalysis.evalHoldoutPerSource(t.documents, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perSource = got.groupBy(_._2).map { case (s, rs) => s -> rs.length }
+    sizes.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0) == math.min(3L, n),
+        s"source $s: got ${perSource.get(s)} of $n docs")
+    }
+    val rep = TextAnalysis.evalHoldoutPerSource(
+      t.documents.repartition(7), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rep.sorted.toSeq == got.sorted.toSeq)
+  }
+
   test("curriculumBatches and bestQualityRepresentatives: empty corpus") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
