@@ -534,6 +534,62 @@ object TextAnalysis {
       .orderBy(col("log2_bucket"))
   }
 
+  /** Length-bucketed fixed-context SEQUENCE PACKING — the padding-
+    * waste minimizer of trainer batch assembly: every example slot is
+    * `ctx` tokens, and a naive one-doc-per-slot batch wastes
+    * (ctx − n)/ctx of the window as padding. Bucketing docs by
+    * power-of-two CEILING length and packing `ctx div slot_len`
+    * same-bucket docs per window bounds intra-slot padding below 50%
+    * and makes the assignment pure integer arithmetic (first-fit-
+    * decreasing would beat it by a few points but is inherently
+    * sequential — this is the standard bucketed-batching trade).
+    * Docs longer than ctx are capped (the truncation the ctx contract
+    * implies). Output is the per-pack audit: slot width, capacity,
+    * docs packed, real-token mass, and window fill (< 1 on the final
+    * partial pack of a bucket and from intra-slot padding).
+    *
+    * Scale: the bucket is row-local ([[lengthSpectrum]]'s float-free
+    * bit length); per-bucket ranks use the q222 hex-byte two-phase
+    * device PARTITIONED BY bucket (local ranks per (bucket, shard),
+    * offset prefix per bucket over ≤256 rows) — no global or
+    * bucket-wide sort; the rollup is map-side-combinable to
+    * corpus/ctx-sized output. All integers + one IEEE division; the
+    * oracle states the avoided per-bucket window verbatim. */
+  def lengthBucketPacking(docs: DataFrame, ctx: Int = 512,
+      epoch: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = least(size(tokens(col("text"))), lit(ctx)).cast("long")
+    val lb = when(n <= 1, lit(0))
+      .otherwise(length(bin(n - 1))).cast("int")
+    val base = docs.select(col("doc_id"), n.as("n"), lb.as("lb"))
+      .withColumn("slot_len",
+        least(expr("shiftleft(1L, lb)"), lit(ctx.toLong)))
+      .withColumn("capacity", expr(s"${ctx}L div slot_len"))
+      .withColumn("k", md5(concat(lit(s"pack$epoch:"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard_id", conv(substring(col("k"), 1, 2), 16, 10)
+        .cast("int"))
+    val wLocal = Window.partitionBy(col("lb"), col("shard_id"))
+      .orderBy(col("k"), col("doc_id"))
+    val wOffsets = Window.partitionBy(col("lb")).orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lb"), col("shard_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lb"), col("shard_id"),
+        coalesce(sum(col("cnt")).over(wOffsets), lit(0L)).as("off"))
+    base
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("lb", "shard_id"))
+      .withColumn("pack_id", expr("(local_rn + off - 1L) div capacity"))
+      .groupBy(col("slot_len"), col("pack_id"), col("capacity"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("slot_len"), col("pack_id"), col("capacity"),
+        col("n_docs"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") / lit(ctx).cast("double"))
+          .as("fill"))
+      .orderBy(col("slot_len"), col("pack_id"))
+  }
+
   /** Curriculum packing: the corpus ordered best-quality-first and
     * packed greedily into fixed token-budget batches — the "easy/clean
     * data first" training schedule, materialized as (doc → batch_id)
@@ -1091,6 +1147,8 @@ object TextAnalysis {
       ((s, d) => hashStratifiedSample(Tables(s, d).documents)),
     "q239_eval_holdout" ->
       ((s, d) => evalHoldoutPerSource(Tables(s, d).documents)),
+    "q240_length_packing" ->
+      ((s, d) => lengthBucketPacking(Tables(s, d).documents)),
     "q164_weighted_sample" ->
       ((s, d) => weightedQualitySample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
@@ -1647,6 +1705,32 @@ object TextAnalysis {
         |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
         |    1, 8) AS BIGINT) % 10000 < keep_below
         |ORDER BY doc_id""".stripMargin,
+    // the oracle IS the per-bucket hash-order window the two-phase
+    // device avoids; bucket/slot/capacity are pure integer algebra
+    // (format('{:b}') bit length, << , //), pinned to ctx=512 epoch=0
+    "q240_length_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    least(len(string_split(text, ' ')), 512)::BIGINT AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 1 THEN 0
+        |      ELSE length(format('{:b}', n - 1)) END AS lb
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    least(1::BIGINT << lb, 512) AS slot_len,
+        |    512 // least(1::BIGINT << lb, 512) AS capacity,
+        |    row_number() OVER (PARTITION BY lb ORDER BY
+        |      md5('pack0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r0
+        |  FROM b)
+        |SELECT slot_len, CAST(r0 // capacity AS BIGINT) AS pack_id,
+        |  capacity, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE) AS fill
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY slot_len, pack_id""".stripMargin,
     // the oracle IS the per-source window the custom TopK operator
     // avoids: row_number over the salted-hash order, <= k (default 5)
     "q239_eval_holdout" ->

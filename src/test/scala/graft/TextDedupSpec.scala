@@ -335,6 +335,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rep.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("lengthBucketPacking: bucket/slot/capacity algebra on a hand corpus; " +
+      "packs never overflow; only the last pack per bucket is partial") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // lengths 3,4,4 -> slot 4 cap 4; 5 -> slot 8 cap 2;
+    // 9,16,17(capped 16) -> slot 16 cap 1; ctx = 16
+    val docs = Seq(3, 4, 4, 5, 9, 16, 17).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n), "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.lengthBucketPacking(docs, ctx = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val bySlot = got.groupBy(_._1)
+    assert(bySlot(4L).length == 1 && bySlot(4L).head._4 == 3 &&
+      bySlot(4L).head._5 == 11) // 3+4+4 real tokens in one 4x4 window
+    assert(bySlot(8L).length == 1 && bySlot(8L).head._5 == 5)
+    assert(bySlot(16L).length == 3 &&
+      bySlot(16L).map(_._5).sorted.toSeq == Seq(9L, 16L, 16L))
+    got.foreach { case (slot, _, cap, nd, sum, fill) =>
+      assert(nd <= cap && sum <= 16 && fill == sum.toDouble / 16)
+    }
+    assert(got.map(_._4).sum == 7) // every doc packed exactly once
+    // all but the highest pack_id per bucket are FULL
+    bySlot.values.foreach { packs =>
+      val lastId = packs.map(_._2).max
+      packs.filter(_._2 != lastId)
+        .foreach(p => assert(p._4 == p._3, s"non-final pack partial: $p"))
+    }
+    // partitioning-invariant (pure function of the data)
+    val rep = TextAnalysis.lengthBucketPacking(docs.repartition(5), ctx = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rep.sorted.toSeq ==
+      got.map(r => (r._1, r._2, r._5)).sorted.toSeq)
+  }
+
   test("curriculumBatches and bestQualityRepresentatives: empty corpus") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
