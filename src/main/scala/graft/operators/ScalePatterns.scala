@@ -616,6 +616,47 @@ object ScalePatterns {
       .cast("long") % nShards).cast("int")
   }
 
+  /** Jump-consistent-hash training-shard id — the RESHARD-STABLE
+    * alternative to [[shardId]]'s `hash mod n`: growing the shard
+    * count n → n+1 moves exactly the expected 1/(n+1) of documents
+    * (each into the NEW shard only), where mod reshuffles 1 − 1/n of
+    * the corpus. The key is xxhash64(doc_id) — membership is a pure
+    * function of the id, stable under growth like the q134 family,
+    * engine-specific by nature (no SQL oracle; rows-only + specs). */
+  def jumpShardId(nShards: Int): Column =
+    graft.plans.FastOps.jumpShard(
+      xxhash64(col("doc_id").cast("string")), nShards)
+
+  /** One-row RESHARD-MOVEMENT card: growing `nFrom` → `nTo` shards,
+    * how many documents change shard under `hash mod n` vs the
+    * jump-consistent assignment ([[jumpShardId]]). The number a
+    * release engineer reads before a reshard: mod re-uploads ~the
+    * whole corpus (1 − 1/n stays only by coincidence of the two
+    * moduli), jump re-uploads ~(nTo − nFrom)/nTo of it. One scan,
+    * row-local hashing (the jump loop runs inside whole-stage
+    * codegen), one partial-agg rollup to a single row. */
+  def reshardMovement(docs: DataFrame, nFrom: Int = 16, nTo: Int = 17)
+      : DataFrame = {
+    require(1 <= nFrom && nFrom < nTo, s"need 1 <= nFrom < nTo")
+    val key = xxhash64(col("doc_id").cast("string"))
+    docs.select(
+        pmod(key, lit(nFrom.toLong)).as("mod_from"),
+        pmod(key, lit(nTo.toLong)).as("mod_to"),
+        jumpShardId(nFrom).as("jump_from"),
+        jumpShardId(nTo).as("jump_to"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mod_from") =!= col("mod_to"), 1L).otherwise(0L))
+          .as("mod_moved"),
+        sum(when(col("jump_from") =!= col("jump_to"), 1L).otherwise(0L))
+          .as("jump_moved"))
+      .select(lit(nFrom).as("n_from"), lit(nTo).as("n_to"),
+        col("n_docs"), col("mod_moved"), col("jump_moved"),
+        (col("mod_moved").cast("double") / col("n_docs").cast("double"))
+          .as("mod_frac"),
+        (col("jump_moved").cast("double") / col("n_docs").cast("double"))
+          .as("jump_frac"))
+  }
+
   /** Training-shard export manifest: per-shard document/token/char
     * totals plus an ORDER-INSENSITIVE content checksum (bit_xor of a
     * per-row md5-prefix long over doc_id:text) — the sidecar every
@@ -767,6 +808,11 @@ object ScalePatterns {
       epochShuffle(Tables(s, d).documents, epoch = 3)),
     "q238_interleaved_order" -> ((s, d) =>
       interleavedOrder(Tables(s, d).documents, epoch = 3)),
+    // rows-only by design: the jump LCG wraps mod 2^64 and the key is
+    // xxhash64 — neither replays in DuckDB; movement/balance specs +
+    // codegen==interpreted pin it instead
+    "q241_jump_reshard" -> ((s, d) =>
+      reshardMovement(Tables(s, d).documents)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
     // the merge must equal the direct whole-corpus manifest — the

@@ -372,6 +372,73 @@ object WithinOneEditExpr {
   }
 }
 
+/** Jump consistent hash (Lamping & Veach 2014, arXiv:1406.2294): maps
+  * a 64-bit key to a shard in [0, numShards) such that growing the
+  * shard count from n to n+1 moves EXACTLY the expected 1/(n+1)
+  * fraction of keys (each strictly from an old shard to the NEW one)
+  * — where `hash mod n` reshuffles 1 − 1/n of the corpus. This is the
+  * reshard-stability device for incremental dataset re-export: a
+  * release that grows its shard count re-uploads one new shard's
+  * worth, not the whole corpus. The published algorithm is a tight
+  * integer-LCG loop (O(ln n) iterations, no state), generated here
+  * inside whole-stage codegen; the interpreted path shares the same
+  * helper. Engine-specific by nature (the LCG multiply wraps mod
+  * 2⁶⁴) — no SQL oracle; covered rows-only + movement/balance specs. */
+case class JumpHashExpr(child: Expression, numShards: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numShards >= 1, s"numShards must be >= 1 (got $numShards)")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jump_shard expects a bigint key, got ${child.dataType.sql}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    JumpHashExpr.jump(input.asInstanceOf[Long], numShards)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val key = ctx.freshName("key")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      s"""
+         |long $key = $c;
+         |long $b = -1L; long $j = 0L;
+         |while ($j < ${numShards}L) {
+         |  $b = $j;
+         |  $key = $key * 2862933555777941757L + 1L;
+         |  $j = (long) (($b + 1L) *
+         |    ((double) (1L << 31) / (double) (($key >>> 33) + 1L)));
+         |}
+         |${ev.value} = (int) $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object JumpHashExpr {
+  /** Reference implementation — bit-identical to the generated loop. */
+  def jump(key0: Long, numShards: Int): Int = {
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < numShards) {
+      b = j
+      key = key * 2862933555777941757L + 1L
+      j = ((b + 1L) *
+        ((1L << 31).toDouble / ((key >>> 33) + 1L).toDouble)).toLong
+    }
+    b.toInt
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 /** Unicode text canonicalization for pretraining corpora: NFC
   * normalization (composed forms — é is one codepoint however the
@@ -448,6 +515,11 @@ object FastOps {
   def withinOneEdit(a: Column, b: Column): Column =
     GraftColumnBridge.column(WithinOneEditExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Jump-consistent-hash shard of a bigint key — see [[JumpHashExpr]]. */
+  def jumpShard(key: Column, numShards: Int): Column =
+    GraftColumnBridge.column(JumpHashExpr(
+      GraftColumnBridge.expression(key), numShards))
 
   /** One-pass NFC + ROOT-lowercase + whitespace collapse. Supported
     * whitespace class is Java `\s` (tab/LF/VT/FF/CR/space) — see

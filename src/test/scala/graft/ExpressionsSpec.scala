@@ -22,6 +22,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  test("JumpHashExpr: codegen == reference impl; n->n+1 moves ~1/(n+1) " +
+      "of keys strictly into the NEW shard; shards balanced") {
+    import graft.plans.{FastOps, JumpHashExpr}
+    val n = 100000
+    val rows = spark.range(n)
+      .select((col("id") * 2654435761L + 123456789L).as("k"))
+      .select(col("k"),
+        FastOps.jumpShard(col("k"), 16).as("s16"),
+        FastOps.jumpShard(col("k"), 17).as("s17"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == JumpHashExpr.jump(r.getLong(0), 16))
+      assert(r.getInt(2) == JumpHashExpr.jump(r.getLong(0), 17))
+    }
+    val moved = rows.filter(r => r.getInt(1) != r.getInt(2))
+    assert(moved.forall(_.getInt(2) == 16), "a moved key skipped shard 16")
+    // binomial p = 1/17: 5 sigma over 1e5 trials is ~0.0037
+    val frac = moved.length.toDouble / n
+    assert(math.abs(frac - 1.0 / 17) < 0.005, s"moved frac $frac")
+    val byShard = rows.groupBy(_.getInt(1)).map(_._2.length)
+    assert(byShard.size == 16 &&
+      byShard.min > n / 16 * 0.9 && byShard.max < n / 16 * 1.1,
+      s"imbalanced: min=${byShard.min} max=${byShard.max}")
+    // n = 1 sends every key to shard 0
+    assert(Seq(0L, -1L, Long.MaxValue, Long.MinValue)
+      .forall(JumpHashExpr.jump(_, 1) == 0))
+  }
+
   test("DotProductExpr handles mixed float/double arrays") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(0.5, 0.25, 2.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot(col("a"), col("b")))

@@ -417,6 +417,22 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(rep == e1)
   }
 
+  test("reshardMovement: jump movement is bounded and strictly into the " +
+      "new shard; mod reshuffles most of the corpus") {
+    val r = ScalePatterns.reshardMovement(t.documents).head
+    assert(r.getInt(0) == 16 && r.getInt(1) == 17 && r.getLong(2) > 0)
+    val (modF, jumpF) = (r.getDouble(5), r.getDouble(6))
+    assert(modF > 0.8, s"mod moved only $modF") // ~16/17 expected
+    assert(jumpF < 0.25 && jumpF < modF, s"jump moved $jumpF")
+    // every jump-moved doc lands in the NEW shard (16), none elsewhere
+    val landed = t.documents
+      .select(ScalePatterns.jumpShardId(16).as("a"),
+        ScalePatterns.jumpShardId(17).as("b"))
+      .filter(col("a") =!= col("b")).select(col("b")).distinct()
+      .collect().map(_.getInt(0))
+    assert(landed.forall(_ == 16), s"landed: ${landed.toSeq}")
+  }
+
   test("interleavedOrder: closed-form pos == global interleave window; " +
       "round-robin blocks while all sources alive; partitioning-invariant") {
     val docs = t.documents.limit(300).localCheckpoint()
