@@ -975,6 +975,31 @@ object CorpusSignals {
     afterNearDup.join(contaminatedIds, Seq("doc_id"), "left_anti")
   }
 
+  /** The RELEASE-PACKING composition — the full path from raw crawl
+    * to trainer-ready windows as ONE Catalyst plan: [[curatedDocs]]
+    * (quality gate → exact dedup → decontamination) →
+    * [[graft.operators.TextAnalysis.sourceQuota]] (per-source
+    * quality-greedy token budget — the domain cap applied AFTER
+    * cleaning, so a dup-ridden feed can't spend its quota on copies)
+    * → [[graft.operators.TextAnalysis.lengthBucketPacking]] of the
+    * kept docs (padding-aware fixed-ctx windows). Output is the
+    * pack-level audit of the corpus a trainer would actually read.
+    * Every stage is the library's own operator verbatim, so the
+    * composition hash-matches the oracle end-to-end (the q130
+    * assembly precedent extended by two round-10 operators); no
+    * driver action anywhere — the three stages fuse into one lazy
+    * plan whose only shuffles are the stages' own (md5 dedup key,
+    * gram sweep, the partitioned quota/packing windows). */
+  def releasePacking(docs: DataFrame, evalSource: String = "src0",
+      minChars: Long = 200, maxChars: Long = 1200,
+      budget: Long = 600L, ctx: Int = 512): DataFrame = {
+    val clean = curatedDocs(docs, evalSource, minChars, maxChars)
+    val kept = TextAnalysis.sourceQuota(clean, budget)
+      .select(col("doc_id"))
+    TextAnalysis.lengthBucketPacking(
+      clean.join(kept, Seq("doc_id"), "left_semi"), ctx)
+  }
+
   /** The curation WATERFALL — per-stage attrition of the q130
     * pipeline (raw → chars quality gate → exact dedup →
     * decontamination), one row per stage with surviving doc/char
@@ -1417,6 +1442,8 @@ object CorpusSignals {
       boilerplateFraction(Tables(s, d).documents)),
     "q126_bpe_pair_counts" -> ((s, d) =>
       bpePairCounts(Tables(s, d).documents)),
+    "q242_release_packing" -> ((s, d) =>
+      releasePacking(Tables(s, d).documents)),
     "q130_curation_pipeline" -> ((s, d) =>
       curationPipeline(Tables(s, d).documents)),
     "q131_curation_neardup" -> ((s, d) =>
@@ -2104,6 +2131,78 @@ object CorpusSignals {
         |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
         |FROM nc WHERE n_copies >= 1
         |ORDER BY doc_id, copy""".stripMargin,
+    // q130's clean CTEs (source carried through) + q236's per-source
+    // quota window + q240's packing algebra, re-pointed at the kept
+    // set — the whole release path stated once in SQL
+    "q242_release_packing" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE source <> 'src0' AND n_chars BETWEEN 200 AND 1200),
+        |keep AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |  FROM corpus GROUP BY 1),
+        |deduped AS (
+        |  SELECT c.doc_id, c.text, c.source FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.doc_id),
+        |eval_grams AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    AS g
+        |  FROM (SELECT string_split(text,' ') AS t FROM documents
+        |        WHERE source = 'src0')),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |        AS g
+        |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM deduped)) d
+        |  JOIN eval_grams e ON d.g = e.g),
+        |clean AS (
+        |  SELECT * FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+        |      AS quality, source
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      len(toks) AS n_tokens,
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |      CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the'))
+        |        AS DOUBLE) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |          FROM clean))),
+        |cum AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM q),
+        |kept AS (
+        |  SELECT doc_id FROM cum WHERE cum_tokens - n_tokens < 600),
+        |d AS (
+        |  SELECT doc_id,
+        |    least(len(string_split(text, ' ')), 512)::BIGINT AS n
+        |  FROM clean WHERE doc_id IN (SELECT doc_id FROM kept)),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 1 THEN 0
+        |      ELSE length(format('{:b}', n - 1)) END AS lb
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    least(1::BIGINT << lb, 512) AS slot_len,
+        |    512 // least(1::BIGINT << lb, 512) AS capacity,
+        |    row_number() OVER (PARTITION BY lb ORDER BY
+        |      md5('pack0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r0
+        |  FROM b)
+        |SELECT slot_len, CAST(r0 // capacity AS BIGINT) AS pack_id,
+        |  capacity, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE) AS fill
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY slot_len, pack_id""".stripMargin,
     "q130_curation_pipeline" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, n_chars FROM documents

@@ -47,5 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeTextExpr].getName,
         "graft_normalize_text"),
       (children: Seq[Expression]) => NormalizeTextExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jump_shard"),
+      new ExpressionInfo(classOf[JumpHashExpr].getName,
+        "graft_jump_shard"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"shard count must be a literal, got $other")
+        }
+        JumpHashExpr(children(0), n)
+      }))
   }
 }

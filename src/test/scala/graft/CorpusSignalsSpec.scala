@@ -14,6 +14,25 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("releasePacking == the step-by-step stage composition; packed " +
+      "token mass equals the kept docs' capped counts") {
+    import graft.operators.{CorpusSignals, TextAnalysis}
+    val composed = CorpusSignals.releasePacking(docs).collect()
+    // the same three stages run separately, with intermediates forced
+    val clean = CorpusSignals.curatedDocs(docs).localCheckpoint()
+    val kept = TextAnalysis.sourceQuota(clean, 600L)
+      .select(col("doc_id")).localCheckpoint()
+    val stepwise = TextAnalysis.lengthBucketPacking(
+      clean.join(kept, Seq("doc_id"), "left_semi")).collect()
+    assert(composed.map(_.toSeq).toSeq == stepwise.map(_.toSeq).toSeq)
+    // conservation: packed mass == Σ min(n_tokens, 512) over kept docs
+    val massIndependent = clean.join(kept, Seq("doc_id"), "left_semi")
+      .select(least(size(split(col("text"), " ")), lit(512)).cast("long")
+        .as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(composed.map(_.getLong(4)).sum == massIndependent)
+  }
+
   test("bigram stats match the exploded groupBy form bit-for-bit") {
     val exploded = {
       val base = docs.select(col("doc_id"),

@@ -36,6 +36,13 @@ class ExtensionsAndScaleSpec extends AnyFunSuite {
       "SELECT graft_sorted_shingles('c b a x y', 3) AS s")
       .head.getSeq[String](0)
     assert(sh == Seq("a x y", "b a x", "c b a").sorted)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jump_shard",
+      exprs => graft.plans.JumpHashExpr(exprs(0), 16),
+      "built-in")
+    val js = spark.sql("SELECT graft_jump_shard(42L, 16) AS s")
+      .head.getInt(0)
+    assert(js == graft.plans.JumpHashExpr.jump(42L, 16))
   }
 
   test("salted join result equals the plain join") {
