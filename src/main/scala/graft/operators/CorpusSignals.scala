@@ -352,10 +352,28 @@ object CorpusSignals {
     * (train once, encode many); re-training here keeps the operator a
     * pure function of its input, which is what lets the oracle check
     * it. */
-  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame = {
-    val merges = bpeTrainMerges(docs, nMerges).collect()
+  def bpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeEncodeWith(mergeTable(bpeTrainMerges(docs, nMerges)), docs)
+
+  /** Collapse a [[bpeTrainMerges]] frame (possibly re-read from the
+    * lake) into the rank-ordered in-memory merge list — the
+    * model-sized driver artifact [[bpeEncodeWith]] compiles into its
+    * replace chain. */
+  def mergeTable(merges: DataFrame): Seq[(String, String)] =
+    merges.collect()
       .sortBy(_.getAs[Int]("merge_round"))
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+
+  /** Encode with an EXPLICIT merge table — the "train once, encode
+    * many" deployment shape [[bpeEncode]]'s docstring promises: write
+    * [[bpeTrainMerges]]'s output to the lake with any parquet sink,
+    * read it back next run, and encode new corpora without
+    * re-training (spec-pinned: encode-from-loaded ≡
+    * encode-from-trained bit-exactly). The merge list compiles to the
+    * same codegen'd replace chain either way. */
+  def bpeEncodeWith(merges: Seq[(String, String)], docs: DataFrame)
+      : DataFrame = {
     def encodeWord(w: Column): Column = {
       val s0 = concat(lit("  "),
         array_join(transform(sequence(lit(1), length(w)),

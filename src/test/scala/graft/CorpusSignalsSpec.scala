@@ -33,6 +33,20 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(composed.map(_.getLong(4)).sum == massIndependent)
   }
 
+  test("BPE merge table round-trips through the lake: encode-from-loaded " +
+      "== encode-from-trained") {
+    import graft.operators.CorpusSignals
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_merges").toString
+    CorpusSignals.bpeTrainMerges(docs, nMerges = 10)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val fromLoaded = CorpusSignals
+      .bpeEncodeWith(CorpusSignals.mergeTable(loaded), docs).collect()
+    val fromTrained = CorpusSignals.bpeEncode(docs).collect()
+    assert(fromLoaded.map(_.toSeq).toSeq == fromTrained.map(_.toSeq).toSeq)
+  }
+
   test("bigram stats match the exploded groupBy form bit-for-bit") {
     val exploded = {
       val base = docs.select(col("doc_id"),
