@@ -33,6 +33,22 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(composed.map(_.getLong(4)).sum == massIndependent)
   }
 
+  test("releasePacking from a MATERIALIZED clean corpus: quota+packing " +
+      "over the lake artifact == the composed plan") {
+    import graft.operators.{CorpusSignals, TextAnalysis}
+    val dir = java.nio.file.Files
+      .createTempDirectory("clean_corpus").toString
+    CorpusSignals.curatedDocs(docs).write.mode("overwrite").parquet(dir)
+    val cleanFromLake = spark.read.parquet(dir)
+    val kept = TextAnalysis.sourceQuota(cleanFromLake, 600L)
+      .select(col("doc_id"))
+    val fromLake = TextAnalysis.lengthBucketPacking(
+      cleanFromLake.join(kept, Seq("doc_id"), "left_semi"))
+      .collect()
+    val composed = CorpusSignals.releasePacking(docs).collect()
+    assert(fromLake.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
+  }
+
   test("BPE merge table round-trips through the lake: encode-from-loaded " +
       "== encode-from-trained") {
     import graft.operators.CorpusSignals
