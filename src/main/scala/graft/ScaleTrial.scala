@@ -93,7 +93,8 @@ object ScaleTrial {
     "q239_eval_holdout", // custom TopK: k-bounded heaps before shuffle
     "q240_length_packing", // per-bucket two-phase rank + pack rollup
     "q241_jump_reshard", // row-local codegen loop + 1-row rollup
-    "q242_release_packing") // curation -> quota -> packing, one plan
+    "q242_release_packing", // curation -> quota -> packing, one plan
+    "q243_source_overlap_sketch") // one partial-agg signature pass
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

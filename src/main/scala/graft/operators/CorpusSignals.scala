@@ -954,6 +954,47 @@ object CorpusSignals {
       .orderBy(col("source"))
   }
 
+  /** The SKETCH tier of [[sourceOverlapMatrix]] — per-source MinHash
+    * signatures estimating the same 3-gram Jaccard, for source counts
+    * where the exact gram self-join is unaffordable (10⁵+ feeds). The
+    * estimator is Broder's: sig_s[i] = min over the source's grams of
+    * hash_i(gram), est J(a,b) = agreeing positions / numPerms. Because
+    * min over a MULTISET equals min over its set, no distinct pass is
+    * needed: signatures fall out of ONE map-side-combinable
+    * groupBy(source) over exploded grams (each partition pre-collapses
+    * to |sources|·numPerms partial minima — at 100 TB the shuffle
+    * carries parallelism·|sources| signature rows, nothing gram-
+    * sized), and the all-pairs estimate rides the broadcast
+    * |sources|-row signature table. xxhash64 family ⇒ rows-only by
+    * design (q28's convention); the spec calibrates it against the
+    * exact matrix — clone sources estimate 1.0 identically, MAE
+    * bounded by ~1/√numPerms on every real pair. */
+  def sourceOverlapMinhash(docs: DataFrame, numPerms: Int = 64)
+      : DataFrame = {
+    val g = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t)-2), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2)))")).as("g"))
+    val hs = g.select(col("source"),
+      array((0 until numPerms).map(i => xxhash64(lit(i), col("g"))): _*)
+        .as("hs"))
+    val sigs = hs.groupBy(col("source"))
+      .agg(array((0 until numPerms).map(i =>
+        min(col("hs").getItem(i))): _*).as("sig"))
+    val agree = (0 until numPerms).map(i =>
+      when(col("sa").getItem(i) === col("sb").getItem(i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    broadcast(sigs.select(col("source").as("src_a"), col("sig").as("sa")))
+      .join(broadcast(sigs.select(col("source").as("src_b"),
+        col("sig").as("sb"))), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numPerms).cast("double"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** The cleaned corpus the curation workflow keeps: quality gate →
     * exact dedup (min-id representative per content hash) → optional
     * MinHash near-dup collapse (candidate pairs via LSH, transitive
@@ -1527,6 +1568,10 @@ object CorpusSignals {
       sourceNoveltyCurve(Tables(s, d).documents)),
     "q237_source_overlap" -> ((s, d) =>
       sourceOverlapMatrix(Tables(s, d).documents)),
+    // rows-only by design: xxhash64 permutation family (q28's
+    // convention); the spec calibrates it against q237's exact matrix
+    "q243_source_overlap_sketch" -> ((s, d) =>
+      sourceOverlapMinhash(Tables(s, d).documents)),
     "q211_release_card" -> ((s, d) =>
       releaseCard(Tables(s, d).documents)),
     "q215_curation_funnel" -> ((s, d) =>

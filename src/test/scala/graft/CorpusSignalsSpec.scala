@@ -63,6 +63,32 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(fromLoaded.map(_.toSeq).toSeq == fromTrained.map(_.toSeq).toSeq)
   }
 
+  test("sourceOverlapMinhash calibrates against the exact matrix: " +
+      "clone estimates 1.0, MAE within the 1/sqrt(numPerms) band") {
+    import graft.operators.CorpusSignals
+    val base = docs.limit(50)
+    // clone ONE source verbatim: (src0, srcCLONE) has identical gram
+    // sets, so its exact Jaccard is 1.0 and its signatures are equal
+    val clone = base.filter(col("source") === "src0")
+      .withColumn("source", lit("srcCLONE"))
+    val corpus = base.unionByName(clone)
+    val exact = CorpusSignals.sourceOverlapMatrix(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = CorpusSignals.sourceOverlapMinhash(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // the union of originals IS the clone's gram set: any source pair
+    // absent from the exact matrix simply has J = 0
+    val errs = est.map { case (k, e) => math.abs(e - exact.getOrElse(k, 0.0)) }
+    val mae = errs.sum / errs.size
+    assert(mae <= 0.13, s"MAE $mae") // 1/sqrt(64) = 0.125
+    assert(errs.max <= 0.40, s"max err ${errs.max}")
+    // identical gram sets hash to identical signatures -> est exactly 1
+    val one = est.filter { case ((a, b), _) =>
+      exact.get((a, b)).contains(1.0) }
+    assert(one.nonEmpty, "no J=1.0 pair — the clone construction broke")
+    one.foreach { case (k, e) => assert(e == 1.0, s"$k est $e") }
+  }
+
   test("bigram stats match the exploded groupBy form bit-for-bit") {
     val exploded = {
       val base = docs.select(col("doc_id"),
