@@ -132,6 +132,38 @@ object StreamingOps {
       }
   }
 
+  final case class DocKey(doc_id: Long, source: String, k_eval: String)
+  final case class HoldoutSnapshot(source: String, doc_ids: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.TextAnalysis
+    * .evalHoldoutPerSource]]: maintain "the k hash-smallest docs per
+    * source" over an UNBOUNDED document stream — the eval slice stays
+    * current as the crawl grows, without re-reading the corpus. State
+    * per source is the k-bounded sorted pick list (same (k_eval,
+    * doc_id) order as the batch operator, so the two agree exactly on
+    * any prefix); each micro-batch folds its rows into the state and
+    * emits the group's CURRENT snapshot (Update mode — a newly-seen
+    * smaller hash displaces an earlier pick, which append semantics
+    * could not retract). The latest snapshot per source always equals
+    * the batch operator over everything seen so far (spec-pinned). */
+  def holdoutStream(docs: Dataset[DocKey], k: Int = 5)
+      : Dataset[HoldoutSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[Seq[(String, Long)], HoldoutSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocKey],
+            state: GroupState[Seq[(String, Long)]]) =>
+          var cur = state.getOption.getOrElse(Seq.empty)
+          rows.foreach { d =>
+            cur = ((d.k_eval, d.doc_id) +: cur).sorted.take(k)
+          }
+          state.update(cur)
+          HoldoutSnapshot(src, cur.map(_._2))
+      }
+  }
+
   /** Streaming deduplication: exactly-once per `idCols` with state
     * bounded by the watermark — the streaming form of
     * TextAnalysis.dedupExact (late duplicates beyond the watermark are

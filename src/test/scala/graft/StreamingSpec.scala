@@ -15,6 +15,40 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("holdoutStream: latest snapshot per source == batch evalHoldout " +
+      "over everything seen; later smaller hash displaces an early pick") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamingOps.DocKey
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val all = t.documents
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("eval:"), col("doc_id").cast("string")))
+          .as("k_eval"))
+      .as[DocKey].collect()
+    val (first, second) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[DocKey]
+    val q = StreamingOps.holdoutStream(mem.toDS(), k = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("holdout_out").start()
+    mem.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // memory sink in update mode appends each emitted snapshot; the
+    // LAST row per source is the current state
+    val snaps = spark.table("holdout_out")
+      .withColumn("rn", monotonically_increasing_id())
+      .collect()
+    q.stop()
+    val latest = snaps.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.maxBy(_.getLong(2)).getSeq[Long](1).toSet }
+    val batch = graft.operators.TextAnalysis
+      .evalHoldoutPerSource(t.documents, k = 3)
+      .collect().groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getLong(0)).toSet }
+    assert(latest == batch)
+  }
+
   test("tumbling window streaming agg over MemoryStream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
