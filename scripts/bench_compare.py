@@ -12,16 +12,22 @@ import re
 import sys
 
 
-def canon(queries):
+def canon(queries, base=10):
     """Canonicalize per-query keys across encodings: rounds <=8 emitted
-    "q01"/"q135"; round 9+ emits the bare number "1"/"135" (tail-window
-    budget). Both map to qNN (two-digit zero-padded, matching the
+    "q01"/"q135"; round 9 emits the bare decimal number "1"/"135"
+    (tail-window budget); mid-round-10+ lines carry an explicit
+    "enc":36 marker and render the number in base36 ("3r") — digit
+    strings are ambiguous between the two, which is exactly why the
+    marker exists. All map to qNN (two-digit zero-padded, matching the
     registry's query names). Round 10+ OMITS entries that ran <0.5s
     (same budget) — main() gap-fills those to 0.0."""
     out = {}
     for k, v in queries.items():
-        digits = k.lstrip("q")
-        out[f"q{int(digits):02d}" if digits.isdigit() else k] = v
+        kk = k.lstrip("q")
+        try:
+            out[f"q{int(kk, base if k == kk else 10):02d}"] = v
+        except ValueError:
+            out[k] = v
     return out
 
 
@@ -30,7 +36,7 @@ def load(path):
     try:
         doc = json.loads(text)
         if isinstance(doc, dict) and "queries" in doc:
-            return canon(doc["queries"])
+            return canon(doc["queries"], 36 if doc.get("enc") == 36 else 10)
         if isinstance(doc, dict) and "tail" in doc:
             text = doc["tail"]
     except json.JSONDecodeError:
@@ -38,7 +44,8 @@ def load(path):
     m = re.search(r'\{"metric":.*?"queries":(\{.*?\}).*?\}', text)
     if not m:
         sys.exit(f"no bench JSON line found in {path}")
-    return canon(json.loads(m.group(1)))
+    base = 36 if re.search(r'"enc":36', text) else 10
+    return canon(json.loads(m.group(1)), base)
 
 
 def main():

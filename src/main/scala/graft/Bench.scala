@@ -58,9 +58,13 @@ object Bench {
   // stays under the 2000-char stdout tail window it is read back from
   // (rounds 1-4 exceeded it and the line never parsed). At ~200
   // queries that forces the densest readable encoding:
-  //   - keys are the query NUMBER only ("q135_dup_span" -> "135",
-  //     "q01_pricing" -> "1") — scripts/bench_compare.py canonicalizes
-  //     both this and the older "q135" form, so cross-round diffs keep
+  //   - keys are the query NUMBER rendered in BASE 36 ("q135_dup_span"
+  //     -> "3r", "q01_pricing" -> "1") — every id through 1295 stays
+  //     <= 2 chars. Base-36 digits are ambiguous against the older
+  //     decimal forms ("30" = decimal 30 or base36 108), so the line
+  //     carries an explicit "enc":36 marker; scripts/bench_compare.py
+  //     keys on it and canonicalizes all three generations ("q135" /
+  //     decimal "135" / base36 "3r"), so cross-round diffs keep
   //     working;
   //   - values are INTEGER seconds hard-capped at "9" (1 char by
   //     construction, so the line length is BOUNDED no matter the
@@ -100,15 +104,17 @@ object Bench {
     // "sf" was dropped at 216 queries (line budget): the bench always
     // runs at the driver-fixed SF (SPARK_GRAFT_SF_DIR), recorded by
     // the driver next to the tail — it was redundant inside the line
-    s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","queries":$qs$rest}"""
+    s"""{"metric":"total","value":${num(total, "%.2f")},"unit":"sec","enc":36,"queries":$qs$rest}"""
   }
 
-  /** "q135_dup_span" -> "135": exposed so BenchFormatSpec's key-
-    * uniqueness guard tests THIS derivation, not a private copy. */
+  /** "q135_dup_span" -> "3r" (base36 of 135): exposed so
+    * BenchFormatSpec's key-uniqueness guard tests THIS derivation, not
+    * a private copy. */
   private[graft] def shortKey(name: String): String = {
     val digits = name.takeWhile(_ != '_').dropWhile(!_.isDigit)
     val stripped = digits.dropWhile(_ == '0')
-    if (stripped.isEmpty) "0" else stripped
+    if (stripped.isEmpty) "0"
+    else java.lang.Long.toString(stripped.toLong, 36)
   }
 
   private[graft] val MaxQueryEntries = 400

@@ -29,6 +29,7 @@ object SparkEntry {
     QueryModule(operators.Incremental.queries, operators.Incremental.oracleSql),
     QueryModule(operators.Merge.queries, operators.Merge.oracleSql),
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
+    QueryModule(operators.DataHygiene.queries, operators.DataHygiene.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),
     QueryModule(operators.Describe.queries, operators.Describe.oracleSql),

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Structural and policy hygiene screens for raw crawl data — the
+  * gate family a code/web corpus passes BEFORE the content-quality
+  * stack ([[TextAnalysis]], [[Quality]]) sees it:
+  *
+  *  - code-shape structural filters (The Stack, Kocetkov 2022;
+  *    StarCoder, Li 2023: drop files by line-length stats and
+  *    non-alphanumeric density — minified/generated/base64 blobs),
+  *  - encoding-noise screens (U+FFFD replacement chars and C0
+  *    control bytes are the signature of decode errors; a C4-style
+  *    hard gate drops them before they poison token statistics),
+  *  - license / opt-out marker detection (The Stack filters by
+  *    detected license; "do not train" opt-out strings are honored
+  *    at ingest, not at release),
+  *  - fixed-size weighted sampling without replacement
+  *    (Efraimidis–Spirakis 2006: top-k by u^(1/w) IS a weighted
+  *    sample without replacement).
+  *
+  * The synthetic corpus is clean word-salad, so — exactly like q81's
+  * planted PII ([[ScalePatterns.piiScrub]]) — every screen PLANTS its
+  * hazard deterministically from `doc_id` and the oracle replays the
+  * same plant: the detection semantics are what's under test, and the
+  * plant guarantees both engines see identical bytes.
+  *
+  * Scale: every per-doc metric here is a row-local projection (no
+  * shuffle, no UDF — higher-order array functions + regexp, all
+  * codegen); rollups are map-side-combinable groupBys to |sources|-
+  * or |sources|×|licenses|-sized output; the weighted sample is a
+  * TakeOrderedAndProject (per-partition top-k heaps, k·partitions
+  * rows to the driver-side merge — never a global sort). All
+  * arithmetic is integers plus single IEEE divisions / correctly-
+  * rounded sqrt, so results are bit-identical cross-engine.
+  */
+object DataHygiene {
+
+  // ---------------------------------------------------------------
+  // q244: code-shape structural gate
+  // ---------------------------------------------------------------
+
+  /** Rebuild each doc as "lines" of `5 + doc_id % 7` words, then
+    * plant the two structural hazards the gate exists to catch:
+    * docs with doc_id % 11 == 0 get a 120-char `=`-rule separator
+    * line (non-alphanumeric wall), docs with doc_id % 13 == 0 get an
+    * 80-char single-token line (minified/base64 blob shape). */
+  private def plantedLines(): Column = {
+    val toks = split(col("text"), " ")
+    val m = (lit(5) + pmod(col("doc_id"), lit(7))).cast("int")
+    val nWords = size(toks)
+    // integer ceil-div — double ceil() would be a cross-engine hazard
+    val nLines = (nWords + m - lit(1)) / m
+    val base = transform(sequence(lit(0), nLines.cast("int") - lit(1)),
+      i => array_join(slice(toks, i * m + lit(1), m), " "))
+    val ruleLine = when(pmod(col("doc_id"), lit(11)) === 0,
+      array(lit("=" * 120)))
+      .otherwise(array().cast("array<string>"))
+    val blobLine = when(pmod(col("doc_id"), lit(13)) === 0,
+      array(lit("a0" * 40)))
+      .otherwise(array().cast("array<string>"))
+    concat(base, ruleLine, blobLine)
+  }
+
+  /** StarCoder-style structural code gate: per-doc line-length stats
+    * (max / mean line chars) and alphanumeric character fraction over
+    * the line-structured text, plus the keep decision
+    * (`max <= 100 AND mean <= 40 AND alnum_frac >= 0.25` — The
+    * Stack's defaults, scaled to this corpus). Pure projection:
+    * zero-shuffle per-doc, codegen higher-order functions only. */
+  def codeShapeGate(docs: DataFrame): DataFrame = {
+    val lines = plantedLines()
+    val joined = array_join(lines, "\n")
+    val lens = transform(lines, l => length(l))
+    val nLines = size(lens)
+    val totalLineChars =
+      aggregate(lens, lit(0), (acc, x) => acc + x)
+    val maxLine = array_max(lens)
+    val meanLine = totalLineChars.cast("double") / nLines.cast("double")
+    val alnum = length(regexp_replace(joined, "[^a-z0-9]", ""))
+    val alnumFrac = alnum.cast("double") / length(joined).cast("double")
+    docs.select(col("doc_id"), col("source"),
+        nLines.as("n_lines"),
+        maxLine.as("max_line_chars"),
+        meanLine.as("mean_line_chars"),
+        alnumFrac.as("alnum_frac"))
+      .withColumn("keep",
+        col("max_line_chars") <= 100 && col("mean_line_chars") <= 40.0 &&
+          col("alnum_frac") >= 0.25)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // q245: encoding-noise screen
+  // ---------------------------------------------------------------
+
+  private def noisePlanted(): Column = {
+    // a data-driven repeat count via substr of a pre-repeated literal
+    // (functions.repeat pins n to Int; SQL-string \u escapes are
+    // parser-mode-dependent — this form needs neither)
+    val repl = when(pmod(col("doc_id"), lit(17)) === 0,
+      concat(lit(" "), lit("�" * 5)
+        .substr(lit(1), (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"))))
+      .otherwise(lit(""))
+    val ctrl = when(pmod(col("doc_id"), lit(19)) === 0,
+      concat(lit("\u0007"), lit("alert"), lit("\u001b"))).otherwise(lit(""))
+    concat(col("text"), repl, ctrl)
+  }
+
+  /** Mojibake / decode-error screen, rolled up per source: docs whose
+    * text carries U+FFFD replacement characters or C0 control bytes
+    * are decode casualties (the ftfy/C4 hard gate); the per-source
+    * view is the "which feed has the broken extractor" triage.
+    * Counts are exact integers (length-difference after replace /
+    * regexp strip); the corpus noise rate is one IEEE division of
+    * exact sums, and `max_doc_ratio` is a selection (not an
+    * accumulation), so every value is cross-engine bit-exact. */
+  def encodingNoise(docs: DataFrame): DataFrame = {
+    val planted = noisePlanted()
+    val nRepl = length(planted) -
+      length(regexp_replace(planted, "\\ufffd", ""))
+    val nCtrl = length(planted) -
+      length(regexp_replace(planted, "[\\x00-\\x1f]", ""))
+    val perDoc = docs.select(col("source"),
+      length(planted).as("n_chars"),
+      nRepl.as("n_repl"), nCtrl.as("n_ctrl"),
+      ((nRepl + nCtrl).cast("double") / length(planted).cast("double"))
+        .as("ratio"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") + col("n_ctrl") > 0, 1L).otherwise(0L))
+          .as("noisy_docs"),
+        sum(col("n_repl")).as("repl_chars"),
+        sum(col("n_ctrl")).as("ctrl_chars"),
+        (sum(col("n_repl") + col("n_ctrl")).cast("double") /
+          sum(col("n_chars")).cast("double")).as("noise_rate"),
+        max(col("ratio")).as("max_doc_ratio"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // q246: license / opt-out marker screen
+  // ---------------------------------------------------------------
+
+  private def licensePlanted(): Column = {
+    val arr = when(pmod(col("doc_id"), lit(23)) === 0,
+      lit(" all rights reserved")).otherwise(lit(""))
+    val cc = when(pmod(col("doc_id"), lit(29)) === 0,
+      lit(" creative commons attribution license")).otherwise(lit(""))
+    val optout = when(pmod(col("doc_id"), lit(31)) === 0,
+      lit(" do not train on this content")).otherwise(lit(""))
+    concat(col("text"), arr, cc, optout)
+  }
+
+  /** License / opt-out triage per source: marker-phrase detection
+    * with a fixed precedence (opt-out strings dominate — they are an
+    * instruction, not a license; explicit all-rights-reserved beats a
+    * permissive grant found later in the page). Output is the
+    * |sources|×|classes| policy mix a release decision reads.
+    * Row-local classify + one map-side-combinable rollup. */
+  def licenseScreen(docs: DataFrame): DataFrame = {
+    val planted = licensePlanted()
+    val license = when(planted.contains("do not train"), "optout")
+      .when(planted.contains("all rights reserved"), "arr")
+      .when(planted.contains("creative commons"), "cc-by")
+      .otherwise(lit("none"))
+    docs.select(col("source"), license.as("license"),
+        length(planted).as("n_chars"))
+      .groupBy(col("source"), col("license"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("license"))
+  }
+
+  // ---------------------------------------------------------------
+  // q247: Efraimidis–Spirakis weighted sample without replacement
+  // ---------------------------------------------------------------
+
+  /** Fixed-size weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): the top k documents by key u^(1/w) are exactly a
+    * w-weighted sample without replacement — the fixed-k counterpart
+    * to q164's Bernoulli quality thinning (variable size) and q134's
+    * fixed-rate strata.
+    *
+    * Exactness device: weights are a POWER-OF-TWO ladder
+    * (w = 2^band from integer n_chars thresholds), so u^(1/w) is a
+    * sqrt CHAIN — u, √u, √√u, √√√u — and IEEE-754 sqrt is correctly
+    * rounded in every engine, making the key (and therefore the
+    * selected set and its order) bit-identical cross-engine where a
+    * pow()/ln() formulation would drift by ulps. u is a 48-bit md5
+    * slice over 2^48 (both exactly representable; division by a
+    * power of two is exact).
+    *
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — size-k
+    * heaps per partition, k·partitions rows to the final merge; no
+    * global sort, no window. The naive rank-then-filter window this
+    * replaces is stated verbatim in the oracle. */
+  def weightedSampleNoReplacement(docs: DataFrame, k: Int = 128): DataFrame = {
+    val band = when(col("n_chars") >= 418, 3)
+      .when(col("n_chars") >= 295, 2)
+      .when(col("n_chars") >= 176, 1).otherwise(0)
+    val u = conv(substring(md5(concat(lit("eswr:"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0) // 2^48
+    val key = when(band === 0, u)
+      .when(band === 1, sqrt(u))
+      .when(band === 2, sqrt(sqrt(u)))
+      .otherwise(sqrt(sqrt(sqrt(u))))
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        band.as("band"), key.as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_code_shape_gate" ->
+      ((s, d) => codeShapeGate(Tables(s, d).documents)),
+    "q245_encoding_noise" ->
+      ((s, d) => encodingNoise(Tables(s, d).documents)),
+    "q246_license_screen" ->
+      ((s, d) => licenseScreen(Tables(s, d).documents)),
+    "q247_weighted_reservoir" ->
+      ((s, d) => weightedSampleNoReplacement(Tables(s, d).documents))
+  )
+
+  /** Shared plant + per-doc noise counts — q245's oracle states the
+    * same rollup DuckDB-side. */
+  private val noiseDocSql: String =
+    """SELECT source,
+      |  len(planted) AS n_chars,
+      |  len(planted) - len(replace(planted, chr(65533), '')) AS n_repl,
+      |  len(planted) - len(regexp_replace(planted, '[\x00-\x1f]', '', 'g'))
+      |    AS n_ctrl
+      |FROM (
+      |  SELECT source,
+      |    text
+      |      || CASE WHEN doc_id % 17 = 0
+      |           THEN ' ' || repeat(chr(65533), CAST(1 + doc_id % 5 AS INT))
+      |           ELSE '' END
+      |      || CASE WHEN doc_id % 19 = 0
+      |           THEN chr(7) || 'alert' || chr(27) ELSE '' END AS planted
+      |  FROM documents)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q244_code_shape_gate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, source,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, nb),
+        |        i -> array_to_string(toks[i*m+1 : i*m+m], ' ')),
+        |      CASE WHEN doc_id % 11 = 0 THEN [repeat('=', 120)]
+        |           ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 13 = 0 THEN [repeat('a0', 40)]
+        |           ELSE CAST([] AS VARCHAR[]) END) AS lines
+        |  FROM (
+        |    SELECT doc_id, source, toks, m,
+        |      (len(toks) + m - 1) // m AS nb
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |            5 + doc_id % 7 AS m FROM documents))),
+        |stats AS (
+        |  SELECT doc_id, source,
+        |    len(lines) AS n_lines,
+        |    list_max(list_transform(lines, l -> len(l))) AS max_line_chars,
+        |    CAST(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+        |        AS DOUBLE) / len(lines) AS mean_line_chars,
+        |    CAST(len(regexp_replace(array_to_string(lines, chr(10)),
+        |        '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        |      / len(array_to_string(lines, chr(10))) AS alnum_frac
+        |  FROM lined)
+        |SELECT doc_id, source, n_lines, max_line_chars, mean_line_chars,
+        |  alnum_frac,
+        |  max_line_chars <= 100 AND mean_line_chars <= 40.0
+        |    AND alnum_frac >= 0.25 AS keep
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "q245_encoding_noise" ->
+      // concatenated, NOT stripMargin'ed: the interpolated fragment's
+      // own `||` concat operators would be eaten by a second pass
+      ("WITH perdoc AS (" + noiseDocSql + ")\n" +
+        """SELECT source,
+          |  count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS noisy_docs,
+          |  CAST(sum(n_repl) AS BIGINT) AS repl_chars,
+          |  CAST(sum(n_ctrl) AS BIGINT) AS ctrl_chars,
+          |  CAST(sum(n_repl + n_ctrl) AS DOUBLE)
+          |    / CAST(sum(n_chars) AS DOUBLE) AS noise_rate,
+          |  max(CAST(n_repl + n_ctrl AS DOUBLE) / n_chars) AS max_doc_ratio
+          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin),
+    "q246_license_screen" ->
+      """WITH planted AS (
+        |  SELECT source,
+        |    text
+        |      || CASE WHEN doc_id % 23 = 0 THEN ' all rights reserved'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 29 = 0
+        |           THEN ' creative commons attribution license' ELSE '' END
+        |      || CASE WHEN doc_id % 31 = 0
+        |           THEN ' do not train on this content' ELSE '' END AS p
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN contains(p, 'do not train') THEN 'optout'
+        |       WHEN contains(p, 'all rights reserved') THEN 'arr'
+        |       WHEN contains(p, 'creative commons') THEN 'cc-by'
+        |       ELSE 'none' END AS license,
+        |  count(*) AS n_docs, CAST(sum(len(p)) AS BIGINT) AS total_chars
+        |FROM planted GROUP BY 1, 2 ORDER BY source, license""".stripMargin,
+    "q247_weighted_reservoir" ->
+      // the E-S key: u^(1/2^band) as an explicit sqrt chain (pow/ln
+      // would be 1-ulp engine-dependent; sqrt is correctly rounded)
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN n_chars >= 418 THEN 3
+        |         WHEN n_chars >= 295 THEN 2
+        |         WHEN n_chars >= 176 THEN 1 ELSE 0 END AS band,
+        |    CAST(CAST('0x' || substr(md5('eswr:' || CAST(doc_id AS VARCHAR)),
+        |        1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, band,
+        |  CASE band WHEN 0 THEN u WHEN 1 THEN sqrt(u)
+        |       WHEN 2 THEN sqrt(sqrt(u))
+        |       ELSE sqrt(sqrt(sqrt(u))) END AS key
+        |FROM keyed
+        |ORDER BY key DESC, doc_id LIMIT 128""".stripMargin
+  )
+}

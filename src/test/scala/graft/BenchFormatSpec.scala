@@ -38,8 +38,15 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.buildJson(names.map(_ -> 1.4), "/x")
     // minimal structural check without a JSON lib on the classpath
     assert(line.startsWith("""{"metric":"total","value":2.80,"""))
-    // keys are the query number with "q" and zero-padding stripped
+    // the key encoding is declared in-line — decimal and base36 digit
+    // strings are ambiguous, so decoders key on this marker
+    assert(line.contains(""""enc":36"""))
+    // keys are the query number with "q" and zero-padding stripped,
+    // rendered base36 (1 and 2 coincide with decimal)
     assert(line.contains(""""1":1""") && line.contains(""""2":1"""))
+    // a 3-digit decimal id renders as 2 base36 chars: 135 -> "3r"
+    val b36 = Bench.buildJson(Seq("q135_dup_span" -> 2.0), "/x")
+    assert(b36.contains(""""3r":2"""), b36)
     // single-digit rendering capped at 9; sub-0.5s entries are
     // OMITTED (absence decodes as "ran in <0.5s" — every registered
     // query always runs)
@@ -64,8 +71,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = (1 to n).map(i => f"q$i%04d_x")
     val line = Bench.buildJson(names.map(nm =>
       nm -> nm.drop(1).takeWhile(_ != '_').toDouble), "/x")
-    assert(!line.contains("\"1\":") && !line.contains("\"30\":"))
-    assert(line.contains("\"31\":") && line.contains(s""""$n":"""))
+    // base36 keys: dropped ids 1 and 30 ("1", "u"), kept 31 ("v") and n
+    assert(!line.contains("\"1\":") && !line.contains("\"u\":"))
+    assert(line.contains("\"v\":") &&
+      line.contains("\"" + java.lang.Long.toString(n.toLong, 36) + "\":"))
     // the dropped tail is summed into "rest" (1+2+...+30 = 465)
     assert(line.contains(""""rest":465.00"""), line)
   }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DataHygiene
+
+/** Structural/policy hygiene screens: hand-verified plant algebra,
+  * gate semantics, and the Efraimidis–Spirakis weighted-sample
+  * properties (exact k, determinism, band over-representation,
+  * partitioning invariance). */
+class DataHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SharedSession.spark
+  import spark.implicits._
+
+  private def docs =
+    Tables(spark, "/root/testdata/sf0.001").documents
+
+  test("code-shape gate: line algebra matches a hand computation") {
+    // doc_id 3: m = 5 + 3%7 = 8 words per line, no plants (3 not
+    // divisible by 11 or 13)
+    val row = DataHygiene.codeShapeGate(docs)
+      .filter(col("doc_id") === 3).head()
+    val text = docs.filter(col("doc_id") === 3)
+      .select(col("text")).head().getString(0)
+    val words = text.split(" ")
+    val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+    assert(row.getAs[Int]("n_lines") == lines.size)
+    assert(row.getAs[Int]("max_line_chars") == lines.map(_.length).max)
+    assert(row.getAs[Double]("mean_line_chars") ==
+      lines.map(_.length).sum.toDouble / lines.size)
+    val joined = lines.mkString("\n")
+    val alnum = joined.count(c => c.isLetterOrDigit)
+    assert(row.getAs[Double]("alnum_frac") ==
+      alnum.toDouble / joined.length)
+  }
+
+  test("code-shape gate: plants land on the right ids and trip the gate") {
+    val g = DataHygiene.codeShapeGate(docs)
+    // doc_id 0 divides both 11 and 13: separator rule AND blob line
+    val d0 = g.filter(col("doc_id") === 0).head()
+    assert(d0.getAs[Int]("max_line_chars") == 120)
+    assert(!d0.getAs[Boolean]("keep"),
+      "a 120-char =-rule line must fail the max<=100 gate")
+    // doc_id 13: blob line only -> max is the 80-char token line
+    val d13 = g.filter(col("doc_id") === 13).head()
+    assert(d13.getAs[Int]("max_line_chars") >= 80)
+    // unplanted docs: every line is <= 11 words of corpus vocabulary,
+    // far under the gates -> keep unless mean is dragged by long m
+    val unplanted = g.filter(col("doc_id") % 11 =!= 0 &&
+      col("doc_id") % 13 =!= 0)
+    assert(unplanted.filter(col("max_line_chars") > 100).count() == 0)
+    // the gate is live in both directions at this SF
+    assert(g.filter(col("keep")).count() > 0)
+    assert(g.filter(!col("keep")).count() > 0)
+  }
+
+  test("encoding noise: planted counts are exact, clean sources clean") {
+    val perSource = DataHygiene.encodingNoise(docs)
+    // corpus-wide planted mass recomputed from the plant rule
+    val ids = docs.select(col("doc_id")).as[Long].collect()
+    val expRepl = ids.filter(_ % 17 == 0).map(id => 1 + (id % 5)).sum
+    val expCtrl = ids.count(_ % 19 == 0) * 2L //  and 
+    val agg = perSource.agg(sum(col("repl_chars")), sum(col("ctrl_chars")),
+      sum(col("noisy_docs")), sum(col("n_docs"))).head()
+    assert(agg.getLong(0) == expRepl)
+    assert(agg.getLong(1) == expCtrl)
+    val expNoisy = ids.count(id => id % 17 == 0 || id % 19 == 0)
+    assert(agg.getLong(2) == expNoisy)
+    assert(agg.getLong(3) == ids.length)
+    // rates bounded and max ratio positive where noise exists
+    val bad = perSource.filter(col("noise_rate") < 0 ||
+      col("noise_rate") > 1 || col("max_doc_ratio") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("license screen: opt-out dominates, classes partition the corpus") {
+    val mix = DataHygiene.licenseScreen(docs)
+    val total = mix.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total == docs.count())
+    // doc_id 0 divides 23, 29 AND 31 -> classified optout (priority)
+    val d0src = docs.filter(col("doc_id") === 0)
+      .select(col("source")).head().getString(0)
+    val ids = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect()
+    def expected(id: Long): String =
+      if (id % 31 == 0) "optout"
+      else if (id % 23 == 0) "arr"
+      else if (id % 29 == 0) "cc-by"
+      else "none"
+    val expMix = ids.groupBy { case (id, src) => (src, expected(id)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = mix.select(col("source"), col("license"), col("n_docs"))
+      .as[(String, String, Long)].collect()
+      .map { case (s, l, n) => (s, l) -> n }.toMap
+    assert(got == expMix, s"license mix mismatch for source of doc 0=$d0src")
+  }
+
+  test("weighted reservoir: exact k, deterministic, band-boosted") {
+    val s1 = DataHygiene.weightedSampleNoReplacement(docs, k = 100)
+    assert(s1.count() == 100)
+    // determinism: two runs, identical rows in identical order
+    val s2 = DataHygiene.weightedSampleNoReplacement(docs, k = 100)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    // band-3 docs (w=8) must be over-represented relative to their
+    // corpus share; band-0 (w=1) under-represented. With 500 docs and
+    // k=100, the expected inclusion rates differ by ~8x — a sign
+    // check is >5 sigma.
+    val corpus = docs.select(
+      when(col("n_chars") >= 418, 3).when(col("n_chars") >= 295, 2)
+        .when(col("n_chars") >= 176, 1).otherwise(0).as("band"))
+      .groupBy("band").count().as[(Int, Long)].collect().toMap
+    val sampled = s1.groupBy("band").count().as[(Int, Long)].collect().toMap
+    val rate3 = sampled.getOrElse(3, 0L).toDouble / corpus(3)
+    val rate0 = sampled.getOrElse(0, 0L).toDouble / corpus(0)
+    assert(rate3 > rate0,
+      s"w=8 band rate $rate3 must exceed w=1 band rate $rate0")
+    // without-replacement: no duplicate doc_ids
+    assert(s1.select("doc_id").distinct().count() == 100)
+  }
+
+  test("weighted reservoir: partitioning-invariant (TakeOrdered merge)") {
+    val base = DataHygiene.weightedSampleNoReplacement(docs, k = 50)
+      .collect().toSeq
+    val repart = DataHygiene.weightedSampleNoReplacement(
+      docs.repartition(7, col("source")), k = 50).collect().toSeq
+    assert(base == repart)
+    // plan shape: a TakeOrderedAndProject, not a global Sort+Limit
+    val plan = DataHygiene.weightedSampleNoReplacement(docs, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hygiene screens are zero-shuffle projections / bounded rollups") {
+    // q244 per-doc stats: no Exchange before the final presentation
+    // sort (the only exchange allowed is the orderBy itself)
+    val p244 = DataHygiene.codeShapeGate(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p244).length
+    assert(exchanges <= 1, s"per-doc projection must not shuffle:\n$p244")
+    // q245/q246 rollups: one partial-agg shuffle + presentation sort
+    val p245 = DataHygiene.encodingNoise(docs)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p245).length <= 2, p245)
+    assert(p245.contains("partial"), s"rollup must map-side combine:\n$p245")
+  }
+}
