@@ -94,7 +94,13 @@ object ScaleTrial {
     "q240_length_packing", // per-bucket two-phase rank + pack rollup
     "q241_jump_reshard", // row-local codegen loop + 1-row rollup
     "q242_release_packing", // curation -> quota -> packing, one plan
-    "q243_source_overlap_sketch") // one partial-agg signature pass
+    "q243_source_overlap_sketch", // one partial-agg signature pass
+    "q244_code_shape_gate", // row-local line algebra: must be ~flat-linear
+    "q245_encoding_noise", // row-local counts + source rollup
+    "q246_license_screen", // row-local classify + source×class rollup
+    "q247_weighted_reservoir", // TakeOrdered heaps: k fixed, ~flat
+    "q249_dup_flow_matrix", // fp-keyed self-join riding dup mass
+    "q250_epoch_allocation") // one source rollup + tiny tier solve
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

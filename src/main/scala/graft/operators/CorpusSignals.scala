@@ -1397,6 +1397,117 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source DUPLICATE-FLOW matrix — which feeds mirror each
+    * other at DOCUMENT granularity: for every source pair, the number
+    * of exact-duplicate groups (md5 content fingerprints, q24's key)
+    * present in both, plus the doc mass on each side. The
+    * doc-identity complement to [[sourceOverlapMatrix]]'s gram-level
+    * Jaccard: gram overlap says two feeds cover the same topics;
+    * dup flow says one literally carries the other's pages — the
+    * evidence for deduplicating at INGEST (drop the mirror feed)
+    * rather than paying the near-dup stack for it.
+    *
+    * Scale: the self-join is keyed on fingerprint; per-fingerprint
+    * expansion is C(source-df, 2) ≤ C(|sources|, 2), so the pair
+    * volume rides the cross-source duplicate mass, never corpus².
+    * Both rollups are map-side combinable. */
+  def dupFlowMatrix(docs: DataFrame): DataFrame = {
+    val c = docs
+      .groupBy(md5(col("text")).as("fp"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    c.alias("a").join(c.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_groups"),
+        sum(col("a.n")).as("docs_a"), sum(col("b.n")).as("docs_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** EPOCH-AWARE token allocation — the data-constrained-scaling
+    * extension of [[budgetWaterfill]] (Muennighoff et al. 2023,
+    * arXiv:2305.16264: when the compute budget exceeds the unique
+    * corpus, repeat data — but repeated epochs have diminishing
+    * value, and small curated sources are the ones worth repeating).
+    * Each source may contribute up to `r_cap` epochs of its unique
+    * tokens, with r_cap derived from corpus share (share < 1/32 → 4
+    * epochs, < 1/16 → 3, < 1/8 → 2, else 1 — the "repeat Wikipedia,
+    * not the crawl" rule, all integer threshold compares). The budget
+    * funds epoch TIERS in order (every eligible source's epoch 1,
+    * then epoch 2, …); the tier that exhausts the budget is split
+    * proportionally to source size by exact integral division.
+    * Epoch value decays on a power-of-two ladder (1, 1/2, 1/4, 1/8),
+    * so `effective_x8` (effective tokens × 8) stays a pure integer.
+    *
+    * Exactness: the proportional split is `(rem · n) div cap` over
+    * DECIMAL(38,0) products (a 100 TB source's token count times the
+    * remaining budget exceeds Long, where non-ANSI Spark wraps
+    * silently — the q229 device); Spark's decimal `div` is
+    * BigDecimal.divideToIntegralValue, DuckDB's `//` over HUGEINT —
+    * both exact. Shuffle cost: one source rollup; the tier table is
+    * ≤ maxEpochs·|sources| rows, cumulated by a 4×4 self-join (no
+    * window), and the one-row solve broadcasts. */
+  def epochAwareAllocation(docs: DataFrame, budgetNum: Long = 5L,
+      budgetDen: Long = 2L, maxEpochs: Int = 4): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= 1 && maxEpochs >= 1)
+    val totals = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = totals.agg(sum(col("n_tokens")).as("total"))
+      .select(col("total"),
+        expr(s"(total * $budgetNum) div $budgetDen").as("budget"))
+    val rCap = when(col("n_tokens") * 32 < col("total"), 4)
+      .when(col("n_tokens") * 16 < col("total"), 3)
+      .when(col("n_tokens") * 8 < col("total"), 2).otherwise(1)
+    val caps = totals.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), rCap.as("r_cap"))
+    val tiers = caps
+      .select(col("n_tokens"), col("r_cap"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("k"))
+      .filter(col("r_cap") >= col("k"))
+      .groupBy(col("k")).agg(sum(col("n_tokens")).as("cap"))
+    val cum = tiers.alias("x")
+      .join(broadcast(tiers.alias("y")), col("y.k") <= col("x.k"))
+      .groupBy(col("x.k").as("k"))
+      .agg(max(col("x.cap")).as("cap"), sum(col("y.cap")).as("cumcap"))
+    val g1 = cum.crossJoin(broadcast(tot))
+      .agg(
+        coalesce(max(when(col("cumcap") <= col("budget"), col("k"))),
+          lit(0)).as("f"),
+        coalesce(max(when(col("cumcap") <= col("budget"), col("cumcap"))),
+          lit(0L)).as("cumf"),
+        max(col("budget")).as("budget"))
+    val g = g1.join(broadcast(cum), col("k") === col("f") + 1, "left")
+      .select(col("f"), col("budget"),
+        (col("budget") - col("cumf")).as("rem"),
+        coalesce(col("cap"), lit(0L)).as("mcap"))
+    val fullEpochs = least(col("f"), col("r_cap"))
+    val elig = col("r_cap") > col("f") && col("mcap") > 0
+    val marginal = when(elig,
+      expr("(cast(rem as decimal(38,0)) * cast(n_tokens as decimal(38,0)))" +
+        " div cast(mcap as decimal(38,0))")).otherwise(lit(0L))
+    // Σ_{k<=fe} 8/2^(k-1) and the marginal tier's weight 8/2^f — the
+    // power-of-two decay ladder in exact eighths
+    val lut = map(lit(0), lit(0L), lit(1), lit(8L), lit(2), lit(12L),
+      lit(3), lit(14L), lit(4), lit(15L))
+    val mw = map(lit(0), lit(8L), lit(1), lit(4L), lit(2), lit(2L),
+      lit(3), lit(1L))
+    caps.crossJoin(broadcast(g))
+      .withColumn("full_epochs", fullEpochs)
+      .withColumn("marginal_alloc", marginal)
+      .select(col("source"), col("n_tokens"), col("r_cap"),
+        col("full_epochs"),
+        col("marginal_alloc"),
+        (col("n_tokens") * col("full_epochs") + col("marginal_alloc"))
+          .as("alloc_tokens"),
+        (col("n_tokens") * element_at(lut, col("full_epochs")) +
+          col("marginal_alloc") *
+            coalesce(element_at(mw, col("f")), lit(0L)))
+          .as("effective_x8"),
+        col("budget"))
+      .orderBy(col("source"))
+  }
+
   /** Inverted index build: term → document frequency + the posting
     * list of the first 20 doc ids (serialized CSV so the oracle can
     * compare it). One explode + one (term)-keyed window + one groupBy
@@ -1568,6 +1679,19 @@ object CorpusSignals {
       sourceNoveltyCurve(Tables(s, d).documents)),
     "q237_source_overlap" -> ((s, d) =>
       sourceOverlapMatrix(Tables(s, d).documents)),
+    // the corpus has organic cross-source duplicates only at sf0.1, so
+    // the query adds a deterministic planted mirror feed (every 11th
+    // doc re-emitted under 'mir:'+source — the q245/q246 plant
+    // convention) on TOP of the organic pairs, keeping the matrix
+    // populated at every SF
+    "q249_dup_flow_matrix" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      dupFlowMatrix(docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("source", concat(lit("mir:"), col("source")))))
+    }),
+    "q250_epoch_allocation" -> ((s, d) =>
+      epochAwareAllocation(Tables(s, d).documents)),
     // rows-only by design: xxhash64 permutation family (q28's
     // convention); the spec calibrates it against q237's exact matrix
     "q243_source_overlap_sketch" -> ((s, d) =>
@@ -1995,6 +2119,76 @@ object CorpusSignals {
         |FROM inter i JOIN sizes za ON za.source = i.s1
         |JOIN sizes zb ON zb.source = i.s2
         |ORDER BY s1, s2""".stripMargin,
+    "q249_dup_flow_matrix" ->
+      """WITH planted AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mir:' || source FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |c AS (
+        |  SELECT md5(text) AS fp, source, count(*) AS n
+        |  FROM planted GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_groups,
+        |  CAST(sum(a.n) AS BIGINT) AS docs_a,
+        |  CAST(sum(b.n) AS BIGINT) AS docs_b
+        |FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    // the full tiered solve replayed over the |sources|-row rollup:
+    // integer thresholds, tier cumsum by self-join, exact integral
+    // division over HUGEINT (Spark: decimal(38,0) `div`) — pinned to
+    // the defaults budget=5/2·total, maxEpochs=4
+    "q250_epoch_allocation" ->
+      """WITH totals AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |    CAST(sum(n_tokens) AS BIGINT) * 5 // 2 AS budget FROM totals),
+        |caps AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN n_tokens * 32 < total THEN 4
+        |         WHEN n_tokens * 16 < total THEN 3
+        |         WHEN n_tokens * 8 < total THEN 2 ELSE 1 END AS r_cap
+        |  FROM totals CROSS JOIN tot),
+        |tiers AS (
+        |  SELECT k, CAST(sum(n_tokens) AS BIGINT) AS cap
+        |  FROM caps CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks
+        |  WHERE r_cap >= k GROUP BY k),
+        |cum AS (
+        |  SELECT x.k, max(x.cap) AS cap,
+        |    CAST(sum(y.cap) AS BIGINT) AS cumcap
+        |  FROM tiers x JOIN tiers y ON y.k <= x.k GROUP BY x.k),
+        |g1 AS (
+        |  SELECT coalesce(max(CASE WHEN cumcap <= budget THEN k END), 0)
+        |      AS f,
+        |    CAST(coalesce(max(CASE WHEN cumcap <= budget THEN cumcap END),
+        |      0) AS BIGINT) AS cumf,
+        |    max(budget) AS budget
+        |  FROM cum CROSS JOIN tot),
+        |g AS (
+        |  SELECT f, budget, budget - cumf AS rem,
+        |    CAST(coalesce(cap, 0) AS BIGINT) AS mcap
+        |  FROM g1 LEFT JOIN cum ON cum.k = g1.f + 1),
+        |alloc AS (
+        |  SELECT source, n_tokens, r_cap, f, budget,
+        |    CAST(least(f, r_cap) AS INTEGER) AS full_epochs,
+        |    CAST(CASE WHEN r_cap > f AND mcap > 0
+        |      THEN (CAST(rem AS HUGEINT) * CAST(n_tokens AS HUGEINT))
+        |        // CAST(mcap AS HUGEINT)
+        |      ELSE 0 END AS BIGINT) AS marginal_alloc
+        |  FROM caps CROSS JOIN g)
+        |SELECT source, n_tokens, r_cap, full_epochs, marginal_alloc,
+        |  CAST(n_tokens * full_epochs + marginal_alloc AS BIGINT)
+        |    AS alloc_tokens,
+        |  CAST(n_tokens * (CASE full_epochs WHEN 0 THEN 0 WHEN 1 THEN 8
+        |      WHEN 2 THEN 12 WHEN 3 THEN 14 ELSE 15 END)
+        |    + marginal_alloc * (CASE f WHEN 0 THEN 8 WHEN 1 THEN 4
+        |      WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS effective_x8,
+        |  budget
+        |FROM alloc ORDER BY source""".stripMargin,
     // the window/row_number relational statement of the row-local
     // array_distinct rewrite — scope is PARTITION BY (doc_id, line),
     // first occurrence by line_no; proves the narrow form exactly

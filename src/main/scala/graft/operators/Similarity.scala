@@ -432,6 +432,57 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** CLUSTER-ADJACENT training order — in-context pretraining's data
+    * layout (Shi et al. 2023, arXiv:2310.10638: place related
+    * documents in the same context window so cross-document reasoning
+    * has something to attend to): every vector is assigned to its
+    * nearest [[labelCentroids]] prototype, and the global reading
+    * order concatenates clusters (epoch-seeded hash order inside each
+    * cluster) — the exact OPPOSITE layout of q238's source
+    * interleaving, built from the same machinery. A trainer reading
+    * positions in order sees one semantic neighborhood at a time.
+    *
+    * The naive statement is `row_number() OVER (ORDER BY cluster,
+    * md5(seed||id), id)` — a global single-reducer sort, stated
+    * verbatim in the oracle and avoided here: per-(cluster, hex-byte
+    * shard) local ranks + two broadcast prefix tables (≤256 rows per
+    * cluster for shard offsets, |clusters| rows for cluster bases).
+    * Every window is PARTITIONED; shuffle cost is the assignment's
+    * |labels|×dim rollup plus two tiny count rollups. */
+  def clusterAdjacentOrder(emb: DataFrame, epoch: Int = 0): DataFrame = {
+    val assign = nearestCentroid(emb)
+      .select(col("vec_id"), col("pred_label").as("cluster"))
+    val sharded = assign
+      .withColumn("k", md5(concat(lit(s"sem$epoch:"),
+        col("vec_id").cast("string"))))
+      .withColumn("shard_id", conv(substring(col("k"), 1, 2), 16, 10)
+        .cast("int"))
+    val wLocal = Window.partitionBy(col("cluster"), col("shard_id"))
+      .orderBy(col("k"), col("vec_id"))
+    val wOff = Window.partitionBy(col("cluster")).orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("cluster"), col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cluster"), col("shard_id"),
+        coalesce(sum(col("n")).over(wOff), lit(0L)).as("off"))
+    val ranked = sharded
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("cluster", "shard_id"))
+      .select(col("vec_id"), col("cluster"),
+        (col("local_rn") + col("off") - 1).as("c_rank"))
+    // cluster-base offsets as ONE broadcast sorted struct array folded
+    // row-locally (q238's device) — no unpartitioned window anywhere
+    val sizes = ranked.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("cluster").as("c"),
+        col("n").as("n")))).as("sz"))
+    ranked.crossJoin(broadcast(sizes))
+      .select(col("vec_id"), col("cluster"),
+        (aggregate(col("sz"), lit(0L), (acc, x) =>
+          acc + when(x.getField("c") < col("cluster"), x.getField("n"))
+            .otherwise(lit(0L))) + col("c_rank") + 1).as("pos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-vertex triangle counts on the similarity graph — the classic
     * distributed graph primitive (clustering coefficient, community
     * density; Suri & Vassilvitskii 2011, WWW, is the MapReduce
@@ -896,6 +947,8 @@ object Similarity {
       ((s, d) => triangleCounts(Tables(s, d).embeddings)),
     "q146_nearest_centroid" ->
       ((s, d) => nearestCentroid(Tables(s, d).embeddings)),
+    "q248_cluster_adjacent_order" ->
+      ((s, d) => clusterAdjacentOrder(Tables(s, d).embeddings)),
     "q139_label_centroids" ->
       ((s, d) => labelCentroids(Tables(s, d).embeddings)),
     "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
@@ -914,6 +967,33 @@ object Similarity {
     s"(${dotSql(s"$an.embedding", s"$bn.embedding", Dim)}) / " +
       s"(sqrt(${norm2Sql(s"$an.embedding", Dim)}) * " +
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
+
+  /** The q146 assignment (decimal-exact centroids + argmin) as one
+    * shared CTE chain ending in `assign` — q146 states it directly,
+    * q248 orders by it; the two cannot drift. */
+  private lazy val nearestCentroidAssignSql: String =
+    s"""cent AS (
+       |  SELECT label, pos,
+       |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+       |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+       |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       |          embedding[i] AS x
+       |        FROM (SELECT label, embedding,
+       |                unnest(range(1, len(embedding) + 1)) AS i
+       |              FROM embeddings))
+       |  GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label AS c_label, list(centroid ORDER BY pos) AS cvec
+       |  FROM cent GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label AS true_label, c.c_label,
+       |    ${l2Sql("e.embedding", "c.cvec", Dim)} AS dist2
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, true_label, c_label, dist2,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist2, c_label) AS rn
+       |  FROM scored)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q158_pagerank" -> pageRankOracle(3),
@@ -950,29 +1030,20 @@ object Similarity {
          |      UNION ALL SELECT c FROM tri)
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q146_nearest_centroid" ->
-      s"""WITH cent AS (
-         |  SELECT label, pos,
-         |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
-         |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
-         |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-         |          embedding[i] AS x
-         |        FROM (SELECT label, embedding,
-         |                unnest(range(1, len(embedding) + 1)) AS i
-         |              FROM embeddings))
-         |  GROUP BY label, pos),
-         |cents AS (
-         |  SELECT label AS c_label, list(centroid ORDER BY pos) AS cvec
-         |  FROM cent GROUP BY label),
-         |scored AS (
-         |  SELECT e.vec_id, e.label AS true_label, c.c_label,
-         |    ${l2Sql("e.embedding", "c.cvec", Dim)} AS dist2
-         |  FROM embeddings e CROSS JOIN cents c)
-         |SELECT vec_id, true_label, c_label AS pred_label, dist2 FROM (
-         |  SELECT vec_id, true_label, c_label, dist2,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY dist2, c_label) AS rn
-         |  FROM scored) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $nearestCentroidAssignSql
+         |SELECT vec_id, true_label, c_label AS pred_label, dist2
+         |FROM assign WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the avoided global window stated VERBATIM: the Spark plan builds
+    // the same pos from per-(cluster, hex-shard) ranks + broadcast
+    // prefix folds, with no unpartitioned window anywhere
+    "q248_cluster_adjacent_order" ->
+      s"""WITH $nearestCentroidAssignSql,
+         |a AS (SELECT vec_id, c_label AS cluster FROM assign WHERE rn = 1)
+         |SELECT vec_id, cluster,
+         |  CAST(row_number() OVER (ORDER BY cluster,
+         |    md5('sem0:' || CAST(vec_id AS VARCHAR)), vec_id)
+         |    AS BIGINT) AS pos
+         |FROM a ORDER BY vec_id""".stripMargin,
     "q139_label_centroids" ->
       """SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))

@@ -863,4 +863,69 @@ class CorpusSignalsSpec extends AnyFunSuite {
       .count()
     assert(last.getLong(2) == types)
   }
+
+  test("dupFlowMatrix: hand corpus — pairwise shared groups and doc mass") {
+    import spark.implicits._
+    // fp X lives in A(x2), B(x1); fp Y in B(x1), C(x2); fp Z only in A
+    val in = Seq(
+      (1L, "x x", "A"), (2L, "x x", "A"), (3L, "x x", "B"),
+      (4L, "y", "B"), (5L, "y", "C"), (6L, "y", "C"),
+      (7L, "z", "A")).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.dupFlowMatrix(in).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("A", "B", 1L, 2L, 1L), ("B", "C", 1L, 1L, 2L)))
+  }
+
+  test("dupFlowMatrix: no cross-source duplicates -> empty matrix") {
+    import spark.implicits._
+    val in = Seq((1L, "a", "A"), (2L, "a", "A"), (3L, "b", "B"))
+      .toDF("doc_id", "text", "source")
+    assert(CorpusSignals.dupFlowMatrix(in).count() == 0)
+  }
+
+  test("epochAwareAllocation: tiered solve on a hand corpus") {
+    import spark.implicits._
+    // big: 64 tokens (share 64/78 -> r_cap 1); small: 8 tokens
+    // (8*16=128 > 78, 8*8=64 < 78 -> r_cap 2); tiny: 6 tokens
+    // (6*16=96 > 78, 6*8=48 < 78 -> r_cap 2).
+    // total 78, budget = 78*5 div 2 = 195.
+    // tiers: k1 cap 78, k2 cap 14 -> cum 78, 92. f = 2, rem = 103,
+    // marginal tier 3 has NO capacity (mcap 0) -> no marginal.
+    def words(w: String, n: Int): String = Seq.fill(n)(w).mkString(" ")
+    val in = Seq(
+      (1L, words("b", 64), "big"),
+      (2L, words("s", 8), "small"),
+      (3L, words("t", 6), "tiny")).toDF("doc_id", "text", "source")
+    val got = CorpusSignals.epochAwareAllocation(in).collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // (r_cap, full_epochs, marginal, alloc, effective_x8)
+    assert(got("big") == (1, 1, 0L, 64L, 64L * 8))
+    assert(got("small") == (2, 2, 0L, 16L, 8L * 12))
+    assert(got("tiny") == (2, 2, 0L, 12L, 6L * 12))
+  }
+
+  test("epochAwareAllocation: marginal tier splits proportionally and " +
+      "stays within budget and caps") {
+    import graft.operators.CorpusSignals
+    val got = CorpusSignals.epochAwareAllocation(docs).collect()
+    assert(got.nonEmpty)
+    val budget = got.head.getLong(7)
+    val totalAlloc = got.map(_.getLong(5)).sum
+    // never over-spends; under-spends at most the floor crumbs + any
+    // capacity shortfall
+    assert(totalAlloc <= budget)
+    got.foreach { r =>
+      val (n, rCap, full, marginal, alloc) = (r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))
+      assert(alloc <= rCap.toLong * n, s"${r.getString(0)} over its cap")
+      assert(full <= rCap && marginal >= 0)
+      // marginal only funds the tier AFTER the fully-funded ones
+      if (marginal > 0) assert(full < rCap)
+    }
+    // determinism
+    val again = CorpusSignals.epochAwareAllocation(docs).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -359,4 +359,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("clusterAdjacentOrder: cluster-contiguous permutation == naive window") {
+    val got = Similarity.clusterAdjacentOrder(t.embeddings)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = t.embeddings.count()
+    // pos is a permutation of 1..n
+    assert(got.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // reading in pos order, clusters are CONTIGUOUS ascending blocks
+    val byPos = got.sortBy(_._3).map(_._2)
+    assert(byPos.sameElements(byPos.sorted),
+      "clusters must form contiguous runs in training order")
+    // equals the avoided global window computed directly
+    val assign = Similarity.nearestCentroid(t.embeddings)
+      .select(col("vec_id"), col("pred_label"))
+      .as[(Long, Int)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = md.synchronized {
+      md.reset()
+      md.digest(s"sem0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val naive = assign.sortBy { case (id, c) => (c, key(id), id) }
+      .zipWithIndex.map { case ((id, c), i) => (id, c, i + 1L) }
+    assert(got.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
+    // partitioning invariance: the order is a pure function of the data
+    val repart = Similarity.clusterAdjacentOrder(
+      t.embeddings.repartition(7, col("label")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(repart.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }
