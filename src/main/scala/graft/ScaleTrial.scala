@@ -100,7 +100,9 @@ object ScaleTrial {
     "q246_license_screen", // row-local classify + source×class rollup
     "q247_weighted_reservoir", // TakeOrdered heaps: k fixed, ~flat
     "q249_dup_flow_matrix", // fp-keyed self-join riding dup mass
-    "q250_epoch_allocation") // one source rollup + tiny tier solve
+    "q250_epoch_allocation", // one source rollup + tiny tier solve
+    "q251_source_health", // five per-source branches, |sources| rows out
+    "q252_epoch_schedule") // broadcast alloc join + bounded explode
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1508,6 +1508,45 @@ object CorpusSignals {
       .orderBy(col("source"))
   }
 
+  /** REALIZED epoch schedule — [[epochAwareAllocation]] turned into
+    * the (epoch, doc) read manifest a trainer consumes (the q229
+    * realization convention applied to q250): epochs 1..full ship the
+    * whole source; the marginal tier ships the deterministic hash
+    * slice whose expected token mass IS the marginal allocation
+    * (bucket(doc)·n_src < marginal·10⁶ over DECIMAL(38,0) products —
+    * exact at 100 TB where Long wraps). One broadcast join of the
+    * |sources|-row allocation; the full tier is a row-local explode
+    * bounded by maxEpochs. */
+  def epochScheduleSample(docs: DataFrame, budgetNum: Long = 5L,
+      budgetDen: Long = 2L, maxEpochs: Int = 4): DataFrame = {
+    val alloc = epochAwareAllocation(docs, budgetNum, budgetDen, maxEpochs)
+      .select(col("source"), col("n_tokens"), col("full_epochs"),
+        col("marginal_alloc"))
+    val d = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(alloc), Seq("source"))
+    // sequence(1, 0) would DESCEND ([1, 0]) — guard the empty case
+    val fullEpochs = when(col("full_epochs") >= 1,
+      sequence(lit(1), col("full_epochs")))
+      .otherwise(array().cast("array<int>"))
+    val full = d.select(col("doc_id"), col("source"),
+      explode(fullEpochs).as("epoch"))
+    val bucket = conv(substring(md5(concat(lit("epk:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    val marg = d
+      .filter(col("marginal_alloc") > 0 &&
+        bucket.cast("decimal(38,0)") *
+          col("n_tokens").cast("decimal(38,0)") <
+        col("marginal_alloc").cast("decimal(38,0)") *
+          lit(1000000L).cast("decimal(38,0)"))
+      .select(col("doc_id"), col("source"),
+        (col("full_epochs") + 1).cast("int").as("epoch"))
+    full.select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+        col("source"))
+      .unionByName(marg.select(col("epoch"), col("doc_id"), col("source")))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
   /** Inverted index build: term → document frequency + the posting
     * list of the first 20 doc ids (serialized CSV so the oracle can
     * compare it). One explode + one (term)-keyed window + one groupBy
@@ -1692,6 +1731,8 @@ object CorpusSignals {
     }),
     "q250_epoch_allocation" -> ((s, d) =>
       epochAwareAllocation(Tables(s, d).documents)),
+    "q252_epoch_schedule" -> ((s, d) =>
+      epochScheduleSample(Tables(s, d).documents)),
     // rows-only by design: xxhash64 permutation family (q28's
     // convention); the spec calibrates it against q237's exact matrix
     "q243_source_overlap_sketch" -> ((s, d) =>
@@ -1776,6 +1817,51 @@ object CorpusSignals {
       |         ELSE (tot.b - ks.pstar) // (tot.m - ks.kstar)
       |    END AS cap
       |  FROM ks, tot)""".stripMargin
+
+  /** The q250 tiered solve as one shared CTE chain ending in `alloc`
+    * (per source: n_tokens, r_cap, f, budget, full_epochs,
+    * marginal_alloc) — q250 reads it, q252 expands it. */
+  private val epochAllocSql: String =
+    """totals AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |    CAST(sum(n_tokens) AS BIGINT) * 5 // 2 AS budget FROM totals),
+      |caps AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN n_tokens * 32 < total THEN 4
+      |         WHEN n_tokens * 16 < total THEN 3
+      |         WHEN n_tokens * 8 < total THEN 2 ELSE 1 END AS r_cap
+      |  FROM totals CROSS JOIN tot),
+      |tiers AS (
+      |  SELECT k, CAST(sum(n_tokens) AS BIGINT) AS cap
+      |  FROM caps CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks
+      |  WHERE r_cap >= k GROUP BY k),
+      |cum AS (
+      |  SELECT x.k, max(x.cap) AS cap,
+      |    CAST(sum(y.cap) AS BIGINT) AS cumcap
+      |  FROM tiers x JOIN tiers y ON y.k <= x.k GROUP BY x.k),
+      |g1 AS (
+      |  SELECT coalesce(max(CASE WHEN cumcap <= budget THEN k END), 0)
+      |      AS f,
+      |    CAST(coalesce(max(CASE WHEN cumcap <= budget THEN cumcap END),
+      |      0) AS BIGINT) AS cumf,
+      |    max(budget) AS budget
+      |  FROM cum CROSS JOIN tot),
+      |g AS (
+      |  SELECT f, budget, budget - cumf AS rem,
+      |    CAST(coalesce(cap, 0) AS BIGINT) AS mcap
+      |  FROM g1 LEFT JOIN cum ON cum.k = g1.f + 1),
+      |alloc AS (
+      |  SELECT source, n_tokens, r_cap, f, budget,
+      |    CAST(least(f, r_cap) AS INTEGER) AS full_epochs,
+      |    CAST(CASE WHEN r_cap > f AND mcap > 0
+      |      THEN (CAST(rem AS HUGEINT) * CAST(n_tokens AS HUGEINT))
+      |        // CAST(mcap AS HUGEINT)
+      |      ELSE 0 END AS BIGINT) AS marginal_alloc
+      |  FROM caps CROSS JOIN g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // same counts-of-counts rollup, same count-descending cumulative
@@ -2137,58 +2223,41 @@ object CorpusSignals {
     // the full tiered solve replayed over the |sources|-row rollup:
     // integer thresholds, tier cumsum by self-join, exact integral
     // division over HUGEINT (Spark: decimal(38,0) `div`) — pinned to
-    // the defaults budget=5/2·total, maxEpochs=4
+    // the defaults budget=5/2·total, maxEpochs=4. The solve chain is
+    // the SHARED epochAllocSql literal: q250 reads it directly, q252
+    // expands it into the realized schedule — the two cannot drift.
     "q250_epoch_allocation" ->
-      """WITH totals AS (
-        |  SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |tot AS (
-        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-        |    CAST(sum(n_tokens) AS BIGINT) * 5 // 2 AS budget FROM totals),
-        |caps AS (
-        |  SELECT source, n_tokens,
-        |    CASE WHEN n_tokens * 32 < total THEN 4
-        |         WHEN n_tokens * 16 < total THEN 3
-        |         WHEN n_tokens * 8 < total THEN 2 ELSE 1 END AS r_cap
-        |  FROM totals CROSS JOIN tot),
-        |tiers AS (
-        |  SELECT k, CAST(sum(n_tokens) AS BIGINT) AS cap
-        |  FROM caps CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks
-        |  WHERE r_cap >= k GROUP BY k),
-        |cum AS (
-        |  SELECT x.k, max(x.cap) AS cap,
-        |    CAST(sum(y.cap) AS BIGINT) AS cumcap
-        |  FROM tiers x JOIN tiers y ON y.k <= x.k GROUP BY x.k),
-        |g1 AS (
-        |  SELECT coalesce(max(CASE WHEN cumcap <= budget THEN k END), 0)
-        |      AS f,
-        |    CAST(coalesce(max(CASE WHEN cumcap <= budget THEN cumcap END),
-        |      0) AS BIGINT) AS cumf,
-        |    max(budget) AS budget
-        |  FROM cum CROSS JOIN tot),
-        |g AS (
-        |  SELECT f, budget, budget - cumf AS rem,
-        |    CAST(coalesce(cap, 0) AS BIGINT) AS mcap
-        |  FROM g1 LEFT JOIN cum ON cum.k = g1.f + 1),
-        |alloc AS (
-        |  SELECT source, n_tokens, r_cap, f, budget,
-        |    CAST(least(f, r_cap) AS INTEGER) AS full_epochs,
-        |    CAST(CASE WHEN r_cap > f AND mcap > 0
-        |      THEN (CAST(rem AS HUGEINT) * CAST(n_tokens AS HUGEINT))
-        |        // CAST(mcap AS HUGEINT)
-        |      ELSE 0 END AS BIGINT) AS marginal_alloc
-        |  FROM caps CROSS JOIN g)
-        |SELECT source, n_tokens, r_cap, full_epochs, marginal_alloc,
-        |  CAST(n_tokens * full_epochs + marginal_alloc AS BIGINT)
-        |    AS alloc_tokens,
-        |  CAST(n_tokens * (CASE full_epochs WHEN 0 THEN 0 WHEN 1 THEN 8
-        |      WHEN 2 THEN 12 WHEN 3 THEN 14 ELSE 15 END)
-        |    + marginal_alloc * (CASE f WHEN 0 THEN 8 WHEN 1 THEN 4
-        |      WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS effective_x8,
-        |  budget
-        |FROM alloc ORDER BY source""".stripMargin,
+      (s"WITH $epochAllocSql\n" +
+        """SELECT source, n_tokens, r_cap, full_epochs, marginal_alloc,
+          |  CAST(n_tokens * full_epochs + marginal_alloc AS BIGINT)
+          |    AS alloc_tokens,
+          |  CAST(n_tokens * (CASE full_epochs WHEN 0 THEN 0 WHEN 1 THEN 8
+          |      WHEN 2 THEN 12 WHEN 3 THEN 14 ELSE 15 END)
+          |    + marginal_alloc * (CASE f WHEN 0 THEN 8 WHEN 1 THEN 4
+          |      WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS effective_x8,
+          |  budget
+          |FROM alloc ORDER BY source""".stripMargin),
+    "q252_epoch_schedule" ->
+      (s"WITH $epochAllocSql,\n" +
+        """sched_full AS (
+          |  SELECT ks.k AS epoch, d.doc_id, d.source
+          |  FROM documents d JOIN alloc a USING (source)
+          |  CROSS JOIN (SELECT unnest(range(1, 5)) AS k) ks
+          |  WHERE ks.k <= a.full_epochs),
+          |sched_marg AS (
+          |  SELECT a.full_epochs + 1 AS epoch, d.doc_id, d.source
+          |  FROM documents d JOIN alloc a USING (source)
+          |  WHERE a.marginal_alloc > 0
+          |    AND CAST(CAST('0x' || substr(md5('epk:'
+          |          || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          |        % 1000000 AS HUGEINT)
+          |        * CAST(a.n_tokens AS HUGEINT)
+          |      < CAST(a.marginal_alloc AS HUGEINT) * 1000000)
+          |SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, source
+          |FROM (SELECT * FROM sched_full
+          |      UNION ALL SELECT * FROM sched_marg)
+          |ORDER BY epoch, doc_id""".stripMargin),
     // the window/row_number relational statement of the row-local
     // array_distinct rewrite — scope is PARTITION BY (doc_id, line),
     // first occurrence by line_no; proves the narrow form exactly

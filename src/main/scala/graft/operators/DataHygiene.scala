@@ -175,6 +175,61 @@ object DataHygiene {
   }
 
   // ---------------------------------------------------------------
+  // q251: per-source health card
+  // ---------------------------------------------------------------
+
+  /** SOURCE-HEALTH card — one row per source with the hygiene numbers
+    * an ingest decision reads side by side: doc/token mass, exact-
+    * duplicate attrition (docs a keep-first dedup would drop),
+    * decode-noise incidence, opt-out incidence, and structural-gate
+    * failures — the q233/q235 composed-card convention applied to
+    * this module. Every branch replays its parent operator's exact
+    * algebra through the SAME private plant helpers (they cannot
+    * drift), collapses to a |sources|-row map-side-combinable rollup,
+    * and the final assembly is |sources|-keyed joins. The dup branch
+    * is the only corpus-keyed shuffle (one fingerprint join). */
+  def sourceHealthCard(docs: DataFrame): DataFrame = {
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val noisePl = noisePlanted()
+    val nRepl = length(noisePl) -
+      length(regexp_replace(noisePl, "\\ufffd", ""))
+    val nCtrl = length(noisePl) -
+      length(regexp_replace(noisePl, "[\\x00-\\x1f]", ""))
+    val noise = docs.select(col("source"), (nRepl + nCtrl > 0).as("noisy"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("noisy"), 1L).otherwise(0L)).as("noisy_docs"))
+    val lic = docs.select(col("source"),
+        licensePlanted().contains("do not train").as("optout"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("optout"), 1L).otherwise(0L)).as("optout_docs"))
+    val gate = codeShapeGate(docs)
+      .groupBy(col("source"))
+      .agg(sum(when(!col("keep"), 1L).otherwise(0L)).as("gate_fail_docs"))
+    val winners = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val dup = docs.select(col("source"), col("doc_id"),
+        md5(col("text")).as("fp"))
+      .join(winners, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+        .as("dup_drop_docs"))
+    base.join(dup, Seq("source")).join(noise, Seq("source"))
+      .join(lic, Seq("source")).join(gate, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_drop_docs"), col("noisy_docs"), col("optout_docs"),
+        col("gate_fail_docs"),
+        (col("dup_drop_docs").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("noisy_docs").cast("double") / col("n_docs")).as("noise_rate"),
+        (col("optout_docs").cast("double") / col("n_docs"))
+          .as("optout_rate"),
+        (col("gate_fail_docs").cast("double") / col("n_docs"))
+          .as("gate_fail_rate"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
   // q247: Efraimidis–Spirakis weighted sample without replacement
   // ---------------------------------------------------------------
 
@@ -226,7 +281,9 @@ object DataHygiene {
     "q246_license_screen" ->
       ((s, d) => licenseScreen(Tables(s, d).documents)),
     "q247_weighted_reservoir" ->
-      ((s, d) => weightedSampleNoReplacement(Tables(s, d).documents))
+      ((s, d) => weightedSampleNoReplacement(Tables(s, d).documents)),
+    "q251_source_health" ->
+      ((s, d) => sourceHealthCard(Tables(s, d).documents))
   )
 
   /** Shared plant + per-doc noise counts — q245's oracle states the
@@ -247,37 +304,94 @@ object DataHygiene {
       |           THEN chr(7) || 'alert' || chr(27) ELSE '' END AS planted
       |  FROM documents)""".stripMargin
 
+  /** The q244 per-doc stats + keep decision as one shared literal:
+    * q244 states it directly, q251's gate branch rolls it up. */
+  private val codeShapeStatsSql: String =
+    """WITH lined AS (
+      |  SELECT doc_id, source,
+      |    list_concat(list_concat(
+      |      list_transform(range(0, nb),
+      |        i -> array_to_string(toks[i*m+1 : i*m+m], ' ')),
+      |      CASE WHEN doc_id % 11 = 0 THEN [repeat('=', 120)]
+      |           ELSE CAST([] AS VARCHAR[]) END),
+      |      CASE WHEN doc_id % 13 = 0 THEN [repeat('a0', 40)]
+      |           ELSE CAST([] AS VARCHAR[]) END) AS lines
+      |  FROM (
+      |    SELECT doc_id, source, toks, m,
+      |      (len(toks) + m - 1) // m AS nb
+      |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |            5 + doc_id % 7 AS m FROM documents))),
+      |stats AS (
+      |  SELECT doc_id, source,
+      |    len(lines) AS n_lines,
+      |    list_max(list_transform(lines, l -> len(l))) AS max_line_chars,
+      |    CAST(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+      |        AS DOUBLE) / len(lines) AS mean_line_chars,
+      |    CAST(len(regexp_replace(array_to_string(lines, chr(10)),
+      |        '[^a-z0-9]', '', 'g')) AS DOUBLE)
+      |      / len(array_to_string(lines, chr(10))) AS alnum_frac
+      |  FROM lined)
+      |SELECT doc_id, source, n_lines, max_line_chars, mean_line_chars,
+      |  alnum_frac,
+      |  max_line_chars <= 100 AND mean_line_chars <= 40.0
+      |    AND alnum_frac >= 0.25 AS keep
+      |FROM stats""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q244_code_shape_gate" ->
-      """WITH lined AS (
-        |  SELECT doc_id, source,
-        |    list_concat(list_concat(
-        |      list_transform(range(0, nb),
-        |        i -> array_to_string(toks[i*m+1 : i*m+m], ' ')),
-        |      CASE WHEN doc_id % 11 = 0 THEN [repeat('=', 120)]
-        |           ELSE CAST([] AS VARCHAR[]) END),
-        |      CASE WHEN doc_id % 13 = 0 THEN [repeat('a0', 40)]
-        |           ELSE CAST([] AS VARCHAR[]) END) AS lines
-        |  FROM (
-        |    SELECT doc_id, source, toks, m,
-        |      (len(toks) + m - 1) // m AS nb
-        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
-        |            5 + doc_id % 7 AS m FROM documents))),
-        |stats AS (
-        |  SELECT doc_id, source,
-        |    len(lines) AS n_lines,
-        |    list_max(list_transform(lines, l -> len(l))) AS max_line_chars,
-        |    CAST(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
-        |        AS DOUBLE) / len(lines) AS mean_line_chars,
-        |    CAST(len(regexp_replace(array_to_string(lines, chr(10)),
-        |        '[^a-z0-9]', '', 'g')) AS DOUBLE)
-        |      / len(array_to_string(lines, chr(10))) AS alnum_frac
-        |  FROM lined)
-        |SELECT doc_id, source, n_lines, max_line_chars, mean_line_chars,
-        |  alnum_frac,
-        |  max_line_chars <= 100 AND mean_line_chars <= 40.0
-        |    AND alnum_frac >= 0.25 AS keep
-        |FROM stats ORDER BY doc_id""".stripMargin,
+      (codeShapeStatsSql + "\nORDER BY doc_id"),
+    "q251_source_health" ->
+      // each branch replays its parent screen's algebra (the shared
+      // noise/code-shape literals; the license plant inline) and
+      // rolls up per source; the dup branch is q24's fingerprint rule
+      ("WITH nd AS (" + noiseDocSql + "),\n" +
+        "cs AS (" + codeShapeStatsSql + "),\n" +
+        """base AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+          |      AS n_tokens
+          |  FROM documents GROUP BY source),
+          |noise AS (
+          |  SELECT source,
+          |    CAST(sum(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS noisy_docs
+          |  FROM nd GROUP BY source),
+          |lic AS (
+          |  SELECT source,
+          |    CAST(sum(CASE WHEN contains(
+          |        text
+          |          || CASE WHEN doc_id % 23 = 0 THEN ' all rights reserved'
+          |               ELSE '' END
+          |          || CASE WHEN doc_id % 29 = 0
+          |               THEN ' creative commons attribution license'
+          |               ELSE '' END
+          |          || CASE WHEN doc_id % 31 = 0
+          |               THEN ' do not train on this content' ELSE '' END,
+          |        'do not train') THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS optout_docs
+          |  FROM documents GROUP BY source),
+          |gate AS (
+          |  SELECT source,
+          |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS gate_fail_docs
+          |  FROM cs GROUP BY source),
+          |dup AS (
+          |  SELECT d.source,
+          |    CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS dup_drop_docs
+          |  FROM (SELECT doc_id, source, md5(text) AS fp FROM documents) d
+          |  JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+          |        FROM documents GROUP BY 1) k USING (fp)
+          |  GROUP BY d.source)
+          |SELECT source, n_docs, n_tokens, dup_drop_docs, noisy_docs,
+          |  optout_docs, gate_fail_docs,
+          |  CAST(dup_drop_docs AS DOUBLE) / n_docs AS dup_rate,
+          |  CAST(noisy_docs AS DOUBLE) / n_docs AS noise_rate,
+          |  CAST(optout_docs AS DOUBLE) / n_docs AS optout_rate,
+          |  CAST(gate_fail_docs AS DOUBLE) / n_docs AS gate_fail_rate
+          |FROM base JOIN dup USING (source) JOIN noise USING (source)
+          |JOIN lic USING (source) JOIN gate USING (source)
+          |ORDER BY source""".stripMargin),
     "q245_encoding_noise" ->
       // concatenated, NOT stripMargin'ed: the interpolated fragment's
       // own `||` concat operators would be eaten by a second pass

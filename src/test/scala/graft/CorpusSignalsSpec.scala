@@ -928,4 +928,46 @@ class CorpusSignalsSpec extends AnyFunSuite {
     val again = CorpusSignals.epochAwareAllocation(docs).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("epochScheduleSample realizes the q250 allocation") {
+    import graft.operators.CorpusSignals
+    val alloc = CorpusSignals.epochAwareAllocation(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(3), r.getLong(4)))
+      .toMap // source -> (n_tokens, full_epochs, marginal_alloc)
+    val sched = CorpusSignals.epochScheduleSample(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val docsBySource = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    alloc.foreach { case (s, (nTok, full, marginal)) =>
+      val mine = sched.filter(_._3 == s)
+      // epochs 1..full carry the WHOLE source
+      (1 to full).foreach { k =>
+        assert(mine.count(_._1 == k) == docsBySource(s), s"$s epoch $k")
+      }
+      // the marginal tier exists iff funded, and only at epoch full+1
+      val margRows = mine.filter(_._1 == full + 1)
+      assert(mine.forall(_._1 <= full + 1), s)
+      if (marginal == 0) assert(margRows.isEmpty, s)
+      else {
+        // expected kept token mass == marginal allocation (the q229
+        // 5-sigma band: Bernoulli at rate marginal/nTok over tokens)
+        val margIds = margRows.map(_._2).toSet
+        val kept = docs.filter(col("source") === s)
+          .filter(col("doc_id").isin(margIds.toSeq: _*))
+          .select(sum(size(split(col("text"), " ")).cast("long")))
+          .head().getLong(0)
+        val p = marginal.toDouble / nTok
+        val sigma = math.sqrt(nTok * p * (1 - p)) *
+          (nTok.toDouble / docsBySource(s)) // doc-sized steps
+        assert(math.abs(kept - marginal) <= 5 * sigma + 1,
+          s"$s kept=$kept marginal=$marginal sigma=$sigma")
+      }
+    }
+    // (epoch, doc_id) is unique — a doc is read once per epoch
+    assert(sched.map(t => (t._1, t._2)).distinct.length == sched.length)
+    // determinism
+    val again = CorpusSignals.epochScheduleSample(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == sched.toSeq)
+  }
 }

@@ -131,6 +131,44 @@ class DataHygieneSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("sourceHealthCard agrees with its component screens") {
+    val card = DataHygiene.sourceHealthCard(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // noisy_docs column-for-column equals q245's rollup
+    val noise = DataHygiene.encodingNoise(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("noisy_docs")).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Long]("noisy_docs") == noise(s), s)
+    }
+    // gate_fail_docs equals the q244 keep=false rollup
+    val gateFail = DataHygiene.codeShapeGate(docs)
+      .filter(!col("keep")).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Long]("gate_fail_docs") == gateFail.getOrElse(s, 0L), s)
+    }
+    // optout incidence equals the plant rule
+    val optByS = docs.filter(col("doc_id") % 31 === 0)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Long]("optout_docs") == optByS.getOrElse(s, 0L), s)
+    }
+    // counts bounded by docs; rates are count/n_docs exactly
+    card.values.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      Seq("dup_drop_docs", "noisy_docs", "optout_docs", "gate_fail_docs")
+        .foreach(c => assert(r.getAs[Long](c) <= n))
+      assert(r.getAs[Double]("noise_rate") ==
+        r.getAs[Long]("noisy_docs").toDouble / n)
+    }
+    // dup drops across sources equal total non-canonical docs
+    val totalDup = card.values.map(_.getAs[Long]("dup_drop_docs")).sum
+    val expected = docs.count() -
+      docs.select(md5(col("text"))).distinct().count()
+    assert(totalDup == expected)
+  }
+
   test("hygiene screens are zero-shuffle projections / bounded rollups") {
     // q244 per-doc stats: no Exchange before the final presentation
     // sort (the only exchange allowed is the orderBy itself)
