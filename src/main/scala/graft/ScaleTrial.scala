@@ -102,7 +102,9 @@ object ScaleTrial {
     "q249_dup_flow_matrix", // fp-keyed self-join riding dup mass
     "q250_epoch_allocation", // one source rollup + tiny tier solve
     "q251_source_health", // five per-source branches, |sources| rows out
-    "q252_epoch_schedule") // broadcast alloc join + bounded explode
+    "q252_epoch_schedule", // broadcast alloc join + bounded explode
+    "q253_eval_windows", // row-local hash offset + slice: must be ~flat
+    "q254_cell_suppression") // two tiny rollups: must be ~flat
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

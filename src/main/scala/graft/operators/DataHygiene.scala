@@ -230,6 +230,37 @@ object DataHygiene {
   }
 
   // ---------------------------------------------------------------
+  // q254: small-cell suppression for released aggregates
+  // ---------------------------------------------------------------
+
+  /** SMALL-CELL suppression — the minimum-cell-size rule of
+    * disclosure control (k-anonymity, Sweeney 2002: a released
+    * aggregate cell describing fewer than k individuals identifies
+    * them): per-(lang, source) doc/token stats where every cell with
+    * fewer than `k` documents is collapsed into one ('OTHER','OTHER')
+    * row before release. `n_cells` counts the merged cells, so the
+    * reader can see HOW much was suppressed without seeing what.
+    * Two map-side-combinable rollups over at most |langs|×|sources|
+    * rows — release-stats cost, not corpus cost. */
+  def suppressSmallCells(docs: DataFrame, k: Long = 5L): DataFrame = {
+    require(k >= 1)
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val small = col("n_docs") < k
+    cells
+      .select(
+        when(small, lit("OTHER")).otherwise(col("lang")).as("lang"),
+        when(small, lit("OTHER")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // ---------------------------------------------------------------
   // q247: Efraimidis–Spirakis weighted sample without replacement
   // ---------------------------------------------------------------
 
@@ -283,7 +314,9 @@ object DataHygiene {
     "q247_weighted_reservoir" ->
       ((s, d) => weightedSampleNoReplacement(Tables(s, d).documents)),
     "q251_source_health" ->
-      ((s, d) => sourceHealthCard(Tables(s, d).documents))
+      ((s, d) => sourceHealthCard(Tables(s, d).documents)),
+    "q254_cell_suppression" ->
+      ((s, d) => suppressSmallCells(Tables(s, d).documents))
   )
 
   /** Shared plant + per-doc noise counts — q245's oracle states the
@@ -424,6 +457,18 @@ object DataHygiene {
         |       ELSE 'none' END AS license,
         |  count(*) AS n_docs, CAST(sum(len(p)) AS BIGINT) AS total_chars
         |FROM planted GROUP BY 1, 2 ORDER BY source, license""".stripMargin,
+    "q254_cell_suppression" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source)
+        |SELECT
+        |  CASE WHEN n_docs < 5 THEN 'OTHER' ELSE lang END AS lang,
+        |  CASE WHEN n_docs < 5 THEN 'OTHER' ELSE source END AS source,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM cells GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "q247_weighted_reservoir" ->
       // the E-S key: u^(1/2^band) as an explicit sqrt chain (pow/ln
       // would be 1-ulp engine-dependent; sqrt is correctly rounded)

@@ -518,6 +518,30 @@ object TextAnalysis {
     * cross-engine trap this avoids), so every column is exact integer
     * algebra plus one IEEE division for the doc share. One map-side-
     * combinable groupBy to ≤ 64 rows. */
+  /** Deterministic EVAL-WINDOW extraction — fixed-length token
+    * windows at a hash-chosen offset per document (the held-out
+    * loss-eval shape: score a `win`-token slice of each doc instead
+    * of the whole thing, with the offset a pure function of doc_id
+    * so every rerun and every engine picks the SAME slice). Docs
+    * shorter than `win` are excluded — they'd bias a fixed-window
+    * perplexity mean. Pure row-local projection: one hash, one
+    * modulus over (n − win + 1) valid offsets, one array slice —
+    * zero shuffle at any corpus size. */
+  def evalWindows(docs: DataFrame, win: Int = 32): DataFrame = {
+    require(win >= 1)
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val h = conv(substring(md5(concat(lit("evalw:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val offset = (h % (n - lit(win) + 1).cast("long")).cast("int")
+    docs.filter(size(tokens(col("text"))) >= win)
+      .select(col("doc_id"), col("source"), n.as("n_tokens"),
+        offset.as("offset"),
+        array_join(slice(toks, offset + 1, lit(win)), " ")
+          .as("window_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def lengthSpectrum(docs: DataFrame): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
     val bucket = (length(bin(n)) - 1).cast("long")
@@ -1156,6 +1180,8 @@ object TextAnalysis {
       ((s, d) => packingEfficiency(Tables(s, d))),
     "q230_length_spectrum" ->
       ((s, d) => lengthSpectrum(Tables(s, d).documents)),
+    "q253_eval_windows" ->
+      ((s, d) => evalWindows(Tables(s, d).documents)),
     "q129_normalize_text" ->
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
     "q140_bigram_fluency" ->
@@ -1841,6 +1867,20 @@ object TextAnalysis {
         |    AS doc_share
         |FROM d, t GROUP BY log2_bucket, t.total_docs
         |ORDER BY log2_bucket""".stripMargin,
+    // the same 48->32-bit md5 offset + array slice, pinned to win=32
+    "q253_eval_windows" ->
+      """SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  off AS offset,
+        |  array_to_string(toks[off+1 : off+32], ' ') AS window_text
+        |FROM (
+        |  SELECT doc_id, source, toks,
+        |    CAST(CAST('0x' || substr(md5('evalw:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % (len(toks) - 31) AS INTEGER) AS off
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 32)
+        |ORDER BY doc_id""".stripMargin,
     // q67's CTE (the shared literal) + one batch-keyed rollup and a
     // single exact-long/int division for the fill fraction
     "q225_packing_efficiency" ->

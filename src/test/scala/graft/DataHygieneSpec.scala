@@ -169,6 +169,48 @@ class DataHygieneSpec extends AnyFunSuite {
     assert(totalDup == expected)
   }
 
+  test("evalWindows: fixed-width deterministic slices at valid offsets") {
+    import graft.operators.TextAnalysis
+    val win = 32
+    val got = TextAnalysis.evalWindows(docs, win).collect()
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    // exactly the >= win docs, no others
+    assert(got.length == texts.count(_._2.split(" ").length >= win))
+    got.foreach { r =>
+      val (id, n, off, w) = (r.getLong(0), r.getInt(2), r.getInt(3),
+        r.getString(4))
+      val toks = texts(id).split(" ")
+      assert(n == toks.length)
+      assert(off >= 0 && off <= n - win, s"doc $id offset $off")
+      // the window IS the slice at the hash offset
+      assert(w == toks.slice(off, off + win).mkString(" "), s"doc $id")
+    }
+    // determinism
+    val again = TextAnalysis.evalWindows(docs, win).collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
+  test("suppressSmallCells: small cells merge to OTHER, totals conserve") {
+    val df = Seq.tabulate(11) { i =>
+      // lang en/src A: 6 docs; en/B: 2; de/C: 3
+      val (l, s) = if (i < 6) ("en", "A") else if (i < 8) ("en", "B")
+        else ("de", "C")
+      (i.toLong, "w x y z", l, s)
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = DataHygiene.suppressSmallCells(df, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("OTHER", "OTHER", 5L, 20L, 2L),
+      ("en", "A", 6L, 24L, 1L)))
+    // on the corpus: totals conserve and released cells respect k
+    val rel = DataHygiene.suppressSmallCells(docs).collect()
+    assert(rel.map(_.getLong(2)).sum == docs.count())
+    rel.filter(_.getString(0) != "OTHER").foreach { r =>
+      assert(r.getLong(2) >= 5, s"${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   test("hygiene screens are zero-shuffle projections / bounded rollups") {
     // q244 per-doc stats: no Exchange before the final presentation
     // sort (the only exchange allowed is the orderBy itself)
