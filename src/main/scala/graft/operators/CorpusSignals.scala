@@ -1591,6 +1591,24 @@ object CorpusSignals {
     * 1-row (N, avgdl) relation broadcasts. */
   def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(docs, nQueries, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The (query_id, doc_id, score) relation under bm25TopK's scoring
+    * (shared by the top-k ranking and the triplet miner): every
+    * corpus document sharing ≥1 term with a query, scored with the
+    * rational-idf, order-pinned-fold recipe documented on
+    * [[bm25TopK]]. */
+  private def bm25Scored(docs: DataFrame, nQueries: Int,
+      k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
     val tf = toks.groupBy(col("doc_id"), col("t"))
@@ -1612,19 +1630,55 @@ object CorpusSignals {
           (col("tf").cast("double") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
               col("avgdl")))).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
     contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("t"), col("c")))),
         lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+  }
+
+  /** Retrieval-TRAINING triplet mining — the (query, positive,
+    * hard-negative) examples a dense-retriever / embedding model
+    * trains on (DPR, Karpukhin et al. 2020, arXiv:2004.04906: random
+    * negatives are too easy; the informative negatives are documents
+    * a lexical ranker scores HIGH but not top). Built from the SAME
+    * scored relation as q165: per query, rank all candidates with
+    * the query document itself EXCLUDED (a query trivially retrieves
+    * itself at rank 1 — keeping it would make every positive a
+    * self-pair and teach the model the identity function); the
+    * positive is rank 1 of what remains, the hard negatives are
+    * ranks `negFrom..negFrom+nNeg-1` — deep enough to not be
+    * near-duplicates of the positive, shallow enough to still be
+    * lexically confusable. One row per (query, negative), carrying
+    * both scores and the score margin the loss will see.
+    *
+    * Scale: everything through the scored relation is q165's
+    * candidate-sized plan (documents sharing ≥1 query term, never
+    * corpus²); the rank window is query-keyed over candidates; the
+    * positive×negative assembly joins two ≤|queries|·nNeg-row
+    * relations on query_id — broadcast-sized at any corpus scale. */
+  def retrievalTriplets(docs: DataFrame, nQueries: Int = 5,
+      negFrom: Int = 6, nNeg: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(negFrom >= 2 && nNeg >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = bm25Scored(docs, nQueries, k1, b)
+      .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = ranked
+      .filter(col("rank") >= negFrom && col("rank") < negFrom + nNeg)
+      .select(col("query_id"), col("rank").cast("long").as("neg_rank"),
+        col("doc_id").as("neg_id"), col("score").as("neg_score"))
+    pos.join(neg, "query_id")
+      .select(col("query_id"), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"), col("neg_score"),
+        (col("pos_score") - col("neg_score")).as("margin"))
+      .orderBy(col("query_id"), col("neg_rank"))
   }
 
   /** Deterministic N-per-group sample: the first `n` docs per
@@ -1642,8 +1696,50 @@ object CorpusSignals {
       k = n)
       .orderBy(col("lang"), col("h"), col("doc_id"))
 
+  /** The q165/q255 shared oracle literal: DuckDB CTE chain producing
+    * the (query_id, doc_id, score) `scored` relation that mirrors
+    * [[bm25Scored]] bit-for-bit (rational idf, term-ordered fold). */
+  private val bm25ScoredSql: String =
+    """tf AS (
+      |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |  GROUP BY doc_id, t),
+      |dfr AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      |dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qterms AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 5),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id, tf.t,
+      |    ((CAST(s.n AS DOUBLE) - tf2.df + 0.5)
+      |      / (CAST(tf2.df AS DOUBLE) + 0.5))
+      |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+      |        + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS c
+      |  FROM qterms q
+      |  JOIN tf ON tf.t = q.t
+      |  JOIN dfr tf2 ON tf2.t = q.t
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s),
+      |scored AS (
+      |  SELECT query_id, doc_id,
+      |    list_reduce(list_prepend(0.0, list(c ORDER BY t)),
+      |      (a, b) -> a + b) AS score
+      |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_group_sample" -> ((s, d) => groupSample(Tables(s, d).documents)),
+    "q255_retrieval_triplets" -> ((s, d) =>
+      retrievalTriplets(Tables(s, d).documents)),
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
@@ -1909,41 +2005,7 @@ object CorpusSignals {
     // style subexpressions are spelled as the SAME IEEE ops Spark's
     // plan computes, never pre-evaluated decimal literals
     "q165_bm25_topk" ->
-      """WITH tf AS (
-        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |        FROM documents)
-        |  GROUP BY doc_id, t),
-        |dfr AS (
-        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
-        |dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |qterms AS (
-        |  SELECT doc_id AS query_id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS t
-        |  FROM documents WHERE doc_id < 5),
-        |contrib AS (
-        |  SELECT q.query_id, tf.doc_id, tf.t,
-        |    ((CAST(s.n AS DOUBLE) - tf2.df + 0.5)
-        |      / (CAST(tf2.df AS DOUBLE) + 0.5))
-        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-        |        + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS c
-        |  FROM qterms q
-        |  JOIN tf ON tf.t = q.t
-        |  JOIN dfr tf2 ON tf2.t = q.t
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats s),
-        |scored AS (
-        |  SELECT query_id, doc_id,
-        |    list_reduce(list_prepend(0.0, list(c ORDER BY t)),
-        |      (a, b) -> a + b) AS score
-        |  FROM contrib GROUP BY query_id, doc_id),
+      s"""WITH $bm25ScoredSql,
         |ranked AS (
         |  SELECT query_id, doc_id, score,
         |    row_number() OVER (PARTITION BY query_id
@@ -1952,6 +2014,27 @@ object CorpusSignals {
         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rnk <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // the SHARED q165 scored relation (same literal), self excluded
+    // before ranking; positive = rank 1, negatives = ranks 6..8 —
+    // the margin is one IEEE subtraction of two already-exact scores
+    "q255_retrieval_triplets" ->
+      s"""WITH $bm25ScoredSql,
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored WHERE doc_id <> query_id),
+        |pos AS (
+        |  SELECT query_id, doc_id AS pos_id, score AS pos_score
+        |  FROM ranked WHERE rnk = 1),
+        |neg AS (
+        |  SELECT query_id, CAST(rnk AS BIGINT) AS neg_rank,
+        |    doc_id AS neg_id, score AS neg_score
+        |  FROM ranked WHERE rnk >= 6 AND rnk < 9)
+        |SELECT p.query_id, p.pos_id, p.pos_score, n.neg_rank,
+        |  n.neg_id, n.neg_score, p.pos_score - n.neg_score AS margin
+        |FROM pos p JOIN neg n ON p.query_id = n.query_id
+        |ORDER BY p.query_id, neg_rank""".stripMargin,
     "q163_token_drift" ->
       """WITH newdocs AS (
         |  SELECT source,

@@ -14,6 +14,34 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("retrievalTriplets: positive is the best non-self BM25 hit, " +
+      "negatives are the 6..8 band, margins are non-negative") {
+    val trip = CorpusSignals.retrievalTriplets(docs).collect()
+    assert(trip.nonEmpty)
+    // independent reference: the q165 ranking with self filtered out
+    val ref = CorpusSignals.bm25TopK(docs, k = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.filter { case (q, d, _) => d != q })
+      .toMap
+    trip.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val expect = ref(qid) // already rank-ordered, self excluded
+      val (posId, posScore) = (rows.head.getLong(1), rows.head.getDouble(2))
+      assert(posId == expect.head._2 && posScore == expect.head._3,
+        s"query $qid positive mismatch")
+      assert(posId != qid)
+      rows.foreach { r =>
+        val (negRank, negId, negScore, margin) =
+          (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+        assert(negRank >= 6 && negRank < 9)
+        assert(negId != qid && negId != posId)
+        // band index negRank-1 of the self-excluded reference ranking
+        assert(negId == expect(negRank.toInt - 1)._2)
+        assert(negScore <= posScore && margin == posScore - negScore)
+      }
+      assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(6L, 7L, 8L))
+    }
+  }
+
   test("releasePacking == the step-by-step stage composition; packed " +
       "token mass equals the kept docs' capped counts") {
     import graft.operators.{CorpusSignals, TextAnalysis}
