@@ -580,7 +580,23 @@ object TextAnalysis {
     * corpus/ctx-sized output. All integers + one IEEE division; the
     * oracle states the avoided per-bucket window verbatim. */
   def lengthBucketPacking(docs: DataFrame, ctx: Int = 512,
-      epoch: Int = 0): DataFrame = {
+      epoch: Int = 0): DataFrame =
+    packAssignment(docs, ctx, epoch)
+      .groupBy(col("slot_len"), col("pack_id"), col("capacity"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("slot_len"), col("pack_id"), col("capacity"),
+        col("n_docs"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") / lit(ctx).cast("double"))
+          .as("fill"))
+      .orderBy(col("slot_len"), col("pack_id"))
+
+  /** The (doc → pack, slot) assignment shared by [[lengthBucketPacking]]
+    * (which rolls it up into the pack audit) and [[packBoundaries]]
+    * (which materializes it as the trainer's boundary manifest):
+    * q240's two-phase per-bucket hash rank, one row per doc with its
+    * pack id and its slot index inside the pack. */
+  private def packAssignment(docs: DataFrame, ctx: Int,
+      epoch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = least(size(tokens(col("text"))), lit(ctx)).cast("long")
     val lb = when(n <= 1, lit(0))
@@ -605,14 +621,32 @@ object TextAnalysis {
       .withColumn("local_rn", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsets), Seq("lb", "shard_id"))
       .withColumn("pack_id", expr("(local_rn + off - 1L) div capacity"))
-      .groupBy(col("slot_len"), col("pack_id"), col("capacity"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
-      .select(col("slot_len"), col("pack_id"), col("capacity"),
-        col("n_docs"), col("sum_tokens"),
-        (col("sum_tokens").cast("double") / lit(ctx).cast("double"))
-          .as("fill"))
-      .orderBy(col("slot_len"), col("pack_id"))
+      .withColumn("slot_idx", expr("(local_rn + off - 1L) % capacity"))
   }
+
+  /** Packed-window BOUNDARY manifest — what a trainer actually needs
+    * from q240's packing decision: for every document, WHERE inside
+    * its fixed-`ctx` window it lives, so the attention mask can reset
+    * at document boundaries and the loss mask can zero the intra-slot
+    * padding (packed pretraining's cross-document attention-isolation
+    * bookkeeping — without it, tokens attend across unrelated packed
+    * neighbors). One row per (pack, slot): token start/end offsets
+    * (`[start_off, end_off)` is real text, `[end_off,
+    * start_off + slot_len)` is padding) plus the per-slot pad count.
+    *
+    * Scale: the SAME q240 assignment plan (per-(bucket, hex-shard)
+    * local ranks + broadcast bucket offsets — no bucket-wide sort);
+    * the manifest is a row-local projection of integer slot algebra
+    * on top, corpus-sized output written alongside the packed data. */
+  def packBoundaries(docs: DataFrame, ctx: Int = 512,
+      epoch: Int = 0): DataFrame =
+    packAssignment(docs, ctx, epoch)
+      .select(col("slot_len"), col("pack_id"), col("slot_idx"),
+        col("doc_id"), col("n").as("n_tokens"),
+        (col("slot_idx") * col("slot_len")).as("start_off"),
+        (col("slot_idx") * col("slot_len") + col("n")).as("end_off"),
+        (col("slot_len") - col("n")).as("pad"))
+      .orderBy(col("slot_len"), col("pack_id"), col("slot_idx"))
 
   /** Curriculum packing: the corpus ordered best-quality-first and
     * packed greedily into fixed token-budget batches — the "easy/clean
@@ -1173,6 +1207,8 @@ object TextAnalysis {
       ((s, d) => evalHoldoutPerSource(Tables(s, d).documents)),
     "q240_length_packing" ->
       ((s, d) => lengthBucketPacking(Tables(s, d).documents)),
+    "q256_pack_boundaries" ->
+      ((s, d) => packBoundaries(Tables(s, d).documents)),
     "q164_weighted_sample" ->
       ((s, d) => weightedQualitySample(Tables(s, d))),
     "q67_token_batches" -> ((s, d) => tokenBatches(Tables(s, d))),
@@ -1757,6 +1793,34 @@ object TextAnalysis {
         |  CAST(sum(n) AS DOUBLE) / CAST(512 AS DOUBLE) AS fill
         |FROM r GROUP BY 1, 2, 3
         |ORDER BY slot_len, pack_id""".stripMargin,
+    // q240's assignment CTE un-aggregated: slot index = r0 % capacity,
+    // start/end/pad are pure integer slot algebra (pinned ctx=512,
+    // epoch=0)
+    "q256_pack_boundaries" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    least(len(string_split(text, ' ')), 512)::BIGINT AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 1 THEN 0
+        |      ELSE length(format('{:b}', n - 1)) END AS lb
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    least(1::BIGINT << lb, 512) AS slot_len,
+        |    512 // least(1::BIGINT << lb, 512) AS capacity,
+        |    row_number() OVER (PARTITION BY lb ORDER BY
+        |      md5('pack0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS r0
+        |  FROM b)
+        |SELECT slot_len, CAST(r0 // capacity AS BIGINT) AS pack_id,
+        |  CAST(r0 % capacity AS BIGINT) AS slot_idx, doc_id,
+        |  n AS n_tokens,
+        |  CAST((r0 % capacity) * slot_len AS BIGINT) AS start_off,
+        |  CAST((r0 % capacity) * slot_len + n AS BIGINT) AS end_off,
+        |  CAST(slot_len - n AS BIGINT) AS pad
+        |FROM r
+        |ORDER BY slot_len, pack_id, slot_idx""".stripMargin,
     // the oracle IS the per-source window the custom TopK operator
     // avoids: row_number over the salted-hash order, <= k (default 5)
     "q239_eval_holdout" ->

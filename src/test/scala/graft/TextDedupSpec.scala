@@ -369,6 +369,37 @@ class TextDedupSpec extends AnyFunSuite {
       got.map(r => (r._1, r._2, r._5)).sorted.toSeq)
   }
 
+  test("packBoundaries: slots tile the window without overlap, every " +
+      "doc appears once, and the rollup reproduces the q240 audit") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(3, 4, 4, 5, 9, 16, 17).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n), "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val man = TextAnalysis.packBoundaries(docs, ctx = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(man.map(_._4).sorted.toSeq == (0L to 6L).toSeq) // each doc once
+    man.foreach { case (slot, _, idx, _, n, start, end, pad) =>
+      assert(start == idx * slot && end == start + n)
+      assert(pad == slot - n && pad >= 0)
+      assert(end <= (idx + 1) * slot && end <= 16)
+    }
+    // within a pack, slot indices are distinct and < capacity
+    man.groupBy(m => (m._1, m._2)).foreach { case ((slot, _), rows) =>
+      val idxs = rows.map(_._3)
+      assert(idxs.distinct.length == idxs.length)
+      assert(idxs.forall(_ < 16 / slot))
+    }
+    // rolled up, the manifest IS the q240 audit
+    val audit = TextAnalysis.lengthBucketPacking(docs, ctx = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val rolled = man.groupBy(m => (m._1, m._2)).map { case ((s, p), rows) =>
+      (s, p, rows.length.toLong, rows.map(_._5).sum)
+    }.toSeq.sorted
+    assert(rolled == audit)
+  }
+
   test("curriculumBatches and bestQualityRepresentatives: empty corpus") {
     val empty = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
