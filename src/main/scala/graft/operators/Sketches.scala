@@ -159,9 +159,48 @@ object Sketches {
         element_at(col("qs"), 4).as("p90"))
       .orderBy(col("l_returnflag"))
 
+  /** The per-shard MERGEABLE quantile artifact: a deterministic
+    * md5-threshold sample of the per-doc statistic (`permille`/1000
+    * keep rate), carried with its source so shards stay identifiable
+    * at rest. Because membership is a pure hash of doc_id, the
+    * artifact is trivially mergeable — sketch(A ∪ B) IS
+    * sketch(A) ∪ sketch(B), no re-read of old shards when a new one
+    * lands — which is what Greenwald-Khanna/KLL buy structurally and
+    * this buys by determinism (at the cost of a larger summary:
+    * rate·N rows instead of O(log n / ε); `permille` is the knob that
+    * sizes the summary for the target corpus). */
+  def quantileSampleSketch(docs: DataFrame, permille: Int = 125): DataFrame =
+    docs.filter(conv(substring(md5(concat(lit("qsk:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 1000 < permille)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("double").as("v"))
+
+  /** Corpus quantile card from the merged sample sketch — the
+    * monitoring read of [[quantileSampleSketch]]: exact quantiles OF
+    * THE SAMPLE (via Describe's bucketed counts machinery — weighted
+    * interpolation, no global window, bit-identical to DuckDB
+    * `quantile_cont`) plus the sample/corpus sizes a reader needs to
+    * apply the DKW band (|F_sample − F| ≤ √(ln(2/δ)/2m) w.p. 1−δ).
+    * Driver state is |probs| numbers — model-sized. */
+  def sampledQuantileCard(docs: DataFrame, permille: Int = 125,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val sk = quantileSampleSketch(docs, permille).persist()
+    try {
+      val qs = Describe.exactQuantilesMulti(sk, Seq("v"), probs)("v")
+      val sampleN = sk.agg(count(lit(1))).head.getLong(0)
+      val corpusN = docs.agg(count(lit(1))).head.getLong(0)
+      import docs.sparkSession.implicits._
+      probs.zip(qs).map { case (p, v) => (p, v, sampleN, corpusN) }
+        .toDF("p", "v", "sample_n", "corpus_n").orderBy(col("p"))
+    } finally sk.unpersist(false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables(s, d))),
     "q100_approx_quantiles" -> ((s, d) => approxQuantiles(Tables(s, d))),
+    "q257_sampled_quantiles" -> ((s, d) =>
+      sampledQuantileCard(Tables(s, d).documents)),
     "q208_exact_heavy_tokens" -> ((s, d) =>
       exactHeavyTokens(Tables(s, d).documents))
   )
@@ -169,6 +208,24 @@ object Sketches {
   // the CMS screen is provably invisible (superset prefilter), so the
   // oracle is the plain HAVING form — no sketch arithmetic to replay
   val oracleSql: Map[String, String] = Map(
+    // same md5 keep-rule + quantile_cont (the weighted interpolation
+    // Describe reproduces bit-exactly); multiple unnests zip
+    // positionally, pinned to permille=125
+    "q257_sampled_quantiles" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE CAST('0x' || substr(md5('qsk:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 1000 < 125),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS sample_n FROM s),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n
+        |      FROM documents),
+        |q AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |      FROM s)
+        |SELECT p, v, sample_n, corpus_n
+        |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+        |        unnest(qs) AS v FROM q), m, c
+        |ORDER BY p""".stripMargin,
     "q208_exact_heavy_tokens" ->
       """SELECT t AS token, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS t

@@ -14,6 +14,38 @@ class SketchesSpec extends AnyFunSuite {
 
   private def t = Tables(spark, "/root/testdata/sf0.001")
 
+  test("quantileSampleSketch is mergeable (sketch(A) ∪ sketch(B) == " +
+      "sketch(A ∪ B)) and the card sits inside the DKW band of the " +
+      "exact corpus quantiles") {
+    val docs = t.documents
+    val a = docs.filter(col("source") < "src3")
+    val b = docs.filter(!(col("source") < "src3"))
+    val merged = Sketches.quantileSampleSketch(a)
+      .union(Sketches.quantileSampleSketch(b))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val whole = Sketches.quantileSampleSketch(docs)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(merged.toSeq == whole.toSeq)
+    assert(whole.nonEmpty)
+
+    val card = Sketches.sampledQuantileCard(docs).collect()
+    assert(card.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 0.9))
+    val m = card.head.getLong(2)
+    assert(m == whole.length && card.head.getLong(3) == docs.count())
+    // DKW at delta=0.05: the sample's p-quantile must lie between the
+    // exact corpus quantiles at p ± eps (deterministic — the sample
+    // is a pure hash slice, so this either always holds or never)
+    val eps = math.sqrt(math.log(2.0 / 0.05) / (2.0 * m))
+    val full = docs.select(col("n_chars").cast("double").as("v"))
+    card.foreach { r =>
+      val (p, v) = (r.getDouble(0), r.getDouble(1))
+      val band = Describe.exactQuantilesMulti(full, Seq("v"),
+        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))("v")
+      assert(band.head <= v && v <= band(1),
+        s"p=$p sample quantile $v outside corpus band $band (eps=$eps)")
+    }
+  }
+
   test("CMS estimates never undercount, and overcount within 2N/w") {
     val events = t.events
     val n = events.count()
