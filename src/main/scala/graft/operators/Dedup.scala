@@ -963,10 +963,14 @@ object Dedup {
     * [[RuntimeFilters.bloomPrunedOrderRevenue]]: the cache is released
     * before returning, so the maybe-branch re-derives the base scan
     * with pushdown at execution time. */
+  /** The content fingerprint shared by the cross-corpus screen family
+    * (sorted-distinct-token md5 — [[crossCorpusNewAgainst]]'s key). */
+  private val contentFp: Column = md5(array_join(
+    array_sort(array_distinct(split(col("text"), " "))), " "))
+
   def crossCorpusNewBloomScreened(candidates: DataFrame, base: DataFrame,
       fpp: Double = 0.01): DataFrame = {
-    val fp = md5(array_join(
-      array_sort(array_distinct(split(col("text"), " "))), " "))
+    val fp = contentFp
     val baseFps = base.select(fp.as("fp")).distinct()
     baseFps.persist()
     val bloom =
@@ -979,6 +983,63 @@ object Dedup {
     val inBloom = RuntimeFilters.mightContain(bloom, xxhash64(col("fp")))
     val definiteNew = withFp.filter(!inBloom)
     val maybeDup = withFp.filter(inBloom).join(baseFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    definiteNew.unionByName(maybeDup)
+  }
+
+  private val screenArtifacts = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Materialize the don't-re-ingest screen as an AT-REST artifact
+    * pair, built once per (session, key) and reused by every later
+    * screening job ([[materializedNearDupBase]]'s convention applied
+    * to the exact-dup screen): the collapsed base fingerprint set as
+    * a bucketed lake table (the exact side of the screen — bucketed
+    * by fp so the maybe-branch anti join never re-shuffles the base),
+    * and the serialized Bloom sketch over xxhash64(fp) as a one-row
+    * binary parquet (the routing side — KBs at rest, read by the
+    * driver of any screening job without touching the base corpus).
+    * At 100 TB this is the difference between re-scanning and
+    * re-collapsing the ingested corpus on every crawl snapshot and
+    * reading a fingerprint table + a sketch file. */
+  def materializedScreenBase(s: SparkSession, base: DataFrame,
+      key: String, fpp: Double = 0.01): (String, String) =
+    screenArtifacts.getOrElseUpdate((s, key), {
+      val name = "graft_screen_base_" +
+        key.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+        "_" + java.lang.Integer.toHexString(key.hashCode)
+      val dir = java.nio.file.Files.createTempDirectory("graft_screen_")
+      val fps = base.select(contentFp.as("fp")).distinct().persist()
+      try {
+        fps.write.bucketBy(8, "fp").sortBy("fp")
+          .option("path", s"$dir/fps").mode("overwrite").saveAsTable(name)
+        val bloom = RuntimeFilters.buildBloom(
+          fps.select(xxhash64(col("fp")).as("h")), "h", fps.count(), fpp)
+        import s.implicits._
+        Seq(Tuple1(bloom)).toDF("bloom")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+      } finally fps.unpersist(false)
+      (name, s"$dir/bloom")
+    })
+
+  /** [[crossCorpusNewBloomScreened]] reading the screen from the
+    * at-rest artifact instead of re-deriving it from the base corpus:
+    * the bloom row routes definite-new candidates around the shuffle,
+    * the bucketed fingerprint table settles the maybe branch with an
+    * anti join that shuffles ONLY the maybe-side (the base side is
+    * pre-bucketed on fp). Row-identical to the inline form and to the
+    * plain anti join — q258 pins that against the q145/q189 oracle. */
+  def crossCorpusNewFromArtifact(s: SparkSession, candidates: DataFrame,
+      base: DataFrame, key: String, fpp: Double = 0.01): DataFrame = {
+    val (table, bloomDir) = materializedScreenBase(s, base, key, fpp)
+    val bloom = s.read.parquet(bloomDir).head.getAs[Array[Byte]]("bloom")
+    val baseFps = s.table(table)
+    val withFp = candidates.withColumn("fp", contentFp)
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    val inBloom = RuntimeFilters.mightContain(bloom, xxhash64(col("fp")))
+    val definiteNew = withFp.filter(!inBloom)
+    val maybeDup = withFp.filter(inBloom)
+      .join(baseFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
     definiteNew.unionByName(maybeDup)
   }
@@ -1016,6 +1077,16 @@ object Dedup {
       crossCorpusNewBloomScreened(
         docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+    // the same screen through the AT-REST artifact pair (bucketed fp
+    // table + bloom parquet) — result-identical by construction
+    "q258_screen_artifact" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      crossCorpusNewFromArtifact(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        key = s"$d/documents")
         .orderBy(col("doc_id"))
     }),
     "q155_incremental_neardups" -> ((s, d) => {
@@ -1220,6 +1291,7 @@ object Dedup {
     "q145_cross_corpus_new" -> crossCorpusOracle,
     // the bloom-screened split must be row-identical to the plain form
     "q189_cross_corpus_bloom" -> crossCorpusOracle,
+    "q258_screen_artifact" -> crossCorpusOracle,
     // identical algebra: k-gram spans with positions, global first
     // occurrence per gram (lowest (doc_id, pos)), later occurrences
     // expand to covered token indices, anti join, ordered re-assembly

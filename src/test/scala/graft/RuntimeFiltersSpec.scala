@@ -76,4 +76,37 @@ class RuntimeFiltersSpec extends AnyFunSuite {
     assert(shuffled <= nCands / 2,
       s"bloom should bypass most candidates: $shuffled of $nCands shuffled")
   }
+
+  test("screen artifact: at-rest path row-identical to inline bloom " +
+      "screen; artifact built once and probed from the lake") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val cands = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val key = "spec_screen_artifact"
+    val fromArtifact = Dedup.crossCorpusNewFromArtifact(
+      spark, cands, base, key).orderBy(col("doc_id")).collect().toSeq
+    val inline = Dedup.crossCorpusNewBloomScreened(cands, base)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(fromArtifact == inline && fromArtifact.nonEmpty)
+    // the memoized artifact is reused: same (table, bloomDir) pair,
+    // and a second probe (even with a DIFFERENT base frame) reads the
+    // at-rest state, proving the screen no longer depends on
+    // re-deriving the base corpus
+    val a1 = Dedup.materializedScreenBase(spark, base, key)
+    val a2 = Dedup.materializedScreenBase(spark,
+      base.limit(0), key) // would build an EMPTY screen if re-derived
+    assert(a1 == a2)
+    val again = Dedup.crossCorpusNewFromArtifact(spark, cands,
+      base.limit(0), key).orderBy(col("doc_id")).collect().toSeq
+    assert(again == inline)
+    // the exact side of the screen lives in the bucketed lake table
+    val (table, bloomDir) = a1
+    assert(spark.table(table).count() == base.select(
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+        " "))).distinct().count())
+    val bloomRow = spark.read.parquet(bloomDir).collect()
+    assert(bloomRow.length == 1 &&
+      bloomRow.head.getAs[Array[Byte]]("bloom").nonEmpty)
+  }
 }
