@@ -420,6 +420,83 @@ object CorpusSignals {
           .as("chars_per_piece"))
       .orderBy(col("source"))
 
+  /** Viterbi OPTIMAL segmentation fertility — the dynamic-programming
+    * LOWER BOUND a greedy subword encoder is judged against
+    * (SentencePiece's unigram tier, Kudo 2018, arXiv:1804.10959,
+    * runs exactly this lattice DP): given a fixed piece vocabulary
+    * (every corpus character plus the top-`topK` character 2..`maxLen`
+    * -grams by occurrence-weighted frequency), the MINIMUM number of
+    * vocabulary pieces each word can segment into, rolled up per
+    * source next to the q219 greedy numbers. A source whose optimal
+    * fertility is already ≫ 1 needs a bigger vocab, not a better
+    * encoder; a big optimal-vs-greedy gap indicts the encoder.
+    *
+    * Exactness: the DP is pure integer shortest-path (m[i] = 1 + min
+    * m[j] over in-vocab pieces w[j..i), piece length ≤ maxLen), so
+    * every engine agrees bit-for-bit; the vocab cut is totally
+    * ordered by (count DESC, gram ASC). The oracle replays the DP as
+    * a level-deduped recursive reachability CTE (the q166 BFS
+    * device): min level at which position n is reachable IS m[n].
+    *
+    * Scale: counts and the DP ride the WORD-TYPE table (Zipf-bounded,
+    * ~√total_tokens — the q157/q177 device), never the corpus; the
+    * vocab is driver-collected (topK + |Σ| entries — model-sized) and
+    * embedded as an array literal in a row-local codegen'd fold; the
+    * per-source rollup is one map-side-combinable groupBy. */
+  def viterbiFertility(docs: DataFrame, topK: Int = 64,
+      maxLen: Int = 4): DataFrame = {
+    val occurrences = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val wt = occurrences.groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt")).persist()
+    val optOf = try {
+      val grams = wt
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), lit(maxLen))).as("l"))
+        .filter(length(col("w")) >= col("l"))
+        .select(col("cnt"), col("l"),
+          explode(sequence(lit(1), length(col("w")) - col("l") + 1))
+            .as("i"), col("w"))
+        .select(col("w").substr(col("i"), col("l")).as("g"), col("cnt"))
+        .groupBy(col("g")).agg(sum(col("cnt")).as("c"))
+      val ones = grams.filter(length(col("g")) === 1)
+        .select(col("g")).collect().map(_.getString(0))
+      val tops = grams.filter(length(col("g")) >= 2)
+        .orderBy(col("c").desc, col("g")).limit(topK)
+        .select(col("g")).collect().map(_.getString(0))
+      val vocabLit = array((ones ++ tops).map(lit(_)): _*)
+      val big = lit(1000000)
+      val n = length(col("w"))
+      // m[0..n] as a left fold over positions: m[i] = 1 + min m[j]
+      // over j in [i-maxLen, i) with w[j..i) in vocab (1-grams are
+      // all in vocab, so m is always finite on corpus words)
+      val acc = aggregate(
+        sequence(lit(1), n), array(lit(0)),
+        (m, i) => concat(m, array(array_min(transform(
+          sequence(greatest(i - maxLen, lit(0)), i - 1),
+          j => when(array_contains(vocabLit,
+              col("w").substr(j + 1, i - j)),
+            element_at(m, j + 1) + 1).otherwise(big))))))
+      wt.select(col("w"),
+        element_at(acc, n + 1).cast("long").as("opt_pieces"))
+        .localCheckpoint()
+    } finally wt.unpersist(false)
+    occurrences.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(optOf, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("cnt") * col("opt_pieces")).as("opt_pieces"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("opt_pieces"),
+        (col("opt_pieces").cast("double") / col("n_words").cast("double"))
+          .as("opt_pieces_per_word"),
+        (col("n_chars").cast("double") / col("opt_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("source"))
+  }
+
   /** The DuckDB twin of [[bpeEncode]]: the [[bpeMergesOracle]] train
     * stages plus a parallel word→sym vocab fold (v0..vN applying each
     * round's merge to the DISTINCT vocabulary), then a word-position
@@ -1740,6 +1817,8 @@ object CorpusSignals {
     "q111_group_sample" -> ((s, d) => groupSample(Tables(s, d).documents)),
     "q255_retrieval_triplets" -> ((s, d) =>
       retrievalTriplets(Tables(s, d).documents)),
+    "q259_viterbi_fertility" -> ((s, d) =>
+      viterbiFertility(Tables(s, d).documents)),
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
@@ -2014,6 +2093,55 @@ object CorpusSignals {
         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rnk <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // integer shortest-path DP replayed as level-deduped recursive
+    // reachability (the q166 BFS device): min level reaching pos n IS
+    // the optimal piece count; vocab cut totally ordered by
+    // (count DESC, gram ASC), pinned to topK=64 maxLen=4
+    "q259_viterbi_fertility" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY w),
+        |gr AS (
+        |  SELECT substr(w, i, l) AS g, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM wt,
+        |    unnest([1, 2, 3, 4]) AS ll(l),
+        |    unnest(range(1, len(w) + 1)) AS ii(i)
+        |  WHERE i + l - 1 <= len(w)
+        |  GROUP BY g),
+        |vocab AS (
+        |  SELECT g FROM gr WHERE length(g) = 1
+        |  UNION ALL
+        |  SELECT g FROM (
+        |    SELECT g, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM gr WHERE length(g) >= 2) WHERE rn <= 64),
+        |reach(w, pos, lvl) AS (
+        |  SELECT w, 0, 0 FROM wt
+        |  UNION
+        |  SELECT r.w, r.pos + s.l, r.lvl + 1
+        |  FROM reach r, unnest([1, 2, 3, 4]) AS s(l)
+        |  WHERE r.pos + s.l <= len(r.w) AND r.lvl <= r.pos
+        |    AND substr(r.w, r.pos + 1, s.l) IN (SELECT g FROM vocab)),
+        |opt AS (
+        |  SELECT r.w, CAST(min(r.lvl) AS BIGINT) AS opt_pieces
+        |  FROM reach r JOIN wt ON wt.w = r.w AND r.pos = len(wt.w)
+        |  GROUP BY r.w),
+        |ws AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM occ GROUP BY source, w)
+        |SELECT ws.source, CAST(sum(ws.cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(ws.cnt * length(ws.w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(ws.cnt * o.opt_pieces) AS BIGINT) AS opt_pieces,
+        |  CAST(CAST(sum(ws.cnt * o.opt_pieces) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(ws.cnt) AS BIGINT) AS DOUBLE)
+        |    AS opt_pieces_per_word,
+        |  CAST(CAST(sum(ws.cnt * length(ws.w)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(ws.cnt * o.opt_pieces) AS BIGINT) AS DOUBLE)
+        |    AS chars_per_piece
+        |FROM ws JOIN opt o ON o.w = ws.w
+        |GROUP BY ws.source
+        |ORDER BY ws.source""".stripMargin,
     // the SHARED q165 scored relation (same literal), self excluded
     // before ranking; positive = rank 1, negatives = ranks 6..8 —
     // the margin is one IEEE subtraction of two already-exact scores

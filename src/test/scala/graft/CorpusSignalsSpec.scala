@@ -14,6 +14,55 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("viterbiFertility: hand-corpus DP, and agreement with an " +
+      "independent Scala shortest-path DP over the sf0.001 word types") {
+    import spark.implicits._
+    // "abab","cd","ab" are all whole-word vocab entries (every 2..4
+    // gram fits under topK) -> each word segments into ONE piece
+    val hand = Seq((0L, "abab abab cd", "en", "s1"),
+      (1L, "cd cd ab", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val h = CorpusSignals.viterbiFertility(hand).collect()
+    assert(h.length == 1)
+    assert(h.head.getLong(1) == 6 && h.head.getLong(2) == 16 &&
+      h.head.getLong(3) == 6) // n_words, n_chars, opt_pieces
+    assert(h.head.getDouble(4) == 1.0 && h.head.getDouble(5) == 16.0 / 6)
+
+    // independent reference on the real corpus: same vocab rule, same
+    // DP, written as driver-side Scala over the collected word types
+    val occ = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cnt = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gramCnt = collection.mutable.Map.empty[String, Long]
+    cnt.foreach { case (w, c) =>
+      for (l <- 1 to 4; i <- 0 to w.length - l)
+        gramCnt.updateWith(w.substring(i, i + l))(
+          v => Some(v.getOrElse(0L) + c))
+    }
+    val vocab = gramCnt.keysIterator.filter(_.length == 1).toSet ++
+      gramCnt.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (g, c) => (-c, g) }.take(64).map(_._1)
+    def dp(w: String): Long = {
+      val m = Array.fill(w.length + 1)(Int.MaxValue / 2); m(0) = 0
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i)
+        if (vocab(w.substring(j, i))) m(i) = math.min(m(i), m(j) + 1)
+      m(w.length).toLong
+    }
+    val expect = occ.groupBy(_._1).view.mapValues { ws =>
+      val words = ws.map(_._2)
+      (words.length.toLong, words.map(_.length.toLong).sum,
+        words.map(dp).sum)
+    }.toMap
+    val got = CorpusSignals.viterbiFertility(docs).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == e,
+        s"source ${r.getString(0)} mismatch")
+    }
+  }
+
   test("retrievalTriplets: positive is the best non-self BM25 hit, " +
       "negatives are the 6..8 band, margins are non-negative") {
     val trip = CorpusSignals.retrievalTriplets(docs).collect()
