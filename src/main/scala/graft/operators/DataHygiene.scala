@@ -304,7 +304,72 @@ object DataHygiene {
   // registry
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // q260: jusText-lite paragraph gate
+  // ---------------------------------------------------------------
+
+  /** Deterministic paragraph structure over the token stream
+    * (paragraph length 8 + doc_id % 5 words), with two planted
+    * boilerplate paragraphs riding the q244/q245 plant convention:
+    * a link-dense nav block on every 9th doc and a short copyright
+    * footer on every 12th (markers verified absent from the organic
+    * corpus, so thresholds sit in an empirical gap). */
+  private def plantedParas(): Column = {
+    val toks = split(col("text"), " ")
+    val m = (lit(8) + pmod(col("doc_id"), lit(5))).cast("int")
+    val nParas = (size(toks) + m - lit(1)) / m
+    val base = transform(sequence(lit(0), nParas.cast("int") - lit(1)),
+      i => array_join(slice(toks, i * m + lit(1), m), " "))
+    val navPara = when(pmod(col("doc_id"), lit(9)) === 0,
+      array(lit("href nav menu href login href")))
+      .otherwise(array().cast("array<string>"))
+    val footPara = when(pmod(col("doc_id"), lit(12)) === 0,
+      array(lit("copyright all rights reserved")))
+      .otherwise(array().cast("array<string>"))
+    concat(base, navPara, footPara)
+  }
+
+  /** jusText-LITE paragraph gate (Pomikálek 2011's block
+    * classification, the content-extraction complement to q244's
+    * line-shape gate): each paragraph classified bad (link density
+    * ≥ 0.2 — navigation/chrome), short (< 5 words — footers, menu
+    * stubs) or good, rolled up per doc with the extracted token mass
+    * (words in good paragraphs) and keep fraction. The full jusText
+    * adds neighbor smoothing of near-good blocks; this is the
+    * deterministic core tier. Pure row-local projection — paragraph
+    * derivation, per-paragraph stats and the rollup are all
+    * higher-order array functions inside one codegen stage; zero
+    * shuffle at any corpus size. */
+  def paragraphGate(docs: DataFrame): DataFrame = {
+    val stats = transform(plantedParas(), p => {
+      val ws = split(p, " ")
+      val n = size(ws)
+      val links = size(filter(ws, w => w === "href"))
+      struct(n.as("n"),
+        when(links.cast("double") / n.cast("double") >= 0.2, "bad")
+          .when(n < 5, "short").otherwise("good").as("cls"))
+    })
+    def cnt(cls: String) =
+      size(filter(col("st"), s => s.getField("cls") === cls)).cast("long")
+    def mass(cls: String) = aggregate(
+      filter(col("st"), s => s.getField("cls") === cls),
+      lit(0L), (acc, s) => acc + s.getField("n").cast("long"))
+    docs.select(col("doc_id"), col("source"), stats.as("st"))
+      .select(col("doc_id"), col("source"),
+        size(col("st")).cast("long").as("n_paras"),
+        cnt("good").as("n_good"), cnt("bad").as("n_bad"),
+        cnt("short").as("n_short"),
+        mass("good").as("kept_words"),
+        (mass("good").cast("double") /
+          aggregate(col("st"), lit(0L),
+            (acc, s) => acc + s.getField("n").cast("long")).cast("double"))
+          .as("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_paragraph_gate" ->
+      ((s, d) => paragraphGate(Tables(s, d).documents)),
     "q244_code_shape_gate" ->
       ((s, d) => codeShapeGate(Tables(s, d).documents)),
     "q245_encoding_noise" ->
@@ -371,6 +436,48 @@ object DataHygiene {
       |FROM stats""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same paragraph derivation + plant + CASE classes; counts are
+    // exact integers, keep_frac one IEEE division
+    "q260_paragraph_gate" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, (len(toks) + m - 1) // m),
+        |        i -> array_to_string(toks[i * m + 1 : (i + 1) * m], ' ')),
+        |      CASE WHEN doc_id % 9 = 0
+        |        THEN ['href nav menu href login href'] ELSE [] END),
+        |      CASE WHEN doc_id % 12 = 0
+        |        THEN ['copyright all rights reserved'] ELSE [] END)
+        |      AS paras
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |          CAST(8 + doc_id % 5 AS BIGINT) AS m FROM documents)),
+        |st AS (
+        |  SELECT doc_id, source,
+        |    list_transform(paras, q -> struct_pack(
+        |      n := len(string_split(q, ' ')),
+        |      cls := CASE
+        |        WHEN CAST(len(list_filter(string_split(q, ' '),
+        |            w -> w = 'href')) AS DOUBLE)
+        |          / len(string_split(q, ' ')) >= 0.2 THEN 'bad'
+        |        WHEN len(string_split(q, ' ')) < 5 THEN 'short'
+        |        ELSE 'good' END)) AS s
+        |  FROM p)
+        |SELECT doc_id, source,
+        |  CAST(len(s) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(s, x -> x.cls = 'good')) AS BIGINT)
+        |    AS n_good,
+        |  CAST(len(list_filter(s, x -> x.cls = 'bad')) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(len(list_filter(s, x -> x.cls = 'short')) AS BIGINT)
+        |    AS n_short,
+        |  CAST(COALESCE(list_sum(list_transform(list_filter(s,
+        |      x -> x.cls = 'good'), x -> x.n)), 0) AS BIGINT) AS kept_words,
+        |  CAST(CAST(COALESCE(list_sum(list_transform(list_filter(s,
+        |      x -> x.cls = 'good'), x -> x.n)), 0) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(list_sum(list_transform(s, x -> x.n))
+        |        AS BIGINT) AS DOUBLE) AS keep_frac
+        |FROM st
+        |ORDER BY doc_id""".stripMargin,
     "q244_code_shape_gate" ->
       (codeShapeStatsSql + "\nORDER BY doc_id"),
     "q251_source_health" ->

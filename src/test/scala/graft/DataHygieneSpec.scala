@@ -16,6 +16,38 @@ class DataHygieneSpec extends AnyFunSuite {
   private def docs =
     Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("paragraph gate: hand-corpus classes, plant placement, and " +
+      "mass conservation on the real corpus") {
+    def words(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
+    // doc 0 (both plants, m=8): 8-word good para + 2-word short tail
+    // + nav (bad) + copyright (short)
+    // doc 1 (no plants, m=9): one 9-word good para
+    val hand = Seq((0L, words(10), "en", "s"), (1L, words(9), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = DataHygiene.paragraphGate(hand).collect()
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert((d0.getLong(2), d0.getLong(3), d0.getLong(4), d0.getLong(5),
+      d0.getLong(6)) == ((4L, 1L, 1L, 2L, 8L)))
+    assert(d0.getDouble(7) == 8.0 / 20.0)
+    val d1 = rows.find(_.getLong(0) == 1L).get
+    assert((d1.getLong(2), d1.getLong(3), d1.getLong(4), d1.getLong(5),
+      d1.getLong(6)) == ((1L, 1L, 0L, 0L, 9L)))
+    assert(d1.getDouble(7) == 1.0)
+
+    // real corpus: every 9th doc carries the nav block (bad >= 1),
+    // docs off both plant cycles with long texts stay fully kept
+    val real = DataHygiene.paragraphGate(docs).collect()
+    real.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 9 == 0) assert(r.getLong(4) >= 1, s"doc $id missing nav")
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(2))
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+    assert(real.exists(_.getLong(4) == 0), "gate must be live both ways")
+    assert(real.exists(r => r.getLong(0) % 9 != 0 && r.getLong(0) % 12 != 0
+      && r.getDouble(7) == 1.0))
+  }
+
   test("code-shape gate: line algebra matches a hand computation") {
     // doc_id 3: m = 5 + 3%7 = 8 words per line, no plants (3 not
     // divisible by 11 or 13)
