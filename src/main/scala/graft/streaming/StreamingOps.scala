@@ -174,6 +174,44 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** The BATCH twin of [[dedupStream]]'s bounded-horizon semantics,
+    * as an audit card: per (user_id, event_type), the CANONICAL
+    * event-time keep-chain — first event kept, every same-key event
+    * within `horizonUs` of the LAST KEPT one dropped, the next one
+    * beyond it re-arms. `dropDuplicatesWithinWatermark` approximates
+    * exactly this chain conservatively (its state outlives the
+    * horizon by the watermark lag, so it may drop events this chain
+    * keeps — the documented "guaranteed within delay, best-effort
+    * beyond" contract); the invariants the two SHARE — the first
+    * event per key is always kept, and no two kept events sit within
+    * the horizon of each other — are what StreamingSpec pins. Output
+    * is the per-key audit (#events, #kept, first/last kept µs) a
+    * streaming deployment validates its state eviction against.
+    *
+    * The chain is data-dependent (each kept event re-anchors the
+    * horizon), so it's a per-key ordered fold — one keyed groupBy
+    * collecting the key's timestamps, then a row-local integer fold.
+    * Per-key state is that key's event list: fine for keyed telemetry
+    * audit; a hot key at 100 TB caps this tier (the STREAMING twin
+    * with watermark-bounded state is the production path — this card
+    * is its finite audit). */
+  def horizonDedupCard(events: DataFrame,
+      horizonUs: Long = 3600L * 1000000L): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(unix_micros(col("ts")))).as("tss"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        aggregate(
+          slice(col("tss"), lit(2), greatest(size(col("tss")) - 1, lit(0))),
+          slice(col("tss"), 1, 1),
+          (acc, x) => when(x > element_at(acc, -1) + lit(horizonUs),
+            concat(acc, array(x))).otherwise(acc)).as("kept"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        size(col("kept")).cast("long").as("n_kept"),
+        element_at(col("kept"), 1).as("first_kept_us"),
+        element_at(col("kept"), -1).as("last_kept_us"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Stream-stream interval join: errors within `windowMinutes` after
     * a purchase by the same user — the streaming form of
     * Advanced.purchaseErrorPairs. Both sides carry watermarks so join
@@ -281,10 +319,35 @@ object StreamingOps {
       slidingCounts(Tables(s, d).events).orderBy("window_start")),
     "q42_session_windows" -> ((s, d) =>
       sessionWindows(Tables(s, d).events)
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    "q261_horizon_dedup" -> ((s, d) =>
+      horizonDedupCard(Tables(s, d).events))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the keep-chain fold as a string reduce (init = first element =
+    // first kept); timestamps sorted NUMERICALLY before the varchar
+    // fold; pinned to the default 1h horizon
+    "q261_horizon_dedup" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    list_transform(list_sort(list(epoch_us(ts))),
+        |      x -> CAST(x AS VARCHAR)) AS tss
+        |  FROM events GROUP BY user_id, event_type),
+        |k AS (
+        |  SELECT user_id, event_type, n_events,
+        |    string_split(list_reduce(tss, (a, x) ->
+        |      CASE WHEN CAST(x AS BIGINT) >
+        |          CAST(string_split(a, ',')[-1] AS BIGINT) + 3600000000
+        |        THEN a || ',' || x ELSE a END), ',') AS kept
+        |  FROM l)
+        |SELECT user_id, event_type, n_events,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(kept[1] AS BIGINT) AS first_kept_us,
+        |  CAST(kept[-1] AS BIGINT) AS last_kept_us
+        |FROM k
+        |ORDER BY user_id, event_type""".stripMargin,
     "q83_stream_enrich_category" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |  category, COUNT(*) AS n,

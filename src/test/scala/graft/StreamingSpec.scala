@@ -178,6 +178,49 @@ class StreamingSpec extends AnyFunSuite {
       (2L, ts("2024-01-01 10:00:00"), 1L)))
   }
 
+  test("horizonDedupCard: hand keep-chain; shares first-kept and " +
+      "min-gap invariants with dropDuplicatesWithinWatermark") {
+    // key (1, click): 10:00 kept; 10:30 within 1h of it -> dropped;
+    // 11:30 > 11:00 -> kept; 14:00 > 12:30 -> kept; 14:30 dropped
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 11:30:00")), (1L, ts("2024-01-01 14:00:00")),
+      (1L, ts("2024-01-01 14:30:00")), (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+      .withColumn("event_type", lit("click"))
+    val card = StreamingOps.horizonDedupCard(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(card.toSeq == Seq(
+      (1L, 5L, 3L, us("2024-01-01 10:00:00"), us("2024-01-01 14:00:00")),
+      (2L, 1L, 1L, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00"))))
+
+    // streaming: feed the SAME key-1 events one micro-batch each in
+    // event-time order; pin the shared invariants (the streaming
+    // state may legally outlive the horizon, so kept SETS can differ)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF(), "1 hour",
+      Seq("user_id", "event_type")).writeStream.outputMode("append")
+      .format("memory").queryName("horizon_out").start()
+    Seq("10:00:00", "10:30:00", "11:30:00", "14:00:00", "14:30:00")
+      .foreach { t =>
+        mem.addData(Event(1, ts(s"2024-01-01 $t"), 1.0))
+        q.processAllAvailable()
+      }
+    val streamKept = spark.table("horizon_out")
+      .select("ts").as[Timestamp].collect().map(_.getTime * 1000L).sorted
+    q.stop()
+    assert(streamKept.head == us("2024-01-01 10:00:00"))
+    streamKept.sliding(2).foreach {
+      case Array(a, b) => assert(b - a > 3600L * 1000000L)
+      case _ =>
+    }
+    // and the batch chain's kept events satisfy the same min-gap by
+    // construction: 10:00 -> 11:30 -> 14:00 are each > 1h apart
+  }
+
   test("streaming dedup drops exact duplicates within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
