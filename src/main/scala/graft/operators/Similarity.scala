@@ -928,7 +928,54 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** kNN WEAK-LABELING card — nearest-neighbor label propagation, the
+    * zero-training classifier a labeling pipeline uses to extend a
+    * seed label set over an unlabeled embedding corpus (and, run on
+    * held-out labeled vectors as here, to AUDIT how label-consistent
+    * the embedding space is before trusting it): every probe vector
+    * (vec_id ≡ 0 mod `probeMod`) gets the majority label of its `k`
+    * nearest train-side neighbors by exact cosine (ties: vote count
+    * DESC, then smallest label), reported per probe with its true
+    * label and the vote count.
+    *
+    * Exactness: the q31 recipe — term-expanded dot/norm doubles, rank
+    * ties broken on neighbor_id, votes resolved by a total order.
+    * Scale: probes broadcast against the train side (at 100 TB the
+    * probe slice is a labeling batch — bounded by construction); the
+    * vote rollup is per-probe k rows. The ANN tiers (RP-LSH/IVF/PQ)
+    * swap in as the neighbor source when brute force stops fitting —
+    * same vote machinery. */
+  def knnLabelCard(embeddings: DataFrame, k: Int = 5,
+      probeMod: Int = 10): DataFrame = {
+    val emb = withNorm(embeddings)
+    val probes = emb.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val train = emb.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nl"),
+        col("embedding").as("nv"), col("nrm").as("nn"))
+    val sims = train.join(broadcast(probes), lit(true))
+      .select(col("probe_id"), col("true_label"), col("neighbor_id"),
+        col("nl"),
+        cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn"))
+          .as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("probe_id"), col("true_label"), col("nl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("probe_id"), col("true_label"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("l"))).as("m"))
+      .select(col("probe_id").as("vec_id"), col("true_label").as("label"),
+        col("m.l").as("pred_label"), (-col("m.nc")).as("n_votes"),
+        (col("m.l") === col("true_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_knn_labels" -> ((s, d) =>
+      knnLabelCard(Tables(s, d).embeddings)),
     "q158_pagerank" ->
       ((s, d) => pageRank(Tables(s, d).embeddings)),
     "q226_label_propagation" ->
@@ -996,6 +1043,34 @@ object Similarity {
        |  FROM scored)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q31's exact-cosine recipe + rank <= 5 votes + totally-ordered
+    // majority (count DESC, label ASC), pinned to k=5 probeMod=10
+    "q262_knn_labels" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS probe_id, q.label AS true_label,
+         |    n.vec_id AS nid, n.label AS nl,
+         |    ${simSql("q", "n")} AS sim
+         |  FROM embeddings q JOIN embeddings n
+         |    ON q.vec_id % 10 = 0 AND n.vec_id % 10 <> 0),
+         |r AS (
+         |  SELECT probe_id, true_label, nl,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, nid) AS rnk
+         |  FROM s),
+         |v AS (
+         |  SELECT probe_id, true_label, nl,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r WHERE rnk <= 5 GROUP BY probe_id, true_label, nl),
+         |p AS (
+         |  SELECT probe_id, true_label, nl, cnt,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cnt DESC, nl) AS vr
+         |  FROM v)
+         |SELECT probe_id AS vec_id, true_label AS label,
+         |  nl AS pred_label, cnt AS n_votes,
+         |  nl = true_label AS correct
+         |FROM p WHERE vr = 1
+         |ORDER BY vec_id""".stripMargin,
     "q158_pagerank" -> pageRankOracle(3),
     "q226_label_propagation" -> labelPropagationOracle(3),
     "q167_kcore" -> kCoreOracle(2, 4),

