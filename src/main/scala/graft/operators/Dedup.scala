@@ -987,6 +987,49 @@ object Dedup {
     definiteNew.unionByName(maybeDup)
   }
 
+  /** LSH BAND-PLANNER card — the (bands, rows) design decision behind
+    * q28/q155's MinHash blocking, made explicit: for every divisor
+    * split b·r = `numPerms`, the S-curve collision probability
+    * 1 − (1 − j^r)^b at a below-threshold, at-threshold and
+    * above-threshold design point, plus the separation
+    * p(jHi) − p(jLo) and the chosen row (max separation, tie → fewer
+    * bands). More bands = catch lower similarities (recall), more
+    * rows per band = sharper cutoff (precision) — this card is how a
+    * deployment picks the operating point BEFORE paying for a corpus
+    * pass, and BandPlanSpec calibrates the analytic curve against
+    * realized MinHash collision rates.
+    *
+    * Cross-engine exactness: j^r and (1−j^r)^b are SEQUENTIAL
+    * left-fold products (first step 1.0·x is exact, every later IEEE
+    * multiply identical in any engine) — never pow/exp/ln, whose libm
+    * implementations drift by ulps. |divisors|-row relation: all
+    * driver/codegen trivia, zero data read. */
+  def lshBandPlan(spark: SparkSession, numPerms: Int = 24,
+      jLo: Double = 0.3, jMid: Double = 0.5,
+      jHi: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val pairs = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+    def p(j: Double): Column = {
+      val jr = aggregate(sequence(lit(1), col("r")), lit(1.0),
+        (acc, _) => acc * lit(j))
+      lit(1.0) - aggregate(sequence(lit(1), col("b")), lit(1.0),
+        (acc, _) => acc * (lit(1.0) - jr))
+    }
+    val scored = pairs.toDF("b", "r")
+      .select(col("b"), col("r"), p(jLo).as("p_lo"), p(jMid).as("p_mid"),
+        p(jHi).as("p_hi"))
+      .withColumn("separation", col("p_hi") - col("p_lo"))
+    val best = scored
+      .agg(max(struct(col("separation"), (-col("b")).as("nb"))).as("mx"))
+    scored.crossJoin(broadcast(best))
+      .select(col("b"), col("r"), col("p_lo"), col("p_mid"), col("p_hi"),
+        col("separation"),
+        (struct(col("separation"), (-col("b")).as("nb")) === col("mx"))
+          .as("chosen"))
+      .orderBy(col("b"))
+  }
+
   private val screenArtifacts = scala.collection.mutable.Map
     .empty[(SparkSession, String), (String, String)]
 
@@ -1081,6 +1124,7 @@ object Dedup {
     }),
     // the same screen through the AT-REST artifact pair (bucketed fp
     // table + bloom parquet) — result-identical by construction
+    "q263_lsh_band_plan" -> ((s, _) => lshBandPlan(s)),
     "q258_screen_artifact" -> ((s, d) => {
       val docs = Tables(s, d).documents
       crossCorpusNewFromArtifact(s,
@@ -1292,6 +1336,36 @@ object Dedup {
     // the bloom-screened split must be row-identical to the plain form
     "q189_cross_corpus_bloom" -> crossCorpusOracle,
     "q258_screen_artifact" -> crossCorpusOracle,
+    // the same sequential left-fold products (init 1.0, then identical
+    // IEEE multiply chains — list init = first element, so prepend 1.0
+    // is NOT needed: Spark's first step 1.0*x == x bitwise); pinned to
+    // numPerms=24, design points 0.3/0.5/0.7
+    "q263_lsh_band_plan" ->
+      """WITH pairs AS (
+        |  SELECT b, 24 // b AS r
+        |  FROM unnest([1, 2, 3, 4, 6, 8, 12, 24]) AS t(b)),
+        |scored AS (
+        |  SELECT b, r,
+        |    1.0::DOUBLE - list_reduce(list_transform(range(b), x ->
+        |      1.0::DOUBLE - list_reduce(list_transform(range(r),
+        |          y -> 0.3::DOUBLE),
+        |        (a, c) -> a * c)), (a, c) -> a * c) AS p_lo,
+        |    1.0::DOUBLE - list_reduce(list_transform(range(b), x ->
+        |      1.0::DOUBLE - list_reduce(list_transform(range(r),
+        |          y -> 0.5::DOUBLE),
+        |        (a, c) -> a * c)), (a, c) -> a * c) AS p_mid,
+        |    1.0::DOUBLE - list_reduce(list_transform(range(b), x ->
+        |      1.0::DOUBLE - list_reduce(list_transform(range(r),
+        |          y -> 0.7::DOUBLE),
+        |        (a, c) -> a * c)), (a, c) -> a * c) AS p_hi
+        |  FROM pairs),
+        |sep AS (
+        |  SELECT b, r, p_lo, p_mid, p_hi, p_hi - p_lo AS separation,
+        |    row_number() OVER (ORDER BY p_hi - p_lo DESC, b) AS rn
+        |  FROM scored)
+        |SELECT b, r, p_lo, p_mid, p_hi, separation, rn = 1 AS chosen
+        |FROM sep
+        |ORDER BY b""".stripMargin,
     // identical algebra: k-gram spans with positions, global first
     // occurrence per gram (lowest (doc_id, pos)), later occurrences
     // expand to covered token indices, anti join, ordered re-assembly

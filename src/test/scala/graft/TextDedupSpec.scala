@@ -369,6 +369,44 @@ class TextDedupSpec extends AnyFunSuite {
       got.map(r => (r._1, r._2, r._5)).sorted.toSeq)
   }
 
+  test("lshBandPlan: fold-exact S-curve, monotone in b and j, chosen " +
+      "row maximizes separation") {
+    val card = Dedup.lshBandPlan(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(card.map(c => c._1 * c._2).forall(_ == 24))
+    // independent driver-side fold with the SAME association order
+    def p(j: Double, b: Int, r: Int): Double = {
+      var jr = 1.0; (1 to r).foreach(_ => jr *= j)
+      var q = 1.0; (1 to b).foreach(_ => q *= (1.0 - jr))
+      1.0 - q
+    }
+    card.foreach { case (b, r, lo, mid, hi, sep, _) =>
+      assert(lo == p(0.3, b, r) && mid == p(0.5, b, r) &&
+        hi == p(0.7, b, r))
+      assert(sep == hi - lo && lo <= mid && mid <= hi)
+    }
+    // more bands -> higher collision probability at every j
+    card.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b2) =>
+        assert(a._3 <= b2._3 && a._4 <= b2._4 && a._5 <= b2._5)
+      case _ =>
+    }
+    val chosen = card.filter(_._7)
+    assert(chosen.length == 1 && chosen.head._6 == card.map(_._6).max)
+
+    // calibration anchor: exact clones (j = 1) collide in EVERY band
+    // config, matching the analytic p(1) = 1
+    assert(card.forall { case (b, r, _, _, _, _, _) => p(1.0, b, r) == 1.0 })
+    import spark.implicits._
+    val clones = Seq((0L, "a b c d e f g h i j", "en", "s"),
+      (1L, "a b c d e f g h i j", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val shared = Dedup.minhashDedup(clones)
+      .filter(col("d1") === 0 && col("d2") === 1)
+    assert(shared.count() == 1, "clones must band-collide")
+  }
+
   test("packBoundaries: slots tile the window without overlap, every " +
       "doc appears once, and the rollup reproduces the q240 audit") {
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
