@@ -104,7 +104,15 @@ object ScaleTrial {
     "q251_source_health", // five per-source branches, |sources| rows out
     "q252_epoch_schedule", // broadcast alloc join + bounded explode
     "q253_eval_windows", // row-local hash offset + slice: must be ~flat
-    "q254_cell_suppression") // two tiny rollups: must be ~flat
+    "q254_cell_suppression", // two tiny rollups: must be ~flat
+    "q255_retrieval_triplets", // q165 candidate-sized scoring + tiny assembly
+    "q256_pack_boundaries", // q240 assignment + row-local slot algebra
+    "q257_sampled_quantiles", // hash-slice sample + bucketed counts pass
+    "q258_screen_artifact", // at-rest bloom route + bucketed anti join
+    "q259_viterbi_fertility", // word-type DP + vocab-literal fold
+    "q260_paragraph_gate", // row-local paragraph algebra: must be ~flat
+    "q261_horizon_dedup", // keyed collect + row-local chain fold
+    "q262_knn_labels") // probe-broadcast exact-cosine + k-row votes
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
