@@ -216,4 +216,78 @@ object ImageCodec {
   /** Decode + hash in one call; None when the bytes don't decode. */
   def aHashFromBytes(bytes: Array[Byte]): Option[Long] =
     decode(bytes).map(aHash)
+
+  /** 64-bit DCT perceptual hash — classic pHash (Zauner 2010,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions"): luminance resampled to 32×32 by a nearest-pixel
+    * index map (deterministic for ANY source size), separable 2-D
+    * DCT-II, keep the low-frequency 8×8 block, threshold each
+    * coefficient against the mean of the 63 AC coefficients. The DC
+    * term is excluded from the mean, so a uniform brightness shift —
+    * which moves ONLY the DC coefficient — leaves all 63 AC bits
+    * unchanged (at most the DC bit flips). Versus [[aHash]]: the
+    * frequency domain integrates over the whole image, so sparse
+    * pixel noise that flips aHash cells perturbs every coefficient
+    * only slightly — the standard robustness upgrade. */
+  def pHash(img: BufferedImage): Long = {
+    val N = 32
+    val lum = new Array[Double](N * N)
+    var y = 0
+    while (y < N) {
+      val sy = y * img.getHeight / N
+      var x = 0
+      while (x < N) {
+        val sx = x * img.getWidth / N
+        val rgb = img.getRGB(sx, sy)
+        lum(y * N + x) = (2126.0 * ((rgb >>> 16) & 0xff) +
+          7152.0 * ((rgb >>> 8) & 0xff) + 722.0 * (rgb & 0xff)) / 10000.0
+        x += 1
+      }
+      y += 1
+    }
+    // cos table for the 8 lowest frequencies over N samples
+    val cosT = Array.tabulate(8, N)((k, n) =>
+      math.cos(math.Pi * (2 * n + 1) * k / (2.0 * N)))
+    val tmp = new Array[Double](N * 8) // row-wise DCT, 8 coeffs per row
+    y = 0
+    while (y < N) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < N) { s += lum(y * N + x) * cosT(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64) // column-wise DCT of the 8 columns
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += tmp(yy * 8 + u) * cosT(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var acSum = 0.0
+    var i = 1
+    while (i < 64) { acSum += coef(i); i += 1 }
+    val mean = acSum / 63.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode + pHash in one call; None when the bytes don't decode. */
+  def pHashFromBytes(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map(pHash)
 }

@@ -290,6 +290,38 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  private val pHashUdf = udf((b: Array[Byte]) => ImageCodec.pHashFromBytes(b))
+
+  /** 64-bit DCT perceptual hash per image row ([[ImageCodec.pHash]]);
+    * undecodable bytes yield NULL. Narrow projection — bytes never
+    * shuffle. */
+  def imagePHashes(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), pHashUdf(col("bytes")).as("phash"))
+
+  /** [[imageDedup]] with the DCT pHash tier instead of aHash — the
+    * robustness upgrade for sparse pixel noise (compression
+    * artifacts, watermark dots): frequency-domain coefficients
+    * integrate over the whole image, so localized perturbations that
+    * flip aHash cells move every DCT coefficient only slightly. Same
+    * 8-bytes-per-image shape: decode once, hash-only pigeonhole
+    * blocking + hamming verify + CC — media bytes never shuffle. */
+  def imageDedupPhash(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val hashes = imagePHashes(media).filter(col("phash").isNotNull)
+    val pairs = graft.operators.Dedup.hammingPairs(
+      hashes, "media_id", "phash", maxHamming, maxBucket)
+    val clusters = graft.operators.Dedup.dupClusters(
+      pairs.select(col("d1"), col("d2")))
+    hashes
+      .join(clusters.withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   private val audioFpUdf =
     udf((b: Array[Byte]) => AudioCodec.fingerprintFromBytes(b))
 
@@ -368,6 +400,8 @@ object Multimodal {
         .orderBy("media_id", "window_idx")),
     "q147_image_dedup" -> ((s, d) =>
       imageDedup(materializedMedia(s, d))),
+    "q264_image_phash_dedup" -> ((s, d) =>
+      imageDedupPhash(materializedMedia(s, d))),
     "q195_audio_dedup" -> ((s, d) =>
       audioDedup(materializedMedia(s, d))),
     "q186_scene_changes" -> ((s, d) =>

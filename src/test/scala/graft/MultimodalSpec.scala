@@ -326,6 +326,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, true)))
   }
 
+  test("pHash: brightness shift flips at most the DC bit; sparse pixel " +
+      "noise stays in a small hamming neighborhood; distinct images " +
+      "hash far apart") {
+    val img = ImageCodec.decode(
+      ImageCodec.encodeFixturePng(16, 16, seed = 42L)).get
+    val p0 = ImageCodec.pHash(img)
+    // uniform brightness: only the DC coefficient moves
+    val pb = ImageCodec.pHashFromBytes(
+      brightened(ImageCodec.encodePng(img), 8)).get
+    assert(java.lang.Long.bitCount(p0 ^ pb) <= 1,
+      s"brightness moved ${java.lang.Long.bitCount(p0 ^ pb)} pHash bits")
+    // sparse noise: flip a handful of pixels hard
+    val noisy = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      noisy.setRGB(x, y, img.getRGB(x, y))
+    Seq((1, 2), (7, 11), (13, 3)).foreach { case (x, y) =>
+      noisy.setRGB(x, y, 0xffffff - (img.getRGB(x, y) & 0xffffff))
+    }
+    val pn = ImageCodec.pHash(noisy)
+    // three hard-inverted pixels of 256 (≈1.2% of the image): the
+    // frequency-domain hash moves a few bits, never a large fraction
+    assert(java.lang.Long.bitCount(p0 ^ pn) <= 8,
+      s"sparse noise moved ${java.lang.Long.bitCount(p0 ^ pn)} pHash bits")
+    // distinct content is far apart
+    val other = ImageCodec.decode(
+      ImageCodec.encodeFixturePng(16, 16, seed = 43L)).get
+    assert(java.lang.Long.bitCount(p0 ^ ImageCodec.pHash(other)) > 10)
+    // corrupt bytes decode to None, never an exception
+    assert(ImageCodec.pHashFromBytes("notapng".getBytes).isEmpty)
+  }
+
+  test("pHash dedup collapses planted noisy + brightened near-copies") {
+    val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
+    val img = ImageCodec.decode(base).get
+    val noisy = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      noisy.setRGB(x, y, img.getRGB(x, y))
+    noisy.setRGB(5, 9, 0x000000)
+    val media = Seq(
+      (1L, "image", base),
+      (2L, "image", brightened(base, 6)),
+      (3L, "image", ImageCodec.encodePng(noisy)),
+      (4L, "image", ImageCodec.encodeFixturePng(16, 16, seed = 43L)),
+      (5L, "image", "corruptcorruptcorrupt".getBytes)
+    ).toDF("media_id", "kind", "bytes")
+    val got = Multimodal.imageDedupPhash(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)) && got(3L) == ((1L, false)))
+    assert(got(4L) == ((4L, true)))
+  }
+
   test("image dedup collapses a planted brightness-shifted near-duplicate") {
     val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
     val media = Seq(
