@@ -973,7 +973,83 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Margin-based bitext/alignment mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL — the LASER/CCMatrix scoring rule). The corpus
+    * splits into two sides (here the vec_id parity stands in for the
+    * two languages); each left vector's best right-side neighbor is
+    * scored by the RATIO margin
+    * `cos(x,y) / (avgK(x→B)/2 + avgK(y→A)/2)` — dividing by the mean
+    * of each endpoint's k-NN similarity cancels hubness (a vector
+    * close to everything scores high cosine against everything; the
+    * margin discounts exactly that), which plain cosine thresholds
+    * cannot. Emits (src_id, tgt_id, sim, margin, mutual, accepted)
+    * with `mutual` = the target's own best left-side neighbor is the
+    * source (the forward∩backward intersection the paper reports) and
+    * `accepted` = margin ≥ 1.05 (the paper's operating region).
+    *
+    * Exactness: sims are the q31 term-expanded fold; each k-NN sum is
+    * accumulated in RANK order from a 0.0 seed — the identical IEEE
+    * add chain the oracle spells as
+    * `list_reduce(list_prepend(0.0, list(sim ORDER BY rnk)), +)` —
+    * and the margin is one fixed-shape expression tree, so margins
+    * are bit-identical across engines and orderable.
+    *
+    * Scale: the sim matrix is computed ONCE (broadcast of the probe
+    * side) and reused by both k-NN directions and the pair scoring —
+    * no second pass over the vectors. At 100 TB the exact cross
+    * becomes the ANN shortlist (RP-LSH/IVF above — mine within the
+    * shortlist, score with the same margin layer) and the left side
+    * streams in broadcast-sized batches; the margin/mutual machinery
+    * is unchanged because it only ever sees (aid, bid, sim) rows. */
+  def bitextMarginMining(embeddings: DataFrame, k: Int = 4,
+      acceptAt: Double = 1.05): DataFrame = {
+    val emb = withNorm(embeddings)
+    val left = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"),
+        col("nrm").as("an"))
+    val right = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+        col("nrm").as("bn"))
+    val sims = right.join(broadcast(left), lit(true))
+      .select(col("aid"), col("bid"),
+        cosinePrenormed(dot(col("av"), col("bv")), col("an"), col("bn"))
+          .as("sim"))
+    val wa = Window.partitionBy(col("aid"))
+      .orderBy(col("sim").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("sim").desc, col("aid"))
+    val ranked = sims
+      .withColumn("rnka", row_number().over(wa))
+      .withColumn("rnkb", row_number().over(wb))
+    // rank-ordered left fold from a 0.0 seed — the cross-engine-exact
+    // sum (order pinned by rnk, first add 0.0+x exact)
+    def foldSum(rankCol: String): Column =
+      aggregate(
+        transform(array_sort(collect_list(
+          struct(col(rankCol).as("r"), col("sim").as("s")))),
+          e => e.getField("s")),
+        lit(0.0), (acc, x) => acc + x)
+    val ka = ranked.filter(col("rnka") <= k).groupBy(col("aid"))
+      .agg(foldSum("rnka").as("suma"))
+    val kb = ranked.filter(col("rnkb") <= k).groupBy(col("bid"))
+      .agg(foldSum("rnkb").as("sumb"))
+    val fwd = ranked.filter(col("rnka") === 1)
+      .select(col("aid"), col("bid"), col("sim"))
+    val bwd = ranked.filter(col("rnkb") === 1)
+      .select(col("bid"), col("aid").as("nn_aid"))
+    val den = lit(2.0) * lit(k.toDouble)
+    fwd.join(ka, Seq("aid")).join(kb, Seq("bid")).join(bwd, Seq("bid"))
+      .select(col("aid").as("src_id"), col("bid").as("tgt_id"), col("sim"),
+        (col("sim") / (col("suma") / den + col("sumb") / den)).as("margin"),
+        (col("nn_aid") === col("aid")).as("mutual"))
+      .withColumn("accepted", col("margin") >= lit(acceptAt))
+      .orderBy(col("margin").desc, col("src_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_bitext_margin" -> ((s, d) =>
+      bitextMarginMining(Tables(s, d).embeddings)),
     "q262_knn_labels" -> ((s, d) =>
       knnLabelCard(Tables(s, d).embeddings)),
     "q158_pagerank" ->
@@ -1043,6 +1119,46 @@ object Similarity {
        |  FROM scored)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q31's exact-cosine sims; k-NN sums as rank-ordered left folds
+    // from a 0.0 seed (the identical IEEE add chain to the Spark
+    // aggregate); margin as one fixed-shape expression. Pinned to
+    // k=4, acceptAt=1.05.
+    "q265_bitext_margin" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+         |    ${simSql("a", "b")} AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |r AS (
+         |  SELECT aid, bid, sim,
+         |    row_number() OVER (PARTITION BY aid
+         |      ORDER BY sim DESC, bid) AS rnka,
+         |    row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, aid) AS rnkb
+         |  FROM s),
+         |ka AS (
+         |  SELECT aid, list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(sim ORDER BY rnka)), (x, y) -> x + y) AS suma
+         |  FROM r WHERE rnka <= 4 GROUP BY aid),
+         |kb AS (
+         |  SELECT bid, list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(sim ORDER BY rnkb)), (x, y) -> x + y) AS sumb
+         |  FROM r WHERE rnkb <= 4 GROUP BY bid),
+         |f AS (SELECT aid, bid, sim FROM r WHERE rnka = 1),
+         |bw AS (SELECT bid, aid AS nn_aid FROM r WHERE rnkb = 1)
+         |SELECT f.aid AS src_id, f.bid AS tgt_id, f.sim AS sim,
+         |  f.sim / (ka.suma / (2.0 * 4.0) + kb.sumb / (2.0 * 4.0))
+         |    AS margin,
+         |  bw.nn_aid = f.aid AS mutual,
+         |  f.sim / (ka.suma / (2.0 * 4.0) + kb.sumb / (2.0 * 4.0))
+         |    >= 1.05 AS accepted
+         |FROM f
+         |JOIN ka ON ka.aid = f.aid
+         |JOIN kb ON kb.bid = f.bid
+         |JOIN bw ON bw.bid = f.bid
+         |ORDER BY margin DESC, src_id""".stripMargin,
     // q31's exact-cosine recipe + rank <= 5 votes + totally-ordered
     // majority (count DESC, label ASC), pinned to k=5 probeMod=10
     "q262_knn_labels" ->

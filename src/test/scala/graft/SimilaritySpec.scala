@@ -43,6 +43,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
   }
 
+  test("bitextMarginMining: a planted aligned pair is mutual and " +
+      "out-margins a hub that beats it on raw cosine") {
+    // left side = even ids, right side = odd ids. Planted alignment:
+    // 0↔1 (near-identical direction). Hub: 3 is moderately close to
+    // EVERY left vector — raw cosine ranks it high everywhere, but
+    // its own k-NN average is high too, so the margin discounts it.
+    val emb = Seq(
+      (0L, Seq(1f, 0.1f, 0f, 0f), 0),   // left: aligned with 1
+      (2L, Seq(0.8f, 0.55f, 0.2f, 0f), 0),
+      (4L, Seq(0.7f, 0.6f, 0.1f, 0.1f), 0),
+      (6L, Seq(0f, 0f, 0.2f, 1f), 0),   // left: aligned with 7
+      (1L, Seq(1f, 0.12f, 0f, 0f), 1),  // right: twin of 0
+      (3L, Seq(0.75f, 0.6f, 0.15f, 0.05f), 1), // right: the hub
+      (5L, Seq(0.72f, 0.62f, 0.12f, 0.08f), 1),
+      (7L, Seq(0f, 0.05f, 0.18f, 1f), 1) // right: twin of 6
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.bitextMarginMining(emb, k = 2).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L, 4L, 6L))
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    // planted pairs: right twin chosen, mutual, margin above 1
+    assert(byId(0L)._1 == 1L && byId(0L)._3, s"0 paired ${byId(0L)}")
+    assert(byId(6L)._1 == 7L && byId(6L)._3, s"6 paired ${byId(6L)}")
+    assert(byId(0L)._2 > 1.0 && byId(6L)._2 > 1.0)
+    // the hub-paired middles score a LOWER margin than the planted
+    // alignments even though their raw cosines are comparable
+    val plantedMin = math.min(byId(0L)._2, byId(6L)._2)
+    Seq(2L, 4L).foreach { id =>
+      assert(byId(id)._2 < plantedMin,
+        s"hub pair $id margin ${byId(id)._2} >= planted $plantedMin")
+    }
+    // margins are DESC in the output ordering
+    val margins = rows.map(_.getDouble(3))
+    assert(margins.zip(margins.tail).forall { case (x, y) => x >= y })
+
+    // real corpus: one row per left vector, schema stable
+    val real = Similarity.bitextMarginMining(t.embeddings).collect()
+    val nLeft = t.embeddings
+      .filter(pmod(col("vec_id"), lit(2)) === 0).count()
+    assert(real.length == nLeft)
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).head.getDouble(0) == 32.0)
