@@ -322,6 +322,86 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  private val frameHashUdf = udf((b: Array[Byte]) =>
+    VideoCodec.frameHashes(b)
+      .map(_.map { case (idx, _, h) => (idx, h) })
+      .getOrElse(Seq.empty[(Int, Long)]))
+
+  /** Per-frame perceptual hashes per video row: (media_id, n_frames,
+    * frame_idx, fhash) for every frame that really decodes
+    * ([[VideoCodec.frameHashes]] — one container walk + one ImageIO
+    * decode per frame, inside a narrow UDF). `n_frames` counts the
+    * DECODED frames so downstream completeness checks don't credit
+    * corrupt frames. Malformed containers contribute zero rows;
+    * media bytes never shuffle — each clip leaves the scan as
+    * 8 bytes per frame. */
+  def videoFrameHashes(media: DataFrame): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), frameHashUdf(col("bytes")).as("hs"))
+      .select(col("media_id"), size(col("hs")).as("n_frames"),
+        explode(col("hs")).as("f"))
+      .select(col("media_id"), col("n_frames"),
+        col("f._1").as("frame_idx"), col("f._2").as("fhash"))
+
+  /** Perceptual near-duplicate VIDEO dedup — the temporal member of
+    * the multimodal dedup family ([[imageDedup]]/[[imageDedupPhash]]
+    * for stills, [[audioDedup]] for audio). Unlike a single
+    * clip-level hash, the signature here is the SEQUENCE of per-frame
+    * aHashes, so two clips are near-dups only when their frames match
+    * frame-by-frame: candidates come from the 16-bit chunk pigeonhole
+    * applied PER (frame_idx, chunk) — a frame pair within `maxHamming`
+    * must share a chunk — the video-level verify then requires the
+    * same decoded-frame count and at least ceil(minFrac·n) aligned
+    * frames within `maxHamming`, and verified pairs feed the generic
+    * connected-components representative (component minimum,
+    * keep = self). Re-encoded/lightly-perturbed copies collapse;
+    * clips sharing only some frames (trims, different cuts) stay
+    * separate at the default `minFrac`.
+    *
+    * Scale: decode once per clip inside the narrow hash UDF; every
+    * later stage moves (id, idx, 8-byte hash) rows only. Blocking is
+    * keyed by (frame_idx, chunk, chunk-bits) so candidate generation
+    * spreads over frames × chunks; `maxBucket` caps degenerate keys
+    * (black frames, test cards) exactly as in [[audioDedup]]. The
+    * verify is a count over matched frames — partial-aggregable, no
+    * window. Media bytes never shuffle. */
+  def videoDedup(media: DataFrame, maxHamming: Int = 3,
+      minFrac: Double = 0.9, maxBucket: Int = 10000): DataFrame = {
+    val frames = videoFrameHashes(media)
+    val chunks0 = frames.select(col("media_id"), col("n_frames"),
+      col("frame_idx"), col("fhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fhash"), c * 16).bitwiseAND(0xffffL).as("ck"))
+      }: _*)).as("b"))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("fhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val chunks = graft.operators.Dedup.capBuckets(
+      chunks0, Seq("frame_idx", "chunk", "ck"), maxBucket)
+    val matchedFrames = chunks.alias("x").join(chunks.alias("y"),
+        Seq("frame_idx", "chunk", "ck"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .filter(col("x.n_frames") === col("y.n_frames"))
+      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
+        col("frame_idx"), col("x.n_frames").as("n"),
+        bit_count(col("x.fhash").bitwiseXOR(col("y.fhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val pairs = matchedFrames.groupBy(col("m1"), col("m2"), col("n"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= ceil(lit(minFrac) * col("n")))
+      .select(col("m1").as("d1"), col("m2").as("d2"))
+    val clusters = graft.operators.Dedup.dupClusters(pairs)
+    frames.select(col("media_id"), col("n_frames")).distinct()
+      .join(clusters.withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   private val audioFpUdf =
     udf((b: Array[Byte]) => AudioCodec.fingerprintFromBytes(b))
 
@@ -404,6 +484,8 @@ object Multimodal {
       imageDedupPhash(materializedMedia(s, d))),
     "q195_audio_dedup" -> ((s, d) =>
       audioDedup(materializedMedia(s, d))),
+    "q266_video_dedup" -> ((s, d) =>
+      videoDedup(materializedMedia(s, d))),
     "q186_scene_changes" -> ((s, d) =>
       sceneChanges(materializedMedia(s, d)))
   )

@@ -199,7 +199,7 @@ object Dedup {
   /** Drop every bucket whose population exceeds `maxBucket` (computed
     * with one count-window over the bucket key — no extra shuffle
     * beyond the one the self-join needs anyway). */
-  private def capBuckets(buckets: DataFrame, keys: Seq[String],
+  private[graft] def capBuckets(buckets: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)

@@ -381,6 +381,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, true)))
   }
 
+  test("video dedup collapses a per-frame-perturbed re-encode; trims, " +
+      "distinct clips and corrupt containers stay separate") {
+    val base = VideoCodec.encodeFixtureVideo(4, 16, 16, 40, seed = 5L)
+    // near-copy: every frame brightened (aHash-invariant per frame)
+    val frames = (0 until 4).map(i => VideoCodec.frameAt(base, i).get)
+    val nearCopy = VideoCodec.encode(frames.map(brightened(_, 5)), 40)
+    // a TRIM: the first 3 frames only — same content, different count
+    val trimmed = VideoCodec.encode(frames.take(3), 40)
+    // distinct clip: different seed, same shape
+    val other = VideoCodec.encodeFixtureVideo(4, 16, 16, 40, seed = 6L)
+    val media = Seq(
+      (1L, "video", base),
+      (2L, "video", nearCopy),
+      (3L, "video", trimmed),
+      (4L, "video", other),
+      (5L, "video", "notavideo_notavideo".getBytes),
+      (6L, "image", ImageCodec.encodeFixturePng(8, 8, 1L))
+    ).toDF("media_id", "kind", "bytes")
+    val got = Multimodal.videoDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // corrupt container and non-video rows contribute nothing
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // the perturbed re-encode collapses onto the original
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)), s"near-copy not collapsed: ${got(2L)}")
+    // the trim (different decoded-frame count) and the distinct clip
+    // keep themselves
+    assert(got(3L) == ((3L, true)))
+    assert(got(4L) == ((4L, true)))
+  }
+
+  test("videoFrameHashes: one row per decoded frame, hashes match the " +
+      "frame images, n_frames counts decoded frames only") {
+    val clip = VideoCodec.encodeFixtureVideo(3, 16, 16, 40, seed = 9L)
+    val rows = Multimodal.videoFrameHashes(
+      Seq((7L, "video", clip)).toDF("media_id", "kind", "bytes"))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 3 && rows.forall(_.getInt(1) == 3))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val expect = ImageCodec.aHashFromBytes(
+        VideoCodec.frameAt(clip, i).get).get
+      assert(r.getInt(2) == i && r.getLong(3) == expect)
+    }
+  }
+
   test("image dedup collapses a planted brightness-shifted near-duplicate") {
     val base = ImageCodec.encodeFixturePng(16, 16, seed = 42L)
     val media = Seq(
