@@ -1813,7 +1813,54 @@ object CorpusSignals {
       |      (a, b) -> a + b) AS score
       |  FROM contrib GROUP BY query_id, doc_id)""".stripMargin
 
+  /** Heaps'-law type-growth card: how the DISTINCT-token vocabulary
+    * grows as the corpus is ingested in doc_id order — the curve
+    * whose slope (the Heaps exponent β in V ≈ K·nᵝ, Heaps 1978)
+    * tokenizer designers read to size vocabularies and data teams
+    * read to detect exhausted sources (a flattening curve = new data
+    * is re-treading old vocabulary; a steep one = genuinely novel
+    * text). Ten checkpoints at doc_id value deciles; each row reports
+    * the EXACT cumulative (tokens_seen, types_seen) at that boundary,
+    * all integers — the β fit itself lives in the spec (log-log
+    * regression over the 10 rows) so the driver check stays
+    * float-free, the q230 length-spectrum convention.
+    *
+    * Scale: the naive form re-scans the corpus once per checkpoint;
+    * this one never does — types collapse to their FIRST-occurrence
+    * doc (one groupBy over the token stream, Zipf-bounded output),
+    * per-doc token counts are a narrow projection, and both join the
+    * 10-row broadcast boundary table with a ≤ predicate (row
+    * multiplier ≤ 10, absorbed by map-side partial aggregation). No
+    * global window, no second corpus pass. */
+  def typeGrowthCard(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = spark.range(1, checkpoints + 1).toDF("checkpoint")
+      .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("max_id"))))
+      .selectExpr("checkpoint",
+        s"checkpoint * max_id div $checkpoints AS bound")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val firstSeen = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val docCounts = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val tokensSeen = docCounts
+      .join(broadcast(bounds), col("doc_id") <= col("bound"))
+      .groupBy(col("checkpoint"), col("bound"))
+      .agg(sum(col("n_toks")).as("tokens_seen"))
+    val typesSeen = firstSeen
+      .join(broadcast(bounds), col("first_doc") <= col("bound"))
+      .groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("types_seen"))
+    tokensSeen.join(typesSeen, Seq("checkpoint"))
+      .select(col("checkpoint"), col("bound").as("bound_doc_id"),
+        col("tokens_seen"), col("types_seen"))
+      .orderBy(col("checkpoint"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_type_growth" -> ((s, d) =>
+      typeGrowthCard(Tables(s, d).documents)),
     "q111_group_sample" -> ((s, d) => groupSample(Tables(s, d).documents)),
     "q255_retrieval_triplets" -> ((s, d) =>
       retrievalTriplets(Tables(s, d).documents)),
@@ -2039,6 +2086,35 @@ object CorpusSignals {
       |  FROM caps CROSS JOIN g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // integer-only card: first-occurrence doc per type + per-doc token
+    // counts, both rolled up against the 10 doc_id-decile boundaries
+    // with a <= join. Pinned to checkpoints=10.
+    "q267_type_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |b AS (
+        |  SELECT t.c AS checkpoint, (t.c * mx.max_id) // 10 AS bound
+        |  FROM range(1, 11) t(c), mx),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+        |dc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |ts AS (
+        |  SELECT b.checkpoint, b.bound,
+        |    CAST(SUM(dc.n_toks) AS BIGINT) AS tokens_seen
+        |  FROM b JOIN dc ON dc.doc_id <= b.bound
+        |  GROUP BY b.checkpoint, b.bound),
+        |ty AS (
+        |  SELECT b.checkpoint, CAST(COUNT(*) AS BIGINT) AS types_seen
+        |  FROM b JOIN f ON f.first_doc <= b.bound
+        |  GROUP BY b.checkpoint)
+        |SELECT ts.checkpoint, ts.bound AS bound_doc_id,
+        |  ts.tokens_seen, ty.types_seen
+        |FROM ts JOIN ty ON ty.checkpoint = ts.checkpoint
+        |ORDER BY ts.checkpoint""".stripMargin,
     // same counts-of-counts rollup, same count-descending cumulative
     // window, one exact long/long division
     "q223_vocab_coverage" ->

@@ -14,6 +14,57 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("typeGrowthCard: hand-corpus cumulative counts are exact; the " +
+      "real-corpus curve is monotone, ends at the full-corpus totals, " +
+      "and fits a Heaps exponent in (0, 1)") {
+    import spark.implicits._
+    // doc_ids 0..9, text with controlled vocabulary growth: doc i
+    // introduces one new type ("t<i>") plus repeats "x x"
+    val hand = (0L to 9L)
+      .map(i => (i, s"t$i x x", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = CorpusSignals.typeGrowthCard(hand).collect()
+    assert(card.length == 10)
+    // bounds are doc_id deciles of max_id=9: bound(c) = c*9 div 10
+    // = 0,1,2,3,4,5,6,7,8,9 → checkpoint c covers docs 0..c-1... no:
+    // covers doc_id <= bound(c); tokens 3/doc, types = docs + "x"
+    card.foreach { r =>
+      val c = r.getLong(0); val bound = r.getLong(1)
+      assert(bound == c * 9 / 10)
+      assert(r.getLong(2) == (bound + 1) * 3, s"tokens at c=$c")
+      assert(r.getLong(3) == (bound + 1) + 1, s"types at c=$c")
+    }
+
+    // real corpus: monotone growth, final row = whole-corpus truth
+    val real = CorpusSignals.typeGrowthCard(docs).collect()
+    assert(real.length == 10)
+    val toks = real.map(_.getLong(2)); val typs = real.map(_.getLong(3))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+    assert(typs.zip(typs.tail).forall { case (a, b) => a <= b })
+    val totalToks = docs
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val totalTypes = docs
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(toks.last == totalToks && typs.last == totalTypes)
+    // Heaps fit V = K n^beta: least squares on (ln n, ln V)
+    def heapsBeta(tk: Array[Long], ty: Array[Long]): Double = {
+      val xs = tk.map(t => math.log(t.toDouble))
+      val ys = ty.map(t => math.log(t.toDouble))
+      val n = xs.length; val mx = xs.sum / n; val my = ys.sum / n
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+    }
+    // hand corpus genuinely grows one type per doc → beta strictly
+    // inside (0, 1)
+    val hb = heapsBeta(card.map(_.getLong(2)), card.map(_.getLong(3)))
+    assert(hb > 0.0 && hb < 1.0, s"hand-corpus Heaps beta $hb")
+    // the tiny synthetic corpus saturates its shared vocabulary early
+    // (beta == 0 exactly when all types land in the first decile) —
+    // sublinear is the invariant
+    val rb = heapsBeta(toks, typs)
+    assert(rb >= 0.0 && rb < 1.0, s"real-corpus Heaps beta $rb")
+  }
+
   test("viterbiFertility: hand-corpus DP, and agreement with an " +
       "independent Scala shortest-path DP over the sf0.001 word types") {
     import spark.implicits._
