@@ -1858,7 +1858,58 @@ object CorpusSignals {
       .orderBy(col("checkpoint"))
   }
 
+  /** PMI collocation card (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography"): the top-k
+    * adjacent word pairs by pointwise mutual information — the
+    * association test that separates true collocations ("new york")
+    * from pairs that co-occur merely because both words are frequent,
+    * which a raw bigram count ranking cannot do. Emits the count
+    * evidence (c12, c1, c2) alongside the score; `minCount` guards
+    * PMI's known small-count blowup (a hapax pair scores arbitrarily
+    * high — the standard frequency floor).
+    *
+    * Cross-engine exactness: the score is the PMI RATIO
+    * `(c12·T²)/(B·c1·c2)` (T tokens, B bigram slots) computed as one
+    * exact integer product on each side of a single double division —
+    * bitwise-identical across engines, and rank-equivalent to PMI
+    * itself because ln is monotone (the ln lives in downstream
+    * consumers, not the driver-checked card — the q230 float-free
+    * convention).
+    *
+    * Scale: unigram and bigram counts are partial-aggregable groupBys
+    * over the token stream (vocab-/pair-vocab-sized outputs, Zipf
+    * bounded); totals are a 1-row broadcast; the final top-k is
+    * TakeOrdered, no global window. */
+  def collocationCard(docs: DataFrame, minCount: Int = 5,
+      k: Int = 100): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = toks.agg(
+      sum(size(col("t"))).as("tot_toks"),
+      sum(greatest(size(col("t")) - 1, lit(0))).as("tot_bi"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") * col("tot_toks") * col("tot_toks")).cast("double") /
+          (col("tot_bi") * col("c1") * col("c2")).cast("double"))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_collocations" -> ((s, d) =>
+      collocationCard(Tables(s, d).documents)),
     "q267_type_growth" -> ((s, d) =>
       typeGrowthCard(Tables(s, d).documents)),
     "q111_group_sample" -> ((s, d) => groupSample(Tables(s, d).documents)),
@@ -2086,6 +2137,32 @@ object CorpusSignals {
       |  FROM caps CROSS JOIN g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact integer products on both sides of ONE double division
+    // (rank-equivalent to PMI since ln is monotone); same minCount=5,
+    // k=100 pins
+    "q268_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS tot_toks,
+        |    CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS tot_bi
+        |  FROM t),
+        |b AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM t WHERE len(t) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+        |  CAST(bc.c12 * tot.tot_toks * tot.tot_toks AS DOUBLE) /
+        |    CAST(tot.tot_bi * u1.c * u2.c AS DOUBLE) AS pmi_ratio
+        |FROM bc
+        |JOIN u u1 ON u1.w = bc.w1
+        |JOIN u u2 ON u2.w = bc.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""".stripMargin,
     // integer-only card: first-occurrence doc per type + per-doc token
     // counts, both rolled up against the 10 doc_id-decile boundaries
     // with a <= join. Pinned to checkpoints=10.

@@ -14,6 +14,39 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("collocationCard: a planted collocation out-scores a pair of " +
+      "independently-frequent words; the frequency floor holds") {
+    import spark.implicits._
+    // "new york" always adjacent (true collocation); "the" and "dog"
+    // both frequent but adjacent only sometimes (chance co-occurrence)
+    val hand = (0L until 12L).map { i =>
+      (i, s"new york the cat dog the bird f$i dog the", "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusSignals.collocationCard(hand, minCount = 5, k = 50)
+      .collect()
+    val score = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // counts: per doc "new york" 1x, "dog the" 2x; both pass minCount
+    val ny = score(("new", "york")); val dt = score(("dog", "the"))
+    // c12=12,c1=c2=12 for new/york vs c12=24,c1=24(dog),c2=36(the):
+    // PMI ratio favors the exclusive pair
+    assert(ny > dt, s"planted collocation $ny <= chance pair $dt")
+    // hapax-ish pairs (every "f$i dog" appears once) are floored out
+    assert(!score.keySet.exists(_._1.startsWith("f")))
+    // exact evidence columns on the planted pair
+    val nyRow = rows.find(r =>
+      r.getString(0) == "new" && r.getString(1) == "york").get
+    assert(nyRow.getLong(2) == 12L && nyRow.getLong(3) == 12L &&
+      nyRow.getLong(4) == 12L)
+
+    // real corpus: bounded, ordered, evidence consistent
+    val real = CorpusSignals.collocationCard(docs).collect()
+    assert(real.length <= 100)
+    assert(real.forall(_.getLong(2) >= 5L))
+    val ratios = real.map(_.getDouble(5))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+  }
+
   test("typeGrowthCard: hand-corpus cumulative counts are exact; the " +
       "real-corpus curve is monotone, ends at the full-corpus totals, " +
       "and fits a Heaps exponent in (0, 1)") {
