@@ -112,7 +112,10 @@ object ScaleTrial {
     "q259_viterbi_fertility", // word-type DP + vocab-literal fold
     "q260_paragraph_gate", // row-local paragraph algebra: must be ~flat
     "q261_horizon_dedup", // keyed collect + row-local chain fold
-    "q262_knn_labels") // probe-broadcast exact-cosine + k-row votes
+    "q262_knn_labels", // probe-broadcast exact-cosine + k-row votes
+    "q265_bitext_margin", // one sim matrix reused by both kNN sides
+    "q267_type_growth", // first-occurrence groupBy + 10-row broadcast
+    "q268_collocations") // vocab-sized count groupBys + TakeOrdered
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
