@@ -128,6 +128,63 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the quote/subset-duplication
+    * detector Jaccard cannot be (Broder 1997's containment
+    * C(A,B)=|A∩B|/|A|; the screen Lee et al. 2022 run alongside
+    * symmetric dedup): a short document pasted inside a long one has
+    * near-total containment one way but tiny Jaccard, because the
+    * union is dominated by the long side — exactly the pairs
+    * [[jaccardPairs]]' lossless >2x-size-gap filter PROVES it can
+    * never emit. Same (lang, source) candidate blocks and sorted-
+    * shingle merge kernel, but the size filter is dropped (the gap is
+    * the signal here) and the cut is on max-direction containment;
+    * each surviving pair carries both containments, the Jaccard, and
+    * a relation label: `near_dup` when Jaccard also clears its
+    * threshold, else `quote`.
+    *
+    * Exactness: intersection size is the integer
+    * [[graft.plans.SortedIntersectSizeExpr]] merge; every emitted
+    * ratio is ONE double division of exact integers — bitwise equal
+    * to the oracle's `len(list_intersect(...))` formulation.
+    *
+    * Scale: identical join shape to [[jaccardPairs]] (blocks are
+    * data-fixed (lang, source), `capBlocks` bounds hot blocks, cost
+    * is Σ block², never corpus²); past the cap the MinHash tier
+    * generates candidates and this verify layer is unchanged. */
+  def containmentPairs(documents: DataFrame, minContainment: Double = 0.5,
+      nearDupJaccard: Double = 0.5, maxBlock: Int = 10000): DataFrame = {
+    val docs = Dedup.capBlocks(
+      documents.select(
+        col("doc_id"), col("lang"), col("source"),
+        sortedShingles(col("text"), 3).as("sh"))
+        .withColumn("n", size(col("sh"))),
+      Seq("lang", "source"), Seq(col("doc_id")), maxBlock)
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        graft.plans.FastOps.sortedIntersectSize(col("sh1"), col("sh2"))
+          .cast("long").as("inter"))
+      .filter(col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double") >= minContainment)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+          .as("jaccard"),
+        (col("inter").cast("double") / col("n1").cast("double"))
+          .as("c1_in_2"),
+        (col("inter").cast("double") / col("n2").cast("double"))
+          .as("c2_in_1"))
+      .withColumn("relation",
+        when(col("jaccard") >= nearDupJaccard, lit("near_dup"))
+          .otherwise(lit("quote")))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** All-pairs sparse-cosine similarity by POSTING-LIST join — the
     * inverted-index formulation of near-dup pair generation (Bayardo,
     * Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search":
@@ -1196,6 +1253,8 @@ object TextAnalysis {
     "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
     "q25_dedup_tokenset" -> ((s, d) => dedupTokenSet(Tables(s, d))),
     "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d).documents)),
+    "q269_containment_pairs" -> ((s, d) =>
+      containmentPairs(Tables(s, d).documents)),
     "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
     "q65_cardinality_sketch" ->
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),
@@ -1910,6 +1969,38 @@ object TextAnalysis {
         |  substr(md5(text), 1, 8) AS fp_short
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q26's shingle CTE WITHOUT the size-gap filter (the gap is the
+    // signal); every ratio is one double division of exact integers.
+    // Pinned to minContainment=0.5, nearDupJaccard=0.5.
+    "q269_containment_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, lang, source, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(a.sh) AS BIGINT) AS n1,
+        |    CAST(len(b.sh) AS BIGINT) AS n2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, n1, n2, inter,
+        |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)
+        |    AS jaccard,
+        |  CAST(inter AS DOUBLE) / CAST(n1 AS DOUBLE) AS c1_in_2,
+        |  CAST(inter AS DOUBLE) / CAST(n2 AS DOUBLE) AS c2_in_1,
+        |  CASE WHEN CAST(inter AS DOUBLE)
+        |      / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5
+        |    THEN 'near_dup' ELSE 'quote' END AS relation
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE)
+        |  >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "q67_token_batches" -> tokenBatchesSql,
     // bucket = integer bit length (len of the binary rendering - 1):
     // floor(log2) without floats, so engines cannot disagree at

@@ -13,6 +13,38 @@ class TextDedupSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("containmentPairs: a quote (short doc pasted in a long one) is " +
+      "caught with the quote label; near-dups get near_dup; the " +
+      "jaccard path provably misses the quote") {
+    val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 12).map(i => s"w$i").mkString(" ")   // inside long
+    val nd1 = (1 to 20).map(i => s"v$i").mkString(" ")
+    val nd2 = ((1 to 19).map(i => s"v$i") :+ "changed").mkString(" ")
+    val docs = Seq(
+      (1L, longText, "en", "s", 0L),
+      (2L, quote, "en", "s", 0L),
+      (3L, nd1, "en", "s", 0L),
+      (4L, nd2, "en", "s", 0L),
+      (5L, (100 to 130).map(i => s"z$i").mkString(" "), "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getString(8)))).toMap
+    // the quote: every shingle of doc 2 occurs in doc 1
+    val (jac, _, c2in1, rel) = got((1L, 2L))
+    assert(c2in1 == 1.0, s"quote containment $c2in1")
+    assert(jac < 0.5 && rel == "quote", s"quote row ($jac, $rel)")
+    // the near-dup pair is labeled near_dup
+    assert(got((3L, 4L))._4 == "near_dup")
+    // the unrelated doc pairs with nothing
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // and jaccardPairs' size filter indeed can never see the quote
+    val jp = TextAnalysis.jaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jp.contains((1L, 2L)) && jp.contains((3L, 4L)))
+  }
+
   test("gopherRules: each rule fires alone, clean doc keeps") {
     val docs = Seq(
       // 21 distinct words, mean len 102/21 ~ 4.86, has 'the', ttr 1.0
