@@ -1087,7 +1087,73 @@ object Dedup {
     definiteNew.unionByName(maybeDup)
   }
 
+  /** Winnowing document fingerprints + shared-fingerprint pairs
+    * (Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local Algorithms
+    * for Document Fingerprinting" — the MOSS algorithm): hash every
+    * token k-gram, slide a w-position window over the hash sequence,
+    * select each window's minimum — the selection is LOCAL (depends
+    * only on the window, so identical text regions select identical
+    * fingerprints wherever they sit in a document) and carries the
+    * paper's guarantee: any shared token run of length ≥ w+k-1
+    * yields at least one shared fingerprint. That positional locality
+    * is what MinHash (a whole-document sketch) cannot give: winnowing
+    * finds docs sharing a PASSAGE, at fingerprint density ~2/(w+1)
+    * instead of one hash per k-gram.
+    *
+    * Pinning, mirrored in the oracle: hashes are md5 of the
+    * space-joined k-gram (the q217 portable-hash device) tagged with
+    * the zero-padded position so window minima are totally ordered
+    * (ties break to the leftmost position); short docs (< k tokens)
+    * fall back to the whole-text md5 so they still screen. Emits
+    * (d1, d2, n_shared, nfp1, nfp2, overlap_frac) for pairs sharing
+    * ≥ `minShared` fingerprints after a df-cap drops boilerplate
+    * fingerprints shared by more than `maxDf` docs.
+    *
+    * Scale: fingerprint SELECTION is row-local (one codegen'd
+    * higher-order-function chain, O(positions·w) per doc, no
+    * shuffle); the corpus-side output is the winnowed density ~2/(w+1)
+    * per token, and the pair join rides the df-capped posting lists —
+    * the q202/q217 linear-for-fixed-cap argument. */
+  def winnowingPairs(documents: DataFrame, k: Int = 4, w: Int = 4,
+      minShared: Int = 2, maxDf: Long = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    val positions = greatest(size(toks) - (k - 1), lit(0))
+    val hs = transform(sequence(lit(1), greatest(positions, lit(1))),
+      p => concat(md5(array_join(slice(toks, p, lit(k)), " ")), lit(":"),
+        lpad(p.cast("string"), 6, "0")))
+    val nwin = greatest(positions - (w - 1), lit(1))
+    val sel = when(positions >= 1,
+        array_distinct(transform(sequence(lit(1), nwin),
+          j => array_min(slice(hs, j, lit(w))))))
+      .otherwise(array(concat(md5(col("text")), lit(":000001"))))
+    val fps = documents
+      .select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), substring(col("s"), 1, 32).as("fp"))
+      .distinct()
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("fp")), Seq("fp"))
+    val pairs = kept.select(col("fp"), col("doc_id").as("d1"))
+      .join(kept.select(col("fp"), col("doc_id").as("d2")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(nf.select(col("doc_id").as("d1"), col("nfp").as("nfp1")), "d1")
+      .join(nf.select(col("doc_id").as("d2"), col("nfp").as("nfp2")), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"),
+        col("nfp1"), col("nfp2"),
+        (col("n_shared").cast("double") /
+          least(col("nfp1"), col("nfp2")).cast("double"))
+          .as("overlap_frac"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_winnowing_pairs" -> ((s, d) =>
+      winnowingPairs(Tables(s, d).documents)),
     "q145_cross_corpus_new" -> ((s, d) =>
       crossCorpusNew(Tables(s, d).documents, pmod(col("doc_id"), lit(2)) === 0)),
     // default k=5 only — the q192 oracle SQL is pinned to that k
@@ -1292,6 +1358,57 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the winnowing selection itself replays: same md5(k-gram)||pos
+    // tagged hashes, same per-window lexicographic min, same df cap
+    // and pair rollup. Pinned to k=4, w=4, minShared=2, maxDf=20.
+    "q270_winnowing_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text, toks,
+        |    greatest(len(toks) - 3, 0) AS p
+        |  FROM d),
+        |hs AS (
+        |  SELECT doc_id, text, p,
+        |    CASE WHEN p >= 1 THEN
+        |      list_transform(range(1, p + 1), i ->
+        |        md5(array_to_string(toks[i:i+3], ' ')) || ':' ||
+        |          lpad(CAST(i AS VARCHAR), 6, '0'))
+        |    ELSE [] END AS hl
+        |  FROM base),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN p >= 1 THEN
+        |      list_distinct(list_transform(
+        |        range(1, greatest(p - 3, 1) + 1),
+        |        j -> list_sort(hl[j:j+3])[1]))
+        |    ELSE [md5(text) || ':000001'] END AS sels
+        |  FROM hs),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, substr(s, 1, 32) AS fp
+        |  FROM (SELECT doc_id, unnest(sels) AS s FROM sel)),
+        |nf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        |  FROM fp GROUP BY doc_id),
+        |kept AS (
+        |  SELECT f.doc_id, f.fp FROM fp f
+        |  JOIN (SELECT fp FROM fp GROUP BY fp
+        |        HAVING count(*) <= 20) ok ON ok.fp = f.fp),
+        |p2 AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+        |SELECT p2.d1, p2.d2, p2.n_shared,
+        |  n1.nfp AS nfp1, n2.nfp AS nfp2,
+        |  CAST(p2.n_shared AS DOUBLE)
+        |    / CAST(least(n1.nfp, n2.nfp) AS DOUBLE) AS overlap_frac
+        |FROM p2
+        |JOIN nf n1 ON n1.doc_id = p2.d1
+        |JOIN nf n2 ON n2.doc_id = p2.d2
+        |ORDER BY d1, d2""".stripMargin,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

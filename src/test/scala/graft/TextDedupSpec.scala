@@ -45,6 +45,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!jp.contains((1L, 2L)) && jp.contains((3L, 4L)))
   }
 
+  test("winnowingPairs: a shared passage >= w+k-1 tokens ALWAYS shares " +
+      "a fingerprint wherever it sits; unrelated docs never pair; the " +
+      "df cap silences boilerplate") {
+    // the winnowing guarantee: k=4, w=4 → any shared run of >= 7
+    // tokens yields a common selected fingerprint. Plant the same
+    // 8-token passage at different offsets inside different contexts.
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    def doc(id: Long, prefix: Int, suffix: Int) =
+      (id, ((1 to prefix).map(i => s"a${id}x$i") ++ Seq(passage) ++
+        (1 to suffix).map(i => s"b${id}y$i")).mkString(" "),
+        "en", "s", 0L)
+    val docs = Seq(
+      doc(1L, 3, 9), doc(2L, 11, 2),
+      (3L, (1 to 30).map(i => s"q$i").mkString(" "), "en", "s", 0L),
+      (4L, "tiny doc", "en", "s", 0L),
+      (5L, "tiny doc", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.winnowingPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)),
+      s"planted passage pair missing from ${got.keySet}")
+    assert(got((1L, 2L)) >= 1L)
+    // short docs (< k tokens) screen via the whole-text fallback
+    assert(got.contains((4L, 5L)))
+    // the unrelated doc pairs with nothing
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+
+    // density: selected fingerprints are far fewer than k-gram count
+    // but at least one per doc
+    val many = Seq((9L, (1 to 200).map(i => s"t$i").mkString(" "),
+      "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val paired = Dedup.winnowingPairs(many.union(docs), minShared = 1)
+    assert(paired.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == got.keySet)
+
+    // df cap: 25 docs sharing the same passage exceed maxDf=20 →
+    // the boilerplate fingerprint is dropped and nothing pairs
+    val boiler = (10L until 35L).map(i =>
+      (i, s"u${i}head " + passage + s" u${i}tail", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.winnowingPairs(boiler, minShared = 1).count() == 0L)
+    // ...and the same corpus passes once the cap accommodates it
+    assert(Dedup.winnowingPairs(boiler, minShared = 1, maxDf = 30)
+      .count() > 0L)
+  }
+
   test("gopherRules: each rule fires alone, clean doc keeps") {
     val docs = Seq(
       // 21 distinct words, mean len 102/21 ~ 4.86, has 'the', ttr 1.0
