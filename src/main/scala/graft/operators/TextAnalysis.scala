@@ -863,6 +863,85 @@ object TextAnalysis {
   def bigramFluency(docs: DataFrame): DataFrame =
     bigramFluencyOn(docs, docs)
 
+  /** Interpolated Kneser-Ney bigram fluency (Kneser & Ney 1995; the
+    * smoothing family KenLM ships and CCNet deploys) — the upgrade
+    * over [[bigramFluency]]'s add-one: absolute discounting with the
+    * mass re-routed through CONTINUATION probability
+    * `P_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · Pc(w2)`,
+    * `Pc(w2) = (N1+(·w2)+1)/(B+V)` (add-one-floored continuation so
+    * unseen words still score), D = `discount`. The signature KN win:
+    * a word frequent ONLY inside one collocation ("francisco" after
+    * "san") has high raw count but N1+(·w2)=1, so the backoff demotes
+    * it in novel contexts where add-one overrates it — the spec pins
+    * exactly that inversion. Unseen conditioning words back off to
+    * Pc alone.
+    *
+    * Exactness: every model quantity is an integer count; the
+    * probability is ONE fixed-shape expression over single casts
+    * (the q140 device), and per-doc averaging is the position-ordered
+    * fold. Scale: counts are vocab-/bigram-vocab-sized partial aggs
+    * (bc is localCheckpointed once for its four consumers); scoring
+    * joins are model-keyed — the crawl side streams. */
+  def kneserNeyFluencyOn(model: DataFrame, score: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val mtoks = model.select(split(col("text"), " ").as("t"))
+    val uni = mtoks.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bc = mtoks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val nfw = bc.groupBy(col("w1")).agg(count(lit(1)).as("nfw"))
+    val npre = bc.groupBy(col("w2")).agg(count(lit(1)).as("npre"))
+    val btot = bc.agg(count(lit(1)).as("b"))
+    val bi = score
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val pc = (coalesce(col("npre"), lit(0L)) + 1).cast("double") /
+      (col("b") + col("v")).cast("double")
+    val c1d = col("c1").cast("double")
+    val probs = bi.join(bc, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(nfw, Seq("w1"), "left")
+      .join(npre, Seq("w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(btot))
+      .select(col("doc_id"), col("p"),
+        when(col("c1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+            lit(discount), lit(0.0)) / c1d +
+            lit(discount) * coalesce(col("nfw"), lit(0L)).cast("double") /
+              c1d * pc)
+          .otherwise(pc).as("prob"))
+    val scored = probs.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      (aggregate(
+        array_sort(collect_list(struct(col("p"), col("prob")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("prob")) / count(lit(1)))
+        .as("avg_prob"))
+    score.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Self-trained form of [[kneserNeyFluencyOn]] (the q140 shape). */
+  def kneserNeyFluency(docs: DataFrame): DataFrame =
+    kneserNeyFluencyOn(docs, docs)
+
   /** HELD-OUT form of [[bigramFluency]] — the model trains on one
     * corpus and scores ANOTHER, which is the actual CCNet deployment
     * shape (the KenLM trains on the clean target domain, e.g.
@@ -1281,6 +1360,8 @@ object TextAnalysis {
       ((s, d) => normalizeCorpus(Tables(s, d).documents)),
     "q140_bigram_fluency" ->
       ((s, d) => bigramFluency(Tables(s, d).documents)),
+    "q271_kn_fluency" ->
+      ((s, d) => kneserNeyFluency(Tables(s, d).documents)),
     // semantic near-dup over DERIVED doc vectors: text corpus routed
     // through the vector dedup stack (cosine pairs -> CC -> keep)
     // the derived vectors feed THREE consumers inside embeddingDedup
@@ -1779,6 +1860,51 @@ object TextAnalysis {
     // is oracle-checked, not just spec-asserted
     "q213_heldout_fluency_local" -> heldoutFluencySql,
     "q140_bigram_fluency" -> bigramFluencySql,
+    // q140's corpus CTEs + KN continuation counts; the probability is
+    // ONE fixed-shape expression (same casts, same associativity) and
+    // the per-doc average is the same position-ordered fold. Pinned
+    // to D=0.75. Self-trained, so every join hits (the CASE branch
+    // structure still mirrors the Spark `when`).
+    "q271_kn_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w1,
+        |    t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY w1, w2),
+        |nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS nfw
+        |       FROM bc GROUP BY w1),
+        |np AS (SELECT w2, CAST(count(*) AS BIGINT) AS npre
+        |       FROM bc GROUP BY w2),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bc),
+        |probs AS (
+        |  SELECT doc_id, p,
+        |    greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(c1 AS DOUBLE)
+        |      + 0.75 * CAST(nfw AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |        * (CAST(npre + 1 AS DOUBLE) / CAST(b + v AS DOUBLE))
+        |      AS prob
+        |  FROM bi JOIN bc USING (w1, w2) JOIN uni USING (w1)
+        |  JOIN nf USING (w1) JOIN np USING (w2)
+        |  CROSS JOIN bt CROSS JOIN voc),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(prob ORDER BY p)),
+        |      (a, b) -> a + b) / count(*) AS avg_prob
+        |  FROM probs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  s.avg_prob
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q140's CTE (the shared literal above — the two cannot drift) +
     // quantile_cont med/MAD per source + the same two IEEE ops
     "q220_calibrated_fluency" ->

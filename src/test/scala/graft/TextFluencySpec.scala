@@ -23,6 +23,44 @@ class TextFluencySpec extends AnyFunSuite {
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 0.75) < 1e-15)
   }
 
+  test("Kneser-Ney: hand-computed probabilities; the continuation " +
+      "backoff demotes a collocation-bound word where add-one " +
+      "overrates it; unseen conditioning words back off to Pc") {
+    // model: "san francisco" x8 — francisco frequent (8) but ALWAYS
+    // after san (N1+(.francisco)=1); york (6) follows 3 distinct
+    // predecessors (N1+(.york)=3). "the" appears with other bigrams.
+    val model = ((1L to 8L).map(i => (i, "san francisco")) ++ Seq(
+      (21L, "old york"), (22L, "old york"),
+      (23L, "new york"), (24L, "new york"),
+      (25L, "big york"), (26L, "big york"),
+      (27L, "the cat"), (28L, "the dog"))).toDF("doc_id", "text")
+    // score novel contexts: "the francisco" vs "the york" — neither
+    // bigram exists in the model, so both are pure backoff
+    val probe = Seq((101L, "the francisco"), (102L, "the york"))
+      .toDF("doc_id", "text")
+    val kn = TextAnalysis.kneserNeyFluencyOn(model, probe).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(102L) > kn(101L),
+      s"KN should demote collocation-bound francisco: $kn")
+    // add-one instead RANKS THEM BACKWARDS (francisco count 8 > york
+    // count 6 and both bigrams unseen -> same 1/(c1+V) shape)
+    val addOne = TextAnalysis.bigramFluencyOn(model, probe).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(addOne(101L) == addOne(102L),
+      s"add-one can't separate the novel contexts: $addOne")
+    // hand check 102: c("the")=2, D=0.75, N1+(the.)=2 (cat, dog),
+    // B=6 distinct bigram types, V=9 types:
+    // prob = 0 + 0.75*2/2 * (3+1)/(6+9) = 0.75 * 4/15
+    assert(math.abs(kn(102L) - 0.75 * 4.0 / 15.0) < 1e-15)
+    // unseen conditioning word: pure continuation floor
+    val unseen = TextAnalysis.kneserNeyFluencyOn(model,
+      Seq((201L, "zzz york")).toDF("doc_id", "text")).collect()
+    assert(math.abs(unseen.head.getDouble(2) - 4.0 / 15.0) < 1e-15)
+    // self-trained corpus: every doc scores, seen bigrams score high
+    val self = TextAnalysis.kneserNeyFluency(model).collect()
+    assert(self.length == 16 && self.forall(!_.isNullAt(2)))
+  }
+
   test("single-token documents get n_bigrams = 0 and a NULL score") {
     val docs = Seq((1L, "lonely"), (2L, "two words")).toDF("doc_id", "text")
     val rows = TextAnalysis.bigramFluency(docs).collect()
