@@ -19,10 +19,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // construction
     val line = Bench.buildJson(names.map(_ -> 987.654),
       "/root/testdata/sf0.1")
-    // budget: 2000-char tail minus ~80 chars of sbt trailer lines
-    assert(line.length < 1900,
+    // budget: 2000-char tail minus the MEASURED ~76-char sbt trailer
+    // ("[success] Total time: ..." + newline padding). 1900 was the
+    // conservative first guard; 1920 is the sanctioned squeeze the
+    // verify skill documents, taken at 263 queries (worst case 1877).
+    // The NEXT squeeze (if the registry passes ~270) is a parallel
+    // key/value-array encoding at ~4 chars per entry.
+    assert(line.length < 1920,
       s"bench line ${line.length} chars — approaching the 2000-char " +
-        "tail window; shorten keys or trim precision")
+        "tail window; move to the array encoding")
     // every registered query gets its own entry — no "rest" bucket
     assert(!line.contains("\"rest\""),
       "registry outgrew MaxQueryEntries — per-query coverage lost")
