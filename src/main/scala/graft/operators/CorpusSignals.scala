@@ -739,6 +739,41 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Effective-sample-size card for the DSIR importance weights
+    * (Kong 1992's ESS = (Σw)²/Σw², the standard importance-sampling
+    * degeneracy diagnostic): per source, how many EFFECTIVE documents
+    * the weighted sample is worth — ess_frac near 1 means the weights
+    * are flat (resampling that source is cheap and stable); near 0
+    * means a few documents dominate and a DSIR-resampled corpus from
+    * that source would be mostly copies of its tail — the go/no-go
+    * number to read BEFORE materializing a resampled mixture.
+    *
+    * Exactness: weights are [[importanceWeights]]' oracle-exact
+    * mean_ratio; Σw and Σw² are doc_id-ordered left folds from a 0.0
+    * seed (w·w computed per element before its fold step), and
+    * ESS/ess_frac are one fixed-shape division chain — bitwise equal
+    * cross-engine. Scale: rides q170 (token-keyed partial aggs); the
+    * rollup is per-source with data-fixed cardinality. */
+  def essCard(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val w = importanceWeights(docs, targetSource)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    def fold(valCol: Column): Column =
+      aggregate(
+        array_sort(collect_list(struct(col("doc_id").as("d"),
+          valCol.as("x")))),
+        lit(0.0), (acc, e) => acc + e.getField("x"))
+    val folds = w.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      fold(col("mean_ratio")).as("sum_w"),
+      fold(col("mean_ratio") * col("mean_ratio")).as("sum_w2"))
+    folds.select(col("source"), col("n_docs"), col("sum_w"),
+        col("sum_w2"),
+        ((col("sum_w") * col("sum_w")) / col("sum_w2")).as("ess"),
+        ((col("sum_w") * col("sum_w")) / col("sum_w2") /
+          col("n_docs").cast("double")).as("ess_frac"))
+      .orderBy(col("source"))
+  }
+
   /** MATERIALIZE the [[sourceMixtureWeights]] mixture: one epoch of
     * training data where each source contributes ~weight·N rows, as
     * explicit (doc_id, copy) repetitions — the step that turns a
@@ -1952,6 +1987,7 @@ object CorpusSignals {
       epochMixture(curatedDocs(Tables(s, d).documents))),
     "q170_importance_weights" -> ((s, d) =>
       importanceWeights(Tables(s, d).documents)),
+    "q272_ess_card" -> ((s, d) => essCard(Tables(s, d).documents)),
     "q101_dataset_split" -> ((s, d) => datasetSplit(Tables(s, d).documents)),
     "q224_split_leakage" ->
       ((s, d) => splitLeakage(Tables(s, d).documents)),
@@ -2135,6 +2171,37 @@ object CorpusSignals {
       |        // CAST(mcap AS HUGEINT)
       |      ELSE 0 END AS BIGINT) AS marginal_alloc
       |  FROM caps CROSS JOIN g)""".stripMargin
+
+  /** q170's DuckDB twin WITHOUT the final ORDER BY — shared verbatim
+    * with the q272 ESS rollup so the weight definition cannot drift
+    * between the two. */
+  private[operators] val importanceWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT w,
+      |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ct,
+      |    CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS cr
+      |  FROM toks GROUP BY w),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(ct) AS BIGINT) AS t,
+      |    CAST(sum(cr) AS BIGINT) AS r
+      |  FROM counts),
+      |ratios AS (
+      |  SELECT w,
+      |    (CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+      |      / (CAST(cr + 1 AS DOUBLE) / CAST(r + v AS DOUBLE)) AS ratio
+      |  FROM counts, totals)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
+      |    (a, b) -> a + b) AS score,
+      |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
+      |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_ratio
+      |FROM toks JOIN ratios USING (w)
+      |WHERE source <> 'src0'
+      |GROUP BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // exact integer products on both sides of ONE double division
@@ -2934,32 +3001,29 @@ object CorpusSignals {
     // Spark computes (no pre-evaluated literals), and the per-doc sum
     // is the word-ordered fold — the q165 exactness recipe
     "q170_importance_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |counts AS (
-        |  SELECT w,
-        |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ct,
-        |    CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS cr
-        |  FROM toks GROUP BY w),
-        |totals AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS v,
-        |    CAST(sum(ct) AS BIGINT) AS t,
-        |    CAST(sum(cr) AS BIGINT) AS r
-        |  FROM counts),
-        |ratios AS (
-        |  SELECT w,
-        |    (CAST(ct + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
-        |      / (CAST(cr + 1 AS DOUBLE) / CAST(r + v AS DOUBLE)) AS ratio
-        |  FROM counts, totals)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
-        |    (a, b) -> a + b) AS score,
-        |  list_reduce(list_prepend(0.0, list(ratio ORDER BY w)),
-        |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_ratio
-        |FROM toks JOIN ratios USING (w)
-        |WHERE source <> 'src0'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$importanceWeightsSql
+         |ORDER BY doc_id""".stripMargin,
+    // q170's weight CTEs (shared literal — the two cannot drift) +
+    // per-source rank-ordered folds of w and w*w and Kong's
+    // ESS = (Σw)²/Σw² as one fixed-shape expression chain
+    "q272_ess_card" ->
+      s"""WITH iw AS ($importanceWeightsSql),
+         |src AS (
+         |  SELECT iw.doc_id, d.source, iw.mean_ratio AS mr
+         |  FROM iw JOIN documents d ON d.doc_id = iw.doc_id),
+         |folds AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    list_reduce(list_prepend(0.0, list(mr ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS sum_w,
+         |    list_reduce(list_prepend(0.0,
+         |        list(mr * mr ORDER BY doc_id)),
+         |      (a, b) -> a + b) AS sum_w2
+         |  FROM src GROUP BY source)
+         |SELECT source, n_docs, sum_w, sum_w2,
+         |  (sum_w * sum_w) / sum_w2 AS ess,
+         |  (sum_w * sum_w) / sum_w2 / CAST(n_docs AS DOUBLE)
+         |    AS ess_frac
+         |FROM folds ORDER BY source""".stripMargin,
     // same denom fold as q127, then pure integer arithmetic: floor
     // targets, `//` whole copies, md5-ranked remainder, series explode
     "q168_epoch_mixture" -> epochMixtureOracle("source"),

@@ -14,6 +14,45 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("essCard: identical docs give ess_frac ~ 1; one dominating " +
+      "weight collapses it toward 1/n; card agrees with a driver " +
+      "recomputation on the real corpus") {
+    import spark.implicits._
+    // src0 = target distribution; srcA docs identical (flat weights);
+    // srcB has one doc stuffed with target-distinctive tokens
+    val hand = (Seq(
+      (0L, Seq.fill(30)("target").mkString(" "), "en", "src0", 0L),
+      (10L, "plain words here", "en", "srcA", 0L),
+      (11L, "plain words here", "en", "srcA", 0L),
+      (12L, "plain words here", "en", "srcA", 0L),
+      (20L, "target target target", "en", "srcB", 0L)) ++
+      (21L to 29L).map(i => (i, "plain words here", "en", "srcB", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusSignals.essCard(hand).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(math.abs(got("srcA")._3 - 1.0) < 1e-12)
+    assert(got("srcB")._3 < 0.5,
+      s"dominated source should collapse: ${got("srcB")}")
+    assert(got("srcB")._2 > 1.0) // but more than one effective doc
+
+    // real corpus: ESS in (0, n], frac in (0, 1]; driver recompute
+    val w = CorpusSignals.importanceWeights(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("mean_ratio"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val real = CorpusSignals.essCard(docs).collect()
+    real.foreach { r =>
+      val (src, n, ess, frac) =
+        (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5))
+      val ws = w.filter(_._1 == src).sortBy(_._2).map(_._3)
+      assert(ws.length == n)
+      val s1 = ws.sum; val s2 = ws.map(x => x * x).sum
+      assert(math.abs(ess - s1 * s1 / s2) < 1e-9 * ess)
+      assert(frac > 0.0 && frac <= 1.0 + 1e-12)
+    }
+  }
+
   test("collocationCard: a planted collocation out-scores a pair of " +
       "independently-frequent words; the frequency floor holds") {
     import spark.implicits._
