@@ -1149,6 +1149,57 @@ object TextAnalysis {
         (size(col("matched0")) > 0).as("flagged"))
   }
 
+  /** Quality-screen AGREEMENT matrix — the redundancy/complementarity
+    * diagnostic a curation stack needs before adding or retiring a
+    * screen: for every pair of per-doc keep verdicts (Gopher rules,
+    * blocklist pass, OOV-coverage pass), the 2×2 confusion counts and
+    * the Jaccard of their DROP sets. Two screens with drop-Jaccard
+    * near 1 are redundant (retire one, save its scan cost); near 0
+    * they catch disjoint failure classes and both earn their place —
+    * the ablation table of C4/Gopher/RefinedWeb papers as a query.
+    *
+    * Exactness: all three verdicts are oracle-exact booleans (their
+    * SQL twins are now SHARED literals so screen and matrix cannot
+    * drift); cells are integer counts; drop-Jaccard is one division
+    * guarded by the empty-union NULL. Scale: three narrow screen
+    * projections joined on doc_id, one |screens|²-row rollup — the
+    * explode multiplies rows by |screens| (=3), absorbed map-side. */
+  def screenAgreement(docs: DataFrame, oovMax: Double = 0.6): DataFrame = {
+    val g = gopherRules(docs)
+      .select(col("doc_id"), col("keep").as("k_gopher"))
+    val b = blocklistFilter(docs)
+      .select(col("doc_id"), (!col("flagged")).as("k_blocklist"))
+    val o = oovRate(docs)
+      .select(col("doc_id"), (col("oov_rate") <= oovMax).as("k_oov"))
+    val verdicts = g.join(b, Seq("doc_id")).join(o, Seq("doc_id"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("blocklist").as("screen"), col("k_blocklist").as("keep")),
+        struct(lit("gopher").as("screen"), col("k_gopher").as("keep")),
+        struct(lit("oov").as("screen"), col("k_oov").as("keep")))).as("s"))
+      .select(col("doc_id"), col("s.screen").as("screen"),
+        col("s.keep").as("keep"))
+    val cells = verdicts
+      .select(col("doc_id"), col("screen").as("screen_a"),
+        col("keep").as("ka"))
+      .join(verdicts.select(col("doc_id"), col("screen").as("screen_b"),
+        col("keep").as("kb")), Seq("doc_id"))
+      .filter(col("screen_a") < col("screen_b"))
+      .groupBy(col("screen_a"), col("screen_b"))
+      .agg(
+        count(when(col("ka") && col("kb"), 1)).as("both_keep"),
+        count(when(col("ka") && !col("kb"), 1)).as("a_keeps_b_drops"),
+        count(when(!col("ka") && col("kb"), 1)).as("a_drops_b_keeps"),
+        count(when(!col("ka") && !col("kb"), 1)).as("both_drop"))
+    val unionDrops = col("a_keeps_b_drops") + col("a_drops_b_keeps") +
+      col("both_drop")
+    cells.select(col("screen_a"), col("screen_b"), col("both_keep"),
+        col("a_keeps_b_drops"), col("a_drops_b_keeps"), col("both_drop"),
+        when(unionDrops > 0,
+          col("both_drop").cast("double") / unionDrops.cast("double"))
+          .as("drop_jaccard"))
+      .orderBy(col("screen_a"), col("screen_b"))
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`v` terms —
     * the tokenizer-coverage diagnostic ("how much of each document
     * does a size-v vocab explain"). The vocab is derived, not given:
@@ -1323,6 +1374,8 @@ object TextAnalysis {
         .orderBy(col("doc_id"))),
     "q179_oov_rate" ->
       ((s, d) => oovRate(Tables(s, d).documents)),
+    "q273_screen_agreement" ->
+      ((s, d) => screenAgreement(Tables(s, d).documents)),
     "q175_template_prefixes" ->
       ((s, d) => templatePrefixes(Tables(s, d).documents)),
     "q20_token_stats" -> ((s, d) => tokenStats(Tables(s, d))),
@@ -1490,6 +1543,59 @@ object TextAnalysis {
   /** q140's DuckDB twin, shared verbatim by every oracle that builds
     * on the in-engine fluency score (q220 here; q154/q210 inline it
     * cross-module via `oracleSql("q140_bigram_fluency")`). */
+  /** q174's DuckDB twin sans ORDER BY (shared with q273). */
+  private[operators] val gopherRulesSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      |    CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |      AS mean_word_len,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      |    list_has_any(string_split(text, ' '),
+      |      ['the', 'a', 'an', 'of', 'to']) AS has_stopword
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, concat_ws(',',
+      |    CASE WHEN n_words < 20 THEN 'too_short' END,
+      |    CASE WHEN n_words > 80 THEN 'too_long' END,
+      |    CASE WHEN mean_word_len < 4.0 OR mean_word_len > 5.0
+      |         THEN 'word_len' END,
+      |    CASE WHEN NOT has_stopword THEN 'no_stopword' END,
+      |    CASE WHEN ttr < 0.45 THEN 'repetitive' END) AS drop_reasons
+      |  FROM s)
+      |SELECT doc_id, n_words, mean_word_len, ttr, has_stopword,
+      |  drop_reasons, drop_reasons = '' AS keep
+      |FROM r""".stripMargin
+
+  /** q178's DuckDB twin sans ORDER BY (shared with q273). */
+  private[operators] val blocklistSql: String =
+    """SELECT doc_id,
+      |  coalesce(array_to_string(list_filter(['spark', 'vector', 'dup'],
+      |    b -> list_contains(string_split(text, ' '), b)), ','), '')
+      |    AS matched_terms,
+      |  len(list_filter(['spark', 'vector', 'dup'],
+      |    b -> list_contains(string_split(text, ' '), b))) > 0
+      |    AS flagged
+      |FROM documents""".stripMargin
+
+  /** q179's DuckDB twin sans ORDER BY (shared with q273). */
+  private[operators] val oovRateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM toks GROUP BY tok
+      |  ORDER BY count(*) DESC, tok LIMIT 20)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY doc_id""".stripMargin
+
   private[operators] val bigramFluencySql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1628,56 +1734,48 @@ object TextAnalysis {
     // same integer-derived divisions ((chars-spaces)/words, types/
     // words) and the same NULL-skipping concat_ws reason assembly
     "q174_gopher_rules" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
-        |    CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
-        |      AS mean_word_len,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
-        |    list_has_any(string_split(text, ' '),
-        |      ['the', 'a', 'an', 'of', 'to']) AS has_stopword
-        |  FROM documents),
-        |r AS (
-        |  SELECT *, concat_ws(',',
-        |    CASE WHEN n_words < 20 THEN 'too_short' END,
-        |    CASE WHEN n_words > 80 THEN 'too_long' END,
-        |    CASE WHEN mean_word_len < 4.0 OR mean_word_len > 5.0
-        |         THEN 'word_len' END,
-        |    CASE WHEN NOT has_stopword THEN 'no_stopword' END,
-        |    CASE WHEN ttr < 0.45 THEN 'repetitive' END) AS drop_reasons
-        |  FROM s)
-        |SELECT doc_id, n_words, mean_word_len, ttr, has_stopword,
-        |  drop_reasons, drop_reasons = '' AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""$gopherRulesSql
+         |ORDER BY doc_id""".stripMargin,
     // the same list-literal filter, so matched order is pinned to the
     // blocklist in both engines
     "q178_blocklist_filter" ->
-      """SELECT doc_id,
-        |  coalesce(array_to_string(list_filter(['spark', 'vector', 'dup'],
-        |    b -> list_contains(string_split(text, ' '), b)), ','), '')
-        |    AS matched_terms,
-        |  len(list_filter(['spark', 'vector', 'dup'],
-        |    b -> list_contains(string_split(text, ' '), b))) > 0
-        |    AS flagged
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""$blocklistSql
+         |ORDER BY doc_id""".stripMargin,
     // same (count, token) total-ordered vocab cut and integer-exact
     // rate division
     "q179_oov_rate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |vocab AS (
-        |  SELECT tok FROM toks GROUP BY tok
-        |  ORDER BY count(*) DESC, tok LIMIT 20)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_oov,
-        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS oov_rate
-        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$oovRateSql
+         |ORDER BY doc_id""".stripMargin,
+    // the three screens' SHARED literals (q174/q178/q179 — none can
+    // drift from its matrix row) + integer 2x2 cells + one guarded
+    // division. Pinned to oovMax=0.6.
+    "q273_screen_agreement" ->
+      s"""WITH g AS ($gopherRulesSql),
+         |b AS ($blocklistSql),
+         |o AS ($oovRateSql),
+         |v AS (
+         |  SELECT doc_id, 'gopher' AS screen, keep FROM g
+         |  UNION ALL SELECT doc_id, 'blocklist', NOT flagged FROM b
+         |  UNION ALL SELECT doc_id, 'oov', oov_rate <= 0.6 FROM o),
+         |cells AS (
+         |  SELECT a.screen AS screen_a, c.screen AS screen_b,
+         |    CAST(count(*) FILTER (WHERE a.keep AND c.keep) AS BIGINT)
+         |      AS both_keep,
+         |    CAST(count(*) FILTER (WHERE a.keep AND NOT c.keep) AS BIGINT)
+         |      AS a_keeps_b_drops,
+         |    CAST(count(*) FILTER (WHERE NOT a.keep AND c.keep) AS BIGINT)
+         |      AS a_drops_b_keeps,
+         |    CAST(count(*) FILTER (WHERE NOT a.keep AND NOT c.keep)
+         |      AS BIGINT) AS both_drop
+         |  FROM v a JOIN v c
+         |    ON a.doc_id = c.doc_id AND a.screen < c.screen
+         |  GROUP BY a.screen, c.screen)
+         |SELECT screen_a, screen_b, both_keep, a_keeps_b_drops,
+         |  a_drops_b_keeps, both_drop,
+         |  CAST(both_drop AS DOUBLE) / CAST(nullif(
+         |    a_keeps_b_drops + a_drops_b_keeps + both_drop, 0)
+         |    AS DOUBLE) AS drop_jaccard
+         |FROM cells ORDER BY screen_a, screen_b""".stripMargin,
     "q175_template_prefixes" ->
       """SELECT array_to_string(
         |    list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix,

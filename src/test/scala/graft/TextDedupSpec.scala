@@ -45,6 +45,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!jp.contains((1L, 2L)) && jp.contains((3L, 4L)))
   }
 
+  test("screenAgreement: hand-corpus cells are exact; every pair's " +
+      "cells sum to the doc count; disjoint screens score " +
+      "drop_jaccard 0") {
+    // doc 1 passes everything (21 words, stopword, healthy ttr);
+    // doc 2 fails gopher only (too short); doc 3 passes gopher but is
+    // blocklist-flagged ('spark'); tiny vocab => oov keeps all
+    val clean = "the quick brown foxes moved softly over damp grass " +
+      "while small birds called from leafy trees before early light faded"
+    val docs = Seq(
+      (1L, clean, "en", "s", 0L),
+      (2L, "the cat sat", "en", "s", 0L),
+      (3L, clean.replace("light", "spark"), "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.screenAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(("blocklist", "gopher"),
+      ("blocklist", "oov"), ("gopher", "oov")))
+    // blocklist keeps {1,2}, gopher keeps {1,3}, oov keeps all
+    assert(got(("blocklist", "gopher")) == ((1L, 1L, 1L, 0L)))
+    assert(got(("blocklist", "oov"))    == ((2L, 0L, 1L, 0L)))
+    assert(got(("gopher", "oov"))       == ((2L, 0L, 1L, 0L)))
+    // disjoint drop sets -> drop_jaccard 0 for (blocklist, gopher)
+    val bg = TextAnalysis.screenAgreement(docs).collect()
+      .find(r => r.getString(0) == "blocklist" &&
+        r.getString(1) == "gopher").get
+    assert(bg.getDouble(6) == 0.0)
+
+    // real corpus: cells of every pair partition the doc count
+    val n = Tables(spark, sf).documents.count()
+    TextAnalysis.screenAgreement(Tables(spark, sf).documents).collect()
+      .foreach { r =>
+        assert(r.getLong(2) + r.getLong(3) + r.getLong(4) +
+          r.getLong(5) == n, s"cells don't partition: $r")
+      }
+  }
+
   test("winnowingPairs: a shared passage >= w+k-1 tokens ALWAYS shares " +
       "a fingerprint wherever it sits; unrelated docs never pair; the " +
       "df cap silences boilerplate") {
