@@ -115,7 +115,13 @@ object ScaleTrial {
     "q262_knn_labels", // probe-broadcast exact-cosine + k-row votes
     "q265_bitext_margin", // one sim matrix reused by both kNN sides
     "q267_type_growth", // first-occurrence groupBy + 10-row broadcast
-    "q268_collocations") // vocab-sized count groupBys + TakeOrdered
+    "q268_collocations", // vocab-sized count groupBys + TakeOrdered
+    "q269_containment_pairs", // q26 block tier, size filter dropped
+    "q270_winnowing_pairs", // row-local selection + df-capped postings
+    "q271_kn_fluency", // checkpointed bigram model, crawl-side scan
+    "q272_ess_card", // q170 + per-source folds
+    "q273_screen_agreement", // three screens + |screens|^2 rollup
+    "q274_containment_winnowed") // winnowed candidates + exact verify
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -745,7 +745,7 @@ object CorpusSignals {
     * the weighted sample is worth — ess_frac near 1 means the weights
     * are flat (resampling that source is cheap and stable); near 0
     * means a few documents dominate and a DSIR-resampled corpus from
-    * that source would be mostly copies of its tail — the go/no-go
+    * that source would be mostly copies of its tail — the proceed-or-abort
     * number to read BEFORE materializing a resampled mixture.
     *
     * Exactness: weights are [[importanceWeights]]' oracle-exact

@@ -1116,20 +1116,37 @@ object Dedup {
     * the q202/q217 linear-for-fixed-cap argument. */
   def winnowingPairs(documents: DataFrame, k: Int = 4, w: Int = 4,
       minShared: Int = 2, maxDf: Long = 20): DataFrame = {
+    // positions become ROWS before the window pass, so each k-gram is
+    // md5'd exactly once — the array formulation (array_min over a
+    // slice per window) re-evaluates the whole hash array per window
+    // once CollapseProject inlines it into the lambda: O(positions²)
+    // md5 calls per doc, measured 40x slower at sf0.1
     val toks = split(col("text"), " ")
     val positions = greatest(size(toks) - (k - 1), lit(0))
-    val hs = transform(sequence(lit(1), greatest(positions, lit(1))),
-      p => concat(md5(array_join(slice(toks, p, lit(k)), " ")), lit(":"),
-        lpad(p.cast("string"), 6, "0")))
-    val nwin = greatest(positions - (w - 1), lit(1))
-    val sel = when(positions >= 1,
-        array_distinct(transform(sequence(lit(1), nwin),
-          j => array_min(slice(hs, j, lit(w))))))
-      .otherwise(array(concat(md5(col("text")), lit(":000001"))))
-    val fps = documents
-      .select(col("doc_id"), explode(sel).as("s"))
-      .select(col("doc_id"), substring(col("s"), 1, 32).as("fp"))
-      .distinct()
+    val based = documents.select(col("doc_id"), col("text"),
+      toks.as("t"), positions.as("np"))
+    val hashed = based.filter(col("np") >= 1)
+      .select(col("doc_id"), col("np"), posexplode(expr(
+        s"transform(sequence(1, np), i -> " +
+          s"concat(md5(array_join(slice(t, i, $k), ' ')), ':', " +
+          "lpad(cast(i as string), 6, '0')))")))
+      .select(col("doc_id"), col("np"),
+        (col("pos") + 1).as("p"), col("col").as("hstr"))
+    // per-window min via a doc-keyed sliding frame: row p carries the
+    // min of window [p, p+w-1]; rows past the last FULL window are
+    // dropped (for np < w the single clamped window at p=1 survives —
+    // the slice-clamp semantics of the array form, unchanged)
+    val winMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        w - 1)
+    val selected = hashed
+      .withColumn("sel", min(col("hstr")).over(winMin))
+      .filter(col("p") <= greatest(col("np") - (w - 1), lit(1)))
+      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+    val fallback = based.filter(col("np") === 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val fps = selected.union(fallback).distinct()
     val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val kept = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -1357,12 +1374,12 @@ object Dedup {
       |FROM train d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // the winnowing selection itself replays: same md5(k-gram)||pos
-    // tagged hashes, same per-window lexicographic min, same df cap
-    // and pair rollup. Pinned to k=4, w=4, minShared=2, maxDf=20.
-    "q270_winnowing_pairs" ->
-      """WITH d AS (
+  /** q270's DuckDB twin sans ORDER BY — shared with the q274
+    * containment-over-winnowing tier so candidate generation cannot
+    * drift between the two. `minShared` is interpolated (q270 pins 2;
+    * q274's candidate tier pins 1). */
+  private[graft] def winnowingPairsSql(minShared: Int): String =
+    s"""WITH d AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks
         |  FROM documents),
         |base AS (
@@ -1400,15 +1417,57 @@ object Dedup {
         |    CAST(count(*) AS BIGINT) AS n_shared
         |  FROM kept a JOIN kept b
         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= $minShared)
         |SELECT p2.d1, p2.d2, p2.n_shared,
         |  n1.nfp AS nfp1, n2.nfp AS nfp2,
         |  CAST(p2.n_shared AS DOUBLE)
         |    / CAST(least(n1.nfp, n2.nfp) AS DOUBLE) AS overlap_frac
         |FROM p2
         |JOIN nf n1 ON n1.doc_id = p2.d1
-        |JOIN nf n2 ON n2.doc_id = p2.d2
-        |ORDER BY d1, d2""".stripMargin,
+        |JOIN nf n2 ON n2.doc_id = p2.d2""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // the winnowing selection itself replays: same md5(k-gram)||pos
+    // tagged hashes, same per-window lexicographic min, same df cap
+    // and pair rollup. Pinned to k=4, w=4, minShared=2, maxDf=20.
+    "q270_winnowing_pairs" ->
+      s"""${winnowingPairsSql(2)}
+         |ORDER BY d1, d2""".stripMargin,
+    // winnowing candidates (shared literal, minShared=1) verified by
+    // the q269 exact-containment math — the SCALE tier: candidate
+    // volume rides winnowed posting lists instead of (lang,source)
+    // block². Same column contract as q269 plus n_shared.
+    "q274_containment_winnowed" ->
+      s"""WITH wp AS (${winnowingPairsSql(1)}),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')))
+         |    ELSE [text] END AS sh
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |pr AS (
+         |  SELECT wp.d1, wp.d2, wp.n_shared,
+         |    CAST(len(a.sh) AS BIGINT) AS n1,
+         |    CAST(len(b.sh) AS BIGINT) AS n2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+         |  FROM wp
+         |  JOIN sh a ON a.doc_id = wp.d1
+         |  JOIN sh b ON b.doc_id = wp.d2)
+         |SELECT d1, d2, n_shared, n1, n2, inter,
+         |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)
+         |    AS jaccard,
+         |  CAST(inter AS DOUBLE) / CAST(n1 AS DOUBLE) AS c1_in_2,
+         |  CAST(inter AS DOUBLE) / CAST(n2 AS DOUBLE) AS c2_in_1,
+         |  CASE WHEN CAST(inter AS DOUBLE)
+         |      / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5
+         |    THEN 'near_dup' ELSE 'quote' END AS relation
+         |FROM pr
+         |WHERE CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE)
+         |  >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

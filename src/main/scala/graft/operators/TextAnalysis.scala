@@ -185,6 +185,52 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The SCALE tier of [[containmentPairs]]: winnowing fingerprints
+    * ([[Dedup.winnowingPairs]], minShared=1) generate the candidate
+    * pairs, the same exact-containment math verifies them. Winnowed
+    * candidate volume rides df-capped fingerprint posting lists —
+    * linear for a fixed cap — where the exact tier's (lang, source)
+    * block join grows block² (measured 15.3x at the 10x trial, the
+    * q190→q196 precedent). Winnowing's locality guarantee is exactly
+    * the right generator for the QUOTE class: a pasted passage of
+    * ≥ w+k−1 tokens always shares a fingerprint, wherever it sits —
+    * and candidates cross (lang, source) blocks, which the exact tier
+    * never pairs. Emits q269's column contract plus n_shared. */
+  def containmentPairsWinnowed(documents: DataFrame,
+      minContainment: Double = 0.5, nearDupJaccard: Double = 0.5,
+      k: Int = 4, w: Int = 4, maxDf: Long = 20): DataFrame = {
+    val cand = Dedup.winnowingPairs(documents, k, w,
+      minShared = 1, maxDf = maxDf)
+      .select(col("d1"), col("d2"), col("n_shared"))
+    val sh = documents.select(col("doc_id"),
+        sortedShingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n").as("na")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("n").as("nb")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        col("na").cast("long").as("n1"), col("nb").cast("long").as("n2"),
+        graft.plans.FastOps.sortedIntersectSize(col("sh1"), col("sh2"))
+          .cast("long").as("inter"))
+      .filter(col("inter").cast("double") /
+        least(col("n1"), col("n2")).cast("double") >= minContainment)
+      .select(col("d1"), col("d2"), col("n_shared"), col("n1"),
+        col("n2"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+          .as("jaccard"),
+        (col("inter").cast("double") / col("n1").cast("double"))
+          .as("c1_in_2"),
+        (col("inter").cast("double") / col("n2").cast("double"))
+          .as("c2_in_1"))
+      .withColumn("relation",
+        when(col("jaccard") >= nearDupJaccard, lit("near_dup"))
+          .otherwise(lit("quote")))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** All-pairs sparse-cosine similarity by POSTING-LIST join — the
     * inverted-index formulation of near-dup pair generation (Bayardo,
     * Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search":
@@ -1387,6 +1433,8 @@ object TextAnalysis {
     "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d).documents)),
     "q269_containment_pairs" -> ((s, d) =>
       containmentPairs(Tables(s, d).documents)),
+    "q274_containment_winnowed" -> ((s, d) =>
+      containmentPairsWinnowed(Tables(s, d).documents)),
     "q27_fingerprints" -> ((s, d) => fingerprints(Tables(s, d))),
     "q65_cardinality_sketch" ->
       ((s, d) => corpusCardinalitySketch(Tables(s, d))),

@@ -45,6 +45,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!jp.contains((1L, 2L)) && jp.contains((3L, 4L)))
   }
 
+  test("containmentPairsWinnowed: catches the quote the exact tier " +
+      "catches AND the cross-source quote the block tier never pairs") {
+    val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 14).map(i => s"w$i").mkString(" ")  // 10 tokens
+    val docs = Seq(
+      (1L, longText, "en", "s", 0L),
+      (2L, quote, "en", "s", 0L),
+      // the same passage quoted from ANOTHER source: invisible to the
+      // (lang, source)-blocked exact tier by construction
+      (3L, quote, "en", "other", 0L),
+      (4L, (100 to 130).map(i => s"z$i").mkString(" "), "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val win = TextAnalysis.containmentPairsWinnowed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(9)).toMap
+    assert(win.contains((1L, 2L)) && win((1L, 2L)) == "quote")
+    assert(win.contains((1L, 3L)) && win((1L, 3L)) == "quote",
+      s"cross-source quote missed: ${win.keySet}")
+    assert(!win.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    val exact = TextAnalysis.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && !exact.contains((1L, 3L)))
+  }
+
   test("screenAgreement: hand-corpus cells are exact; every pair's " +
       "cells sum to the doc count; disjoint screens score " +
       "drop_jaccard 0") {
