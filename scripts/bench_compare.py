@@ -18,9 +18,18 @@ def canon(queries, base=10):
     (tail-window budget); mid-round-10+ lines carry an explicit
     "enc":36 marker and render the number in base36 ("3r") — digit
     strings are ambiguous between the two, which is exactly why the
-    marker exists. All map to qNN (two-digit zero-padded, matching the
-    registry's query names). Round 10+ OMITS entries that ran <0.5s
-    (same budget) — main() gap-fills those to 0.0."""
+    marker exists. Late round 10 (270 queries) packs the same base36
+    keys + single-digit values into the parallel-array pair
+    {"k": "1 2 3r …", "v": "993…"} — detected by shape here. All map
+    to qNN (two-digit zero-padded, matching the registry's query
+    names). Round 10+ OMITS entries that ran <0.5s (same budget) —
+    main() gap-fills those to 0.0."""
+    if set(queries) == {"k", "v"} and isinstance(queries.get("k"), str):
+        keys = queries["k"].split()
+        vals = queries["v"]
+        assert len(keys) == len(vals), "k/v arrays out of step"
+        queries = {k: float(v) for k, v in zip(keys, vals)}
+        base = 36
     out = {}
     for k, v in queries.items():
         kk = k.lstrip("q")

@@ -75,6 +75,13 @@ object Bench {
   //     regression still materializes an entry, and the few >9 s
   //     queries' magnitudes live on stderr and in "value" (the
   //     common-set total, the ~1%-stable drift signal);
+  //   - at 270 queries the per-entry object syntax ("3r":9 — ~7
+  //     chars) outgrew the budget, so "queries" became the PARALLEL
+  //     ARRAY pair {"k":"1 2 3r …","v":"993…"}: keys space-joined
+  //     (~3 chars each), values positional single digits (1 char,
+  //     v.length == #keys) — ~4 chars/entry, headroom to ~400
+  //     queries. scripts/bench_compare.py decodes this generation by
+  //     the {"k","v"} shape and the older three by "enc"/"q"-prefix;
   //   - the "metric"/"value"/"unit"/"queries" skeleton is driver
   //     contract (its parser keys on those literals) — never rename.
   // BenchFormatSpec guards the worst-case length against query growth.
@@ -89,10 +96,11 @@ object Bench {
     // every query is normally present.
     val kept = results.sortBy { case (n, v) => (-v, n) }
       .take(MaxQueryEntries).map(_._1).toSet
-    val qs = results.collect {
-      case (k, v) if kept(k) && sig1(v) != "0" =>
-        "\"" + shortKey(k) + "\":" + sig1(v)
-    }.mkString("{", ",", "}")
+    val entries = results.collect {
+      case (k, v) if kept(k) && sig1(v) != "0" => (shortKey(k), sig1(v))
+    }
+    val qs = "{\"k\":\"" + entries.map(_._1).mkString(" ") +
+      "\",\"v\":\"" + entries.map(_._2).mkString + "\"}"
     val restSum = results.collect {
       case (k, v) if !kept(k) => v
     }.sum

@@ -121,7 +121,14 @@ object ScaleTrial {
     "q271_kn_fluency", // checkpointed bigram model, crawl-side scan
     "q272_ess_card", // q170 + per-source folds
     "q273_screen_agreement", // three screens + |screens|^2 rollup
-    "q274_containment_winnowed") // winnowed candidates + exact verify
+    "q274_containment_winnowed", // winnowed candidates + exact verify
+    "q275_dispersion_card", // no-pair-join sum-vector identity: ~flat-linear
+    "q276_centroid_outliers", // broadcast centroids + quantile machinery
+    "q277_burst_detect", // daily rollup + 2 keyed windows: must be ~flat
+    "q278_centroid_drift", // two |labels|xdim rollups + tiny join
+    "q279_rolling_active", // 7x fan-out of distinct (user,day), no window
+    "q280_script_mix", // row-local class counts + |sources| rollup
+    "q281_compression_ratio") // narrow deflate UDF: must be ~flat-linear
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -21,6 +21,82 @@ import graft.Tables
   */
 object Behavioral {
 
+  /** BURST detection with HYSTERESIS over the per-type daily event
+    * series — the alerting shape where a single threshold flaps
+    * (Kleinberg 2002 models bursts as a two-state automaton; the
+    * ops-monitoring form is a Schmitt trigger): a type ENTERS burst
+    * when its daily count clears the high-water mark and STAYS in
+    * burst until the count falls below the low-water mark. Both marks
+    * are the type's OWN daily-count quantiles (p90 enter / p60 exit —
+    * self-calibrating at any SF, the exact-quantile order-statistic
+    * machinery, no float accumulation).
+    *
+    * The state recurrence `in_t = cnt_t ≥ hi ∨ (cnt_t ≥ lo ∧
+    * in_{t-1})` is closed-formed into two keyed running maxima —
+    * in burst iff the last hi-crossing is more recent than the last
+    * drop below lo — so the operator is two PARTITIONED windows over
+    * the |types|×|days| daily rollup, no ordered fold, no state, and
+    * the oracle states the identical windows. Days with zero events
+    * have no row (the observed-day series; q99's gap-filler composes
+    * in front when calendar continuity matters). */
+  def burstDetect(events: DataFrame, pHi: Double = 0.9,
+      pLo: Double = 0.6): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val thr = Describe.groupedExactQuantiles(daily, "event_type",
+      Seq("cnt"), Seq(pHi, pLo))
+    def thrExpr(i: Int) = try_element_at(
+      map(thr.toSeq.sortBy(_._1._1).flatMap { case ((g, _), v) =>
+        Seq(lit(g), lit(v(i))): Seq[org.apache.spark.sql.Column]
+      }: _*), col("event_type"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"), col("cnt"),
+        thrExpr(0).as("hi"), thrExpr(1).as("lo"))
+      .withColumn("last_hi",
+        max(when(col("cnt").cast("double") >= col("hi"), col("day"))).over(w))
+      .withColumn("last_lo",
+        max(when(col("cnt").cast("double") < col("lo"), col("day"))).over(w))
+      .select(col("event_type"), col("day"), col("cnt"), col("hi"), col("lo"),
+        (col("last_hi").isNotNull &&
+          (col("last_lo").isNull || col("last_hi") > col("last_lo")))
+          .as("in_burst"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Rolling 7-day active users — DAU / WAU / stickiness per observed
+    * day, the growth-accounting rollup every product pipeline ships.
+    * NO sliding window and NO per-day re-scan: activity collapses to
+    * distinct (user, day) once, and each pair fans out to the ≤7
+    * report days it counts toward (a broadcast 7-int sequence —
+    * map-side, the multiplier is the window length, never the data),
+    * deduped and counted. Exact integers + one final stickiness
+    * division. Report days are the OBSERVED days (zero-event calendar
+    * days have no row; q99's gap-filler composes in front when the
+    * calendar view matters); the trailing fan-out beyond the last
+    * observed day is cut by a 1-row broadcast max. */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val rolled = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("rday"))
+      .distinct()
+    val wau = rolled.crossJoin(broadcast(maxDay))
+      .filter(col("rday") <= col("max_day"))
+      .groupBy(col("rday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("rday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first event; for each (cohort week, whole weeks since first
     * event) the count of distinct active users. Two shuffles (first
@@ -313,6 +389,9 @@ object Behavioral {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_ewma" -> ((s, d) => ewma(Tables(s, d).events)),
+    "q277_burst_detect" -> ((s, d) => burstDetect(Tables(s, d).events)),
+    "q279_rolling_active" ->
+      ((s, d) => rollingActiveUsers(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
     "q182_trend_slopes" -> ((s, d) => trendSlopes(Tables(s, d).events)),
     "q172_rfm_segments" -> ((s, d) => rfmSegments(Tables(s, d).events)),
@@ -334,6 +413,51 @@ object Behavioral {
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (s, x) -> 0.3 * x + 0.7 * s) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the hysteresis recurrence as its closed form: two running-max
+    // windows over the daily rollup, marks = the type's own
+    // quantile_cont(0.9/0.6) daily-count quantiles
+    "q277_burst_detect" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |thr AS (
+        |  SELECT event_type, quantile_cont(cnt, 0.9) AS hi,
+        |    quantile_cont(cnt, 0.6) AS lo
+        |  FROM daily GROUP BY 1),
+        |w AS (
+        |  SELECT d.event_type, d.day, d.cnt, t.hi, t.lo,
+        |    max(CASE WHEN CAST(d.cnt AS DOUBLE) >= t.hi THEN d.day END)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_hi,
+        |    max(CASE WHEN CAST(d.cnt AS DOUBLE) < t.lo THEN d.day END)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_lo
+        |  FROM daily d JOIN thr t ON d.event_type = t.event_type)
+        |SELECT event_type, day, cnt, hi, lo,
+        |  last_hi IS NOT NULL AND (last_lo IS NULL OR last_hi > last_lo)
+        |    AS in_burst
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    // the same ≤7-day fan-out of distinct (user, day) pairs, deduped
+    // and counted — no sliding window in either engine
+    "q279_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |rolled AS (
+        |  SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS rday
+        |  FROM ud, (SELECT unnest(range(7)) AS k)),
+        |wau AS (
+        |  SELECT rday, CAST(count(*) AS BIGINT) AS wau
+        |  FROM rolled, mx WHERE rday <= max_day GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w ON w.rday = d.day
+        |ORDER BY d.day""".stripMargin,
     // exact medians both sides (quantile_cont(0.5) = the weighted
     // interpolation the distributed rank machinery reproduces)
     "q181_mad_outliers" ->

@@ -367,7 +367,104 @@ object DataHygiene {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // q280: unicode script-mix card
+  // ---------------------------------------------------------------
+
+  /** Per-source unicode SCRIPT-mix card — the router diagnostic
+    * underneath language ID (q30/q232 score stopword PROFILES; this
+    * measures the writing system itself): per source, exact counts of
+    * Latin / digit / space / Cyrillic / CJK / other characters and
+    * the non-Latin rate — a Latin-tagged feed with rising Cyrillic
+    * mass is a mislabeled crawl or an encoding break. The synthetic
+    * corpus is ASCII, so docs plant deterministic Cyrillic
+    * (doc_id % 7) and CJK (doc_id % 11) tails (the q244/q245 plant
+    * convention, replayed verbatim in the oracle).
+    *
+    * Counts are length differences under class-stripping
+    * regexp_replace with LITERAL-character range classes (the same
+    * `[а-ӿ]`-style class compiles identically in Java regex and
+    * RE2 — no `\\u`/`\\x{}` escape-syntax divergence), so every
+    * number is an exact integer; one final IEEE division. Row-local
+    * projection + a map-side |sources|-row rollup — zero data-sized
+    * shuffle at any corpus size. */
+  def scriptMixCard(docs: DataFrame): DataFrame = {
+    val cyrCls = "[Ѐ-ӿ]"
+    val cjkCls = "[一-鿿]"
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit(" привет мир"))
+        .when(pmod(col("doc_id"), lit(11)) === 0, lit(" 你好世界"))
+        .otherwise(lit("")))
+    def stripped(cls: String): Column =
+      length(col("t")) - length(regexp_replace(col("t"), cls, ""))
+    val perDoc = docs.select(col("source"), planted.as("t"))
+      .select(col("source"), length(col("t")).as("nc"),
+        stripped("[A-Za-z]").as("lat"), stripped("[0-9]").as("dig"),
+        stripped("[ ]").as("spc"), stripped(cyrCls).as("cyr"),
+        stripped(cjkCls).as("cjk"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("lat")).as("latin_chars"),
+        sum(col("dig")).as("digit_chars"),
+        sum(col("spc")).as("space_chars"),
+        sum(col("cyr")).as("cyr_chars"),
+        sum(col("cjk")).as("cjk_chars"),
+        sum(col("nc") - col("lat") - col("dig") - col("spc") -
+          col("cyr") - col("cjk")).as("other_chars"))
+      .withColumn("non_latin_rate",
+        (col("cyr_chars") + col("cjk_chars") + col("other_chars"))
+          .cast("double") / col("n_chars").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // q281: compression-ratio gibberish screen
+  // ---------------------------------------------------------------
+
+  /** Compression-RATIO screen — the zlib-deflate quality signal the
+    * RedPajama-v2/CCNet family ships per document: highly
+    * compressible text (ratio near 0) is repeated boilerplate or
+    * template spam; incompressible text (ratio near 1) is
+    * base64/random/encrypted junk; natural language sits in the wide
+    * middle band. Ratio = deflate(bytes).length / bytes.length at
+    * the default zlib level — deterministic on a fixed JVM, computed
+    * inside ONE narrow UDF (the only operation in this library where
+    * a UDF is warranted: there is no codegen zlib), zero shuffle,
+    * media-scale safe because only the two integer lengths leave the
+    * row. Rows-only BY DESIGN: DuckDB exposes no deflate; the specs
+    * pin planted repetitive/random/natural docs into their bands and
+    * the keep decision both ways. */
+  def compressionRatio(docs: DataFrame,
+      loCut: Double = 0.2, hiCut: Double = 0.95): DataFrame = {
+    val deflateLen = udf { (s: String) =>
+      if (s == null) -1L
+      else {
+        val bytes = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater()
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        total
+      }
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        deflateLen(col("text")).as("deflate_bytes"))
+      .withColumn("ratio",
+        col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
+      .withColumn("keep", col("ratio") >= loCut && col("ratio") <= hiCut)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_script_mix" ->
+      ((s, d) => scriptMixCard(Tables(s, d).documents)),
+    "q281_compression_ratio" ->
+      ((s, d) => compressionRatio(Tables(s, d).documents)),
     "q260_paragraph_gate" ->
       ((s, d) => paragraphGate(Tables(s, d).documents)),
     "q244_code_shape_gate" ->
@@ -436,6 +533,43 @@ object DataHygiene {
       |FROM stats""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical plant + LITERAL-character range classes (compile the
+    // same in Java regex and RE2); counts are length differences,
+    // one IEEE division at the end
+    "q280_script_mix" ->
+      """WITH t AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' привет мир'
+        |         WHEN doc_id % 11 = 0 THEN ' 你好世界'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, length(t) AS nc,
+        |    length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+        |      AS lat,
+        |    length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |      AS dig,
+        |    length(t) - length(regexp_replace(t, '[ ]', '', 'g')) AS spc,
+        |    length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))
+        |      AS cyr,
+        |    length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))
+        |      AS cjk
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(lat) AS BIGINT) AS latin_chars,
+        |  CAST(sum(dig) AS BIGINT) AS digit_chars,
+        |  CAST(sum(spc) AS BIGINT) AS space_chars,
+        |  CAST(sum(cyr) AS BIGINT) AS cyr_chars,
+        |  CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+        |  CAST(sum(nc - lat - dig - spc - cyr - cjk) AS BIGINT)
+        |    AS other_chars,
+        |  CAST(CAST(sum(cyr) AS BIGINT) + CAST(sum(cjk) AS BIGINT)
+        |      + CAST(sum(nc - lat - dig - spc - cyr - cjk) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(sum(nc) AS BIGINT) AS DOUBLE) AS non_latin_rate
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin,
     // same paragraph derivation + plant + CASE classes; counts are
     // exact integers, keep_frac one IEEE division
     "q260_paragraph_gate" ->

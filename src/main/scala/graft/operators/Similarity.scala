@@ -401,6 +401,92 @@ object Similarity {
           .as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Embedding DISPERSION card — mean pairwise dot product per label
+    * WITHOUT the pair join, via the sum-vector identity
+    * Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖². A tight (redundant, mirror-farm)
+    * cluster reads high, a topically diverse one reads low — the
+    * per-source/per-class diversity diagnostic read before deciding
+    * whether a feed adds breadth or copies (the embedding-space
+    * complement to q237's gram-overlap matrix), at the cost of two
+    * partial aggregates instead of C(n,2) pairs.
+    *
+    * Exactness: components and their squares accumulate as exact
+    * decimals (the q139 shortest-decimal device; v² at DECIMAL(37,24)
+    * is lossless for float inputs), each per-label sum collapses to a
+    * double once via the engine-independent string cast, and ‖S‖² is
+    * a pos-ordered left fold from a 0.0 seed — the identical IEEE add
+    * chain DuckDB states with list_reduce. Final stats are one
+    * fixed-shape double expression.
+    *
+    * Scale: one explode to (rows × dim) partial-aggregated map-side
+    * to |labels| × dim rows; the label rollup touches |labels| × dim
+    * rows. NO pair join, NO window — the shuffle never carries
+    * vectors, and cost is linear in corpus size at any label count. */
+  def dispersionCard(emb: DataFrame): DataFrame = {
+    val parts = emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("string").cast("decimal(18,12)").as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    val perLabel = parts
+      .select(col("label"), col("pos"), col("n"),
+        col("s").cast("string").cast("double").as("sd"), col("ss"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, sd)))," +
+          " x -> x.sd)").as("svec"),
+        sum(col("ss")).cast("string").cast("double").as("ssq"))
+    val snorm2 = aggregate(col("svec"), lit(0.0), (acc, x) => acc + x * x)
+    perLabel
+      .select(col("label"), col("n_vecs"), snorm2.as("snorm2"), col("ssq"),
+        when(col("n_vecs") > 1,
+          (snorm2 - col("ssq")) / (col("n_vecs").cast("double") *
+            (col("n_vecs") - lit(1)).cast("double"))).as("mean_pair_dot"),
+        (col("ssq") / col("n_vecs").cast("double")).as("mean_norm2"))
+      .orderBy(col("label"))
+  }
+
+  /** Per-label centroid DRIFT between two corpus snapshots — q163's
+    * ingest-monitoring gate moved to embedding space: has a class /
+    * source's semantic center MOVED between the base corpus and the
+    * fresh snapshot (a feed that changed topic, an embedding-model
+    * version skew, a poisoned crawl)? Snapshot split is the
+    * deterministic vec_id parity (the q265 side convention); per side
+    * the exact decimal centroid ([[labelCentroids]]), then cosine
+    * between the two centroid vectors plus the squared L2 shift —
+    * both as pos-ordered seeded left folds (the identical IEEE chain
+    * DuckDB states with list_reduce), one fixed-shape final
+    * expression each.
+    *
+    * Scale: two |labels|×dim partial-aggregate rollups and a
+    * |labels|-row join — corpus vectors never shuffle, output is
+    * model-sized, and the "snapshots" generalize to any two frames
+    * (base table vs increment) since the split is just a filter. */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    def sideVecs(f: Column, nName: String, vName: String): DataFrame =
+      labelCentroids(emb.filter(f))
+        .groupBy(col("label"))
+        .agg(max(col("n_vecs")).as(nName),
+          expr("transform(array_sort(collect_list(struct(pos, centroid)))," +
+            " x -> x.centroid)").as(vName))
+    val base = sideVecs(pmod(col("vec_id"), lit(2)) === 0, "n_base", "bvec")
+    val snap = sideVecs(pmod(col("vec_id"), lit(2)) === 1, "n_snap", "svec")
+    def fold(pairs: Column) = aggregate(pairs, lit(0.0), (acc, x) => acc + x)
+    val dotBS = fold(zip_with(col("bvec"), col("svec"), (x, y) => x * y))
+    val n2b = fold(zip_with(col("bvec"), col("bvec"), (x, y) => x * y))
+    val n2s = fold(zip_with(col("svec"), col("svec"), (x, y) => x * y))
+    val shift2 = fold(zip_with(col("bvec"), col("svec"), (x, y) => {
+      val d = x - y
+      d * d
+    }))
+    base.join(snap, "label")
+      .select(col("label"), col("n_base"), col("n_snap"),
+        (dotBS / (sqrt(n2b) * sqrt(n2s))).as("cos_sim"),
+        shift2.as("shift2"))
+      .orderBy(col("label"))
+  }
+
   /** Nearest-centroid classification — assign every vector to the
     * closest [[labelCentroids]] prototype (squared L2), the semantic-
     * tagging / cluster-assignment pass of a curation pipeline and the
@@ -429,6 +515,47 @@ object Similarity {
       .agg(min(struct(col("dist2"), col("c_label"))).as("m"))
       .select(col("vec_id"), col("true_label"),
         col("m.c_label").as("pred_label"), col("m.dist2").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Centroid-distance OUTLIER screen — every vector's squared L2 to
+    * its OWN label's exact centroid, gated at the per-label p95: the
+    * embedding-space anomaly detector (the off-topic page inside a
+    * feed, the mislabeled cluster member) that a curation pass runs
+    * before trusting per-source embedding statistics. Rank-based
+    * gate on purpose: a mean+k·σ cut would need a cross-row float
+    * sum (order-dependent); the p95 is an ORDER STATISTIC computed by
+    * the distributed exact-quantile machinery (counts + distributed
+    * rank, q89's bitwise-`quantile_cont` precedent) — no global
+    * window, no float accumulation, hash-exact.
+    *
+    * Scale: centroids collapse to a broadcast |labels|×dim model
+    * (q139), dist2 is a row-local codegen fold (vectors never
+    * shuffle), the quantile pass shuffles (label, dist2) value counts
+    * partial-aggregated map-side, and the thresholds return as a
+    * |labels|-sized literal map. */
+  def centroidOutliers(emb: DataFrame, p: Double = 0.95): DataFrame = {
+    val cents = labelCentroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid)))," +
+        " x -> x.centroid)").as("cvec"))
+    val dist2 = aggregate(
+      zip_with(col("embedding"), col("cvec"), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = emb.join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), dist2.as("dist2"))
+    val thr = Describe.groupedExactQuantiles(scored, "label",
+      Seq("dist2"), Seq(p)).map { case ((g, _), v) => g -> v.head }
+    val thrExpr = try_element_at(
+      map(thr.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[Column]
+      }: _*), col("label").cast("string"))
+    scored
+      .select(col("vec_id"), col("label"), col("dist2"),
+        thrExpr.as("p95"), (col("dist2") > thrExpr).as("is_outlier"))
       .orderBy(col("vec_id"))
   }
 
@@ -1074,6 +1201,12 @@ object Similarity {
       ((s, d) => clusterAdjacentOrder(Tables(s, d).embeddings)),
     "q139_label_centroids" ->
       ((s, d) => labelCentroids(Tables(s, d).embeddings)),
+    "q275_dispersion_card" ->
+      ((s, d) => dispersionCard(Tables(s, d).embeddings)),
+    "q276_centroid_outliers" ->
+      ((s, d) => centroidOutliers(Tables(s, d).embeddings)),
+    "q278_centroid_drift" ->
+      ((s, d) => centroidDrift(Tables(s, d).embeddings)),
     "q31_cosine_topk" -> ((s, d) => cosineTopK(Tables(s, d).embeddings)),
     "q32_similar_pairs" -> ((s, d) => similarPairs(Tables(s, d).embeddings)),
     "q33_ann_rp_lsh" -> ((s, d) => annRandomHyperplane(Tables(s, d).embeddings)),
@@ -1245,6 +1378,113 @@ object Similarity {
         |              unnest(range(1, len(embedding) + 1)) AS i
         |            FROM embeddings))
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // the sum-vector identity replayed: exact decimal Σv / Σv² per
+    // (label, pos), one string-cast collapse to double per sum, and
+    // ‖S‖² as the identical pos-ordered left fold from a 0.0 seed
+    "q275_dispersion_card" ->
+      """WITH x AS (
+        |  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |    CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,12)) AS v
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |p AS (
+        |  SELECT label, pos, count(*) AS n, sum(v) AS s,
+        |    sum(v * v) AS ss
+        |  FROM x GROUP BY 1, 2),
+        |l AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    list(CAST(CAST(s AS VARCHAR) AS DOUBLE) ORDER BY pos) AS svec,
+        |    CAST(CAST(sum(ss) AS VARCHAR) AS DOUBLE) AS ssq
+        |  FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT label, n_vecs, ssq,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), svec),
+        |      (acc, y) -> acc + y * y) AS snorm2
+        |  FROM l)
+        |SELECT label, n_vecs, snorm2, ssq,
+        |  CASE WHEN n_vecs > 1 THEN (snorm2 - ssq)
+        |    / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))
+        |  END AS mean_pair_dot,
+        |  ssq / CAST(n_vecs AS DOUBLE) AS mean_norm2
+        |FROM f ORDER BY label""".stripMargin,
+    // own-label centroid distance (the q146 exact-centroid recipe +
+    // the identical left-associated squared-difference sum), gated at
+    // quantile_cont(0.95) — the same interpolation the distributed
+    // exact-quantile machinery reproduces bitwise (q89 precedent)
+    "q276_centroid_outliers" ->
+      s"""WITH cent AS (
+         |  SELECT label, pos,
+         |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+         |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |          embedding[i] AS x
+         |        FROM (SELECT label, embedding,
+         |                unnest(range(1, len(embedding) + 1)) AS i
+         |              FROM embeddings))
+         |  GROUP BY label, pos),
+         |cvecs AS (
+         |  SELECT label, list(centroid ORDER BY pos) AS cvec
+         |  FROM cent GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${l2Sql("e.embedding", "c.cvec", Dim)} AS dist2
+         |  FROM embeddings e JOIN cvecs c ON e.label = c.label),
+         |thr AS (
+         |  SELECT label, quantile_cont(dist2, 0.95) AS p95
+         |  FROM scored GROUP BY label)
+         |SELECT s.vec_id, s.label, s.dist2, t.p95,
+         |  s.dist2 > t.p95 AS is_outlier
+         |FROM scored s JOIN thr t ON s.label = t.label
+         |ORDER BY s.vec_id""".stripMargin,
+    // per-side exact decimal centroids (vec_id parity split), then
+    // cosine / shift2 as the identical seeded pos-ordered list_reduce
+    // folds and one fixed-shape final expression
+    "q278_centroid_drift" ->
+      """WITH centb AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+        |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+        |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |          embedding[i] AS x
+        |        FROM (SELECT label, embedding,
+        |                unnest(range(1, len(embedding) + 1)) AS i
+        |              FROM embeddings WHERE vec_id % 2 = 0))
+        |  GROUP BY label, pos),
+        |cents AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+        |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+        |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+        |          embedding[i] AS x
+        |        FROM (SELECT label, embedding,
+        |                unnest(range(1, len(embedding) + 1)) AS i
+        |              FROM embeddings WHERE vec_id % 2 = 1))
+        |  GROUP BY label, pos),
+        |nb AS (SELECT label, max(n) AS n_base FROM centb GROUP BY label),
+        |ns AS (SELECT label, max(n) AS n_snap FROM cents GROUP BY label),
+        |j AS (
+        |  SELECT b.label, b.pos, b.centroid AS bc, s.centroid AS sc
+        |  FROM centb b JOIN cents s
+        |    ON b.label = s.label AND b.pos = s.pos),
+        |f AS (
+        |  SELECT label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(bc * sc ORDER BY pos)), (a, y) -> a + y) AS dot_bs,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(bc * bc ORDER BY pos)), (a, y) -> a + y) AS n2b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sc * sc ORDER BY pos)), (a, y) -> a + y) AS n2s,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((bc - sc) * (bc - sc) ORDER BY pos)), (a, y) -> a + y)
+        |      AS shift2
+        |  FROM j GROUP BY label)
+        |SELECT f.label, nb.n_base, ns.n_snap,
+        |  dot_bs / (sqrt(n2b) * sqrt(n2s)) AS cos_sim, shift2
+        |FROM f
+        |JOIN nb ON nb.label = f.label
+        |JOIN ns ON ns.label = f.label
+        |ORDER BY f.label""".stripMargin,
     "q31_cosine_topk" ->
       s"""SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -108,4 +108,81 @@ class BehavioralSpec extends AnyFunSuite {
       .map { case (u, s, m) => u -> (s, m) }.toMap
     assert(got == Map(1L -> ("333", 800.0), 2L -> ("111", 10.0)))
   }
+
+  test("rollingActiveUsers: hand corpus DAU/WAU exact, the 7-day " +
+      "window includes day-6 and excludes day-7, repeat activity " +
+      "counts once, and no report day trails the last observed day") {
+    val ev = Seq(
+      (1L, ts("2024-05-01 08:00:00")), (1L, ts("2024-05-01 09:00:00")),
+      (2L, ts("2024-05-01 10:00:00")), (4L, ts("2024-05-03 10:00:00")),
+      (1L, ts("2024-05-05 10:00:00")), (3L, ts("2024-05-10 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = Behavioral.rollingActiveUsers(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      // 05-01: users {1,2}; window = itself
+      ("2024-05-01", 2L, 2L, 1.0),
+      // 05-03: dau {4}; window [04-27..05-03] = {1,2,4}
+      ("2024-05-03", 1L, 3L, 1.0 / 3.0),
+      // 05-05: dau {1}; window [04-29..05-05] = {1,2,4}
+      ("2024-05-05", 1L, 3L, 1.0 / 3.0),
+      // 05-10: dau {3}; window [05-04..05-10] = {1 (05-05), 3} —
+      // user 4's 05-03 is day-7, excluded; user 1's 05-05 is day-5
+      ("2024-05-10", 1L, 2L, 0.5)))
+
+    // real corpus: wau >= dau everywhere, and wau(d) equals a direct
+    // distinct count over the 7-day range replayed from (user, day)
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val real = Behavioral.rollingActiveUsers(t.events).collect()
+    val ud = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    real.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val direct = ud.filter { case (_, day) =>
+        val x = day.toLocalDate
+        !x.isAfter(d) && !x.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(r.getLong(2) == direct.toLong && r.getLong(2) >= r.getLong(1))
+    }
+  }
+
+  test("burstDetect: hand series enters on the hi crossing, stays " +
+      "through the hysteresis band, exits below lo, and does NOT " +
+      "re-enter from mid-band; real-corpus flags replay the recurrence") {
+    // daily counts for one type: [1,2,1,10,3,1,2,1]
+    // sorted [1,1,1,1,2,2,3,10]: hi = p90 = 3 + 0.3*7 = 5.1,
+    // lo = p60 = 2.0. Expected burst flags: F F F T T F F F —
+    // day5 (cnt 3, mid-band) stays in; day7 (cnt 2, mid-band after
+    // the exit) stays out.
+    val cnts = Seq(1, 2, 1, 10, 3, 1, 2, 1)
+    val rows = cnts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => ("b", ts(f"2024-03-0${d + 1} 10:$i%02d:00")))
+    }
+    val got = Behavioral.burstDetect(rows.toDF("event_type", "ts"))
+      .collect()
+    assert(got.length == 8)
+    assert(got.map(_.getLong(2)).toSeq == cnts.map(_.toLong))
+    val his = got.map(_.getDouble(3)).distinct.toSeq
+    assert(his.length == 1 && math.abs(his.head - 5.1) < 1e-9)
+    assert(got.map(_.getDouble(4)).distinct.toSeq == Seq(2.0))
+    assert(got.map(_.getBoolean(5)).toSeq ==
+      Seq(false, false, false, true, true, false, false, false))
+
+    // real corpus: the windowed closed form equals the recurrence
+    // in_t = cnt>=hi || (cnt>=lo && in_{t-1}) replayed per type
+    val real = Behavioral.burstDetect(Tables(spark, "/root/testdata/sf0.001")
+      .events).collect()
+    real.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      var prev = false
+      rs.sortBy(_.getDate(1).toString).foreach { r =>
+        val (cnt, hi, lo) = (r.getLong(2).toDouble, r.getDouble(3),
+          r.getDouble(4))
+        val expect = cnt >= hi || (cnt >= lo && prev)
+        assert(r.getBoolean(5) == expect, s"$r")
+        prev = expect
+      }
+    }
+  }
 }

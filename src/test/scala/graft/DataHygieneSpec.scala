@@ -256,4 +256,68 @@ class DataHygieneSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p245).length <= 2, p245)
     assert(p245.contains("partial"), s"rollup must map-side combine:\n$p245")
   }
+
+  test("scriptMixCard: hand corpus counts every class exactly and " +
+      "the planted scripts land on the right ids") {
+    // doc 0: %7 plant (Cyrillic tail); doc 1: pure ASCII with digits;
+    // doc 11: %11 plant (CJK tail — and NOT %7, precedence unexercised)
+    val d = Seq(
+      (0L, "ab 12", "en", "s0", 5L),
+      (1L, "xyz 9", "en", "s1", 5L),
+      (11L, "ok", "en", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DataHygiene.scriptMixCard(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s0 doc 0: "ab 12" + " привет мир" = 16 chars:
+    // lat 2, dig 2, spaces 3, cyr 9, cjk 0, other 0
+    val s0 = got("s0")
+    assert((s0.getLong(1), s0.getLong(2), s0.getLong(3), s0.getLong(4),
+      s0.getLong(5), s0.getLong(6), s0.getLong(7), s0.getLong(8)) ==
+      ((1L, 16L, 2L, 2L, 3L, 9L, 0L, 0L)))
+    assert(s0.getDouble(9) == 9.0 / 16.0)
+    // s1 = doc 1 ("xyz 9", all ASCII) + doc 11 ("ok" + " 你好世界"):
+    // chars 5 + 7 = 12; lat 3+2; dig 1; spc 1+1; cjk 4
+    val s1 = got("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4),
+      s1.getLong(5), s1.getLong(6), s1.getLong(7), s1.getLong(8)) ==
+      ((2L, 12L, 5L, 1L, 2L, 0L, 4L, 0L)))
+
+    // real corpus: classes partition the char mass in every source
+    DataHygiene.scriptMixCard(docs).collect().foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6) +
+        r.getLong(7) + r.getLong(8) == r.getLong(2), r)
+    }
+  }
+
+  test("compressionRatio: repetitive text compresses into the spam " +
+      "band, random hex stays near 1, natural text keeps; zero " +
+      "data-sized shuffle") {
+    val rnd = new scala.util.Random(7)
+    val randomHex = Seq.fill(2000)(rnd.nextInt(16).toHexString).mkString
+    val d = Seq(
+      (0L, "spam spam " * 300, "en", "s0", 3000L),
+      (1L, randomHex, "en", "s0", 2000L),
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "wanders through a long winding meadow full of tall grass " +
+        "while birds circle overhead in the late afternoon light",
+        "en", "s0", 160L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DataHygiene.compressionRatio(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(0L)._1 < 0.2 && !got(0L)._2, s"spam ${got(0L)}")
+    assert(got(1L)._1 > 0.5, s"random ${got(1L)}")
+    assert(got(2L)._1 > 0.2 && got(2L)._1 <= 0.95 && got(2L)._2,
+      s"natural ${got(2L)}")
+
+    // determinism + real corpus: ratio defined and positive everywhere
+    val real = DataHygiene.compressionRatio(docs).collect()
+    val again = DataHygiene.compressionRatio(docs).collect()
+    assert(real.map(_.getLong(3)).toSeq == again.map(_.getLong(3)).toSeq)
+    assert(real.forall(r => r.getDouble(4) > 0.0))
+    // narrow projection: only the presentation sort may exchange
+    val plan = DataHygiene.compressionRatio(docs)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+  }
 }

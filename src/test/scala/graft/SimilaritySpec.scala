@@ -462,4 +462,101 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(repart.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("dispersionCard: hand-corpus values are exact; identical " +
+      "vectors read their own norm2; singleton label is NULL; the " +
+      "sum-vector identity agrees with the brute-force pair mean; " +
+      "and the plan has no join or window") {
+    // label 7: orthogonal pair -> mean pairwise dot 0
+    // label 2: three identical (1,2) vectors -> mean = ||v||^2 = 5
+    // label 9: singleton -> mean_pair_dot NULL, mean_norm2 = norm2
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 7), (1L, Seq(0f, 1f), 7),
+      (2L, Seq(1f, 2f), 2), (3L, Seq(1f, 2f), 2), (4L, Seq(1f, 2f), 2),
+      (5L, Seq(3f, 4f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.dispersionCard(emb).collect()
+    val byLabel = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.isNullAt(4), if (r.isNullAt(4)) 0.0 else r.getDouble(4),
+        r.getDouble(5))).toMap
+    assert(byLabel(7) == ((2L, false, 0.0, 1.0)))
+    assert(byLabel(2) == ((3L, false, 5.0, 5.0)))
+    assert(byLabel(9)._1 == 1L && byLabel(9)._2 && byLabel(9)._4 == 25.0)
+
+    // real corpus: the no-pair-join identity matches the brute-force
+    // pairwise mean within float-order tolerance
+    val card = Similarity.dispersionCard(t.embeddings).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val vecs = t.embeddings.select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().groupBy(_._1)
+    for ((lbl, rowsL) <- vecs if rowsL.length > 1) {
+      val vs = rowsL.map(_._2.map(_.toDouble).toArray)
+      var s = 0.0
+      for (i <- vs.indices; j <- vs.indices if i != j)
+        s += vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum
+      val brute = s / (vs.length.toDouble * (vs.length - 1))
+      val (n, got) = card(lbl)
+      assert(n == vs.length)
+      assert(math.abs(got - brute) <= 1e-9 * math.max(1.0, math.abs(brute)),
+        s"label $lbl: $got vs brute $brute")
+    }
+
+    // scale shape: two partial aggregates, no pair join, no window
+    val plan = Similarity.dispersionCard(t.embeddings)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("centroidOutliers: a planted far vector is flagged and the " +
+      "tight cluster is not; the gate is the per-label p95 order " +
+      "statistic; real-corpus flags replay from dist2 > p95") {
+    // label 3: 19 vectors on (1,0) with tiny jitter + one at (0,5)
+    val emb = ((0L until 19L).map(i =>
+      (i, Seq(1f, i.toFloat * 1e-4f), 3)) :+ (19L, Seq(0f, 5f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.centroidOutliers(emb).collect()
+    assert(rows.length == 20)
+    val flagged = rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged == Set(19L), s"flagged $flagged")
+    // all rows of the label share one threshold
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+
+    // real corpus: is_outlier is exactly dist2 > p95, and the flagged
+    // fraction per label is <= ~5% (order-statistic gate)
+    val real = Similarity.centroidOutliers(t.embeddings).collect()
+    assert(real.forall(r => r.getBoolean(4) == (r.getDouble(2) > r.getDouble(3))))
+    val byLabel = real.groupBy(_.getInt(1))
+    for ((lbl, rs) <- byLabel) {
+      val frac = rs.count(_.getBoolean(4)).toDouble / rs.length
+      assert(frac <= 0.05 + 2.0 / rs.length, s"label $lbl flags $frac")
+    }
+  }
+
+  test("centroidDrift: identical sides read cos 1 / shift 0, " +
+      "orthogonal sides read cos 0; side counts partition the label") {
+    // label 1: same (3,4) direction on both parities -> cos exactly
+    // 1.0 (sum of squares 25 is a perfect square) and shift2 0
+    // label 2: base (1,0) / snap (0,1) -> cos 0, shift2 2
+    val emb = Seq(
+      (0L, Seq(3f, 4f), 1), (1L, Seq(3f, 4f), 1),
+      (2L, Seq(3f, 4f), 1), (3L, Seq(3f, 4f), 1),
+      (4L, Seq(1f, 0f), 2), (6L, Seq(1f, 0f), 2),
+      (5L, Seq(0f, 1f), 2), (7L, Seq(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1) == ((2L, 2L, 1.0, 0.0)))
+    assert(got(2) == ((2L, 2L, 0.0, 2.0)))
+
+    // real corpus: counts partition each label; cos in [-1, 1]
+    val real = Similarity.centroidDrift(t.embeddings).collect()
+    val sizes = t.embeddings.groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    real.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == sizes(r.getInt(0)))
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
 }
