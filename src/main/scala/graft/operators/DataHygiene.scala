@@ -457,14 +457,16 @@ object DataHygiene {
       .withColumn("ratio",
         col("deflate_bytes").cast("double") / col("n_bytes").cast("double"))
       .withColumn("keep", col("ratio") >= loCut && col("ratio") <= hiCut)
-      .orderBy(col("doc_id"))
+    // no presentation sort here: the pure projection also runs as an
+    // append-mode stream (q197/q218 convention — registration orders it)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q280_script_mix" ->
       ((s, d) => scriptMixCard(Tables(s, d).documents)),
     "q281_compression_ratio" ->
-      ((s, d) => compressionRatio(Tables(s, d).documents)),
+      ((s, d) => compressionRatio(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q260_paragraph_gate" ->
       ((s, d) => paragraphGate(Tables(s, d).documents)),
     "q244_code_shape_gate" ->

@@ -453,6 +453,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 4L, 1L, 16L, 1.0, 1.0)))
   }
 
+  test("compression-ratio screen streams unchanged (pure projection)") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq((1L, "spam spam " * 200, "en", "s0", 2000L),
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "wanders through a long winding meadow full of tall grass " +
+        "while birds circle overhead in the late afternoon light",
+        "en", "s0", 160L))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = graft.operators.DataHygiene.compressionRatio(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zratio_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1))
+    q.processAllAvailable()
+    val streamed = spark.table("zratio_out")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect().toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.compressionRatio(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, String, Long, Long, Double, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(r => r._1 == 1L && !r._6)) // spam gated
+    assert(streamed.exists(r => r._1 == 2L && r._6))
+  }
+
   test("row-local fluency scoring streams unchanged (broadcast model)") {
     implicit val sc = spark.sqlContext
     val model = Seq((0L, "a b a b c")).toDF("doc_id", "text")
