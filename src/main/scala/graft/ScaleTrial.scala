@@ -128,7 +128,9 @@ object ScaleTrial {
     "q278_centroid_drift", // two |labels|xdim rollups + tiny join
     "q279_rolling_active", // 7x fan-out of distinct (user,day), no window
     "q280_script_mix", // row-local class counts + |sources| rollup
-    "q281_compression_ratio") // narrow deflate UDF: must be ~flat-linear
+    "q281_compression_ratio", // narrow deflate UDF: must be ~flat-linear
+    "q282_value_drift", // decile cuts + bucket rollups on 10x events
+    "q283_affinity_lift") // per-user type-set self-join, |types|^2 out
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -97,6 +97,88 @@ object Behavioral {
       .orderBy(col("day"))
   }
 
+  /** Numeric value-DRIFT gate — q163's total-variation discipline on
+    * a numeric column: per event type, the TVD between the two
+    * snapshot parities' `value` distributions over REFERENCE-side
+    * equi-depth buckets (the monitoring gate that catches a payments
+    * feed whose amounts silently shifted). Deliberately TVD, not
+    * PSI/chi²: no logarithm (engine-divergent) and no divide-by-
+    * empty-bucket hazard. Bucket cuts are the reference side's exact
+    * deciles (the distributed order-statistic machinery, returned as
+    * a \|types\|×9 literal map), bucket assignment is a row-local
+    * strict-> count fold, and the per-type TVD folds bucket-sorted
+    * (≤ nBuckets terms) from a 0.0 seed — the identical IEEE chain
+    * the oracle states with list_reduce. */
+  def valueDriftGate(events: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val ref = events.filter(pmod(col("event_id"), lit(2)) === 0)
+    val snap = events.filter(pmod(col("event_id"), lit(2)) === 1)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = Describe.groupedExactQuantiles(ref, "event_type",
+      Seq("value"), probs)
+    val cutsExpr = try_element_at(
+      map(cuts.toSeq.sortBy(_._1._1).flatMap { case ((g, _), v) =>
+        Seq(lit(g), array(v.map(lit): _*)): Seq[org.apache.spark.sql.Column]
+      }: _*), col("event_type"))
+    def bucketed(df: DataFrame, cn: String): DataFrame = df
+      .select(col("event_type"),
+        aggregate(cutsExpr, lit(0),
+          (acc, c) => acc + when(col("value") > c, 1).otherwise(0))
+          .as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as(cn))
+    val rb = bucketed(ref, "c_ref")
+    val sb = bucketed(snap, "c_snap")
+    val rt = rb.groupBy(col("event_type")).agg(sum(col("c_ref")).as("tot_ref"))
+    val st = sb.groupBy(col("event_type")).agg(sum(col("c_snap")).as("tot_snap"))
+    rb.join(sb, Seq("event_type", "bucket"), "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_snap"))
+      .join(broadcast(rt), "event_type")
+      .join(broadcast(st), "event_type")
+      .select(col("event_type"), col("bucket"),
+        abs(col("c_ref").cast("double") / col("tot_ref").cast("double") -
+          col("c_snap").cast("double") / col("tot_snap").cast("double"))
+          .as("diff"),
+        col("tot_ref"), col("tot_snap"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("tot_ref")).as("n_ref"), max(col("tot_snap")).as("n_snap"),
+        (lit(0.5) * aggregate(
+          array_sort(collect_list(struct(col("bucket"), col("diff")))),
+          lit(0.0), (acc, x) => acc + x.getField("diff"))).as("tvd"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-type AFFINITY lift — the market-basket view of the event
+    * log: for every type pair, how much more often do the two co-occur
+    * in one user's history than independence predicts
+    * (lift = c12·n / (c1·c2) over distinct user sets — the
+    * recommender/instrumentation-redundancy diagnostic). EXACT-RATIO
+    * on purpose (q268's PMI convention): integer products on both
+    * sides of ONE double division, no logarithm. Distinct (user,
+    * type) pairs partial-aggregate map-side; the user-keyed self-join
+    * rides per-user type sets (bounded by \|types\|, never events);
+    * output is \|types\|²-row. */
+  def typeAffinityLift(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.agg(count_distinct(col("user_id")).as("n_users"))
+    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("c12"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("t1"),
+        col("c").as("c1"))), "t1")
+      .join(broadcast(tc.select(col("event_type").as("t2"),
+        col("c").as("c2"))), "t2")
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"),
+        col("n_users"),
+        ((col("c12") * col("n_users")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first event; for each (cohort week, whole weeks since first
     * event) the count of distinct active users. Two shuffles (first
@@ -392,6 +474,10 @@ object Behavioral {
     "q277_burst_detect" -> ((s, d) => burstDetect(Tables(s, d).events)),
     "q279_rolling_active" ->
       ((s, d) => rollingActiveUsers(Tables(s, d).events)),
+    "q282_value_drift" ->
+      ((s, d) => valueDriftGate(Tables(s, d).events)),
+    "q283_affinity_lift" ->
+      ((s, d) => typeAffinityLift(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
     "q182_trend_slopes" -> ((s, d) => trendSlopes(Tables(s, d).events)),
     "q172_rfm_segments" -> ((s, d) => rfmSegments(Tables(s, d).events)),
@@ -440,6 +526,80 @@ object Behavioral {
         |  last_hi IS NOT NULL AND (last_lo IS NULL OR last_hi > last_lo)
         |    AS in_burst
         |FROM w ORDER BY event_type, day""".stripMargin,
+    // reference-side exact deciles (quantile_cont list), strict->
+    // bucket count, and the bucket-ordered seeded TVD fold
+    "q282_value_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+        |snap AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 2 = 1),
+        |cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                          0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM ref GROUP BY 1),
+        |rb AS (
+        |  SELECT r.event_type,
+        |    len(list_filter(c.cs, x -> r.value > x)) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c_ref
+        |  FROM ref r JOIN cuts c ON r.event_type = c.event_type
+        |  GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT s.event_type,
+        |    len(list_filter(c.cs, x -> s.value > x)) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c_snap
+        |  FROM snap s JOIN cuts c ON s.event_type = c.event_type
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS tot_ref
+        |       FROM rb GROUP BY 1),
+        |st AS (SELECT event_type, CAST(sum(c_snap) AS BIGINT) AS tot_snap
+        |       FROM sb GROUP BY 1),
+        |d AS (
+        |  SELECT j.event_type, j.bucket,
+        |    abs(CAST(j.c_ref AS DOUBLE) / CAST(rt.tot_ref AS DOUBLE) -
+        |        CAST(j.c_snap AS DOUBLE) / CAST(st.tot_snap AS DOUBLE))
+        |      AS diff,
+        |    rt.tot_ref, st.tot_snap
+        |  FROM (SELECT COALESCE(rb.event_type, sb.event_type)
+        |            AS event_type,
+        |          COALESCE(rb.bucket, sb.bucket) AS bucket,
+        |          COALESCE(c_ref, 0) AS c_ref,
+        |          COALESCE(c_snap, 0) AS c_snap
+        |        FROM rb FULL OUTER JOIN sb
+        |          ON rb.event_type = sb.event_type
+        |          AND rb.bucket = sb.bucket) j
+        |  JOIN rt ON rt.event_type = j.event_type
+        |  JOIN st ON st.event_type = j.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  max(tot_ref) AS n_ref, max(tot_snap) AS n_snap,
+        |  0.5 * list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list(diff ORDER BY bucket)),
+        |    (a, x) -> a + x) AS tvd
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // distinct (user, type) sets, ordered pair co-occurrence, and the
+    // exact-ratio lift: integer products, one double division
+    "q283_affinity_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM ut),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |       FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS c12
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.c12, c1.c AS c1, c2.c AS c2, n.n_users,
+        |  CAST(p.c12 * n.n_users AS DOUBLE)
+        |    / CAST(c1.c * c2.c AS DOUBLE) AS lift
+        |FROM p
+        |JOIN tc c1 ON c1.event_type = p.t1
+        |JOIN tc c2 ON c2.event_type = p.t2
+        |CROSS JOIN n
+        |ORDER BY p.t1, p.t2""".stripMargin,
     // the same ≤7-day fan-out of distinct (user, day) pairs, deduped
     // and counted — no sliding window in either engine
     "q279_rolling_active" ->

@@ -148,6 +148,59 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("valueDriftGate: identical snapshot halves read TVD 0, a " +
+      "fully shifted half reads 0.9 over exact decile buckets") {
+    // type a: both parities carry values 1..10 -> same bucket masses
+    // type b: ref 1..10, snap all at 100 -> snap mass lands in the
+    // top bucket; TVD = 0.5 * (9*0.1 + |0.1 - 1.0|) = 0.9
+    val ev =
+      (0 until 10).flatMap { i =>
+        Seq((i * 2L, "a", i + 1.0, ts(f"2024-01-01 10:${i}%02d:00")),
+          (i * 2L + 1L, "a", i + 1.0, ts(f"2024-01-01 11:${i}%02d:00")),
+          (100L + i * 2L, "b", i + 1.0, ts(f"2024-01-02 10:${i}%02d:00")),
+          (101L + i * 2L, "b", 100.0, ts(f"2024-01-02 11:${i}%02d:00")))
+      }.toDF("event_id", "event_type", "value", "ts")
+    val got = Behavioral.valueDriftGate(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("a") == ((10L, 10L, 0.0)))
+    assert(got("b")._1 == 10L && got("b")._2 == 10L)
+    assert(math.abs(got("b")._3 - 0.9) < 1e-12, got("b").toString)
+
+    // real corpus: TVD in [0, 1], buckets bounded by the decile count
+    Behavioral.valueDriftGate(Tables(spark, "/root/testdata/sf0.001")
+      .events).collect().foreach { r =>
+      assert(r.getLong(1) <= 10L)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, r)
+    }
+  }
+
+  test("typeAffinityLift: hand corpus lift is the exact ratio, pairs " +
+      "are ordered, co-occurrence never exceeds either margin") {
+    // users: 1 {A,B}, 2 {A,B}, 3 {A}, 4 {C} -> c(A)=3 c(B)=2 c(C)=1,
+    // c12(A,B)=2, n=4 -> lift = 2*4 / (3*2)
+    val ev = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "C"))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, t, ts("2024-01-01 10:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavioral.typeAffinityLift(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("A", "B", 2L, 3L, 2L, 4L)))
+    assert(r.getDouble(6) == 8.0 / 6.0)
+
+    // real corpus: ordered pairs, c12 <= min(c1, c2), lift positive
+    Behavioral.typeAffinityLift(Tables(spark, "/root/testdata/sf0.001")
+      .events).collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getDouble(6) > 0.0)
+    }
+  }
+
   test("burstDetect: hand series enters on the hi crossing, stays " +
       "through the hysteresis band, exits below lo, and does NOT " +
       "re-enter from mid-band; real-corpus flags replay the recurrence") {
