@@ -130,7 +130,9 @@ object ScaleTrial {
     "q280_script_mix", // row-local class counts + |sources| rollup
     "q281_compression_ratio", // narrow deflate UDF: must be ~flat-linear
     "q282_value_drift", // decile cuts + bucket rollups on 10x events
-    "q283_affinity_lift") // per-user type-set self-join, |types|^2 out
+    "q283_affinity_lift", // per-user type-set self-join, |types|^2 out
+    "q284_modularity_card", // LPA rounds + label joins (embeddings as-is)
+    "q285_hourly_profile") // |types|x24 rollup on 10x events: ~flat
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

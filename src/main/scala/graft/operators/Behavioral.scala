@@ -179,6 +179,30 @@ object Behavioral {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Hour-of-day SEASONALITY profile — the ≤\|types\|×24 load matrix
+    * an ops/capacity pipeline reads (when does each event type peak;
+    * a nocturnal spike on a human-driven type is bot traffic): per
+    * (type, hour) count and share, plus the type's peak hour as a
+    * partial-aggregatable min(struct(−cnt, hour)) argmax (ties to the
+    * EARLIEST hour — no window). Exact integers + one IEEE division;
+    * the rollup absorbs any event volume map-side. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val h = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = h.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"),
+        min(struct((-col("cnt")).as("nc"), col("hour").as("h"))).as("p"))
+      .select(col("event_type").as("pt"), col("total"),
+        col("p.h").as("peak_hour"))
+    h.join(broadcast(tot), col("event_type") === col("pt"))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        col("peak_hour"), (col("hour") === col("peak_hour")).as("is_peak"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first event; for each (cohort week, whole weeks since first
     * event) the count of distinct active users. Two shuffles (first
@@ -476,6 +500,8 @@ object Behavioral {
       ((s, d) => rollingActiveUsers(Tables(s, d).events)),
     "q282_value_drift" ->
       ((s, d) => valueDriftGate(Tables(s, d).events)),
+    "q285_hourly_profile" ->
+      ((s, d) => hourlyProfile(Tables(s, d).events)),
     "q283_affinity_lift" ->
       ((s, d) => typeAffinityLift(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
@@ -526,6 +552,27 @@ object Behavioral {
         |  last_hi IS NOT NULL AND (last_lo IS NULL OR last_hi > last_lo)
         |    AS in_burst
         |FROM w ORDER BY event_type, day""".stripMargin,
+    // same (type, hour) rollup; the argmax replays as the
+    // (cnt DESC, hour) row_number the min(struct) implements
+    "q285_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+        |      FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT event_type, hour AS peak_hour FROM (
+        |    SELECT event_type, hour, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY cnt DESC, hour) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT h.event_type, h.hour, h.cnt,
+        |  CAST(h.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  p.peak_hour, h.hour = p.peak_hour AS is_peak
+        |FROM h
+        |JOIN t ON t.event_type = h.event_type
+        |JOIN p ON p.event_type = h.event_type
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     // reference-side exact deciles (quantile_cont list), strict->
     // bucket count, and the bucket-ordered seeded TVD fold
     "q282_value_drift" ->

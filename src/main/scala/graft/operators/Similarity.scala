@@ -967,10 +967,12 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** The unrolled DuckDB twin of [[labelPropagation]] (same rounds —
-    * operator and oracle cannot drift); the min(struct(−cnt, label))
-    * argmax replays as (count DESC, label) row_number. */
-  private def labelPropagationOracle(rounds: Int): String = {
+  /** The unrolled CTE chain of [[labelPropagation]] ending in
+    * `l$rounds` — ONE literal shared by the q226 oracle and the q284
+    * modularity oracle (the q156/q209 shared-closure convention, so
+    * detector and quality metric cannot drift); the min(struct(−cnt,
+    * label)) argmax replays as (count DESC, label) row_number. */
+  private def labelPropagationCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""l$r AS MATERIALIZED (
          |  SELECT src AS id, label FROM (
@@ -981,7 +983,7 @@ object Similarity {
          |    GROUP BY e.src, l.label) t
          |  WHERE rn = 1)""".stripMargin
     }
-    s"""WITH pairs AS MATERIALIZED (
+    s"""pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |  WHERE ${simSql("a", "b")} >= 0.3),
@@ -990,9 +992,63 @@ object Similarity {
        |  UNION ALL SELECT d2, d1 FROM pairs),
        |l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS id, src AS label FROM edges),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def labelPropagationOracle(rounds: Int): String =
+    s"""WITH ${labelPropagationCtes(rounds)}
        |SELECT id AS vec_id, label AS community FROM l$rounds
        |ORDER BY vec_id""".stripMargin
+
+  /** Community MODULARITY card (Newman 2004, the quality score of a
+    * partition): per [[labelPropagation]] community, the contribution
+    * in_c/E − (K_c/E)² — intra-community directed-edge fraction minus
+    * the degree-null-model expectation — whose sum over communities
+    * IS modularity Q. A near-zero Q says the "communities" are no
+    * better than random wiring (retire the detector's threshold); a
+    * Q near the clique bound says the graph splits cleanly. Every
+    * input is an exact integer (in_c, K_c, E); each contribution is
+    * one fixed-shape double expression, so the card is hash-exact —
+    * no logarithms, no float accumulation (the q268/q283 exact-ratio
+    * convention applied to graph quality).
+    *
+    * Scale: rides the SAME edge relation as the detector — two
+    * community-label joins + three keyed rollups (all map-side
+    * combinable, outputs \|communities\|-sized) + a 1-row broadcast
+    * edge total. No window, no driver state beyond the card. */
+  def communityModularity(embeddings: DataFrame, threshold: Double = 0.3,
+      rounds: Int = 3): DataFrame = {
+    val comm = labelPropagation(embeddings, threshold, rounds)
+      .select(col("vec_id").as("id"), col("community"))
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val eTotal = edges.agg(count(lit(1)).as("e_total"))
+    // plain node-keyed equi-joins (comm is node-sized — never
+    // broadcast at scale); both rollups are map-side combinable
+    val cSrc = comm.select(col("id").as("sid"), col("community").as("c1"))
+    val cDst = comm.select(col("id").as("did"), col("community").as("c2"))
+    val labeled = edges
+      .join(cSrc, col("src") === col("sid"))
+      .join(cDst, col("dst") === col("did"))
+    val inC = labeled.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val degC = deg.join(comm, deg("src") === comm("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("deg_sum"))
+    degC.join(inC, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(eTotal))
+      .select(col("community"), col("n_nodes"), col("in_edges"),
+        col("deg_sum"),
+        (col("in_edges").cast("double") / col("e_total").cast("double") -
+          (col("deg_sum").cast("double") / col("e_total").cast("double")) *
+          (col("deg_sum").cast("double") / col("e_total").cast("double")))
+          .as("contrib"))
+      .orderBy(col("community"))
   }
 
   /** The unrolled DuckDB twin of [[kCore]] (same k/rounds, so operator
@@ -1183,6 +1239,8 @@ object Similarity {
       ((s, d) => pageRank(Tables(s, d).embeddings)),
     "q226_label_propagation" ->
       ((s, d) => labelPropagation(Tables(s, d).embeddings)),
+    "q284_modularity_card" ->
+      ((s, d) => communityModularity(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1322,6 +1380,34 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin,
     "q158_pagerank" -> pageRankOracle(3),
     "q226_label_propagation" -> labelPropagationOracle(3),
+    // the SHARED LPA CTE chain + integer in_c / K_c / E rollups and
+    // the same fixed-shape contribution expression
+    "q284_modularity_card" ->
+      s"""WITH ${labelPropagationCtes(3)},
+         |cm AS (SELECT id, label FROM l3),
+         |et AS (SELECT CAST(count(*) AS BIGINT) AS e_total FROM edges),
+         |inc AS (
+         |  SELECT a.label AS community, CAST(count(*) AS BIGINT)
+         |    AS in_edges
+         |  FROM edges e
+         |  JOIN cm a ON e.src = a.id JOIN cm b ON e.dst = b.id
+         |  WHERE a.label = b.label GROUP BY 1),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |        FROM edges GROUP BY 1),
+         |dc AS (
+         |  SELECT c.label AS community, CAST(count(*) AS BIGINT)
+         |    AS n_nodes, CAST(sum(d.dg) AS BIGINT) AS deg_sum
+         |  FROM deg d JOIN cm c ON d.src = c.id GROUP BY 1)
+         |SELECT dc.community, dc.n_nodes,
+         |  COALESCE(inc.in_edges, 0) AS in_edges, dc.deg_sum,
+         |  CAST(COALESCE(inc.in_edges, 0) AS DOUBLE)
+         |      / CAST(et.e_total AS DOUBLE)
+         |    - (CAST(dc.deg_sum AS DOUBLE) / CAST(et.e_total AS DOUBLE))
+         |      * (CAST(dc.deg_sum AS DOUBLE) / CAST(et.e_total AS DOUBLE))
+         |    AS contrib
+         |FROM dc LEFT JOIN inc ON inc.community = dc.community
+         |CROSS JOIN et
+         |ORDER BY dc.community""".stripMargin,
     "q167_kcore" -> kCoreOracle(2, 4),
     "q166_bfs_hops" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (

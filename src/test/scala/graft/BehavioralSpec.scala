@@ -148,6 +148,33 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("hourlyProfile: hand counts and shares are exact, the peak " +
+      "tie breaks to the earliest hour, shares sum to 1 per type") {
+    // type x: 2 events at 09h, 2 at 14h (tie -> peak 9), 1 at 23h
+    val ev = Seq(
+      ("x", ts("2024-01-01 09:10:00")), ("x", ts("2024-01-02 09:50:00")),
+      ("x", ts("2024-01-01 14:00:00")), ("x", ts("2024-01-03 14:30:00")),
+      ("x", ts("2024-01-01 23:59:59")),
+      ("y", ts("2024-01-01 05:00:00")))
+      .toDF("event_type", "ts")
+    val got = Behavioral.hourlyProfile(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4), r.getBoolean(5)))
+      .toMap
+    assert(got(("x", 9)) == ((2L, 0.4, 9, true)))
+    assert(got(("x", 14)) == ((2L, 0.4, 9, false)))
+    assert(got(("x", 23)) == ((1L, 0.2, 9, false)))
+    assert(got(("y", 5)) == ((1L, 1.0, 5, true)))
+
+    // real corpus: shares sum to 1 per type; exactly one peak row
+    val real = Behavioral.hourlyProfile(
+      Tables(spark, "/root/testdata/sf0.001").events).collect()
+    real.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+      assert(rs.count(_.getBoolean(5)) == 1)
+    }
+  }
+
   test("valueDriftGate: identical snapshot halves read TVD 0, a " +
       "fully shifted half reads 0.9 over exact decile buckets") {
     // type a: both parities carry values 1..10 -> same bucket masses

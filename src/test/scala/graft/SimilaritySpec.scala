@@ -532,6 +532,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("communityModularity: two planted cliques score Q = 0.5 with " +
+      "symmetric contributions; contributions replay from the card's " +
+      "own integers; communities match the detector") {
+    // two 4-cliques in orthogonal subspaces, no cross edges
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(0f, 0f, 1f, 0f)
+    def j(v: Seq[Float], e: Float) = v.map(_ + e)
+    val emb = (0 to 3).map(i => (i.toLong, j(a, i * 1e-3f), 0)) ++
+      (10 to 13).map(i => (i.toLong, j(b, i * 1e-4f), 1))
+    val df = emb.toDF("vec_id", "embedding", "label")
+    val card = Similarity.communityModularity(df).collect()
+    assert(card.length == 2)
+    // per clique: 12 of 24 directed edges inside, degree sum 12:
+    // contrib = 12/24 - (12/24)^2 = 0.25; Q = 0.5
+    card.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 12L &&
+        r.getLong(3) == 12L && r.getDouble(4) == 0.25, r)
+    }
+
+    // real corpus: every contribution replays from the row's own
+    // integers; the partition is the q226 labeling
+    val t2 = t
+    val real = Similarity.communityModularity(t2.embeddings).collect()
+    val eTot = real.map(_.getLong(3)).sum // sum of degrees = |E| directed
+    real.foreach { r =>
+      val expect = r.getLong(2).toDouble / eTot -
+        math.pow(r.getLong(3).toDouble / eTot, 2)
+      assert(math.abs(r.getDouble(4) - expect) < 1e-15, r)
+      assert(r.getLong(2) <= r.getLong(3)) // in-edges bounded by degree
+    }
+    val comms = Similarity.labelPropagation(t2.embeddings)
+      .select(col("community")).distinct().as[Long].collect().toSet
+    assert(real.map(_.getLong(0)).toSet == comms)
+  }
+
   test("centroidDrift: identical sides read cos 1 / shift 0, " +
       "orthogonal sides read cos 0; side counts partition the label") {
     // label 1: same (3,4) direction on both parities -> cos exactly
