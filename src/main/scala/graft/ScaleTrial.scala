@@ -132,7 +132,12 @@ object ScaleTrial {
     "q282_value_drift", // decile cuts + bucket rollups on 10x events
     "q283_affinity_lift", // per-user type-set self-join, |types|^2 out
     "q284_modularity_card", // LPA rounds + label joins (embeddings as-is)
-    "q285_hourly_profile") // |types|x24 rollup on 10x events: ~flat
+    "q285_hourly_profile", // |types|x24 rollup on 10x events: ~flat
+    "q286_stationary_mix", // |types|^2 kernel + rounds: rollup-bound
+    "q287_concentration_card", // user rollup + tiny Lorenz algebra
+    "q288_cluster_separation", // centroid + quantile passes (embeddings as-is)
+    "q289_zipf_profile", // (source,token) rollup on 10x docs
+    "q290_assortativity") // shared edge relation + integer sums
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -203,6 +203,133 @@ object Behavioral {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Event CONCENTRATION card — the Gini coefficient and top-1%
+    * share of the per-user event-count distribution: the one-row
+    * inequality audit (bot farms and scraper rings concentrate volume
+    * onto few accounts; a healthy product log sits well under the
+    * crawl-log Gini). Complements q119's top-k heavy keys with the
+    * distribution-wide measure.
+    *
+    * Exactness: the grouped Lorenz algebra is ALL integers — members
+    * of the count-group (c, n_c) occupy ranks r_prev+1..r_prev+n_c,
+    * so Σ rank·x = Σ_g c·(n_c·r_prev + n_c(n_c+1)/2) exactly, and
+    * Gini = (2·Σrank·x − (n+1)·T) / (n·T) is ONE double division of
+    * exact longs (q268's exact-ratio convention; n·T < 2⁵³ through
+    * petabyte logs — promote the two products to decimal beyond).
+    * Top-1% share slices the same cumulative ranks from the top with
+    * greatest/least, again integers + one division. No sort, no
+    * window: ranks come from count-of-counts algebra.
+    *
+    * Scale: ONE user-keyed rollup (map-side combinable) collapses the
+    * log to \|users\| rows, the count-of-counts rollup collapses those
+    * to \|distinct counts\| rows (hundreds), and the rank cumulative
+    * is a self-join on that tiny frame. Nothing else grows. */
+  def eventConcentration(events: DataFrame): DataFrame = {
+    val g = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt").as("c")).agg(count(lit(1)).as("ng"))
+      .localCheckpoint(true)
+    val t = g.agg(sum(col("ng")).as("n"),
+      sum(col("c") * col("ng")).as("tot"))
+    val ranks = g.as("a")
+      .join(g.as("b"), col("b.c") =!= col("a.c"), "left_outer")
+      .groupBy(col("a.c").as("c"), col("a.ng").as("ng"))
+      .agg(
+        coalesce(sum(when(col("b.c") < col("a.c"), col("b.ng"))), lit(0L))
+          .as("rprev"),
+        coalesce(sum(when(col("b.c") > col("a.c"), col("b.ng"))), lit(0L))
+          .as("above"))
+    ranks.crossJoin(broadcast(t))
+      .groupBy(col("n"), col("tot"))
+      .agg(
+        sum(expr("c * (ng * rprev + (ng * (ng + 1)) div 2)")).as("s1"),
+        sum(expr("c * greatest(0L, least(ng, (n + 99) div 100 - above))"))
+          .as("topev"))
+      .select(col("n").as("n_users"), col("tot").as("total_events"),
+        ((lit(2L) * col("s1") - (col("n") + 1) * col("tot")).cast("double")
+          / (col("n") * col("tot")).cast("double")).as("gini"),
+        expr("(n + 99) div 100").as("top1pct_users"),
+        (col("topev").cast("double") / col("tot").cast("double"))
+          .as("top1pct_share"))
+      .orderBy(col("n_users"))
+  }
+
+  /** STATIONARY event-type mix — the long-run load distribution the
+    * observed transition kernel implies (power iteration π·P from
+    * uniform), next to the type's ACTUAL share: the instrumentation
+    * drift card (ratio ≫ 1 = the chain funnels users toward a type
+    * faster than today's traffic shows — tomorrow's hot partition;
+    * ratio ≪ 1 = a type whose traffic is entry-driven, not organic).
+    * States are the types with an outgoing transition; the kernel is
+    * restricted to edges between states and row-renormalized. Mass is
+    * conserved while every visited state keeps a restricted out-edge
+    * (the dense-log case); a state whose outgoing edges all leave the
+    * state set behaves as an absorbing exit and drains what flows
+    * into it — by design, like an absorbing Markov state. A state
+    * with no restricted in-edge reads π = 0, reported explicitly.
+    *
+    * Exactness: p = n/out is one integer division per cell; each
+    * round's fan-in sums in SOURCE-TYPE-SORTED order via the
+    * [[Similarity.pageRank]] fold convention (`aggregate(array_sort(
+    * collect_list(struct(src, contrib))))` ↔ DuckDB `list_reduce(
+    * list(contrib ORDER BY src))`), so operator and oracle add the
+    * same doubles in the same order. share is exact integers + ONE
+    * division; ratio is one more IEEE division.
+    *
+    * Scale: ONE user-keyed window pass (the q106 rollup) reduces the
+    * event log to a ≤\|types\|²-row kernel; every iteration runs on
+    * that kernel (localCheckpointed, lineage one round deep); the
+    * share rollup is map-side combinable. Nothing grows with volume
+    * but the first rollup. */
+  def stationaryMix(events: DataFrame, rounds: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = events
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val states = cnt.select(col("src")).distinct()
+    // restrict to state->state edges, renormalize rows over them
+    val rest = cnt.join(broadcast(states.select(col("src").as("dst"))),
+      "dst")
+    val p = rest
+      .join(rest.groupBy(col("src")).agg(sum(col("n")).as("out")), "src")
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("out").cast("double")).as("p"))
+      .localCheckpoint(true)
+    val nStates = states.count()
+    var pi = states.select(col("src").as("t"),
+      lit(1.0 / nStates).as("pi"))
+    var it = 0
+    while (it < rounds) {
+      pi = p.join(pi, p("src") === pi("t"))
+        .select(col("dst"), col("src"), (col("pi") * col("p")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("pi"))
+        .select(col("dst").as("t"), col("pi"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    val share = events
+      .join(broadcast(states.select(col("src").as("event_type"))),
+        "event_type")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val tot = share.agg(sum(col("cnt")).as("total"))
+    share.crossJoin(broadcast(tot))
+      .join(pi, share("event_type") === pi("t"), "left_outer")
+      .na.fill(0.0, Seq("pi"))
+      .select(col("event_type"), col("pi"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("pi") /
+          (col("cnt").cast("double") / col("total").cast("double")))
+          .as("ratio"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week of their
     * first event; for each (cohort week, whole weeks since first
     * event) the count of distinct active users. Two shuffles (first
@@ -502,6 +629,10 @@ object Behavioral {
       ((s, d) => valueDriftGate(Tables(s, d).events)),
     "q285_hourly_profile" ->
       ((s, d) => hourlyProfile(Tables(s, d).events)),
+    "q286_stationary_mix" ->
+      ((s, d) => stationaryMix(Tables(s, d).events)),
+    "q287_concentration_card" ->
+      ((s, d) => eventConcentration(Tables(s, d).events)),
     "q283_affinity_lift" ->
       ((s, d) => typeAffinityLift(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
@@ -516,6 +647,52 @@ object Behavioral {
     "q95_scd2_user_state" -> ((s, d) => scd2UserState(Tables(s, d))),
     "q99_gap_filled_daily" -> ((s, d) => gapFilledDaily(Tables(s, d)))
   )
+
+  /** The unrolled DuckDB twin of [[stationaryMix]] (same rounds, same
+    * restricted kernel, same sorted fold — operator and oracle cannot
+    * drift on accumulation order). */
+  private def stationaryMixOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""pi$r AS MATERIALIZED (
+         |  SELECT dst AS t,
+         |    list_reduce(list_prepend(0.0, list(contrib ORDER BY src)),
+         |      (a, b) -> a + b) AS pi
+         |  FROM (SELECT p.dst, p.src, q.pi * p.p AS contrib
+         |        FROM p JOIN pi${r - 1} q ON p.src = q.t)
+         |  GROUP BY dst)""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT event_type, lead(event_type) OVER
+       |    (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |cnt AS MATERIALIZED (
+       |  SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |st AS MATERIALIZED (SELECT DISTINCT src FROM cnt),
+       |rest AS MATERIALIZED (
+       |  SELECT c.src, c.dst, c.n FROM cnt c JOIN st ON c.dst = st.src),
+       |p AS MATERIALIZED (
+       |  SELECT r.src, r.dst,
+       |    CAST(r.n AS DOUBLE) / CAST(o.out_n AS DOUBLE) AS p
+       |  FROM rest r JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS out_n
+       |                    FROM rest GROUP BY 1) o ON r.src = o.src),
+       |nn AS (SELECT count(*) AS n FROM st),
+       |pi0 AS MATERIALIZED (
+       |  SELECT src AS t, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pi
+       |  FROM st),
+       |${steps.mkString(",\n")},
+       |sh AS (
+       |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events e JOIN st ON e.event_type = st.src GROUP BY 1),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sh)
+       |SELECT sh.event_type, COALESCE(pi$rounds.pi, 0.0) AS pi,
+       |  CAST(sh.cnt AS DOUBLE) / CAST(tt.total AS DOUBLE) AS share,
+       |  COALESCE(pi$rounds.pi, 0.0) /
+       |    (CAST(sh.cnt AS DOUBLE) / CAST(tt.total AS DOUBLE)) AS ratio
+       |FROM sh LEFT JOIN pi$rounds ON pi$rounds.t = sh.event_type
+       |CROSS JOIN tt
+       |ORDER BY sh.event_type""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // same first-element-seeded left fold over the same (ts, event_id)
@@ -573,6 +750,35 @@ object Behavioral {
         |JOIN t ON t.event_type = h.event_type
         |JOIN p ON p.event_type = h.event_type
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    // the same restricted/renormalized kernel, the same uniform seed,
+    // and the pageRank list_reduce(ORDER BY src) fold per round
+    "q286_stationary_mix" -> stationaryMixOracle(5),
+    // the same grouped Lorenz integers (count-of-counts ranks) and
+    // the same two exact-ratio divisions
+    "q287_concentration_card" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT cnt AS c, CAST(count(*) AS BIGINT) AS ng
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |             CAST(sum(c * ng) AS BIGINT) AS tot FROM g),
+        |a AS (
+        |  SELECT ga.c, ga.ng,
+        |    CAST(COALESCE(sum(CASE WHEN gb.c < ga.c THEN gb.ng END), 0)
+        |      AS BIGINT) AS rprev,
+        |    CAST(COALESCE(sum(CASE WHEN gb.c > ga.c THEN gb.ng END), 0)
+        |      AS BIGINT) AS above
+        |  FROM g ga LEFT JOIN g gb ON gb.c <> ga.c
+        |  GROUP BY 1, 2)
+        |SELECT t.n AS n_users, t.tot AS total_events,
+        |  CAST(2 * sum(c * (ng * rprev + (ng * (ng + 1)) // 2))
+        |      - (t.n + 1) * t.tot AS DOUBLE)
+        |    / CAST(t.n * t.tot AS DOUBLE) AS gini,
+        |  (t.n + 99) // 100 AS top1pct_users,
+        |  CAST(sum(c * greatest(0, least(ng, (t.n + 99) // 100 - above)))
+        |      AS DOUBLE) / CAST(t.tot AS DOUBLE) AS top1pct_share
+        |FROM a CROSS JOIN t GROUP BY t.n, t.tot
+        |ORDER BY n_users""".stripMargin,
     // reference-side exact deciles (quantile_cont list), strict->
     // bucket count, and the bucket-ordered seeded TVD fold
     "q282_value_drift" ->

@@ -559,6 +559,69 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster SEPARATION card (Dunn 1974's ratio idea in its
+    * order-statistic form) — per label: the MEDIAN squared distance
+    * to the own exact centroid (cohesion), the nearest OTHER centroid
+    * with its squared distance (separation), and the separation/
+    * cohesion ratio. The pre-flight audit before trusting a labeling
+    * or k-means partition for SemDeDup/curation decisions: ratio ≫ 1
+    * = clusters are tight and far apart; ratio ≲ 1 = the partition's
+    * internal spread swallows the gap (don't route dedup through it).
+    * Complements q276 (outliers WITHIN a label) and q284 (the graph
+    * twin of this card).
+    *
+    * Exactness: the q276 recipe end to end — decimal-exact centroids
+    * (q139), row-local left-fold dist², cohesion as an ORDER
+    * STATISTIC (p50 via the distributed exact-quantile machinery, no
+    * cross-row float sum anywhere), separation as a \|labels\|²
+    * row-local fold with a min(struct) argmin, ratio ONE division.
+    *
+    * Scale: centroids collapse to a broadcast \|labels\|×dim model,
+    * the quantile pass shuffles (label, dist2) value counts partial-
+    * aggregated map-side, the centroid-pair matrix is \|labels\|²
+    * driver-free rows. Vectors never shuffle. */
+  def clusterSeparation(emb: DataFrame): DataFrame = {
+    val cents = labelCentroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid)))," +
+        " x -> x.centroid)").as("cvec"))
+      .localCheckpoint(true)
+    val dist2 = aggregate(
+      zip_with(col("embedding"), col("cvec"), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = emb.join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), dist2.as("dist2"))
+    val med = Describe.groupedExactQuantiles(scored, "label",
+      Seq("dist2"), Seq(0.5)).map { case ((g, _), v) => g -> v.head }
+    val medExpr = try_element_at(
+      map(med.toSeq.sortBy(_._1).flatMap { case (g, m) =>
+        Seq(lit(g), lit(m)): Seq[Column]
+      }: _*), col("label").cast("string"))
+    val cd2 = aggregate(
+      zip_with(col("a.cvec"), col("b.cvec"), (x, y) => {
+        val d = x - y
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val sep = cents.as("a")
+      .join(cents.as("b"), col("a.c_label") =!= col("b.c_label"))
+      .select(col("a.c_label").as("label"), cd2.as("cd2"),
+        col("b.c_label").as("other"))
+      .groupBy(col("label"))
+      .agg(min(struct(col("cd2"), col("other"))).as("m"))
+      .select(col("label"), col("m.other").as("nearest_label"),
+        col("m.cd2").as("separation"))
+    scored.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(sep, Seq("label"))
+      .select(col("label"), col("n_vecs"), medExpr.as("cohesion_med"),
+        col("nearest_label"), col("separation"),
+        (col("separation") / medExpr).as("ratio"))
+      .orderBy(col("label"))
+  }
+
   /** CLUSTER-ADJACENT training order — in-context pretraining's data
     * layout (Shi et al. 2023, arXiv:2310.10638: place related
     * documents in the same context window so cross-document reasoning
@@ -1051,6 +1114,46 @@ object Similarity {
       .orderBy(col("community"))
   }
 
+  /** Degree ASSORTATIVITY card (Newman 2002) — the Pearson
+    * correlation of endpoint degrees over the similarity graph's
+    * edges: r > 0 = hubs link to hubs (a mirror-farm core that one
+    * cluster-cap won't contain), r < 0 = hub-and-spoke (one template
+    * page linked by many singletons — cap the hub and the component
+    * shatters). The third leg of the graph-quality family: q284
+    * scores the partition, q167 the cores, this the degree mixing.
+    *
+    * Exactness: on the symmetrized edge list the two endpoint-degree
+    * marginals are IDENTICAL, so Pearson's sqrt collapses —
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — and every term is an
+    * exact integer rollup: ONE double division, no sqrt, no float
+    * accumulation (the q268/q283/q287 exact-ratio convention).
+    * M·Σx² fits int64 through ~10⁹-edge graphs; promote the three
+    * products to decimal beyond.
+    *
+    * Scale: rides the SAME persisted edge relation as q158/q226/q284
+    * — one degree rollup, two node-keyed joins, one map-side global
+    * rollup to a 1-row card. Degenerate regular graphs (zero degree
+    * variance) are a 0/0 by construction; real similarity graphs
+    * never are. */
+  def degreeAssortativity(embeddings: DataFrame,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    edges
+      .join(deg.select(col("src"), col("dg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("m").as("n_directed_edges"), col("sx").as("sum_deg"),
+        ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+      .orderBy(col("n_directed_edges"))
+  }
+
   /** The unrolled DuckDB twin of [[kCore]] (same k/rounds, so operator
     * and oracle cannot drift); MATERIALIZED CTEs for the same
     * inlining-blowup reason as the BPE oracle. */
@@ -1241,6 +1344,10 @@ object Similarity {
       ((s, d) => labelPropagation(Tables(s, d).embeddings)),
     "q284_modularity_card" ->
       ((s, d) => communityModularity(Tables(s, d).embeddings)),
+    "q288_cluster_separation" ->
+      ((s, d) => clusterSeparation(Tables(s, d).embeddings)),
+    "q290_assortativity" ->
+      ((s, d) => degreeAssortativity(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1408,6 +1515,71 @@ object Similarity {
          |FROM dc LEFT JOIN inc ON inc.community = dc.community
          |CROSS JOIN et
          |ORDER BY dc.community""".stripMargin,
+    // the same symmetrized edges + integer degree sums and the ONE
+    // sqrt-free Pearson division (identical marginals)
+    "q290_assortativity" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${simSql("a", "b")} >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+         |        FROM edges GROUP BY 1),
+         |lab AS (
+         |  SELECT dx.dg AS dx, dy.dg AS dy
+         |  FROM edges e JOIN deg dx ON e.src = dx.src
+         |  JOIN deg dy ON e.dst = dy.src),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(sum(dx) AS BIGINT) AS sx,
+         |    CAST(sum(dx * dx) AS BIGINT) AS sxx
+         |  FROM lab)
+         |SELECT m AS n_directed_edges, sx AS sum_deg,
+         |  CAST(m * sxy - sx * sx AS DOUBLE) /
+         |    CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+         |FROM s ORDER BY n_directed_edges""".stripMargin,
+    // the q276 recipe (exact centroids + left-fold dist2 +
+    // quantile_cont(0.5)) plus the |labels|^2 centroid matrix with
+    // the (cd2, other) row_number argmin and ONE ratio division
+    "q288_cluster_separation" ->
+      s"""WITH cent AS (
+         |  SELECT label, pos,
+         |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+         |      AS VARCHAR) AS DOUBLE) / count(*) AS centroid
+         |  FROM (SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+         |          embedding[i] AS x
+         |        FROM (SELECT label, embedding,
+         |                unnest(range(1, len(embedding) + 1)) AS i
+         |              FROM embeddings))
+         |  GROUP BY label, pos),
+         |cvecs AS (
+         |  SELECT label, list(centroid ORDER BY pos) AS cvec
+         |  FROM cent GROUP BY label),
+         |scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${l2Sql("e.embedding", "c.cvec", Dim)} AS dist2
+         |  FROM embeddings e JOIN cvecs c ON e.label = c.label),
+         |coh AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    quantile_cont(dist2, 0.5) AS cohesion_med
+         |  FROM scored GROUP BY label),
+         |sep AS (
+         |  SELECT label, other AS nearest_label, cd2 AS separation
+         |  FROM (
+         |    SELECT a.label AS label, b.label AS other,
+         |      ${l2Sql("a.cvec", "b.cvec", Dim)} AS cd2,
+         |      row_number() OVER (PARTITION BY a.label
+         |        ORDER BY ${l2Sql("a.cvec", "b.cvec", Dim)}, b.label)
+         |        AS rn
+         |    FROM cvecs a JOIN cvecs b ON a.label <> b.label)
+         |  WHERE rn = 1)
+         |SELECT c.label, c.n_vecs, c.cohesion_med, s.nearest_label,
+         |  s.separation, s.separation / c.cohesion_med AS ratio
+         |FROM coh c JOIN sep s ON s.label = c.label
+         |ORDER BY c.label""".stripMargin,
     "q167_kcore" -> kCoreOracle(2, 4),
     "q166_bfs_hops" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (

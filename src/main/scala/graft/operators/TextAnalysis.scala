@@ -41,6 +41,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(30)
 
+  /** Zipf rank-frequency PROFILE per source — token frequency read
+    * at DOUBLING ranks (1, 2, 4, …, 2^maxLog2) with the decay ratio
+    * freq(r)/freq(r/2): the lexical-naturalness fingerprint (natural
+    * language tracks decay ≈ 0.5, Zipf s ≈ 1; templated or machine-
+    * generated feeds read flatter — a high decay ratio deep in the
+    * tail is the tell). The log-free form of the classic log-log
+    * slope: all integers + ONE division per row, no ln (libm-unsafe,
+    * the [[DataHygiene]] convention).
+    *
+    * Rank WITHOUT sorting: the count-of-counts device (q287) — a
+    * frequency-group (f, n_types) occupies ranks cumAbove+1 ..
+    * cumAbove+n_types, so the token at rank r is the group whose
+    * range covers r. No window, no top-k: ranks come from algebra.
+    *
+    * Scale: the (source, token) rollup partial-aggregates map-side
+    * (Zipf bounds distinct types far below token volume); count-of-
+    * counts collapses it to \|distinct freqs\| rows per source
+    * (hundreds); the rank probe joins THAT against ≤ maxLog2+1
+    * broadcast literals. Nothing downstream of the first rollup
+    * grows with corpus size. */
+  def zipfProfile(docs: DataFrame, maxLog2: Int = 10): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val ranks = (0 to maxLog2).map(1L << _).toDF("rnk")
+    val ff = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("ntypes"))
+      .localCheckpoint(true)
+    val cum = ff.as("a")
+      .join(ff.as("b"), col("a.source") === col("b.source") &&
+        col("b.f") > col("a.f"), "left_outer")
+      .groupBy(col("a.source").as("source"), col("a.f").as("f"),
+        col("a.ntypes").as("ntypes"))
+      .agg(coalesce(sum(col("b.ntypes")), lit(0L)).as("above"))
+    val at = cum.join(broadcast(ranks), col("above") < col("rnk") &&
+        col("rnk") <= col("above") + col("ntypes"))
+      .select(col("source"), col("rnk"), col("f").as("freq"))
+    at.as("x")
+      .join(at.as("y"), col("x.source") === col("y.source") &&
+        col("y.rnk") * 2 === col("x.rnk"), "left_outer")
+      .select(col("x.source").as("source"), col("x.rnk").as("rnk"),
+        col("x.freq").as("freq"),
+        (col("x.freq").cast("double") / col("y.freq").cast("double"))
+          .as("decay"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Heuristic quality scoring: lexical diversity + stopword mass +
     * length prior (formula in [[graft.functions.TextFunctions]]). */
   def qualityScores(t: Tables): DataFrame = {
@@ -1426,6 +1474,8 @@ object TextAnalysis {
       ((s, d) => templatePrefixes(Tables(s, d).documents)),
     "q20_token_stats" -> ((s, d) => tokenStats(Tables(s, d))),
     "q21_word_freq" -> ((s, d) => wordFrequencies(Tables(s, d))),
+    "q289_zipf_profile" ->
+      ((s, d) => zipfProfile(Tables(s, d).documents)),
     "q22_quality_scores" -> ((s, d) => qualityScores(Tables(s, d))),
     "q23_corpus_stats" -> ((s, d) => corpusStats(Tables(s, d))),
     "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
@@ -2179,6 +2229,34 @@ object TextAnalysis {
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the same count-of-counts rank algebra (no ORDER BY rank trick:
+    // the group covering rank r is located by its cumulative range)
+    // and the same single decay division
+    "q289_zipf_profile" ->
+      """WITH tf AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ff AS (SELECT source, f, CAST(count(*) AS BIGINT) AS ntypes
+        |       FROM tf GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT a.source, a.f, a.ntypes,
+        |    CAST(COALESCE(sum(b.ntypes), 0) AS BIGINT) AS above
+        |  FROM ff a LEFT JOIN ff b
+        |    ON b.source = a.source AND b.f > a.f
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT (CAST(1 AS BIGINT) << CAST(x AS INTEGER)) AS rnk
+        |       FROM range(0, 11) t(x)),
+        |at_r AS (
+        |  SELECT c.source, r.rnk, c.f AS freq
+        |  FROM cum c JOIN rk r
+        |    ON c.above < r.rnk AND r.rnk <= c.above + c.ntypes)
+        |SELECT x.source, x.rnk, x.freq,
+        |  CAST(x.freq AS DOUBLE) / CAST(y.freq AS DOUBLE) AS decay
+        |FROM at_r x LEFT JOIN at_r y
+        |  ON y.source = x.source AND y.rnk * 2 = x.rnk
+        |ORDER BY x.source, x.rnk""".stripMargin,
     "q21_word_freq" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

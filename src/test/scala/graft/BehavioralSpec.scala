@@ -175,6 +175,82 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("eventConcentration: hand Lorenz [1,1,2,4] reads gini 0.3125 " +
+      "and top-1% share 0.5; equal counts read 0; the real-corpus " +
+      "card equals a sorted brute-force replay exactly") {
+    def ev(pairs: (Long, Int)*) = pairs.flatMap { case (u, k) =>
+      (1 to k).map(i => (u * 100 + i, u, "e",
+        ts(f"2024-01-01 10:${i}%02d:00")))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+
+    val r1 = Behavioral.eventConcentration(
+      ev(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 4)).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1)) == ((4L, 8L)))
+    assert(r1.getDouble(2) == 0.3125)
+    assert(r1.getLong(3) == 1L && r1.getDouble(4) == 0.5)
+
+    val r2 = Behavioral.eventConcentration(
+      ev(1L -> 3, 2L -> 3, 3L -> 3)).collect()(0)
+    assert(r2.getDouble(2) == 0.0)
+
+    // real corpus: exact replay of the grouped algebra from the raw
+    // sorted per-user counts (rank formula, integer arithmetic)
+    val t = Tables(spark, "/root/testdata/sf0.001").events
+    val counts = t.groupBy(col("user_id")).count()
+      .select(col("count")).as[Long].collect().sorted
+    val n = counts.length.toLong
+    val tot = counts.sum
+    val s1 = counts.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2L * s1 - (n + 1) * tot).toDouble / (n * tot).toDouble
+    val topk = (n + 99) / 100
+    val topShare =
+      counts.sorted(Ordering[Long].reverse).take(topk.toInt).sum.toDouble /
+        tot.toDouble
+    val card = Behavioral.eventConcentration(t).collect()(0)
+    assert(card.getLong(0) == n && card.getLong(1) == tot)
+    assert(card.getDouble(2) == gini)
+    assert(card.getLong(3) == topk && card.getDouble(4) == topShare)
+  }
+
+  test("stationaryMix: an alternating two-type chain is stationary " +
+      "at (0.5, 0.5); an all-out-edges-leave state drains as an " +
+      "absorbing exit; real-corpus mass conserved, ratio replays") {
+    // a,b,a,b,a -> P swaps a/b; uniform seed is already stationary
+    val ev = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "b", ts("2024-01-01 10:01:00")),
+      (3L, 10L, "a", ts("2024-01-01 10:02:00")),
+      (4L, 10L, "b", ts("2024-01-01 10:03:00")),
+      (5L, 10L, "a", ts("2024-01-01 10:04:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavioral.stationaryMix(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((0.5, 0.6, 0.5 / 0.6)))
+    assert(got("b") == ((0.5, 0.4, 1.25)))
+
+    // x->y->z: states {x,y}; y's only out-edge leaves the state set
+    // (absorbing exit) so every pi drains to 0 within the rounds
+    val ev2 = Seq(
+      (1L, 20L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 20L, "y", ts("2024-01-01 10:01:00")),
+      (3L, 20L, "z", ts("2024-01-01 10:02:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got2 = Behavioral.stationaryMix(ev2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map("x" -> 0.0, "y" -> 0.0)) // z is not a state
+
+    // real corpus: dense log -> mass conserved on both columns;
+    // ratio is the card's own pi/share division, bit-for-bit
+    val real = Behavioral.stationaryMix(
+      Tables(spark, "/root/testdata/sf0.001").events).collect()
+    assert(math.abs(real.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(math.abs(real.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    real.foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(1) / r.getDouble(2))
+    }
+  }
+
   test("valueDriftGate: identical snapshot halves read TVD 0, a " +
       "fully shifted half reads 0.9 over exact decile buckets") {
     // type a: both parities carry values 1..10 -> same bucket masses

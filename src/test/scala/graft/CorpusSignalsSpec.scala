@@ -14,6 +14,45 @@ class CorpusSignalsSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("zipfProfile: a hand corpus reads exact freqs at doubling " +
+      "ranks with decay 0.5; real-corpus freq is non-increasing in " +
+      "rank and decay replays") {
+    import spark.implicits._
+    // s1 freqs sorted: 8,4,4,2,1,1,1,1 -> rank1=8 r2=4 r4=2 r8=1
+    val d = Seq(
+      (1L, "a a a a a a a a b b b b c c c c d d e f g h", "s1"),
+      (2L, "x x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.zipfProfile(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    assert(got(("s1", 1L)) == ((8L, -1.0)))
+    assert(got(("s1", 2L)) == ((4L, 0.5)))
+    assert(got(("s1", 4L)) == ((2L, 0.5)))
+    assert(got(("s1", 8L)) == ((1L, 0.5)))
+    assert(!got.contains(("s1", 16L))) // vocab is 8
+    assert(got(("s2", 1L)) == ((2L, -1.0)))
+    assert(got(("s2", 2L)) == ((1L, 0.5)))
+    assert(!got.contains(("s2", 4L)))
+
+    // real corpus: monotone non-increasing freq per source; decay is
+    // the card's own freq(r)/freq(r/2) division, null only at rank 1
+    val real = graft.operators.TextAnalysis.zipfProfile(docs).collect()
+    real.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0).getLong(2) >= w(1).getLong(2))
+      }
+      val freqAt = byRank.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      byRank.foreach { r =>
+        if (r.getLong(1) == 1L) assert(r.isNullAt(3))
+        else assert(r.getDouble(3) ==
+          r.getLong(2).toDouble / freqAt(r.getLong(1) / 2).toDouble)
+      }
+    }
+  }
+
   test("essCard: identical docs give ess_frac ~ 1; one dominating " +
       "weight collapses it toward 1/n; card agrees with a driver " +
       "recomputation on the real corpus") {

@@ -566,6 +566,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.map(_.getLong(0)).toSet == comms)
   }
 
+  test("degreeAssortativity: a planted star reads exactly -1; the " +
+      "real-corpus card equals an integer brute-force replay") {
+    // center (1,1,1,0) sees each axis leaf at cos 1/sqrt(3) >= 0.3;
+    // leaves are mutually orthogonal -> star K(1,3), r = -1 exactly
+    def axis(i: Int) = Seq.tabulate(4)(d => if (d == i) 1f else 0f)
+    val emb = (Seq((0L, Seq(1f, 1f, 1f, 0f), 0)) ++
+      (1 to 3).map(i => (i.toLong, axis(i - 1), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.degreeAssortativity(emb).collect()(0)
+    assert(r1.getLong(0) == 6L && r1.getLong(1) == 12L)
+    assert(r1.getDouble(2) == -1.0)
+
+    // real corpus: exact replay from the collected edge list
+    val t2 = t
+    val edges = Similarity.similarPairs(t2.embeddings, 0.3)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val dg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val xy = sym.map { case (a, b) => (dg(a), dg(b)) }
+    val m = xy.length.toLong
+    val sxy = xy.map { case (x, y) => x * y }.sum
+    val sx = xy.map(_._1).sum
+    val sxx = xy.map { case (x, _) => x * x }.sum
+    val expect = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    val card = Similarity.degreeAssortativity(t2.embeddings).collect()(0)
+    assert(card.getLong(0) == m && card.getLong(1) == sx)
+    assert(card.getDouble(2) == expect)
+    assert(card.getDouble(2) >= -1.0 && card.getDouble(2) <= 1.0)
+  }
+
+  test("clusterSeparation: two planted clusters read exact hand " +
+      "cohesion/separation/ratio; real-corpus ratio replays and the " +
+      "nearest label is never the own label") {
+    // label 0 on e1 (centroid exactly 1.0), label 1 on e3 (centroid
+    // exactly 3.0): every value, median and ratio is hand-exact
+    def v(i: Int, x: Float) = Seq.tabulate(4)(d => if (d == i) x else 0f)
+    val emb = Seq(
+      (1L, v(0, 0.75f), 0), (2L, v(0, 1.25f), 0),
+      (10L, v(2, 2f), 1), (11L, v(2, 4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterSeparation(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(0) == ((2L, 0.0625, 1, 10.0, 160.0)))
+    assert(got(1) == ((2L, 1.0, 0, 10.0, 10.0)))
+
+    // real corpus: ratio is the card's own division, nearest is
+    // another label, n_vecs partitions the table
+    val t2 = t
+    val real = Similarity.clusterSeparation(t2.embeddings).collect()
+    assert(real.map(_.getLong(1)).sum == t2.embeddings.count())
+    real.foreach { r =>
+      assert(r.getInt(3) != r.getInt(0))
+      assert(r.getDouble(4) > 0.0)
+      assert(r.getDouble(5) == r.getDouble(4) / r.getDouble(2))
+    }
+  }
+
   test("centroidDrift: identical sides read cos 1 / shift 0, " +
       "orthogonal sides read cos 0; side counts partition the label") {
     // label 1: same (3,4) direction on both parities -> cos exactly
