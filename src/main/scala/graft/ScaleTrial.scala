@@ -137,7 +137,9 @@ object ScaleTrial {
     "q287_concentration_card", // user rollup + tiny Lorenz algebra
     "q288_cluster_separation", // centroid + quantile passes (embeddings as-is)
     "q289_zipf_profile", // (source,token) rollup on 10x docs
-    "q290_assortativity") // shared edge relation + integer sums
+    "q290_assortativity", // shared edge relation + integer sums
+    "q291_fk_integrity", // anti joins on 10x facts (disjoint key spaces)
+    "q292_key_uniqueness") // exact count_distinct per table at 10x
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

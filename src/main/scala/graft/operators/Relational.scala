@@ -271,6 +271,93 @@ object Relational {
       .orderBy(col("r_name"), col("o_orderstatus"))
   }
 
+  /** Referential-INTEGRITY audit — per declared FK relationship the
+    * child row count, the ORPHAN count (child keys with no parent, as
+    * a left-anti join) and the orphan fraction: the warehouse gate a
+    * pipeline runs after every load before trusting downstream joins
+    * (an inner join silently DROPS orphan rows — this card says how
+    * many, per edge of the schema graph). All integers + ONE division
+    * per relationship (exact-ratio convention).
+    *
+    * Scale: each relationship is one anti join on its key — dims
+    * broadcast (nation/region/customer/supplier/part under AQE's
+    * threshold at warehouse shapes), fact-fact shuffles partition on
+    * the key; the seven 1-row aggregates union into a 7-row card.
+    * A null child key counts as an orphan (anti join semantics) —
+    * the conservative reading for an integrity gate. */
+  def fkIntegrityRel(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val n = child.agg(count(lit(1)).as("n_child"))
+    val o = child
+      .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    n.crossJoin(broadcast(o))
+      .select(lit(name).as("relationship"), col("n_child"),
+        col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_child").cast("double"))
+          .as("orphan_frac"))
+  }
+
+  def fkIntegrity(t: Tables): DataFrame = {
+    val rel = fkIntegrityRel(_, _, _, _, _)
+    Seq(
+      rel("customer->nation", t.customer, "c_nationkey",
+        t.nation, "n_nationkey"),
+      rel("lineitem->orders", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey"),
+      rel("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      rel("lineitem->supplier", t.lineitem, "l_suppkey",
+        t.supplier, "s_suppkey"),
+      rel("nation->region", t.nation, "n_regionkey",
+        t.region, "r_regionkey"),
+      rel("orders->customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"),
+      rel("supplier->nation", t.supplier, "s_nationkey",
+        t.nation, "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("relationship"))
+  }
+
+  /** Candidate-KEY uniqueness audit — per table and declared key: row
+    * count, exact distinct key count, duplicate surplus and the
+    * uniqueness verdict. The other half of the warehouse contract
+    * (q291 checks the edges, this checks the nodes): a duplicated
+    * primary key turns every downstream join into silent fan-out.
+    * All integers; no floats at all.
+    *
+    * Scale: one exact count_distinct per table — a key-partitioned
+    * shuffle of partial distinct sets (the audit tier by contract,
+    * q153's precedent); the q188/q65 sketch NDV swaps in as the
+    * monitoring tier when exactness stops paying. Composite keys
+    * dedup on the column tuple, never a concat hack. */
+  def keyUniquenessOf(table: String, df: DataFrame, keyName: String,
+      keys: Column*): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        count_distinct(keys.head, keys.tail: _*).as("n_keys"))
+      .select(lit(table).as("table_name"), lit(keyName).as("key_cols"),
+        col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("dup_rows"),
+        (col("n_rows") === col("n_keys")).as("is_unique"))
+
+  def keyUniqueness(t: Tables): DataFrame = {
+    def k(table: String, df: DataFrame, keyName: String,
+        keys: Column*) = keyUniquenessOf(table, df, keyName, keys: _*)
+    Seq(
+      k("customer", t.customer, "c_custkey", col("c_custkey")),
+      k("documents", t.documents, "doc_id", col("doc_id")),
+      k("embeddings", t.embeddings, "vec_id", col("vec_id")),
+      k("events", t.events, "event_id", col("event_id")),
+      k("lineitem", t.lineitem, "l_orderkey,l_linenumber",
+        col("l_orderkey"), col("l_linenumber")),
+      k("nation", t.nation, "n_nationkey", col("n_nationkey")),
+      k("orders", t.orders, "o_orderkey", col("o_orderkey")),
+      k("part", t.part, "p_partkey", col("p_partkey")),
+      k("region", t.region, "r_regionkey", col("r_regionkey")),
+      k("supplier", t.supplier, "s_suppkey", col("s_suppkey")))
+      .reduce(_ unionAll _)
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => pricingSummary(Tables(s, d))),
     "q02_filter_project" -> ((s, d) => filterProject(Tables(s, d))),
@@ -291,10 +378,85 @@ object Relational {
     "q15_json_extract" -> ((s, d) => jsonExtractAgg(Tables(s, d))),
     "q16_monthly_orders" -> ((s, d) => monthlyOrders(Tables(s, d))),
     "q17_string_ops" -> ((s, d) => stringOps(Tables(s, d))),
-    "q18_cross_join" -> ((s, d) => regionStatusMatrix(Tables(s, d)))
+    "q18_cross_join" -> ((s, d) => regionStatusMatrix(Tables(s, d))),
+    "q291_fk_integrity" -> ((s, d) => fkIntegrity(Tables(s, d))),
+    "q292_key_uniqueness" -> ((s, d) => keyUniqueness(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same seven NOT EXISTS anti joins and single divisions
+    "q291_fk_integrity" ->
+      """WITH rels AS (
+        |  SELECT 'customer->nation' AS relationship,
+        |    (SELECT count(*) FROM customer) AS n_child,
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n
+        |       WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |  UNION ALL SELECT 'lineitem->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o
+        |       WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s
+        |       WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'nation->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r
+        |       WHERE r.r_regionkey = n.n_regionkey))
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c
+        |       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'supplier->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n
+        |       WHERE n.n_nationkey = s.s_nationkey)))
+        |SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)
+        |    AS orphan_frac
+        |FROM rels ORDER BY relationship""".stripMargin,
+    // the same exact distinct-key counts (composite keys as row
+    // values, never a concat hack) and integer surplus
+    "q292_key_uniqueness" ->
+      """WITH u AS (
+        |  SELECT 'customer' AS table_name, 'c_custkey' AS key_cols,
+        |    count(*) AS n_rows, count(DISTINCT c_custkey) AS n_keys
+        |  FROM customer
+        |  UNION ALL SELECT 'documents', 'doc_id', count(*),
+        |    count(DISTINCT doc_id) FROM documents
+        |  UNION ALL SELECT 'embeddings', 'vec_id', count(*),
+        |    count(DISTINCT vec_id) FROM embeddings
+        |  UNION ALL SELECT 'events', 'event_id', count(*),
+        |    count(DISTINCT event_id) FROM events
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey,l_linenumber',
+        |    count(*), count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL SELECT 'nation', 'n_nationkey', count(*),
+        |    count(DISTINCT n_nationkey) FROM nation
+        |  UNION ALL SELECT 'orders', 'o_orderkey', count(*),
+        |    count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'part', 'p_partkey', count(*),
+        |    count(DISTINCT p_partkey) FROM part
+        |  UNION ALL SELECT 'region', 'r_regionkey', count(*),
+        |    count(DISTINCT r_regionkey) FROM region
+        |  UNION ALL SELECT 'supplier', 's_suppkey', count(*),
+        |    count(DISTINCT s_suppkey) FROM supplier)
+        |SELECT table_name, key_cols, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows - n_keys AS BIGINT) AS dup_rows,
+        |  n_rows = n_keys AS is_unique
+        |FROM u ORDER BY table_name""".stripMargin,
     // decimal->double casts go through VARCHAR: DuckDB's direct cast is
     // not correctly rounded once the scaled value exceeds 2^53 (the
     // higher-scale product sums get there at sf>=1); the string

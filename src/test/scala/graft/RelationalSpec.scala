@@ -19,6 +19,57 @@ class RelationalSpec extends AnyFunSuite {
     assert(total(1) == total(13))
   }
 
+  test("fkIntegrity: planted orphans (incl. a NULL key) are counted " +
+      "with exact fraction; the intact corpus reads all-zero orphans") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Relational.fkIntegrityRel("c->p", child, "ck", parent, "pk")
+      .collect()(0)
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.6)
+
+    val card = Relational.fkIntegrity(t).collect()
+    assert(card.length == 7)
+    assert(card.forall(_.getLong(2) == 0L), "synthetic corpus is intact")
+    assert(card.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("keyUniqueness: planted duplicate simple and composite keys " +
+      "read exact surplus; the audit catches the corpus's broken " +
+      "lineitem composite key and clears the nine id keys") {
+    val dup = Seq(1L, 1L, 2L).toDF("k")
+    val r1 = Relational.keyUniquenessOf("t1", dup, "k", col("k"))
+      .collect()(0)
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 2L &&
+      r1.getLong(4) == 1L && !r1.getBoolean(5))
+
+    val comp = Seq((1L, 1L), (1L, 2L), (1L, 1L)).toDF("a", "b")
+    val r2 = Relational.keyUniquenessOf("t2", comp, "a,b",
+      col("a"), col("b")).collect()(0)
+    assert(r2.getLong(2) == 3L && r2.getLong(3) == 2L &&
+      r2.getLong(4) == 1L && !r2.getBoolean(5))
+
+    // the card's real finding: every single-column id is unique, but
+    // the synthetic generator does NOT honor TPC-H's composite
+    // (l_orderkey, l_linenumber) key — the audit catches it, with the
+    // surplus replaying exactly from a driver distinct count
+    val card = Relational.keyUniqueness(t).collect()
+    assert(card.length == 10)
+    val (li, rest) = card.partition(_.getString(0) == "lineitem")
+    rest.foreach { r =>
+      assert(r.getBoolean(5) && r.getLong(4) == 0L &&
+        r.getLong(2) == r.getLong(3), r)
+    }
+    val nKeys = t.lineitem
+      .select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(li(0).getLong(2) == t.lineitem.count())
+    assert(li(0).getLong(3) == nKeys)
+    assert(li(0).getLong(4) == li(0).getLong(2) - nKeys &&
+      li(0).getLong(4) > 0L && !li(0).getBoolean(5))
+  }
+
   test("top-k orders agrees with full sort") {
     val viaLimit = Relational.topOrders(t).collect().map(_.getLong(0)).toSeq
     val full = t.orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
