@@ -139,7 +139,9 @@ object ScaleTrial {
     "q289_zipf_profile", // (source,token) rollup on 10x docs
     "q290_assortativity", // shared edge relation + integer sums
     "q291_fk_integrity", // anti joins on 10x facts (disjoint key spaces)
-    "q292_key_uniqueness") // exact count_distinct per table at 10x
+    "q292_key_uniqueness", // exact count_distinct per table at 10x
+    "q293_growth_accounting", // user-keyed lag + weekly rollup, 10x users
+    "q294_gap_profile") // keyed lag + quantile machinery on 10x events
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

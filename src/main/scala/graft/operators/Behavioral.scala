@@ -203,6 +203,89 @@ object Behavioral {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Inter-event GAP profile — per event type, the count of same-
+    * user consecutive gaps with the median and p90 gap in
+    * MICROSECONDS: the cadence diagnostic (a sub-second median on a
+    * human-driven type is a bot/replay signature; the p90 sets the
+    * sessionization/throttle window empirically instead of by folk
+    * constant — the evidence q103/q173 parameters should come from).
+    *
+    * Exactness: gaps are exact integer microsecond differences from
+    * a (user, type)-keyed lag; both quantiles are ORDER STATISTICS
+    * via the distributed exact-quantile machinery (q89's bitwise
+    * `quantile_cont` interpolation) — no float accumulation anywhere.
+    *
+    * Scale: one keyed window pass over the log, then the quantile
+    * machinery's (type, gap) value-count rollup (partial-aggregated
+    * map-side); thresholds return as a \|types\|-sized literal map. */
+  def gapProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+    val q = Describe.groupedExactQuantiles(gaps, "event_type",
+      Seq("gap_us"), Seq(0.5, 0.9))
+    def qExpr(i: Int) = try_element_at(
+      map(q.toSeq.sortBy(_._1._1).flatMap { case ((g, _), v) =>
+        Seq(lit(g), lit(v(i))): Seq[org.apache.spark.sql.Column]
+      }: _*), col("event_type"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .select(col("event_type"), col("n_gaps"),
+        qExpr(0).as("p50_gap_us"), qExpr(1).as("p90_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GROWTH-ACCOUNTING card — the weekly new / retained /
+    * resurrected / churned decomposition of the active-user count
+    * (the Social-Capital growth-accounting identity: active(w) =
+    * new + retained + resurrected; churned(w) = active(w−1) −
+    * retained(w)): THE standard product-growth view, the per-week
+    * complement to q93's cohort triangle and q279's rolling actives.
+    * All integers, no floats at all.
+    *
+    * Classification is per-user LOCAL: a user's week is `new` when it
+    * is their first active week (lag NULL), `retained` when the
+    * previous active week is exactly 7 days back, `resurrected`
+    * beyond that — one user-keyed lag over the distinct (user, week)
+    * frame. Churn needs no per-user state: it falls out of the
+    * identity as prev-week active minus this-week retained, one
+    * 7-day self-join on the \|weeks\|-row rollup. A week with ZERO
+    * active users emits no row (its churn is reported at the next
+    * active week by the lag semantics) — dense logs never hit this.
+    *
+    * Scale: distinct (user, week) partial-aggregates map-side; the
+    * lag window is user-keyed; the weekly rollup is \|weeks\|-sized.
+    * One shuffle on user_id, one on week. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val cls = uw
+      .withColumn("prev", lag(col("week"), 1).over(w))
+      .select(col("week"), col("prev").isNull.as("is_new"),
+        (col("prev").isNotNull &&
+          datediff(col("week"), col("prev")) === 7).as("is_ret"),
+        (col("prev").isNotNull &&
+          datediff(col("week"), col("prev")) > 7).as("is_res"))
+    val agg = cls.groupBy(col("week")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("is_ret"), 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("is_res"), 1L).otherwise(0L)).as("n_resurrected"))
+    val prev = agg.select(date_add(col("week"), 7).as("week"),
+      col("n_active").as("prev_active"))
+    agg.join(prev, Seq("week"), "left_outer")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+      .orderBy(col("week"))
+  }
+
   /** Event CONCENTRATION card — the Gini coefficient and top-1%
     * share of the per-user event-count distribution: the one-row
     * inequality audit (bot farms and scraper rings concentrate volume
@@ -633,6 +716,10 @@ object Behavioral {
       ((s, d) => stationaryMix(Tables(s, d).events)),
     "q287_concentration_card" ->
       ((s, d) => eventConcentration(Tables(s, d).events)),
+    "q293_growth_accounting" ->
+      ((s, d) => growthAccounting(Tables(s, d).events)),
+    "q294_gap_profile" ->
+      ((s, d) => gapProfile(Tables(s, d).events)),
     "q283_affinity_lift" ->
       ((s, d) => typeAffinityLift(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
@@ -753,6 +840,47 @@ object Behavioral {
     // the same restricted/renormalized kernel, the same uniform seed,
     // and the pageRank list_reduce(ORDER BY src) fold per round
     "q286_stationary_mix" -> stationaryMixOracle(5),
+    // the same (user,type)-keyed lag micros gaps and the same
+    // quantile_cont interpolation the distributed machinery replays
+    "q294_gap_profile" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS p50_gap_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the same user-keyed lag classification and the same 7-day
+    // self-join churn identity, all integers
+    "q293_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (
+        |  SELECT week, lag(week) OVER (PARTITION BY user_id
+        |    ORDER BY week) AS prev
+        |  FROM uw),
+        |a AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, week) = 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, week) > 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY week)
+        |SELECT a.week, a.n_active, a.n_new, a.n_retained,
+        |  a.n_resurrected,
+        |  CAST(COALESCE(p.n_active, 0) - a.n_retained AS BIGINT)
+        |    AS n_churned
+        |FROM a LEFT JOIN a p ON p.week + 7 = a.week
+        |ORDER BY a.week""".stripMargin,
     // the same grouped Lorenz integers (count-of-counts ranks) and
     // the same two exact-ratio divisions
     "q287_concentration_card" ->

@@ -175,6 +175,72 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("gapProfile: hand gaps read the exact weighted-interpolation " +
+      "quantiles; a gapless type emits no row; real-corpus gap " +
+      "counts replay as events minus (user,type) pairs") {
+    // u1/x: gaps 1s, 1s, 9s; u2/y: single event -> no gap row
+    val ev = Seq(
+      (1L, 1L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "x", ts("2024-01-01 10:00:01")),
+      (3L, 1L, "x", ts("2024-01-01 10:00:02")),
+      (4L, 1L, "x", ts("2024-01-01 10:00:11")),
+      (5L, 2L, "y", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavioral.gapProfile(ev).collect()
+    assert(got.length == 1 && got(0).getString(0) == "x")
+    assert(got(0).getLong(1) == 3L)
+    assert(got(0).getDouble(2) == 1e6)
+    val d = 0.9 * 2 - 1 // the machinery's own interpolation weight
+    assert(got(0).getDouble(3) == (1 - d) * 1e6 + d * 9e6)
+
+    // real corpus: n_gaps(type) = events(type) - |(user,type) pairs|
+    val t = Tables(spark, "/root/testdata/sf0.001").events
+    val real = Behavioral.gapProfile(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cnts = t.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("user_id")).as("u")).collect()
+    cnts.foreach { r =>
+      val g = real(r.getString(0))
+      assert(g.getLong(1) == r.getLong(1) - r.getLong(2))
+      assert(g.getDouble(2) <= g.getDouble(3) && g.getDouble(2) > 0.0)
+    }
+  }
+
+  test("growthAccounting: a hand log decomposes into exact new/" +
+      "retained/resurrected/churned; the identity holds on the real " +
+      "corpus and churn is never negative") {
+    // Mondays: W1=01-01 W2=01-08 W3=01-15 W4=01-22
+    // u1: W1,W2,W4 (new, retained, resurrected)
+    // u2: W1 only (churns in W2); u3: W2,W3 (new, retained)
+    val ev = Seq(
+      (1L, 1L, "2024-01-02 10:00:00"), (2L, 1L, "2024-01-09 10:00:00"),
+      (3L, 1L, "2024-01-24 10:00:00"),
+      (4L, 2L, "2024-01-03 10:00:00"),
+      (5L, 3L, "2024-01-10 10:00:00"), (6L, 3L, "2024-01-16 10:00:00"))
+      .map { case (e, u, s) => (e, u, "x", ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavioral.growthAccounting(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 0L, 0L, 0L)))
+    assert(got("2024-01-08") == ((2L, 1L, 1L, 0L, 1L)))
+    assert(got("2024-01-15") == ((1L, 0L, 1L, 0L, 1L)))
+    assert(got("2024-01-22") == ((1L, 0L, 0L, 1L, 1L)))
+
+    // real corpus: active = new + retained + resurrected every week;
+    // the first week is all-new; churn is bounded by prev active
+    val real = Behavioral.growthAccounting(
+      Tables(spark, "/root/testdata/sf0.001").events)
+      .collect().sortBy(_.getDate(0).getTime)
+    real.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+      assert(r.getLong(5) >= 0L)
+    }
+    assert(real.head.getLong(1) == real.head.getLong(2))
+  }
+
   test("eventConcentration: hand Lorenz [1,1,2,4] reads gini 0.3125 " +
       "and top-1% share 0.5; equal counts read 0; the real-corpus " +
       "card equals a sorted brute-force replay exactly") {
