@@ -141,7 +141,8 @@ object ScaleTrial {
     "q291_fk_integrity", // anti joins on 10x facts (disjoint key spaces)
     "q292_key_uniqueness", // exact count_distinct per table at 10x
     "q293_growth_accounting", // user-keyed lag + weekly rollup, 10x users
-    "q294_gap_profile") // keyed lag + quantile machinery on 10x events
+    "q294_gap_profile", // keyed lag + quantile machinery on 10x events
+    "q295_path_motifs") // two keyed leads + |types|^3 rollup, 10x events
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -203,6 +203,36 @@ object Behavioral {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Event-path trigram MOTIFS — the top-k most common length-3
+    * event-type paths across user histories, with count and support
+    * (share of all trigram instances): the path-mining view one level
+    * above q106's bigram transitions (a dominant view→view→view motif
+    * is a scraper; view→click→purchase is the funnel actually taken,
+    * not the one q94 assumes). Two user-keyed leads, one rollup, ONE
+    * division per row; top-k via TakeOrderedAndProject (count DESC,
+    * then the three types — total order).
+    *
+    * Scale: the lead window is user-keyed; the trigram rollup
+    * partial-aggregates map-side to ≤\|types\|³ rows; the 1-row total
+    * broadcasts. Nothing global. */
+  def pathMotifs(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = events
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum(col("n")).as("total"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("support"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Inter-event GAP profile — per event type, the count of same-
     * user consecutive gaps with the median and p90 gap in
     * MICROSECONDS: the cadence diagnostic (a sub-second median on a
@@ -720,6 +750,8 @@ object Behavioral {
       ((s, d) => growthAccounting(Tables(s, d).events)),
     "q294_gap_profile" ->
       ((s, d) => gapProfile(Tables(s, d).events)),
+    "q295_path_motifs" ->
+      ((s, d) => pathMotifs(Tables(s, d).events)),
     "q283_affinity_lift" ->
       ((s, d) => typeAffinityLift(Tables(s, d).events)),
     "q181_mad_outliers" -> ((s, d) => madOutliers(Tables(s, d).events)),
@@ -840,6 +872,24 @@ object Behavioral {
     // the same restricted/renormalized kernel, the same uniform seed,
     // and the pageRank list_reduce(ORDER BY src) fold per round
     "q286_stationary_mix" -> stationaryMixOracle(5),
+    // the same two user-keyed leads, rollup, support division and
+    // (n DESC, t1, t2, t3) total order
+    "q295_path_motifs" ->
+      """WITH s AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |tri AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tri)
+        |SELECT t1, t2, t3, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
+        |FROM tri CROSS JOIN tt
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // the same (user,type)-keyed lag micros gaps and the same
     // quantile_cont interpolation the distributed machinery replays
     "q294_gap_profile" ->

@@ -175,6 +175,37 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  test("pathMotifs: hand paths count exact trigrams with support; " +
+      "real-corpus support replays against the driver trigram total") {
+    // u1: a,b,c,a,b -> (a,b,c),(b,c,a),(c,a,b); u2: a,b,c -> (a,b,c)
+    val ev = (Seq("a", "b", "c", "a", "b").zipWithIndex.map {
+      case (t, i) => (i.toLong, 1L, t, ts(f"2024-01-01 10:0$i:00"))
+    } ++ Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+      (10L + i, 2L, t, ts(f"2024-01-01 11:0$i:00"))
+    }).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavioral.pathMotifs(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4)))
+    assert(got.length == 3)
+    assert(got(0) == (("a", "b", "c"), (2L, 0.5)))
+    assert(got(1) == (("b", "c", "a"), (1L, 0.25)))
+    assert(got(2) == (("c", "a", "b"), (1L, 0.25)))
+
+    // real corpus: counts non-increasing; support is n / (driver
+    // trigram total), bit-for-bit
+    val t = Tables(spark, "/root/testdata/sf0.001").events
+    val total = t.groupBy(col("user_id")).count()
+      .select(col("count")).as[Long].collect()
+      .map(c => math.max(0L, c - 2)).sum
+    val real = Behavioral.pathMotifs(t).collect()
+    real.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(3) >= w(1).getLong(3))
+    }
+    real.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / total.toDouble)
+    }
+  }
+
   test("gapProfile: hand gaps read the exact weighted-interpolation " +
       "quantiles; a gapless type emits no row; real-corpus gap " +
       "counts replay as events minus (user,type) pairs") {
