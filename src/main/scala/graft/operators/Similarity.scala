@@ -1114,6 +1114,93 @@ object Similarity {
       .orderBy(col("community"))
   }
 
+  /** Embedding ANISOTROPY card — the dominant-direction variance
+    * share of the corpus covariance (top eigenvalue / trace), via
+    * IN-ENGINE power iteration: the collapse diagnostic (Ethayarajh
+    * 2019 and the representation-collapse literature — embeddings
+    * squeezed into a narrow cone make every cosine high, silently
+    * breaking the q136/q151/q176 dedup thresholds; var_share near
+    * 1/dim = healthy isotropy, near 1 = a collapsed space whose
+    * similarity operators need recalibration).
+    *
+    * Exactness: the covariance is built from EXACT ingredients — the
+    * Gram sums Σxᵢxⱼ accumulate as decimal products of shortest-
+    * decimal float parses (the q139/q275 device, order-independent)
+    * and collapse to double once via the VARCHAR round-trip; the mean
+    * outer product uses the q139 exact means. Every power-iteration
+    * fan-in is a SORTED fold (the pageRank convention) and the norm
+    * is one IEEE sqrt of such a fold, so operator and oracle run the
+    * identical add chains.
+    *
+    * Scale: ONE pass explodes each row to its dim² products and
+    * partial-aggregates map-side to a dim²-row matrix (vectors never
+    * shuffle; the exchange carries per-task partials only); rounds
+    * run on the dim² kernel (localCheckpointed, lineage one round
+    * deep). At very large corpora the same card runs on a hash-slice
+    * (the q193 sampling knob pattern) — the statistic concentrates. */
+  def anisotropyCard(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val n = emb.count() // model-sized driver scalar (pageRank precedent)
+    val mu = emb.select(posexplode(col("embedding")))
+      .select(col("pos").as("i"),
+        col("col").cast("string").cast("decimal(18,12)").as("v"))
+      .groupBy(col("i"))
+      .agg((sum(col("v")).cast("string").cast("double") / count(lit(1)))
+        .as("mu"))
+      .localCheckpoint(true)
+    // upper triangle only (S is symmetric): halves the decimal
+    // multiplies; the mirror below restores the full kernel with the
+    // IDENTICAL sums, so the oracle's full-matrix statement matches
+    val pairs = expr(
+      """flatten(transform(embedding, (xi, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i),
+        |    (xj, j) -> struct(i AS i, i + j AS j,
+        |      CAST(CAST(xi AS STRING) AS DECIMAL(18,12)) *
+        |      CAST(CAST(xj AS STRING) AS DECIMAL(18,12)) AS p))))
+        |""".stripMargin)
+    val upper = emb.select(explode(pairs).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
+    val m = upper
+      .unionAll(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("s")))
+      .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))),
+        "j")
+      .select(col("i"), col("j"),
+        (col("s").cast("string").cast("double") / lit(n).cast("double") -
+          col("mi") * col("mj")).as("m"))
+      .localCheckpoint(true)
+    def fold(c: Column, key: Column) = aggregate(
+      array_sort(collect_list(struct(key.as("k"), c.as("c")))),
+      lit(0.0), (a, x) => a + x.getField("c"))
+    var v = m.select(col("i").as("vi")).distinct()
+      .select(col("vi"), lit(1.0).as("v"))
+    def matvec(vec: DataFrame) = m.join(vec, m("j") === vec("vi"))
+      .select(col("i"), col("j"), (col("m") * col("v")).as("c"))
+      .groupBy(col("i")).agg(fold(col("c"), col("j")).as("mv"))
+    var it = 0
+    while (it < iters) {
+      val mv = matvec(v)
+      val nrm = mv.agg(
+        sqrt(fold(col("mv") * col("mv"), col("i"))).as("nrm"))
+      v = mv.crossJoin(broadcast(nrm))
+        .select(col("i").as("vi"), (col("mv") / col("nrm")).as("v"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    val ray = matvec(v)
+      .join(v, col("i") === col("vi"))
+      .agg(fold(col("v") * col("mv"), col("i")).as("num"),
+        fold(col("v") * col("v"), col("i")).as("den"))
+    val trace = m.filter(col("i") === col("j"))
+      .agg(fold(col("m"), col("i")).as("trace"), count(lit(1)).as("dim"))
+    trace.crossJoin(broadcast(ray))
+      .select(lit(n).as("n_vecs"), col("dim"), col("trace"),
+        (col("num") / col("den")).as("top_eig"),
+        ((col("num") / col("den")) / col("trace")).as("var_share"))
+      .orderBy(col("n_vecs"))
+  }
+
   /** Degree ASSORTATIVITY card (Newman 2002) — the Pearson
     * correlation of endpoint degrees over the similarity graph's
     * edges: r > 0 = hubs link to hubs (a mirror-farm core that one
@@ -1152,6 +1239,76 @@ object Similarity {
           (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("assortativity"))
       .orderBy(col("n_directed_edges"))
+  }
+
+  /** The unrolled DuckDB twin of [[anisotropyCard]] — same exact
+    * Gram/mean ingredients, same sorted matvec folds per round, same
+    * sqrt-normalize and Rayleigh quotient. */
+  private def anisotropyOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""mv$r AS MATERIALIZED (
+         |  SELECT i, list_reduce(list_prepend(0.0, list(c ORDER BY j)),
+         |    (a, b) -> a + b) AS mv
+         |  FROM (SELECT m.i, m.j, m.m * v.v AS c
+         |        FROM m JOIN v${r - 1} v ON m.j = v.vi)
+         |  GROUP BY i),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS vi, mv / (SELECT sqrt(list_reduce(
+         |      list_prepend(0.0, list(mv * mv ORDER BY i)),
+         |      (a, b) -> a + b)) FROM mv$r) AS v
+         |  FROM mv$r)""".stripMargin
+    }
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |mu AS MATERIALIZED (
+       |  SELECT CAST(i - 1 AS INTEGER) AS i,
+       |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+       |      AS VARCHAR) AS DOUBLE) / count(*) AS mu
+       |  FROM (SELECT embedding[i] AS x, i
+       |        FROM (SELECT embedding,
+       |                unnest(range(1, len(embedding) + 1)) AS i
+       |              FROM embeddings))
+       |  GROUP BY 1),
+       |t2 AS (
+       |  SELECT embedding, i, unnest(range(1, len(embedding) + 1)) AS j
+       |  FROM (SELECT embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |g AS MATERIALIZED (
+       |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+       |    SUM(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,12)) *
+       |        CAST(CAST(embedding[j] AS VARCHAR) AS DECIMAL(18,12)))
+       |      AS s
+       |  FROM t2 GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    CAST(CAST(g.s AS VARCHAR) AS DOUBLE)
+       |      / CAST((SELECT n FROM nn) AS DOUBLE)
+       |      - a.mu * b.mu AS m
+       |  FROM g JOIN mu a ON g.i = a.i JOIN mu b ON g.j = b.i),
+       |v0 AS (SELECT DISTINCT i AS vi, CAST(1 AS DOUBLE) AS v FROM m),
+       |${rounds.mkString(",\n")},
+       |mvf AS (
+       |  SELECT i, list_reduce(list_prepend(0.0, list(c ORDER BY j)),
+       |    (a, b) -> a + b) AS mv
+       |  FROM (SELECT m.i, m.j, m.m * v.v AS c
+       |        FROM m JOIN v$iters v ON m.j = v.vi)
+       |  GROUP BY i),
+       |ray AS (
+       |  SELECT list_reduce(
+       |      list_prepend(0.0, list(v.v * f.mv ORDER BY f.i)),
+       |      (a, b) -> a + b) AS num,
+       |    list_reduce(list_prepend(0.0, list(v.v * v.v ORDER BY f.i)),
+       |      (a, b) -> a + b) AS den
+       |  FROM mvf f JOIN v$iters v ON f.i = v.vi),
+       |tr AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(m ORDER BY i)),
+       |      (a, b) -> a + b) AS trace,
+       |    CAST(count(*) AS BIGINT) AS dim
+       |  FROM m WHERE i = j)
+       |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs, tr.dim,
+       |  tr.trace, ray.num / ray.den AS top_eig,
+       |  (ray.num / ray.den) / tr.trace AS var_share
+       |FROM tr CROSS JOIN ray ORDER BY n_vecs""".stripMargin
   }
 
   /** The unrolled DuckDB twin of [[kCore]] (same k/rounds, so operator
@@ -1348,6 +1505,8 @@ object Similarity {
       ((s, d) => clusterSeparation(Tables(s, d).embeddings)),
     "q290_assortativity" ->
       ((s, d) => degreeAssortativity(Tables(s, d).embeddings)),
+    "q296_anisotropy_card" ->
+      ((s, d) => anisotropyCard(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1515,6 +1674,9 @@ object Similarity {
          |FROM dc LEFT JOIN inc ON inc.community = dc.community
          |CROSS JOIN et
          |ORDER BY dc.community""".stripMargin,
+    // same exact Gram/mean covariance, unrolled power-iteration
+    // rounds with sorted matvec folds, sqrt-normalize, Rayleigh
+    "q296_anisotropy_card" -> anisotropyOracle(5),
     // the same symmetrized edges + integer degree sums and the ONE
     // sqrt-free Pearson division (identical marginals)
     "q290_assortativity" ->

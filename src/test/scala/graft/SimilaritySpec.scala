@@ -566,6 +566,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.map(_.getLong(0)).toSet == comms)
   }
 
+  test("anisotropyCard: a planted diag(2, 0.5) covariance reads " +
+      "exact trace 2.5 and top eigenvalue 2 to power-iteration " +
+      "tolerance; real-corpus var_share replays and is in (0, 1]") {
+    // zero-mean by construction; covariance is exactly diag(2,.5,0,0)
+    val emb = Seq(
+      (1L, Seq(2f, 0f, 0f, 0f), 0), (2L, Seq(-2f, 0f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1), (4L, Seq(0f, -1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.anisotropyCard(emb).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5) // exact decimal ingredients
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-4)
+    assert(r.getDouble(4) == r.getDouble(3) / 2.5)
+
+    val t2 = t
+    val real = Similarity.anisotropyCard(t2.embeddings).collect()(0)
+    assert(real.getLong(0) == t2.embeddings.count())
+    assert(real.getLong(1) == 64L)
+    assert(real.getDouble(3) > 0.0)
+    assert(real.getDouble(4) == real.getDouble(3) / real.getDouble(2))
+    assert(real.getDouble(4) > 0.0 && real.getDouble(4) <= 1.0)
+  }
+
   test("degreeAssortativity: a planted star reads exactly -1; the " +
       "real-corpus card equals an integer brute-force replay") {
     // center (1,1,1,0) sees each axis leaf at cos 1/sqrt(3) >= 0.3;
