@@ -143,7 +143,8 @@ object ScaleTrial {
     "q293_growth_accounting", // user-keyed lag + weekly rollup, 10x users
     "q294_gap_profile", // keyed lag + quantile machinery on 10x events
     "q295_path_motifs", // two keyed leads + |types|^3 rollup, 10x events
-    "q296_anisotropy_card") // dim^2 products rollup + kernel rounds
+    "q296_anisotropy_card", // dim^2 products rollup + kernel rounds
+    "q297_homoglyph_screen") // row-local regex pair + source rollup
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -461,7 +461,54 @@ object DataHygiene {
     // append-mode stream (q197/q218 convention — registration orders it)
   }
 
+  // ---------------------------------------------------------------
+  // q297: homoglyph / mixed-script confusable screen
+  // ---------------------------------------------------------------
+
+  // Cyrillic U+0400-04FF + Greek U+0370-03FF as explicit escapes (a
+  // visually-identical Latin literal here would break the screen)
+  private val ConfusableClass = "[\u0400-\u04ff\u0370-\u03ff]"
+
+  private def homoglyphPlanted(): Column =
+    concat(col("text"), when(pmod(col("doc_id"), lit(37)) === 0,
+      lit(" p\u0430ypal l\u043egin")).otherwise(lit("")))
+
+  /** Homoglyph / MIXED-SCRIPT confusable screen, rolled up per
+    * source — tokens mixing Latin letters with Cyrillic or Greek
+    * codepoints are the classic spoofing signature (UTS #39
+    * confusables: "pаypal" with a Cyrillic а renders
+    * identically to "paypal"): phishing-page boilerplate, SEO spam
+    * and poisoning payloads in a crawl, invisible to every
+    * Latin-only filter upstream. Deterministic positives are planted
+    * on doc_id ≡ 0 (mod 37) — the [[encodingNoise]]/[[licenseScreen]]
+    * fixture convention, stated identically in the oracle.
+    *
+    * Exactness: per-token detection is two row-local regex tests;
+    * counts are exact integers, the flag rate ONE division, and the
+    * per-source example a pure min() SELECTION over the mixed tokens
+    * (binary UTF-8 order in both engines) — nothing accumulates in
+    * float. Scale: one narrow projection + one source-keyed rollup,
+    * partial-aggregated map-side. */
+  def homoglyphScreen(docs: DataFrame): DataFrame = {
+    val toks = split(homoglyphPlanted(), " ")
+    val mixed = filter(toks, t =>
+      t.rlike("[A-Za-z]") && t.rlike(ConfusableClass))
+    val perDoc = docs.select(col("source"),
+      size(mixed).as("n_mixed"), array_min(mixed).as("ex"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_mixed") > 0, 1L).otherwise(0L))
+          .as("flagged_docs"),
+        sum(col("n_mixed")).as("mixed_tokens"),
+        (sum(when(col("n_mixed") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("flag_rate"),
+        min(col("ex")).as("example"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_homoglyph_screen" ->
+      ((s, d) => homoglyphScreen(Tables(s, d).documents)),
     "q280_script_mix" ->
       ((s, d) => scriptMixCard(Tables(s, d).documents)),
     "q281_compression_ratio" ->
@@ -535,6 +582,30 @@ object DataHygiene {
       |FROM stats""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the same mod-37 plant, the same two regex tests per token, and
+    // min() selections — no float accumulation anywhere
+    "q297_homoglyph_screen" ->
+      ("""WITH p AS (
+        |  SELECT source, CASE WHEN doc_id % 37 = 0
+        |    THEN text || ' pаypal lоgin' ELSE text END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    list_filter(string_split(t, ' '), x ->
+        |      regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]') AND
+        |      regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]'))
+        |      AS mixed
+        |  FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN len(mixed) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS flagged_docs,
+        |  CAST(sum(len(mixed)) AS BIGINT) AS mixed_tokens,
+        |  CAST(sum(CASE WHEN len(mixed) > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS flag_rate,
+        |  min(CASE WHEN len(mixed) > 0
+        |      THEN list_aggregate(mixed, 'min') END) AS example
+        |FROM d GROUP BY source
+        |ORDER BY source""").stripMargin,
     // identical plant + LITERAL-character range classes (compile the
     // same in Java regex and RE2); counts are length differences,
     // one IEEE division at the end

@@ -16,6 +16,37 @@ class DataHygieneSpec extends AnyFunSuite {
   private def docs =
     Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("homoglyphScreen: hand mixed-script tokens are caught with " +
+      "binary-min examples, Latin-only and single-script tokens " +
+      "pass; real-corpus flags equal the mod-37 plant counts") {
+    // doc 37 takes the plant; doc 1 carries a manual Cyrillic o;
+    // doc 2 is clean Latin; doc 4 has Greek-only (clean) +
+    // Latin+Greek (mixed)
+    val hand = Seq(
+      (37L, "quarterly report", "en", "s1"),
+      (1L, "hello wоrld", "en", "s1"),
+      (2L, "hello world", "en", "s2"),
+      (4L, "αβγ alphaβ", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = DataHygiene.homoglyphScreen(hand).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5))).toMap
+    assert(got("s1") == ((2L, 2L, 3L, 1.0, "lоgin")))
+    assert(got("s2") == ((2L, 1L, 1L, 0.5, "alphaβ")))
+
+    // real corpus: the clean word-salad text contributes nothing —
+    // flagged docs are EXACTLY the mod-37 plants, example the
+    // planted login token
+    val planted = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DataHygiene.homoglyphScreen(docs).collect().foreach { r =>
+      assert(r.getLong(2) == planted.getOrElse(r.getString(0), 0L))
+      assert(r.getLong(3) == 2L * r.getLong(2))
+      if (r.getLong(2) > 0) assert(r.getString(5) == "lоgin")
+    }
+  }
+
   test("paragraph gate: hand-corpus classes, plant placement, and " +
       "mass conservation on the real corpus") {
     def words(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
