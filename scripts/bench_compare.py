@@ -32,12 +32,37 @@ def canon(queries, base=10):
         base = 36
     out = {}
     for k, v in queries.items():
-        kk = k.lstrip("q")
+        # Only the LEGACY decimal generations prefix keys with a
+        # literal 'q' ("q135" / "q135_dup_span"); in the enc:36
+        # generations 'q' is a VALID base36 digit (q26 -> "q",
+        # q936.. -> "q?"), so stripping it there mis-decoded those
+        # keys (and BENCH_r10.json really does carry a bare "q").
+        # Parse base36 keys verbatim; strip 'q' + any trailing name
+        # suffix only on the base-10 path.
+        legacy = base == 10 and k.startswith("q")
+        kk = re.match(r"q(\d+)", k).group(1) if legacy and re.match(
+            r"q\d", k) else (k[1:] if legacy else k)
         try:
-            out[f"q{int(kk, base if k == kk else 10):02d}"] = v
+            out[f"q{int(kk, 10 if legacy else base):02d}"] = v
         except ValueError:
             out[k] = v
     return out
+
+
+def selftest():
+    """Regression pins for canon() across all four line generations."""
+    # enc:36 parallel-array pair: "q" is base36 26, NOT a prefix
+    assert canon({"k": "q", "v": "5"}) == {"q26": 5.0}
+    assert canon({"k": "1 3r q", "v": "957"}) == {
+        "q01": 9.0, "q135": 5.0, "q26": 7.0}
+    # legacy decimal generations: 'q' prefix + optional name suffix
+    assert canon({"q26": 5.0, "q135_dup_span": 2.0}) == {
+        "q26": 5.0, "q135": 2.0}
+    # round-9 bare decimal keys
+    assert canon({"26": 5.0}) == {"q26": 5.0}
+    # enc:36 object form (mid-round-10): verbatim base36 keys
+    assert canon({"3r": 4.0, "q": 6.0}, base=36) == {"q135": 4.0, "q26": 6.0}
+    print("bench_compare selftest: OK")
 
 
 def load(path):
@@ -93,4 +118,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+    else:
+        main()

@@ -1935,8 +1935,18 @@ object CorpusSignals {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        ((col("c12") * col("tot_toks") * col("tot_toks")).cast("double") /
-          (col("tot_bi") * col("c1") * col("c2")).cast("double"))
+        // T² overflows int64 at ~3e9 tokens — far below target scale —
+        // so the exact products run in decimal(38,0) (HUGEINT oracle-
+        // side, the q229/q250 overflow convention) and only the final
+        // division is a double. decimal(38,0) holds c12·T² through
+        // ~4e12 tokens even in the degenerate c12≈T case; real bigram
+        // counts are Zipf-bounded far under that.
+        ((col("c12").cast("decimal(38,0)") *
+          col("tot_toks").cast("decimal(38,0)") *
+          col("tot_toks").cast("decimal(38,0)")).cast("double") /
+          (col("tot_bi").cast("decimal(38,0)") *
+            col("c1").cast("decimal(38,0)") *
+            col("c2").cast("decimal(38,0)")).cast("double"))
           .as("pmi_ratio"))
       .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(k)
@@ -2223,8 +2233,10 @@ object CorpusSignals {
         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
         |  FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
         |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
-        |  CAST(bc.c12 * tot.tot_toks * tot.tot_toks AS DOUBLE) /
-        |    CAST(tot.tot_bi * u1.c * u2.c AS DOUBLE) AS pmi_ratio
+        |  CAST(CAST(bc.c12 AS HUGEINT) * CAST(tot.tot_toks AS HUGEINT)
+        |      * CAST(tot.tot_toks AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(tot.tot_bi AS HUGEINT) * CAST(u1.c AS HUGEINT)
+        |      * CAST(u2.c AS HUGEINT) AS DOUBLE) AS pmi_ratio
         |FROM bc
         |JOIN u u1 ON u1.w = bc.w1
         |JOIN u u2 ON u2.w = bc.w2

@@ -469,9 +469,15 @@ object DataHygiene {
   // visually-identical Latin literal here would break the screen)
   private val ConfusableClass = "[\u0400-\u04ff\u0370-\u03ff]"
 
+  // Plant: two MIXED tokens (Latin+Cyrillic "p\u0430ypal"/"l\u043egin") that
+  // must flag, plus one PURE-Cyrillic token ("\u0441\u0430\u0439\u0442") that must NOT \u2014
+  // without it the two predicates collapse to one on this corpus and
+  // the mixed-script semantics (Latin AND confusable, not just
+  // confusable) would be unpinned cross-engine.
   private def homoglyphPlanted(): Column =
     concat(col("text"), when(pmod(col("doc_id"), lit(37)) === 0,
-      lit(" p\u0430ypal l\u043egin")).otherwise(lit("")))
+      lit(" p\u0430ypal l\u043egin \u0441\u0430\u0439\u0442"))
+      .otherwise(lit("")))
 
   /** Homoglyph / MIXED-SCRIPT confusable screen, rolled up per
     * source — tokens mixing Latin letters with Cyrillic or Greek
@@ -582,17 +588,19 @@ object DataHygiene {
       |FROM stats""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // the same mod-37 plant, the same two regex tests per token, and
-    // min() selections — no float accumulation anywhere
+    // the same mod-37 plant (two mixed tokens + a pure-Cyrillic one
+    // that must NOT flag), the same two regex tests per token —
+    // Latin AND confusable, mirroring the operator — and min()
+    // selections; no float accumulation anywhere
     "q297_homoglyph_screen" ->
       ("""WITH p AS (
         |  SELECT source, CASE WHEN doc_id % 37 = 0
-        |    THEN text || ' pаypal lоgin' ELSE text END AS t
+        |    THEN text || ' pаypal lоgin сайт' ELSE text END AS t
         |  FROM documents),
         |d AS (
         |  SELECT source,
         |    list_filter(string_split(t, ' '), x ->
-        |      regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]') AND
+        |      regexp_matches(x, '[A-Za-z]') AND
         |      regexp_matches(x, '[Ѐ-ӿͰ-Ͽ]'))
         |      AS mixed
         |  FROM p)

@@ -19,20 +19,24 @@ class DataHygieneSpec extends AnyFunSuite {
   test("homoglyphScreen: hand mixed-script tokens are caught with " +
       "binary-min examples, Latin-only and single-script tokens " +
       "pass; real-corpus flags equal the mod-37 plant counts") {
-    // doc 37 takes the plant; doc 1 carries a manual Cyrillic o;
-    // doc 2 is clean Latin; doc 4 has Greek-only (clean) +
-    // Latin+Greek (mixed)
+    // doc 37 takes the plant (2 mixed tokens + pure-Cyrillic "сайт"
+    // which must NOT count — that token is why mixed_tokens below is
+    // 3, not 4: MIXED-script means Latin AND confusable, not just
+    // confusable); doc 1 carries a manual Cyrillic o; doc 2 is clean
+    // Latin; doc 4 has Greek-only (clean) + Latin+Greek (mixed);
+    // doc 5 is PURE Cyrillic and must not flag at all
     val hand = Seq(
       (37L, "quarterly report", "en", "s1"),
       (1L, "hello wоrld", "en", "s1"),
       (2L, "hello world", "en", "s2"),
-      (4L, "αβγ alphaβ", "en", "s2"))
+      (4L, "αβγ alphaβ", "en", "s2"),
+      (5L, "привет мир", "en", "s2"))
       .toDF("doc_id", "text", "lang", "source")
     val got = DataHygiene.homoglyphScreen(hand).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getString(5))).toMap
     assert(got("s1") == ((2L, 2L, 3L, 1.0, "lоgin")))
-    assert(got("s2") == ((2L, 1L, 1L, 0.5, "alphaβ")))
+    assert(got("s2") == ((3L, 1L, 1L, 1.0 / 3.0, "alphaβ")))
 
     // real corpus: the clean word-salad text contributes nothing —
     // flagged docs are EXACTLY the mod-37 plants, example the
