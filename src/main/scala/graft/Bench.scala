@@ -38,18 +38,53 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional comma-separated name-prefix filter for targeted
+    // re-measurement (the bench-adjudication double-run protocol:
+    // re-time ONE suspect query without paying for the registry).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // best of 2 passes per query: the environment is a shared VM with
     // noisy-neighbor variance up to ~2x on individual runs, and the
     // second pass also measures steady-state (JIT-warm) latency
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .sortBy(_._1)
     val pass1 = sorted.map { case (name, fn) => name -> once(name, fn) }.toMap
     val results = sorted.map { case (name, fn) =>
       val sec = math.min(pass1(name), once(name, fn))
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
+    writeDetail(results, sfDir, fullRun = only.isEmpty)
     println(buildJson(results, sfDir))
     spark.stop()
+  }
+
+  /** Full-precision per-query artifact (BENCH_DETAIL.json next to the
+    * capped stdout line): round-10 adjudication showed the stdout
+    * line's integer-capped values can't settle a cross-round per-query
+    * question (q158: was "7" a 4.9 s or a 7.4 s?) — the full-precision
+    * numbers existed only on stderr, which no artifact kept. The
+    * stdout line stays the driver contract (tail-window budget); this
+    * file is committed history. Filtered (SPARK_GRAFT_BENCH_ONLY)
+    * runs only write it when given an explicit path, so a targeted
+    * re-run can't masquerade as a registry-wide record. */
+  private def writeDetail(results: Seq[(String, Double)], sfDir: String,
+      fullRun: Boolean): Unit = {
+    val path = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
+      .orElse(if (fullRun) Some("BENCH_DETAIL.json") else None)
+    path.foreach { p =>
+      def num(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val qs = results
+        .map { case (n, v) => s""""$n":${num(v)}""" }.mkString(",")
+      val json = s"""{"sf":"$sfDir","unit":"sec","best_of":2,""" +
+        s""""total":${num(results.map(_._2).sum)},"queries":{$qs}}""" + "\n"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      }
+    }
   }
 
   // Full-name per-query timings go to stderr for humans; the stdout

@@ -1201,6 +1201,25 @@ object Similarity {
       .orderBy(col("n_vecs"))
   }
 
+  /** The EXTREME-SCALE tier of [[anisotropyCard]]: the identical card
+    * over a deterministic md5 hash-slice of the vectors (the
+    * q134/q193 sampling-knob pattern — `keepPer10k` per-10000 rate,
+    * own `aniso:` salt so membership is independent of every other
+    * sampling device). The anisotropy statistic concentrates (it is a
+    * ratio of covariance eigenvalues — a ~50% uniform subsample moves
+    * var_share by O(1/√n)), so at 100 TB the card runs on ~1e-4 of
+    * the corpus while staying decimal-exact ON THE SLICE: the oracle
+    * states the identical integer hash predicate, making the sampled
+    * tier as hash-checkable as the full card. One narrow filter in
+    * front of the same plan — nothing else changes. */
+  def anisotropyCardSampled(emb: DataFrame, keepPer10k: Int = 5000,
+      iters: Int = 5): DataFrame = {
+    val bucket = conv(substring(md5(concat_ws("", lit("aniso:"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") %
+      10000
+    anisotropyCard(emb.filter(bucket < lit(keepPer10k)), iters)
+  }
+
   /** Degree ASSORTATIVITY card (Newman 2002) — the Pearson
     * correlation of endpoint degrees over the similarity graph's
     * edges: r > 0 = hubs link to hubs (a mirror-farm core that one
@@ -1243,8 +1262,12 @@ object Similarity {
 
   /** The unrolled DuckDB twin of [[anisotropyCard]] — same exact
     * Gram/mean ingredients, same sorted matvec folds per round, same
-    * sqrt-normalize and Rayleigh quotient. */
-  private def anisotropyOracle(iters: Int): String = {
+    * sqrt-normalize and Rayleigh quotient. `from` swaps the source
+    * relation so the q298 sampled tier states its hash-slice
+    * predicate inline (one string, both tiers share every other
+    * line — the oracles cannot drift apart). */
+  private def anisotropyOracle(iters: Int,
+      from: String = "embeddings"): String = {
     val rounds = (1 to iters).map { r =>
       s"""mv$r AS MATERIALIZED (
          |  SELECT i, list_reduce(list_prepend(0.0, list(c ORDER BY j)),
@@ -1258,7 +1281,8 @@ object Similarity {
          |      (a, b) -> a + b)) FROM mv$r) AS v
          |  FROM mv$r)""".stripMargin
     }
-    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    s"""WITH src AS (SELECT * FROM $from),
+       |nn AS (SELECT count(*) AS n FROM src),
        |mu AS MATERIALIZED (
        |  SELECT CAST(i - 1 AS INTEGER) AS i,
        |    CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
@@ -1266,13 +1290,13 @@ object Similarity {
        |  FROM (SELECT embedding[i] AS x, i
        |        FROM (SELECT embedding,
        |                unnest(range(1, len(embedding) + 1)) AS i
-       |              FROM embeddings))
+       |              FROM src))
        |  GROUP BY 1),
        |t2 AS (
        |  SELECT embedding, i, unnest(range(1, len(embedding) + 1)) AS j
        |  FROM (SELECT embedding,
        |          unnest(range(1, len(embedding) + 1)) AS i
-       |        FROM embeddings)),
+       |        FROM src)),
        |g AS MATERIALIZED (
        |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
        |    SUM(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(18,12)) *
@@ -1507,6 +1531,8 @@ object Similarity {
       ((s, d) => degreeAssortativity(Tables(s, d).embeddings)),
     "q296_anisotropy_card" ->
       ((s, d) => anisotropyCard(Tables(s, d).embeddings)),
+    "q298_anisotropy_sampled" ->
+      ((s, d) => anisotropyCardSampled(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1677,6 +1703,13 @@ object Similarity {
     // same exact Gram/mean covariance, unrolled power-iteration
     // rounds with sorted matvec folds, sqrt-normalize, Rayleigh
     "q296_anisotropy_card" -> anisotropyOracle(5),
+    // the identical card over the md5 hash-slice: the shared oracle
+    // body with the q134-device integer predicate as the source —
+    // pinned to salt "aniso:" and keepPer10k=5000
+    "q298_anisotropy_sampled" -> anisotropyOracle(5,
+      from = "embeddings WHERE CAST('0x' || " +
+        "substr(md5('aniso:' || CAST(vec_id AS VARCHAR)), 1, 8) " +
+        "AS BIGINT) % 10000 < 5000"),
     // the same symmetrized edges + integer degree sums and the ONE
     // sqrt-free Pearson division (identical marginals)
     "q290_assortativity" ->

@@ -142,22 +142,61 @@ object Sketches {
   /** q100: approximate quantiles via percentile_approx (Greenwald-
     * Khanna sketch; mergeable, bounded memory — the 100 TB answer
     * when Describe.exactQuantiles' domain-sized counts pass is too
-    * expensive). Rows-only: the sketch's picked values are
-    * engine-specific; SketchesSpec bounds the rank error against the
-    * exact quantile machinery. */
-  def approxQuantiles(t: Tables): DataFrame =
-    t.lineitem.groupBy(col("l_returnflag"))
-      .agg(
-        percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
-          lit(10000)).as("qs"),
+    * expensive), emitted as the sketch's RANK-ERROR CONTRACT rather
+    * than its raw picks: GK with accuracy a guarantees the returned
+    * value's rank lies within ±n/a of ⌈p·n⌉, so the card states, per
+    * (flag, p), the EXACT order statistics at the band edges
+    * (lo_rank/hi_rank, ±1 rank slack for the sketch's ceil-vs-floor
+    * target convention) and `within_band` = the GK pick landed
+    * between them. The picks themselves are engine-specific (the old
+    * rows-only excuse) but every OTHER column is an exact,
+    * engine-independent order statistic, and the guarantee boolean
+    * must read TRUE — DuckDB recomputes the band values exactly and
+    * states the contract, upgrading q100 from `rows>0` to a checked
+    * row hash.
+    *
+    * Exactness: band ranks are floor/ceil of identical IEEE
+    * double expressions; band VALUES are min-selections over the
+    * per-flag cumulative value counts (pure integers + parquet
+    * doubles — no float accumulation). Scale: the cum-count window
+    * runs over DISTINCT (flag, price) — domain-bounded, orders of
+    * magnitude under row count — and the 12-row band table
+    * broadcasts; the GK build itself is one partial-aggregated scan.
+    */
+  def approxQuantiles(t: Tables, accuracy: Int = 10000,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t.lineitem.select(col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("v"))
+    val bands = li.groupBy(col("flag"))
+      .agg(percentile_approx(col("v"),
+        array(probs.map(lit(_)): _*), lit(accuracy)).as("qs"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("n"),
-        element_at(col("qs"), 1).as("p25"),
-        element_at(col("qs"), 2).as("p50"),
-        element_at(col("qs"), 3).as("p75"),
-        element_at(col("qs"), 4).as("p90"))
-      .orderBy(col("l_returnflag"))
+      .select(col("flag"), col("n"),
+        posexplode(col("qs")).as(Seq("pos", "est")))
+      .select(col("flag"), col("n"), col("est"),
+        element_at(array(probs.map(lit(_)): _*), col("pos") + 1).as("p"))
+      .select(col("flag"), col("p"), col("n"), col("est"),
+        greatest(lit(1L), floor(col("p") * col("n") -
+          col("n") / lit(accuracy.toDouble)) - 1).as("lo_rank"),
+        least(col("n"), ceil(col("p") * col("n") +
+          col("n") / lit(accuracy.toDouble)) + 1).as("hi_rank"))
+    val cum = li.groupBy(col("flag"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("flag"), col("v"), sum(col("c"))
+        .over(Window.partitionBy(col("flag")).orderBy(col("v")))
+        .as("cum"))
+    cum.join(broadcast(bands), Seq("flag"))
+      .groupBy(col("flag"), col("p"), col("n"), col("est"),
+        col("lo_rank"), col("hi_rank"))
+      .agg(min(when(col("cum") >= col("lo_rank"), col("v"))).as("lo_val"),
+        min(when(col("cum") >= col("hi_rank"), col("v"))).as("hi_val"))
+      .select(col("flag").as("l_returnflag"), col("p"), col("n"),
+        col("lo_rank"), col("hi_rank"), col("lo_val"), col("hi_val"),
+        (col("est") >= col("lo_val") && col("est") <= col("hi_val"))
+          .as("within_band"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
 
   /** The per-shard MERGEABLE quantile artifact: a deterministic
     * md5-threshold sample of the per-doc statistic (`permille`/1000
@@ -208,6 +247,36 @@ object Sketches {
   // the CMS screen is provably invisible (superset prefilter), so the
   // oracle is the plain HAVING form — no sketch arithmetic to replay
   val oracleSql: Map[String, String] = Map(
+    // exact band order statistics (identical IEEE rank arithmetic,
+    // min-selection over the per-flag cumulative counts) and the GK
+    // guarantee stated as the literal TRUE the sketch must earn;
+    // pinned to accuracy=10000, probs {.25,.5,.75,.9}
+    "q100_approx_quantiles" ->
+      """WITH n AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT flag, p, n,
+        |    greatest(1, CAST(floor(p * n - n / 10000.0) AS BIGINT) - 1)
+        |      AS lo_rank,
+        |    least(n, CAST(ceil(p * n + n / 10000.0) AS BIGINT) + 1)
+        |      AS hi_rank
+        |  FROM n CROSS JOIN (SELECT unnest(
+        |    [CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |     CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
+        |cum AS (
+        |  SELECT flag, v, SUM(c) OVER (
+        |      PARTITION BY flag ORDER BY v) AS cum
+        |  FROM (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |          CAST(count(*) AS BIGINT) AS c
+        |        FROM lineitem GROUP BY 1, 2))
+        |SELECT b.flag AS l_returnflag, b.p, b.n, b.lo_rank, b.hi_rank,
+        |  min(CASE WHEN cum.cum >= b.lo_rank THEN cum.v END) AS lo_val,
+        |  min(CASE WHEN cum.cum >= b.hi_rank THEN cum.v END) AS hi_val,
+        |  TRUE AS within_band
+        |FROM b JOIN cum ON cum.flag = b.flag
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY l_returnflag, p""".stripMargin,
     // same md5 keep-rule + quantile_cont (the weighted interpolation
     // Describe reproduces bit-exactly); multiple unnests zip
     // positionally, pinned to permille=125

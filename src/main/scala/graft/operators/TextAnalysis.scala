@@ -483,18 +483,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Stratified sampling by language — seeded `sampleBy`, the
-    * training-mix rebalancer (e.g. cap English at 20%, keep all of the
-    * low-resource strata). Deterministic for a fixed seed; rows-only
-    * for the oracle (engine-specific PRNG). */
+  /** Stratified sampling by language — the training-mix rebalancer
+    * (e.g. cap English at 20%, keep all of the low-resource strata),
+    * via the salted-md5 threshold device rather than `sampleBy`:
+    * Spark's seeded PRNG is engine-specific (rows-only for any
+    * oracle) AND partition-sensitive, while `md5(seed-salt ∘ doc_id)
+    * mod 10⁴ < ⌊frac·10⁴⌋` is a pure function of the row — any
+    * engine replays the identical sample, membership never changes
+    * as the corpus grows or repartitions, and per-stratum rates land
+    * within binomial noise of the targets (the q134 device with its
+    * own per-seed salt, so co-sampling correlation with the other
+    * hash-sampled families is zero). `sampleBy` remains one
+    * `.stat.sampleBy` call away for callers who genuinely want
+    * per-run randomness; the library default is the reproducible
+    * form. */
   def stratifiedSample(t: Tables,
       fractions: Map[String, Double] =
         Map("en" -> 0.2, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0,
           "zh" -> 1.0),
-      seed: Long = 42L): DataFrame =
-    t.documents.stat.sampleBy("lang", fractions, seed)
+      seed: Long = 42L): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val dim = broadcast(fractions.toSeq
+      .map { case (l, f) => (l, math.floor(f * 10000).toLong) }
+      .toDF("lang", "keep_below"))
+    val bucket = conv(substring(md5(concat_ws("", lit(s"smix$seed:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10000
+    t.documents.join(dim, Seq("lang"))
+      .filter(bucket < col("keep_below"))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
+  }
 
   /** Deterministic stratified sample: per-stratum keep-rates applied
     * by hashing the stable doc_id — the reproducible twin of
@@ -2146,6 +2165,19 @@ object TextAnalysis {
         |      ('fr', 10000), ('zh', 10000)) AS f(lang, keep_below)
         |  USING (lang)
         |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 10000 < keep_below
+        |ORDER BY doc_id""".stripMargin,
+    // the q134 integer device with the q66 mix (en capped at 2000
+    // per-10k, low-resource strata kept whole) and the per-seed
+    // "smix42:" salt — previously seeded sampleBy, rows-only by
+    // engine PRNG; now any engine replays the identical sample
+    "q66_stratified_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |JOIN (VALUES ('en', 2000), ('es', 10000), ('de', 10000),
+        |      ('fr', 10000), ('zh', 10000)) AS f(lang, keep_below)
+        |  USING (lang)
+        |WHERE CAST('0x' || substr(md5('smix42:' || CAST(doc_id AS VARCHAR)),
         |    1, 8) AS BIGINT) % 10000 < keep_below
         |ORDER BY doc_id""".stripMargin,
     // the oracle IS the per-bucket hash-order window the two-phase

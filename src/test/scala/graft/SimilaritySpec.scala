@@ -589,6 +589,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.getDouble(4) > 0.0 && real.getDouble(4) <= 1.0)
   }
 
+  test("anisotropyCardSampled: keepPer10k=10000 is bit-identical to " +
+      "the full card; the default 50% slice is a strict subset whose " +
+      "var_share lands within the concentration band of the full one") {
+    val t2 = t
+    val full = Similarity.anisotropyCard(t2.embeddings).collect()(0)
+    val all =
+      Similarity.anisotropyCardSampled(t2.embeddings, keepPer10k = 10000)
+        .collect()(0)
+    assert(all == full) // the knob at 1.0 IS the full card
+    val half = Similarity.anisotropyCardSampled(t2.embeddings).collect()(0)
+    // ~half the vectors (md5 is uniform), same dim, statistic close:
+    // var_share concentrates — at n~260 the subsample estimate stays
+    // within a loose band, pinning "sampled tier estimates the card"
+    val n = t2.embeddings.count()
+    assert(half.getLong(0) > n / 3 && half.getLong(0) < 2 * n / 3)
+    assert(half.getLong(1) == full.getLong(1))
+    assert(math.abs(half.getDouble(4) - full.getDouble(4)) < 0.2)
+  }
+
   test("degreeAssortativity: a planted star reads exactly -1; the " +
       "real-corpus card equals an integer brute-force replay") {
     // center (1,1,1,0) sees each axis leaf at cos 1/sqrt(3) >= 0.3;

@@ -87,27 +87,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(exactTop.subsetOf(got), s"missing ${exactTop.diff(got)}")
   }
 
-  test("approx quantiles sit within the GK rank-error band of exact") {
-    val li = t.lineitem
-    val approx = Sketches.approxQuantiles(t).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5))).toMap
-    // accuracy=10000 -> rank error 1e-4; bound each approx value by
-    // the exact quantiles at p +/- 0.001 (10x slack, still tight)
-    val ps = Seq(0.25, 0.5, 0.75, 0.9)
-    val lo = Describe.groupedExactQuantiles(li, "l_returnflag",
-      Seq("l_extendedprice"), ps.map(_ - 0.001))
-    val hi = Describe.groupedExactQuantiles(li, "l_returnflag",
-      Seq("l_extendedprice"), ps.map(_ + 0.001))
-    approx.foreach { case (flag, vals) =>
-      val l = lo((flag, "l_extendedprice"))
-      val h = hi((flag, "l_extendedprice"))
-      ps.indices.foreach { i =>
-        assert(vals(i) >= l(i) && vals(i) <= h(i),
-          s"$flag p=${ps(i)}: approx ${vals(i)} outside [${l(i)}, ${h(i)}]")
-      }
+  test("approx quantile card: every (flag, p) row's GK pick earns " +
+      "within_band, band edges are genuine order statistics that " +
+      "bracket the exact quantile") {
+    val rows = Sketches.approxQuantiles(t).collect()
+    assert(rows.length == 12) // 3 flags x 4 probs
+    rows.foreach { r =>
+      assert(r.getBoolean(7), s"GK pick outside its rank band: $r")
+      assert(r.getLong(3) <= r.getLong(4)) // lo_rank <= hi_rank
+      assert(r.getDouble(5) <= r.getDouble(6)) // monotone band values
     }
-    assert(approx.size == 3)
+    // the exact interpolated quantile must sit inside the band the
+    // card publishes (the band is +-n/1e4 +-1 ranks around p*n)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val ex = Describe.groupedExactQuantiles(t.lineitem, "l_returnflag",
+      Seq("l_extendedprice"), ps)
+    rows.foreach { r =>
+      val q = ex((r.getString(0), "l_extendedprice"))(
+        ps.indexOf(r.getDouble(1)))
+      assert(r.getDouble(5) <= q && q <= r.getDouble(6),
+        s"${r.getString(0)} p=${r.getDouble(1)}: exact $q outside " +
+          s"[${r.getDouble(5)}, ${r.getDouble(6)}]")
+    }
   }
 
   test("CMS inner product bounds the exact self-join size from above") {
