@@ -90,7 +90,8 @@ object DataHygiene {
       .withColumn("keep",
         col("max_line_chars") <= 100 && col("mean_line_chars") <= 40.0 &&
           col("alnum_frac") >= 0.25)
-      .orderBy(col("doc_id"))
+    // no presentation sort: the pure projection also runs as an
+    // append-mode stream (q197/q218 convention — registration orders)
   }
 
   // ---------------------------------------------------------------
@@ -364,7 +365,8 @@ object DataHygiene {
           aggregate(col("st"), lit(0L),
             (acc, s) => acc + s.getField("n").cast("long")).cast("double"))
           .as("keep_frac"))
-      .orderBy(col("doc_id"))
+    // no presentation sort: the pure projection also runs as an
+    // append-mode stream (q197/q218 convention — registration orders)
   }
 
   // ---------------------------------------------------------------
@@ -521,9 +523,11 @@ object DataHygiene {
       ((s, d) => compressionRatio(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
     "q260_paragraph_gate" ->
-      ((s, d) => paragraphGate(Tables(s, d).documents)),
+      ((s, d) => paragraphGate(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q244_code_shape_gate" ->
-      ((s, d) => codeShapeGate(Tables(s, d).documents)),
+      ((s, d) => codeShapeGate(Tables(s, d).documents)
+        .orderBy(col("doc_id"))),
     "q245_encoding_noise" ->
       ((s, d) => encodingNoise(Tables(s, d).documents)),
     "q246_license_screen" ->

@@ -480,6 +480,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._1 == 2L && r._6))
   }
 
+  test("code-shape gate streams unchanged (pure projection)") {
+    // q244's daily-cadence generalization: the per-doc line-stats
+    // gate is a zero-shuffle projection, so the SAME plan runs
+    // append-mode over a stream — batch == union of micro-batches
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (0L, ("w " * 30).trim, "en", "s0"), // mod 11 AND 13: both plants
+      (3L, ("word " * 24).trim, "en", "s0"),
+      (11L, ("x " * 16).trim, "en", "s1")) // separator plant only
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.DataHygiene.codeShapeGate(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("codeshape_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("codeshape_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.codeShapeGate(
+      rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 3)
+    // the planted 120-char separator must trip the gate either way
+    assert(spark.table("codeshape_out")
+      .filter(col("doc_id") === 0L && !col("keep")).count() == 1)
+  }
+
+  test("paragraph gate streams unchanged (pure projection)") {
+    implicit val sc = spark.sqlContext
+    def words(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
+    val rows = Seq((0L, words(10), "en", "s"), (1L, words(9), "en", "s"),
+      (2L, words(40), "en", "s"))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.DataHygiene.paragraphGate(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paragate_out").start()
+    mem.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    mem.addData(rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("paragate_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.paragraphGate(
+      rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 3)
+  }
+
+  test("homoglyph screen streams in complete mode and equals batch") {
+    // q297's rollup is a partial-aggregatable source-keyed groupBy
+    // (|sources| rows of state), so the identical plan runs as a
+    // complete-mode stream — the daily screen over an arriving crawl
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (37L, "quarterly report", "en", "s1"), // mod-37 plant fires
+      (1L, "hello wоrld", "en", "s1"),
+      (2L, "hello world", "en", "s2"),
+      (5L, "привет мир", "en", "s2")) // pure Cyrillic: never flagged
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.DataHygiene.homoglyphScreen(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("homoglyph_out").start()
+    mem.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    mem.addData(rows(2), rows(3))
+    q.processAllAvailable()
+    val streamed = spark.table("homoglyph_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.homoglyphScreen(
+      rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 2)
+  }
+
   test("row-local fluency scoring streams unchanged (broadcast model)") {
     implicit val sc = spark.sqlContext
     val model = Seq((0L, "a b a b c")).toDF("doc_id", "text")
