@@ -100,4 +100,41 @@ class WaqiDsv2Spec extends AnyFunSuite {
       try server.stop(0) catch { case _: Exception => () }
     }
   }
+
+  test("LIVE api.waqi.info fetch (WAQI_LIVE=1 gated; skipped offline)") {
+    // The one reference behavior a zero-egress sandbox cannot reach:
+    // the real API's envelope (reference dags/my_data_pipeline.py:34-48
+    // — status:"ok" + data.aqi on success, status:"error" + data
+    // message on a bad token). Gated so CI cancels cleanly; the day
+    // egress exists, WAQI_LIVE=1 WAQI_TOKEN=... exercises it for real.
+    assume(sys.env.get("WAQI_LIVE").contains("1"),
+      "live WAQI fetch disabled (set WAQI_LIVE=1 with egress)")
+    import spark.implicits._
+    val http = new HttpWaqiTransport(Map.empty)
+    val body = http.fetch("shanghai")
+    // transport-level failures are NOT acceptable in live mode — the
+    // gate exists precisely to prove the network path
+    assert(!body.contains("\"status\": \"error: transport"), body)
+    val parsed = WaqiSource.parse(Seq(("shanghai", body)).toDS())
+    val okN = WaqiSource.ok(parsed).count()
+    val errs = WaqiSource.errors(parsed).collect()
+    // a valid token yields exactly one ok row with a parseable
+    // payload; an invalid/expired one must dispatch to errors() with
+    // the API's message intact — either way, never silently dropped
+    assert(okN + errs.length == 1, s"ok=$okN errs=${errs.toSeq}")
+    if (errs.nonEmpty) {
+      val payload = errs(0).toString
+      assert(payload.toLowerCase.contains("token") ||
+        payload.contains("error"), payload)
+    }
+
+    // bad-token dispatch against the live API: the reference's
+    // documented 'Error 401: Invalid API token.' class must land in
+    // errors(), not data
+    val bad = new HttpWaqiTransport(Map("token" -> "definitely-invalid"))
+    val badParsed = WaqiSource.parse(
+      Seq(("shanghai", bad.fetch("shanghai"))).toDS())
+    assert(WaqiSource.ok(badParsed).count() == 0)
+    assert(WaqiSource.errors(badParsed).count() == 1)
+  }
 }
