@@ -144,7 +144,9 @@ object ScaleTrial {
     "q294_gap_profile", // keyed lag + quantile machinery on 10x events
     "q295_path_motifs", // two keyed leads + |types|^3 rollup, 10x events
     "q296_anisotropy_card", // dim^2 products rollup + kernel rounds
-    "q297_homoglyph_screen") // row-local regex pair + source rollup
+    "q297_homoglyph_screen", // row-local regex pair + source rollup
+    "q298_anisotropy_sampled", // the q296 hash-slice knob: kernel on ~half
+    "q299_postings_materialized") // at-rest bucketed postings, 0-Exchange self-join
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -322,10 +322,23 @@ object TextAnalysis {
     val kept = tf.join(
       dfr.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
       .localCheckpoint()
+    cosineFromPostings(kept, threshold)
+  }
+
+  /** The pair tier downstream of the df-capped posting relation
+    * `(g, doc_id, tf)` — shared verbatim by [[sparseCosinePairs]]
+    * (in-memory postings) and [[sparseCosinePairsMaterialized]]
+    * (bucketed at-rest postings), so the two tiers cannot drift.
+    * `mergeHint` pins SortMergeJoin on the posting self-join — the
+    * materialized path sets it so the small-SF broadcast threshold
+    * can't hide the bucketing (the q162 convention). */
+  private def cosineFromPostings(kept: DataFrame, threshold: Double,
+      mergeHint: Boolean = false): DataFrame = {
     val norms = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val a = kept.select(col("g"), col("doc_id").as("d1"),
+    val a0 = kept.select(col("g"), col("doc_id").as("d1"),
       col("tf").as("tf1"))
+    val a = if (mergeHint) a0.hint("merge") else a0
     val b = kept.select(col("g"), col("doc_id").as("d2"),
       col("tf").as("tf2"))
     a.join(b, Seq("g"))
@@ -343,6 +356,55 @@ object TextAnalysis {
           sqrt((col("n2a") * col("n2b")).cast("double"))).as("cosine"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** The AT-REST form of q202's posting tier: the df-capped
+    * `(g, doc_id, tf)` relation written ONCE per (session, sfDir) as
+    * a catalog table bucketed AND sorted on `g` (8 buckets — the
+    * q162/q194/q205 durable-artifact convention). Every consumer of
+    * the candidate generator — q202's pair tier and the q217/q221/
+    * q224/q231 compositions that replay it — re-derives tf+df from
+    * raw text on EVERY run; at 100 TB that shingling pass and the
+    * gram-keyed shuffle behind the self-join dwarf the pairs
+    * themselves. Bucketing by `g` makes the self-join read co-located
+    * buckets with NO Exchange on either side (PlanAuditSpec pins
+    * SortMergeJoin + zero shuffle under the join), and the write
+    * amortizes over every downstream near-dup query. Spark's bucket
+    * hash is stable across sessions, so the layout survives as a
+    * durable lake artifact. */
+  private val postingsTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  def materializedPostingsTable(s: SparkSession, d: String,
+      maxDf: Long = 20): String =
+    postingsTables.getOrElseUpdate((s, d), {
+      val name =
+        s"graft_postings_${java.lang.Integer.toHexString(d.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft_postings_")
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val grams = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-2), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2)))")).as("g"))
+      val tf = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      tf.join(dfr.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+        .write.bucketBy(8, "g").sortBy("g")
+        .option("path", s"$dir/p").mode("overwrite").saveAsTable(name)
+      name
+    })
+
+  /** q202 served FROM the at-rest posting table — identical results
+    * (the table holds exactly the in-memory `kept` relation, and the
+    * downstream is [[cosineFromPostings]] verbatim), shuffle-free
+    * candidate generation (bucketed self-join on `g`). The oracle is
+    * q202's SQL unchanged: materialization is a layout decision, not
+    * a semantic one. */
+  def sparseCosinePairsMaterialized(s: SparkSession, d: String,
+      threshold: Double = 0.5, maxDf: Long = 20): DataFrame =
+    cosineFromPostings(s.table(materializedPostingsTable(s, d, maxDf)),
+      threshold, mergeHint = true)
 
   /** Quality-aware near-dup collapse: one KEPT document per duplicate
     * cluster, chosen by HIGHEST quality score (ties to the lowest
@@ -1567,6 +1629,8 @@ object TextAnalysis {
       sourceQuota(Tables(s, d).documents)),
     "q202_sparse_cosine_pairs" -> ((s, d) =>
       sparseCosinePairs(Tables(s, d).documents)),
+    "q299_postings_materialized" -> ((s, d) =>
+      sparseCosinePairsMaterialized(s, d)),
     "q209_cluster_sizes" -> ((s, d) =>
       clusterSizeDistribution(Tables(s, d).documents)),
     // the CCNet deployment shape: LM trained on the clean target
@@ -1813,6 +1877,10 @@ object TextAnalysis {
     // (0.5*0.5 is exact in IEEE, sqrt and / are correctly rounded), so
     // the posting-list join replays bit-exactly
     "q202_sparse_cosine_pairs" -> sparseCosineSql,
+    // the materialized tier is a LAYOUT decision — same pair algebra,
+    // same SQL; a hash match proves the at-rest table reproduces the
+    // in-memory posting relation exactly
+    "q299_postings_materialized" -> sparseCosineSql,
     // q202's CTE symmetrized, then per-doc argmax replayed as the
     // (cosine DESC, neighbor ASC) row_number the min(struct) encodes
     "q221_nearest_duplicates" ->

@@ -927,6 +927,28 @@ class TextDedupSpec extends AnyFunSuite {
       ((1L, 2L, 1L, 0.5)))
   }
 
+  test("materialized postings tier: bucketed self-join plans with " +
+      "ZERO exchanges and the pair tier equals the in-memory q202") {
+    val sf = "/root/testdata/sf0.001"
+    // the at-rest table reproduces the in-memory kept relation, so
+    // the two tiers are row-identical (both end in the same total sort)
+    val mat = TextAnalysis.sparseCosinePairsMaterialized(spark, sf)
+    val mem = TextAnalysis.sparseCosinePairs(Tables(spark, sf).documents)
+    assert(mat.collect().toSeq == mem.collect().toSeq)
+    // the candidate self-join — THE gram-keyed shuffle at 100 TB —
+    // reads co-located buckets: SortMergeJoin with no Exchange on
+    // either side (the q162 bucketed-join pin, on the postings table)
+    val tbl = spark.table(TextAnalysis.materializedPostingsTable(spark, sf))
+    val selfJoin = tbl
+      .select(col("g"), col("doc_id").as("d1"), col("tf").as("tf1"))
+      .hint("merge")
+      .join(tbl.select(col("g"), col("doc_id").as("d2"),
+        col("tf").as("tf2")), Seq("g"))
+    val plan = selfJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("sparseCosinePairs: the df cap removes corpus-common grams") {
     // four docs all built from ONE gram — with maxDf=3 the gram's
     // df=4 exceeds the cap and no pair survives; raising the cap to 4
