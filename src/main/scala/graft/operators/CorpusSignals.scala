@@ -1107,6 +1107,33 @@ object CorpusSignals {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Driver-checked CALIBRATION card for [[sourceOverlapMinhash]] —
+    * the q217 pattern at source granularity, stated with the q100
+    * contract device: every source pair carries the EXACT 3-gram
+    * Jaccard (the [[sourceOverlapMatrix]] value both engines
+    * recompute, 0.0 for gram-disjoint pairs) plus `within_band` =
+    * the xxhash64 sketch's estimate landed within `band` of it
+    * (default 0.25 = 2/√numPerms — 4·SE at J=0.5, the estimator's
+    * worst case). The production sketch stays [[sourceOverlapMinhash]]
+    * alone (signatures only — that's the 10⁵-feed scale path); THIS
+    * card runs both tiers at audit scale, turning "we trust the
+    * source sketch" into a hash-checked row, exactly as q217 does
+    * for the doc-level family. */
+  def sourceOverlapSketchCalibration(docs: DataFrame, numPerms: Int = 64,
+      band: Double = 0.25): DataFrame = {
+    val est = sourceOverlapMinhash(docs, numPerms)
+      .select(col("src_a"), col("src_b"), col("est_jaccard"))
+    val exact = sourceOverlapMatrix(docs)
+      .select(col("s1").as("src_a"), col("s2").as("src_b"),
+        col("jaccard"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("jaccard"), lit(0.0)).as("exact_jaccard"),
+        (abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))) <=
+          lit(band)).as("within_band"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** The cleaned corpus the curation workflow keeps: quality gate →
     * exact dedup (min-id representative per content hash) → optional
     * MinHash near-dup collapse (candidate pairs via LSH, transitive
@@ -2052,10 +2079,12 @@ object CorpusSignals {
       epochAwareAllocation(Tables(s, d).documents)),
     "q252_epoch_schedule" -> ((s, d) =>
       epochScheduleSample(Tables(s, d).documents)),
-    // rows-only by design: xxhash64 permutation family (q28's
-    // convention); the spec calibrates it against q237's exact matrix
+    // upgraded from rows-only in r11: the registered card is the
+    // CALIBRATION view (exact jaccard both engines recompute + the
+    // sketch's within-band contract); the raw xxhash64 signature
+    // sketch remains the production scale path
     "q243_source_overlap_sketch" -> ((s, d) =>
-      sourceOverlapMinhash(Tables(s, d).documents)),
+      sourceOverlapSketchCalibration(Tables(s, d).documents)),
     "q211_release_card" -> ((s, d) =>
       releaseCard(Tables(s, d).documents)),
     "q215_curation_funnel" -> ((s, d) =>
@@ -2431,6 +2460,40 @@ object CorpusSignals {
         |  0.5 * list_reduce(list_prepend(0.0, list(diff ORDER BY w)),
         |    (a, b) -> a + b) AS tvd
         |FROM diffs GROUP BY source ORDER BY source""".stripMargin,
+    // q159's exact matrix left-joined onto the full qualifying-source
+    // pair universe (sources with >=1 doc of >=3 tokens), 0.0 for
+    // disjoint pairs, plus the sketch guarantee as the q100-device
+    // literal TRUE the estimator must earn
+    "q243_source_overlap_sketch" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 3)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM g GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT s1, s2,
+        |    CAST(n_inter AS DOUBLE)
+        |      / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+        |  FROM inter JOIN sizes x ON inter.s1 = x.source
+        |  JOIN sizes y ON inter.s2 = y.source),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM sizes a JOIN sizes b ON a.source < b.source)
+        |SELECT p.src_a, p.src_b,
+        |  coalesce(ex.jaccard, 0.0) AS exact_jaccard,
+        |  TRUE AS within_band
+        |FROM pairs p LEFT JOIN ex ON ex.s1 = p.src_a AND ex.s2 = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q159_source_overlap" ->
       """WITH g AS (
         |  SELECT DISTINCT source, g FROM (

@@ -523,6 +523,18 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         approx_count_distinct(col("h"), 0.02).as("approx_unique_docs"),
         countDistinct(col("h")).as("exact_unique_docs"))
+      // the q100 contract device: the HLL++ ESTIMATE is
+      // engine-specific (sketches differ across engines), so the card
+      // states the guarantee it must earn — |approx − exact| within
+      // 3·rsd of exact — as a boolean the oracle pins TRUE, next to
+      // the exact count both engines recompute. The estimate itself
+      // stays available via the aggregate; the driver-checked row is
+      // the contract.
+      .select(col("source"), col("n_docs"), col("exact_unique_docs"),
+        (abs(col("approx_unique_docs") - col("exact_unique_docs"))
+          .cast("double") <=
+          lit(0.06) * col("exact_unique_docs").cast("double"))
+          .as("within_band"))
       .orderBy(col("source"))
 
   /** Unicode canonicalization sweep — the normalize step every
@@ -2235,6 +2247,16 @@ object TextAnalysis {
         |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
         |    1, 8) AS BIGINT) % 10000 < keep_below
         |ORDER BY doc_id""".stripMargin,
+    // the q100 contract device: exact per-source distinct counts both
+    // engines recompute + the HLL++ 3-sigma guarantee (rsd 0.02) as
+    // the literal TRUE the sketch must earn
+    "q65_cardinality_sketch" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT)
+        |    AS exact_unique_docs,
+        |  TRUE AS within_band
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
     // the q134 integer device with the q66 mix (en capped at 2000
     // per-10k, low-resource strata kept whole) and the per-seed
     // "smix42:" salt — previously seeded sampleBy, rows-only by

