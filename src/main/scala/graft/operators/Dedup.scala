@@ -264,6 +264,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** PORTABLE SimHash: the q217 portable-family device applied to
+    * [[simhashes]] — per-token 64-bit fingerprints come from md5 hex
+    * (two 32-bit halves via the q134 conv device) instead of
+    * xxhash64, so ANY engine recomputes the identical signature:
+    * bit i of a doc's simhash is the sign of Σ_tokens (±1 by bit i
+    * of md5(token)), votes weighted by token frequency exactly as
+    * the production [[simhashes]] weights them (exploded multiset,
+    * not the distinct set). Integer votes are order-independent;
+    * ties (vote == 0) deterministically clear the bit. Packing is a
+    * carry-free bitwise OR of distinct powers of two (bit 63 rides
+    * the sign bit — harmless for XOR/bit_count). Same row-local
+    * shape as [[simhashes]]: one explode + one 64-accumulator
+    * groupBy, partial-aggregated map-side. */
+  def portableSimhashes(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          .as("h1"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
+          .as("h2"))
+    val votes = (0 until 64).map { i =>
+      val h = if (i < 32) col("h1") else col("h2")
+      sum(when(shiftright(h, i % 32).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    perTok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs over the PORTABLE signature — q29's
+    * semantics upgraded from rows-only to hash-exact: the chunk
+    * pigeonhole, the exact-hamming verify, and the ≤ maxHamming cut
+    * all ride [[hammingPairs]] unchanged, and because the signature
+    * family is md5 the oracle replays signature → 16-bit chunk join →
+    * hamming end to end (DuckDB's `hamming()` over the bit string ==
+    * Spark's `bit_count(xor)` over the packed long; chunk-substring
+    * equality == the shifted-mask equality). The oracle's pair tier
+    * assumes the [[capBuckets]] guard never fires — true by the
+    * pigeonhole argument unless exact dedup was skipped on a
+    * degenerate corpus, the same caveat every LSH tier documents. */
+  def portableSimhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    hammingPairs(portableSimhashes(docs), "doc_id", "simhash",
+      maxHamming, maxBucket)
+      .select(col("d1"), col("d2"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("d1"), col("d2"))
+
   /** Stopword-profile language ID over documents (heuristic demo — the
     * synthetic corpus shares one vocabulary across langs, so this
     * illustrates the operator rather than recovering the label). */
@@ -1169,6 +1222,8 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_portable_simhash_pairs" -> ((s, d) =>
+      portableSimhashPairs(Tables(s, d).documents)),
     "q270_winnowing_pairs" -> ((s, d) =>
       winnowingPairs(Tables(s, d).documents)),
     "q145_cross_corpus_new" -> ((s, d) =>
@@ -1427,7 +1482,48 @@ object Dedup {
         |JOIN nf n1 ON n1.doc_id = p2.d1
         |JOIN nf n2 ON n2.doc_id = p2.d2""".stripMargin
 
+  /** q300's DuckDB twin, GENERATED from the same bit range so the 64
+    * vote terms cannot drift from [[portableSimhashes]]: per-token
+    * md5 halves, 64 ±1 vote sums, sign-packed into a '0'/'1' bit
+    * STRING (char position i+1 == packed-long bit i, so Spark's
+    * 16-bit shifted-mask chunks equal the SQL's 16-char substrings),
+    * the same 4-chunk pigeonhole join, and `hamming()` over the
+    * strings == `bit_count(xor)` over the longs. */
+  private def portableSimhashSql(maxHamming: Int): String = {
+    val votes = (0 until 64).map { i =>
+      val h = if (i < 32) "h1" else "h2"
+      s"SUM(CASE WHEN ($h >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END)" +
+        s" AS v$i"
+    }.mkString(",\n    ")
+    val bits = (0 until 64)
+      .map(i => s"CASE WHEN v$i > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS sig FROM v),
+       |ch AS (
+       |  SELECT doc_id, sig, c, substr(sig, c * 16 + 1, 16) AS ck
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(hamming(a.sig, b.sig) AS BIGINT) AS hamming
+       |  FROM ch a JOIN ch b
+       |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM p
+       |WHERE hamming <= $maxHamming
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q300_portable_simhash_pairs" -> portableSimhashSql(3),
     // the winnowing selection itself replays: same md5(k-gram)||pos
     // tagged hashes, same per-window lexicographic min, same df cap
     // and pair rollup. Pinned to k=4, w=4, minShared=2, maxDf=20.

@@ -259,6 +259,39 @@ class TextDedupSpec extends AnyFunSuite {
       .subsetOf(pairs))
   }
 
+  test("portable simhash: identical texts at hamming 0, blocked tier " +
+      "== brute-force radius pairs, xxhash tier agrees on exact dups") {
+    val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s"),
+      (2L, base, "en", "s"), // identical -> hamming 0
+      (3L, base.replace("w05", "edit"), "en", "s"), // light edit
+      (9L, "totally different vocabulary entirely here now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.portableSimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L)
+    // pigeonhole completeness: the chunk-blocked tier returns EXACTLY
+    // the brute-force radius-3 pairs (one token edit can flip many
+    // vote-margin bits, so membership of (1,3) is whatever the
+    // signatures say — the contract is blocked == brute, not a naive
+    // edit bound)
+    val sigs = Dedup.portableSimhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == brute)
+    // the portable family changes the BITS, not the semantics: on
+    // identical-doc pairs the production xxhash tier finds the same
+    // zero-distance pairs
+    val xx = Dedup.simhashDedup(docs).filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xx.contains((1L, 2L)))
+  }
+
   test("bestQualityRepresentatives keeps the best doc, not the first") {
     // docs 10/11/12 are near-dups (same long base text, tiny tails).
     // 11 has the richest vocabulary (highest ttr -> highest quality),
