@@ -146,7 +146,9 @@ object ScaleTrial {
     "q296_anisotropy_card", // dim^2 products rollup + kernel rounds
     "q297_homoglyph_screen", // row-local regex pair + source rollup
     "q298_anisotropy_sampled", // the q296 hash-slice knob: kernel on ~half
-    "q299_postings_materialized") // at-rest bucketed postings, 0-Exchange self-join
+    "q299_postings_materialized", // at-rest bucketed postings, 0-Exchange self-join
+    "q300_portable_simhash_pairs", // 64-accumulator doc rollup + chunk buckets
+    "q301_vocab_utilization") // word-TYPE greedy walk + piece rollup
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

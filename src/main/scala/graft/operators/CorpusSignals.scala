@@ -391,6 +391,84 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary UTILIZATION audit — the SentencePiece prune-step
+    * diagnostic (Kudo 2018 §3.2 keeps the pieces the segmentation
+    * actually uses; a piece no segmentation touches is a wasted
+    * embedding row and a wasted softmax column): every corpus word
+    * TYPE is encoded by WordPiece-style GREEDY LONGEST-MATCH over the
+    * q259 vocabulary (all corpus characters + the top-`topK`
+    * occurrence-weighted 2..`maxLen`-grams, same (count DESC, gram)
+    * cut so the two audits share one vocab), and the card reports,
+    * per vocab piece, its occurrence-weighted usage count and share —
+    * dead pieces appear explicitly with 0.
+    *
+    * Exactness: greedy longest-match is a deterministic integer
+    * walk (at position p take the LONGEST vocab piece starting
+    * there; 1-grams guarantee progress), replayed in the oracle as a
+    * best-match edge table + a recursive walk — no floats until the
+    * final share division. Scale: the walk rides the Zipf-bounded
+    * word-TYPE table inside one row-local codegen fold (the q157/
+    * q177/q259 device); the vocab is model-sized driver state; usage
+    * is one partial-aggregatable piece rollup. */
+  def vocabUtilization(docs: DataFrame, topK: Int = 64,
+      maxLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occurrences = docs.select(explode(split(col("text"), " ")).as("w"))
+    val wt = occurrences.groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val grams = wt
+        .select(col("w"), col("cnt"),
+          explode(sequence(lit(1), lit(maxLen))).as("l"))
+        .filter(length(col("w")) >= col("l"))
+        .select(col("cnt"), col("l"),
+          explode(sequence(lit(1), length(col("w")) - col("l") + 1))
+            .as("i"), col("w"))
+        .select(col("w").substr(col("i"), col("l")).as("g"), col("cnt"))
+        .groupBy(col("g")).agg(sum(col("cnt")).as("c"))
+      val ones = grams.filter(length(col("g")) === 1)
+        .select(col("g")).collect().map(_.getString(0))
+      val tops = grams.filter(length(col("g")) >= 2)
+        .orderBy(col("c").desc, col("g")).limit(topK)
+        .select(col("g")).collect().map(_.getString(0))
+      val vocab = ones ++ tops
+      val vocabLit = array(vocab.map(lit(_)): _*)
+      val n = length(col("w"))
+      // greedy fold: n iterations suffice (progress >= 1 char/step);
+      // once pos passes the end the state freezes
+      val seg = aggregate(
+        sequence(lit(1), n),
+        struct(lit(1).as("pos"),
+          array().cast("array<string>").as("ps")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val bestL = (maxLen to 2 by -1).map { l =>
+            when(pos + (l - 1) <= n &&
+              array_contains(vocabLit, col("w").substr(pos, lit(l))),
+              lit(l))
+          }.foldRight(lit(1))((c, acc) => coalesce(c, acc))
+          when(pos > n, st).otherwise(struct(
+            (pos + bestL).as("pos"),
+            concat(st.getField("ps"),
+              array(col("w").substr(pos, bestL))).as("ps")))
+        })
+      val usage = wt.select(col("cnt"), explode(seg.getField("ps"))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("uses"))
+        .localCheckpoint()
+      val total = usage.agg(sum(col("uses"))).head.getLong(0)
+      vocab.toSeq.toDF("piece")
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"), length(col("piece")).cast("long")
+            .as("piece_len"),
+          coalesce(col("uses"), lit(0L)).as("uses"),
+          (coalesce(col("uses"), lit(0L)).cast("double") /
+            lit(total).cast("double")).as("share"))
+        .orderBy(col("uses").desc, col("piece"))
+    } finally wt.unpersist(false)
+  }
+
   /** Tokenizer FERTILITY per source — the tokenizer-health report run
     * after (re)training a vocab: pieces-per-word (fertility — how many
     * BPE pieces an average word fragments into; a language/source the
@@ -1989,6 +2067,8 @@ object CorpusSignals {
       retrievalTriplets(Tables(s, d).documents)),
     "q259_viterbi_fertility" -> ((s, d) =>
       viterbiFertility(Tables(s, d).documents)),
+    "q301_vocab_utilization" -> ((s, d) =>
+      vocabUtilization(Tables(s, d).documents)),
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
@@ -2358,6 +2438,50 @@ object CorpusSignals {
     // reachability (the q166 BFS device): min level reaching pos n IS
     // the optimal piece count; vocab cut totally ordered by
     // (count DESC, gram ASC), pinned to topK=64 maxLen=4
+    // q259's vocab CTEs verbatim + a best-match edge table and the
+    // greedy recursive walk; integer walk, one final share division
+    "q301_vocab_utilization" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY w),
+        |gr AS (
+        |  SELECT substr(w, i, l) AS g, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM wt,
+        |    unnest([1, 2, 3, 4]) AS ll(l),
+        |    unnest(range(1, len(w) + 1)) AS ii(i)
+        |  WHERE i + l - 1 <= len(w)
+        |  GROUP BY g),
+        |vocab AS (
+        |  SELECT g FROM gr WHERE length(g) = 1
+        |  UNION ALL
+        |  SELECT g FROM (
+        |    SELECT g, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM gr WHERE length(g) >= 2) WHERE rn <= 64),
+        |m AS (
+        |  SELECT w, i AS pos, max(l) AS best_l
+        |  FROM (SELECT wt.w, ii.i, ll.l
+        |        FROM wt,
+        |          unnest([1, 2, 3, 4]) AS ll(l),
+        |          unnest(range(1, len(w) + 1)) AS ii(i)
+        |        WHERE i + l - 1 <= len(wt.w)
+        |          AND substr(wt.w, i, l) IN (SELECT g FROM vocab))
+        |  GROUP BY w, i),
+        |walk(w, pos, piece) AS (
+        |  SELECT m.w, 1 + m.best_l, substr(m.w, 1, m.best_l)
+        |  FROM m WHERE m.pos = 1
+        |  UNION ALL
+        |  SELECT m.w, r.pos + m.best_l, substr(m.w, r.pos, m.best_l)
+        |  FROM walk r JOIN m ON m.w = r.w AND m.pos = r.pos),
+        |usage AS (
+        |  SELECT piece, CAST(sum(wt.cnt) AS BIGINT) AS uses
+        |  FROM walk JOIN wt ON wt.w = walk.w GROUP BY piece)
+        |SELECT v.g AS piece, CAST(length(v.g) AS BIGINT) AS piece_len,
+        |  coalesce(u.uses, 0) AS uses,
+        |  CAST(coalesce(u.uses, 0) AS DOUBLE) /
+        |    (SELECT CAST(sum(uses) AS DOUBLE) FROM usage) AS share
+        |FROM vocab v LEFT JOIN usage u ON u.piece = v.g
+        |ORDER BY uses DESC, piece""".stripMargin,
     "q259_viterbi_fertility" ->
       """WITH RECURSIVE occ AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS w

@@ -225,6 +225,63 @@ class CorpusSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabUtilization: hand greedy segmentation, dead pieces at 0, " +
+      "char mass conserved; real-corpus greedy == a Scala reference") {
+    import spark.implicits._
+    // vocab = chars {a,b,c,d} + all 2..4-grams (under topK):
+    // greedy("abab") = ["abab"], greedy("cd") = ["cd"] — whole words
+    // win by longest-match; the 1-gram pieces are DEAD (uses 0)
+    val hand = Seq((0L, "abab cd", "en", "s1"),
+      (1L, "cd cd", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val h = CorpusSignals.vocabUtilization(hand).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(h("abab") == ((4L, 1L, 0.25)))
+    assert(h("cd") == ((2L, 3L, 0.75)))
+    assert(h("a") == ((1L, 0L, 0.0))) // dead char piece
+    assert(h("ab")._2 == 0L) // shadowed by the longer match
+    // char-mass conservation on the REAL corpus: every corpus char
+    // lands in exactly one greedy piece
+    val got = CorpusSignals.vocabUtilization(docs).collect()
+    val pieceChars = got.map(r => r.getLong(2) * r.getLong(1)).sum
+    val corpusChars = docs.select(explode(split(col("text"), " "))
+      .as("w")).agg(sum(length(col("w")))).head.getLong(0)
+    assert(pieceChars == corpusChars)
+    // shares sum to 1 up to float association
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    // independent Scala greedy over the collected word types
+    val occ = docs.select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    val cnt = occ.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gramCnt = collection.mutable.Map.empty[String, Long]
+    cnt.foreach { case (w, c) =>
+      for (l <- 1 to 4; i <- 0 to w.length - l)
+        gramCnt.updateWith(w.substring(i, i + l))(
+          v => Some(v.getOrElse(0L) + c))
+    }
+    val vocab = gramCnt.keysIterator.filter(_.length == 1).toSet ++
+      gramCnt.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (g, c) => (-c, g) }.take(64).map(_._1)
+    def greedy(w: String): Seq[String] = {
+      var p = 0; val out = collection.mutable.Buffer.empty[String]
+      while (p < w.length) {
+        val l = (math.min(4, w.length - p) to 1 by -1)
+          .find(l => vocab(w.substring(p, p + l))).get
+        out += w.substring(p, p + l); p += l
+      }
+      out.toSeq
+    }
+    val expect = collection.mutable.Map.empty[String, Long]
+    cnt.foreach { case (w, c) =>
+      greedy(w).foreach(pc =>
+        expect.updateWith(pc)(v => Some(v.getOrElse(0L) + c)))
+    }
+    got.foreach { r =>
+      assert(r.getLong(2) == expect.getOrElse(r.getString(0), 0L),
+        s"piece ${r.getString(0)}")
+    }
+  }
+
   test("retrievalTriplets: positive is the best non-self BM25 hit, " +
       "negatives are the 6..8 band, margins are non-negative") {
     val trip = CorpusSignals.retrievalTriplets(docs).collect()
