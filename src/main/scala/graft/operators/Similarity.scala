@@ -376,6 +376,87 @@ object Similarity {
       k)
   }
 
+  /** IVF-PQ serving — the FAISS IVFADC layout (Jégou, Douze & Schmid
+    * 2011, §IV: inverted lists bound WHICH vectors a query touches,
+    * product quantization bounds WHAT is read per vector), composed
+    * from the two at-rest tiers this library already ships: the query
+    * probes the [[materializedIvfIndex]] sidecar centroids and turns
+    * its `nprobe` cells into the q205 static partition filter (reads
+    * O(probed cells) of the vector table), then ranks the probed
+    * candidates by PQ asymmetric distance — m table lookups per
+    * candidate against the broadcast query distance tables, the
+    * corpus scanned as CODES — and exact-reranks only the `rerank·k`
+    * shortlist with raw vectors. At 100 TB this is THE ANN serving
+    * shape: partition pruning bounds I/O, codes bound bytes-per-
+    * candidate (4·Dim bytes → m), and raw vectors page in only for
+    * the shortlist. Codebooks train on the full corpus (model-sized
+    * driver state, the kmeansCentroids discipline); the ADC fold is
+    * sub-sorted for run determinism (q127 pattern). Rows-only by
+    * design (k-means init is engine-specific — q34/q160/q205's
+    * convention); the spec plants an exact twin that must surface at
+    * rank 1 with ADC and exact distance 0. */
+  def ivfPqTopK(s: SparkSession, embeddings: DataFrame, key: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3, cells: Int = 16,
+      iters: Int = 3, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    val table = materializedIvfIndex(s, embeddings, key, cells, iters)
+    val cents = s.table(table + "_cents")
+      .withColumn("cn", norm(col("centroid")))
+    val queries = withNorm(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val probed = ivfProbedCells(queries, cents, nprobe)
+    val touched = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan =
+      if (touched.isEmpty) s.table(table).filter(lit(false))
+      else s.table(table)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+    val cand = scan.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(broadcast(probed.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cb = pqCodebooks(embeddings, m, ksub, iters)
+    val codes = pqAssign(pqSubvectors(
+        scan.select(col("vec_id"), col("embedding")), m), cb)
+      .withColumnRenamed("cell", "code")
+    val qtable = pqSubvectors(
+        embeddings.filter(col("vec_id") < nQueries), m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        subDist2(col("sv"), col("centroid")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    shortlist
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        subDist2(col("nv"), transform(col("qv"),
+          x => x.cast("double"))).as("d2"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("d2"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label embedding centroids (class prototypes — the reduction
     * behind nearest-class-mean classification, IVF cell refresh, and
     * per-cluster drift monitoring), accumulated EXACTLY: each float
@@ -1533,6 +1614,10 @@ object Similarity {
       ((s, d) => anisotropyCard(Tables(s, d).embeddings)),
     "q298_anisotropy_sampled" ->
       ((s, d) => anisotropyCardSampled(Tables(s, d).embeddings)),
+    // rows-only by design: k-means init engine-specific (q34/q160/
+    // q205 convention); planted-twin + well-formed specs instead
+    "q302_ivfpq_topk" ->
+      ((s, d) => ivfPqTopK(s, Tables(s, d).embeddings, d)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->

@@ -379,6 +379,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(twinRow.get._5 == q3.map(_._5).min)
   }
 
+  test("IVF-PQ: planted exact twin surfaces at rank 1 with exact " +
+      "distance 0; output is well-formed and recall vs brute L2 holds") {
+    val key = s"ivfpqspec_${System.nanoTime()}"
+    val twin = t.embeddings.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(888889L))
+    val emb = t.embeddings.union(twin)
+    // nprobe/rerank above the serving defaults: at sf0.001 the 16
+    // cells hold ~16 vectors each, so default probes see too few
+    // candidates for a stable recall floor — the knobs ARE the
+    // recall/IO trade IVFADC documents
+    val res = Similarity.ivfPqTopK(spark, emb, key, nQueries = 5,
+      nprobe = 5, rerank = 8)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    // well-formed: k rows per query, ranks 1..k, exact d2 monotone
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"q$q ranks")
+      assert(rows.sortBy(_._2).map(_._4).toSeq ==
+        rows.map(_._4).sorted.toSeq, s"q$q d2 not monotone in rank")
+      assert(rows.forall(r => r._4 >= 0.0 && r._5 >= 0.0))
+    }
+    // identical twin: same IVF cell as the query's top probe, same
+    // PQ codes -> survives the ADC shortlist and exact rerank pins it
+    // at rank 1, distance exactly 0
+    val q3 = res.filter(_._1 == 3L)
+    val twinRow = q3.find(_._3 == 888889L)
+    assert(twinRow.nonEmpty, s"twin missing from q3 top-k: ${q3.toSeq}")
+    assert(twinRow.get._2 == 1 && twinRow.get._4 == 0.0)
+    // recall vs brute-force exact L2 over the same corpus (probed
+    // cells + ADC shortlist both cost recall; 0.5 leaves margin —
+    // measured ~0.8 at sf0.001)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val k = 5
+    val exact = (0L until 5L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.iterator.filter(_._1 != q).map { case (id, v) =>
+        (qv.zip(v).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x
+        }.sum, id)
+      }.toSeq.sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    val byQ = res.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recall = (0L until 5L)
+      .map(q => (byQ(q) & exact(q)).size.toDouble / k).sum / 5
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("PQ-ADC recall against exact L2 top-k is usable") {
     val k = 5
     val adc = Similarity.pqAdcTopK(t.embeddings, nQueries = 10, k = k)
