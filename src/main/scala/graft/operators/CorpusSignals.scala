@@ -156,6 +156,60 @@ object CorpusSignals {
       .orderBy(col("doc_id"))
   }
 
+  /** MEMORIZATION-EXPOSURE spectrum per source — Carlini et al. 2022
+    * ("Quantifying Memorization Across Neural Language Models",
+    * arXiv:2202.07646: memorization grows log-linearly with the
+    * number of times a sequence is DUPLICATED in training data) as a
+    * curation card: for each source and each exposure threshold T,
+    * the share of the source's token positions covered by some
+    * 5-gram appearing in ≥ T distinct documents. q135 measures the
+    * per-doc T=2 cut (dedup triage); THIS is the per-source risk
+    * spectrum — the mass a model is likely to regurgitate at each
+    * duplication level, the number a release review reads before
+    * deciding how aggressive the ExactSubstr pass (q192) must be.
+    *
+    * Shape: the q135 machinery with one extra rollup — each covered
+    * position keeps its MAX gram document-frequency ("exposure"), a
+    * partial-aggregatable (doc, source, position) max; the spectrum
+    * is then one broadcast |thresholds|-row inequality join + a
+    * (source, T) count. Every stage O(corpus tokens); integers until
+    * the final share division. */
+  def memorizationSpectrum(docs: DataFrame,
+      thresholds: Seq[Long] = Seq(2L, 5L, 10L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("t"))
+    val grams = toks.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(1, size(t)-4), i -> concat(" +
+          "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2), ' ', element_at(t, i+3), ' ', " +
+          "element_at(t, i+4)))")))
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+    val dfreq = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    val exposure = grams.join(dfreq, "g")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(col("p"), col("p") + 4)).as("cp"), col("ndocs"))
+      .groupBy(col("doc_id"), col("source"), col("cp"))
+      .agg(max(col("ndocs")).as("exposure"))
+    val th = broadcast(thresholds.toDF("t_min"))
+    val covered = exposure.join(th, col("exposure") >= col("t_min"))
+      .groupBy(col("source"), col("t_min"))
+      .agg(count(lit(1)).as("covered_tokens"))
+    toks.groupBy(col("source"))
+      .agg(sum(size(col("t")).cast("long")).as("n_tokens"))
+      .crossJoin(th)
+      .join(covered, Seq("source", "t_min"), "left")
+      .select(col("source"), col("t_min"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("covered_share"))
+      .orderBy(col("source"), col("t_min"))
+  }
+
   /** Cross-document line-level deduplication WITH document rewrite —
     * the C4 line-dedup shape (Raffel et al. 2020, arXiv:1910.10683
     * §2.2: discard all but one occurrence of any repeated span), the
@@ -2069,6 +2123,8 @@ object CorpusSignals {
       viterbiFertility(Tables(s, d).documents)),
     "q301_vocab_utilization" -> ((s, d) =>
       vocabUtilization(Tables(s, d).documents)),
+    "q303_memorization_spectrum" -> ((s, d) =>
+      memorizationSpectrum(Tables(s, d).documents)),
     "q91_repetition_signals" -> ((s, d) =>
       repetitionSignals(Tables(s, d).documents)),
     "q92_contamination" -> ((s, d) => contamination(Tables(s, d).documents)),
@@ -3422,6 +3478,41 @@ object CorpusSignals {
         |         AS BIGINT) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q135's span machinery + per-position max exposure + the
+    // threshold inequality join; integers until the share division.
+    // Pinned to thresholds {2, 5, 10}
+    "q303_memorization_spectrum" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+        |              FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source, i AS p,
+        |    t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS g
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(generate_series(1, len(t)-4)) AS i FROM toks)),
+        |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS ndocs
+        |        FROM (SELECT DISTINCT doc_id, g FROM gr) GROUP BY 1),
+        |expo AS (
+        |  SELECT doc_id, source, cp, max(ndocs) AS exposure
+        |  FROM (SELECT gr.doc_id, gr.source,
+        |          unnest(generate_series(p, p+4)) AS cp, dfc.ndocs
+        |        FROM gr JOIN dfc USING (g))
+        |  GROUP BY 1, 2, 3),
+        |th AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS t_min),
+        |cov AS (
+        |  SELECT source, t_min, CAST(count(*) AS BIGINT)
+        |    AS covered_tokens
+        |  FROM expo JOIN th ON expo.exposure >= th.t_min
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY source)
+        |SELECT tot.source, th.t_min, tot.n_tokens,
+        |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
+        |  CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE)
+        |    / CAST(tot.n_tokens AS DOUBLE) AS covered_share
+        |FROM tot CROSS JOIN th
+        |LEFT JOIN cov ON cov.source = tot.source AND cov.t_min = th.t_min
+        |ORDER BY tot.source, th.t_min""".stripMargin,
     "q135_dup_span_coverage" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t
         |              FROM documents),

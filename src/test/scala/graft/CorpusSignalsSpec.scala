@@ -282,6 +282,41 @@ class CorpusSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("memorizationSpectrum: planted exposure levels land exactly; " +
+      "T=2 mass equals the q135 per-doc coverage rolled up per source") {
+    import spark.implicits._
+    // s1: three docs share the verbatim 5-gram "a b c d e" (exposure
+    // 3 -> counted at T=2, not at T=5/T=10); unique tails are
+    // uncovered. s2: one doc, no repeated grams anywhere.
+    val hand = Seq(
+      (1L, "a b c d e u1 u2 u3 u4 u5", "en", "s1"),
+      (2L, "a b c d e v1 v2 v3 v4 v5", "en", "s1"),
+      (3L, "a b c d e w1 w2 w3 w4 w5", "en", "s1"),
+      (4L, "z1 z2 z3 z4 z5 z6", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusSignals.memorizationSpectrum(hand).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // each s1 doc: positions 1..5 covered (the shared gram; grams
+    // crossing into the unique tail have df 1) -> 15 of 30 tokens
+    assert(got(("s1", 2L)) == ((30L, 15L, 0.5)))
+    assert(got(("s1", 5L)) == ((30L, 0L, 0.0)))
+    assert(got(("s1", 10L)) == ((30L, 0L, 0.0)))
+    assert(got(("s2", 2L)) == ((6L, 0L, 0.0)))
+    // real corpus: T=2 covered mass == q135's per-doc n_covered
+    // rolled up by source (same gram set, same >= 2 cut)
+    val perDoc = CorpusSignals.dupSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = perDoc.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    CorpusSignals.memorizationSpectrum(docs).collect()
+      .filter(_.getLong(1) == 2L).foreach { r =>
+        assert(r.getLong(3) == expect(r.getString(0)), r.toString)
+      }
+  }
+
   test("retrievalTriplets: positive is the best non-self BM25 hit, " +
       "negatives are the 6..8 band, margins are non-negative") {
     val trip = CorpusSignals.retrievalTriplets(docs).collect()
