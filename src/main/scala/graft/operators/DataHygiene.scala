@@ -464,6 +464,60 @@ object DataHygiene {
   }
 
   // ---------------------------------------------------------------
+  // q304: Luhn-validated payment-card screen
+  // ---------------------------------------------------------------
+
+  // mod-23 docs carry a VALID test PAN (4111… passes Luhn); mod-29
+  // docs a near-miss (last digit +1, checksum fails) — the negative
+  // plant is what pins the CHECKSUM semantics cross-engine: a raw
+  // digit-run regex would flag both, so the oracle only agrees if
+  // both engines compute the same Luhn sum.
+  private def luhnPlanted(): Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        lit(" 4111111111111111")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(29)) === 0,
+        lit(" 4111111111111112")).otherwise(lit("")))
+
+  /** Luhn checksum over a digit-only token: reversed digits, every
+    * second doubled (−9 when > 9), total ≡ 0 (mod 10) — ISO/IEC
+    * 7812's check-digit algorithm, pure integer fold. */
+  private def luhnOk(t: Column): Column = {
+    val rev = reverse(t)
+    (aggregate(sequence(lit(1), length(t)), lit(0), (acc, i) => {
+      val d = ascii(rev.substr(i, lit(1))) - 48
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    }) % 10) === 0
+  }
+
+  /** Payment-card PII screen with CHECKSUM validation, rolled up per
+    * source — the precision fix for digit-run regexes (order ids,
+    * timestamps and EAN-13s are 13–19 digit runs too): a candidate
+    * counts only if it passes Luhn, the reject count shows the
+    * checksum doing its false-positive work, and q81's scrub is the
+    * downstream action. Per-token detection is one codegen regex +
+    * one integer fold — zero-shuffle per doc, one |sources| rollup
+    * (the q245/q246/q297 hygiene-card shape); exact integers, ONE
+    * division. */
+  def luhnScreen(docs: DataFrame): DataFrame = {
+    val cands = filter(split(luhnPlanted(), " "),
+      t => t.rlike("^[0-9]{13,19}$"))
+    val perDoc = docs.select(col("source"),
+      size(filter(cands, t => luhnOk(t))).as("n_valid"),
+      size(filter(cands, t => !luhnOk(t))).as("n_rejected"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_valid") > 0, 1L).otherwise(0L))
+          .as("flagged_docs"),
+        sum(col("n_valid")).cast("long").as("valid_hits"),
+        sum(col("n_rejected")).cast("long").as("checksum_rejects"),
+        (sum(when(col("n_valid") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("flag_rate"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
   // q297: homoglyph / mixed-script confusable screen
   // ---------------------------------------------------------------
 
@@ -517,6 +571,8 @@ object DataHygiene {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_homoglyph_screen" ->
       ((s, d) => homoglyphScreen(Tables(s, d).documents)),
+    "q304_luhn_screen" ->
+      ((s, d) => luhnScreen(Tables(s, d).documents)),
     "q280_script_mix" ->
       ((s, d) => scriptMixCard(Tables(s, d).documents)),
     "q281_compression_ratio" ->
@@ -592,6 +648,51 @@ object DataHygiene {
       |FROM stats""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same plants (valid PAN mod-23, checksum near-miss mod-29), same
+    // candidate regex, and the IDENTICAL integer Luhn fold — the
+    // near-miss only stays uncounted if both engines compute the same
+    // checksum
+    "q304_luhn_screen" ->
+      """WITH p AS (
+        |  SELECT source, text
+        |    || CASE WHEN doc_id % 23 = 0
+        |         THEN ' 4111111111111111' ELSE '' END
+        |    || CASE WHEN doc_id % 29 = 0
+        |         THEN ' 4111111111111112' ELSE '' END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    list_filter(string_split(t, ' '), x ->
+        |      regexp_matches(x, '^[0-9]{13,19}$')) AS cands
+        |  FROM p),
+        |e AS (
+        |  SELECT source,
+        |    len(list_filter(cands, x ->
+        |      list_sum(list_transform(range(1, len(x) + 1), i ->
+        |        CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN (ascii(substr(reverse(x), i, 1)) - 48) * 2 > 9
+        |            THEN (ascii(substr(reverse(x), i, 1)) - 48) * 2 - 9
+        |            ELSE (ascii(substr(reverse(x), i, 1)) - 48) * 2 END
+        |        ELSE ascii(substr(reverse(x), i, 1)) - 48 END))
+        |        % 10 = 0)) AS n_valid,
+        |    len(list_filter(cands, x ->
+        |      list_sum(list_transform(range(1, len(x) + 1), i ->
+        |        CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN (ascii(substr(reverse(x), i, 1)) - 48) * 2 > 9
+        |            THEN (ascii(substr(reverse(x), i, 1)) - 48) * 2 - 9
+        |            ELSE (ascii(substr(reverse(x), i, 1)) - 48) * 2 END
+        |        ELSE ascii(substr(reverse(x), i, 1)) - 48 END))
+        |        % 10 <> 0)) AS n_rejected
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS flagged_docs,
+        |  CAST(sum(n_valid) AS BIGINT) AS valid_hits,
+        |  CAST(sum(n_rejected) AS BIGINT) AS checksum_rejects,
+        |  CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS flag_rate
+        |FROM e GROUP BY source
+        |ORDER BY source""".stripMargin,
     // the same mod-37 plant (two mixed tokens + a pure-Cyrillic one
     // that must NOT flag), the same two regex tests per token —
     // Latin AND confusable, mirroring the operator — and min()

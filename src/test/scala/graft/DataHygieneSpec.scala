@@ -51,6 +51,38 @@ class DataHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("luhnScreen: valid PAN flags, checksum near-miss rejects, " +
+      "short runs and words are not candidates; real-corpus counts " +
+      "equal the mod-23/mod-29 plants") {
+    // doc 23 takes the valid plant; doc 1 carries a manual AmEx test
+    // PAN (371449635398431, Luhn-valid, 15 digits); doc 2 has a
+    // near-miss + a 12-digit run (too short to be a candidate) + text
+    val hand = Seq(
+      (23L, "quarterly report", "en", "s1"),
+      (1L, "pay 371449635398431 now", "en", "s1"),
+      (2L, "ref 4111111111111112 id 123456789012 ok", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = DataHygiene.luhnScreen(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == ((2L, 2L, 2L, 0L))) // both docs flag, 0 rejects
+    assert(got("s2") == ((1L, 0L, 0L, 1L))) // near-miss rejected
+    // real corpus: flagged docs == mod-23 plants; rejects == mod-29
+    val docs23 = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs29 = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DataHygiene.luhnScreen(docs).collect().foreach { r =>
+      assert(r.getLong(2) == docs23.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)} flagged")
+      assert(r.getLong(3) == docs23.getOrElse(r.getString(0), 0L))
+      assert(r.getLong(4) == docs29.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)} rejects")
+    }
+  }
+
   test("paragraph gate: hand-corpus classes, plant placement, and " +
       "mass conservation on the real corpus") {
     def words(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
