@@ -157,6 +157,75 @@ object FunctionBreadth {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact Pearson correlation MATRIX over the numeric fact columns —
+    * the multicollinearity/feature-audit card next to q153's per-
+    * column stats (a |cols|² relation a warehouse review and a
+    * feature store both read; engine `corr` is order-dependent and
+    * never hash-stable, q69's lesson). ONE pass accumulates every
+    * moment — |cols| sums, |cols| self-products, C(|cols|,2) cross
+    * products — as exact decimals (partial-aggregatable map-side, a
+    * single 1-row result at any corpus size); the closed forms then
+    * run in double identically cross-engine. Long-format upper
+    * triangle, totally ordered. */
+  def corrMatrix(t: Tables,
+      cols: Seq[String] = Seq("l_discount", "l_extendedprice",
+        "l_quantity", "l_tax")): DataFrame = {
+    val sorted = cols.sorted
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    val aggs =
+      sorted.map(c => sum(dec(c)).cast("double").as(s"s_$c")) ++
+        sorted.map(c => sum(dec(c) * dec(c)).cast("double")
+          .as(s"ss_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(dec(a) * dec(b)).cast("double").as(s"sp_${a}_$b")
+        }
+    val one = t.lineitem.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+      s"'$a', '$b', (n * sp_${a}_$b - s_$a * s_$b) / " +
+        s"(sqrt(n * ss_$a - s_$a * s_$a) * " +
+        s"sqrt(n * ss_$b - s_$b * s_$b))"
+    }.mkString(", ") + ") as (col_x, col_y, corr)"
+    one.selectExpr("n", stackExpr)
+      .select(col("col_x"), col("col_y"), col("n"), col("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** q305's DuckDB twin, generated from the SAME sorted column list
+    * and pair enumeration (q69's VARCHAR round-trip for every decimal
+    * sum — direct decimal→double is 1 ulp off past 2^53 scaled). */
+  private[operators] def corrMatrixSql(
+      cols: Seq[String] = Seq("l_discount", "l_extendedprice",
+        "l_quantity", "l_tax")): String = {
+    val sorted = cols.sorted
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums =
+      sorted.map(c => s"${d(s"SUM(${dc(c)})")} AS s_$c") ++
+        sorted.map(c => s"${d(s"SUM(${dc(c)} * ${dc(c)})")} AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"${d(s"SUM(${dc(a)} * ${dc(b)})")} AS sp_${a}_$b"
+        }
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  (n * sp_${a}_$b - s_$a * s_$b) /
+         |    (sqrt(n * ss_$a - s_$a * s_$a) *
+         |     sqrt(n * ss_$b - s_$b * s_$b)) AS corr
+         |FROM s""".stripMargin
+    }
+    s"""WITH s AS (
+       |  SELECT COUNT(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** Grouped exact percentiles (linear interpolation, matching
     * quantile_cont bitwise — the weighted `(1-d)*lo + d*hi` form; the
     * algebraically-equal `lo + d*(hi-lo)` drifts 1 ulp whenever `d`
@@ -274,6 +343,7 @@ object FunctionBreadth {
     "q97_array_hofs" -> ((s, d) => arrayHofs(Tables(s, d))),
     "q72_map_ops" -> ((s, d) => mapOps(Tables(s, d))),
     "q69_corr_regression" -> ((s, d) => corrRegression(Tables(s, d))),
+    "q305_corr_matrix" -> ((s, d) => corrMatrix(Tables(s, d))),
     "q70_grouped_percentiles" -> ((s, d) => groupedPercentiles(Tables(s, d))),
     "q71_collect_arrays" -> ((s, d) => collectLines(Tables(s, d))),
     "q52_math_scalars" -> ((s, d) => mathScalars(Tables(s, d))),
@@ -331,6 +401,7 @@ object FunctionBreadth {
         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
         |    (a, b) -> a + b) AS l1_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q305_corr_matrix" -> corrMatrixSql(),
     "q69_corr_regression" -> {
       // VARCHAR round-trip: DuckDB's direct decimal->double cast is not
       // correctly rounded past 2^53 scaled (see q01/q50)

@@ -10,6 +10,23 @@ class AdvancedSpec extends AnyFunSuite {
 
   private def t = Tables(spark, "/root/testdata/sf0.001")
 
+  test("corrMatrix: exact-moment correlations agree with the engine's " +
+      "streaming corr, upper triangle complete and in [-1, 1]") {
+    val rows = graft.operators.FunctionBreadth.corrMatrix(t).collect()
+    assert(rows.length == 6) // C(4,2) over the sorted column list
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1)) // upper triangle
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-15)
+      // the engine's corr is order-dependent in the last bits but
+      // agrees to ~1e-9 — the exact-decimal path is the hash-stable one
+      val builtin = t.lineitem
+        .agg(corr(col(r.getString(0)), col(r.getString(1))))
+        .head.getDouble(0)
+      assert(math.abs(r.getDouble(3) - builtin) < 1e-9,
+        s"$r vs builtin $builtin")
+    }
+  }
+
   test("asof join matches brute-force latest-order-at-or-before") {
     val asof = Advanced.asofOrders(t)
     // brute force: for each event, max (o_orderdate, o_orderkey) <= ts
