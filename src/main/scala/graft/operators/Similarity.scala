@@ -1282,6 +1282,39 @@ object Similarity {
       .orderBy(col("n_vecs"))
   }
 
+  /** Embedding-level SPLIT-LEAKAGE audit — the SEMANTIC twin of
+    * q224's lexical leak list: a val/test item whose embedding sits
+    * within `threshold` cosine of a train item measures memorization,
+    * not generalization, even when no 5-gram overlaps (paraphrases,
+    * translations, re-renders — exactly what lexical decontamination
+    * misses and SemDeDup-style semantic dedup exists for). Splits
+    * come from the q101 md5 device on vec_id (own `esplit:` salt,
+    * 80/10/10); cross-split near pairs roll up per unordered split
+    * pair with the leak count, the worst similarity, and a
+    * deterministic example id. Exact tier: [[similarPairs]]'s
+    * brute-force cosine (term-expanded, oracle-replayable); at scale
+    * the SAME rollup rides the LSH/IVF candidate generators the way
+    * q196 swaps edge tiers. */
+  def embeddingSplitLeakage(emb: DataFrame,
+      threshold: Double = 0.45): DataFrame = {
+    val bucket = conv(substring(md5(concat_ws("", lit("esplit:"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    val splitCol = when(bucket < 8, "train").when(bucket < 9, "val")
+      .otherwise("test")
+    val s = emb.select(col("vec_id"), splitCol.as("split"))
+    similarPairs(emb, threshold)
+      .join(s.select(col("vec_id").as("d1"), col("split").as("sa")),
+        "d1")
+      .join(s.select(col("vec_id").as("d2"), col("split").as("sb")),
+        "d2")
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_leaks"), max(col("sim")).as("max_sim"),
+        min(col("d1")).as("example_d1"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
   /** The EXTREME-SCALE tier of [[anisotropyCard]]: the identical card
     * over a deterministic md5 hash-slice of the vectors (the
     * q134/q193 sampling-knob pattern — `keepPer10k` per-10000 rate,
@@ -1618,6 +1651,8 @@ object Similarity {
     // q205 convention); planted-twin + well-formed specs instead
     "q302_ivfpq_topk" ->
       ((s, d) => ivfPqTopK(s, Tables(s, d).embeddings, d)),
+    "q306_embedding_leakage" ->
+      ((s, d) => embeddingSplitLeakage(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1788,6 +1823,37 @@ object Similarity {
     // same exact Gram/mean covariance, unrolled power-iteration
     // rounds with sorted matvec folds, sqrt-normalize, Rayleigh
     "q296_anisotropy_card" -> anisotropyOracle(5),
+    // the q101 split device on vec_id + the q31-convention exact
+    // cosine pairs; max is a selection over already-exact doubles
+    "q306_embedding_leakage" ->
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT vec_id,
+         |          CAST('0x' || substr(md5('esplit:'
+         |            || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |            % 10 AS b
+         |        FROM embeddings)),
+         |p AS (
+         |  SELECT d1, d2, sim FROM (
+         |    SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |      ${simSql("a", "b")} AS sim
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.45),
+         |j AS (
+         |  SELECT p.d1, p.d2, p.sim, sa.split AS split_a,
+         |    sb.split AS split_b
+         |  FROM p JOIN s sa ON sa.vec_id = p.d1
+         |  JOIN s sb ON sb.vec_id = p.d2
+         |  WHERE sa.split <> sb.split)
+         |SELECT least(split_a, split_b) AS split_lo,
+         |  greatest(split_a, split_b) AS split_hi,
+         |  CAST(count(*) AS BIGINT) AS n_leaks, max(sim) AS max_sim,
+         |  min(d1) AS example_d1
+         |FROM j GROUP BY 1, 2
+         |ORDER BY split_lo, split_hi""".stripMargin,
     // the identical card over the md5 hash-slice: the shared oracle
     // body with the q134-device integer predicate as the source —
     // pinned to salt "aniso:" and keepPer10k=5000

@@ -637,6 +637,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.getDouble(4) > 0.0 && real.getDouble(4) <= 1.0)
   }
 
+  test("embeddingSplitLeakage: a planted cross-split twin reports " +
+      "max_sim 1.0 in the right split pair; same-split twins are NOT " +
+      "leaks") {
+    // derive the operator's own md5 split buckets so the plant lands
+    // deterministically on a (train, val) id pair and a (train,
+    // train) pair
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"esplit:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 10
+    }
+    val ids = (0L until 200L)
+    val train = ids.filter(bucket(_) < 8)
+    val vl = ids.filter(b => bucket(b) == 8)
+    val (t1, t2, v1) = (train(0), train(1), vl.head)
+    val vec = Seq(1f, 0f, 0f, 0f)
+    val ortho = Seq(0f, 1f, 0f, 0f)
+    val emb = Seq((t1, vec), (v1, vec), (t2, vec), (99999999L, ortho))
+      .toDF("vec_id", "embedding")
+    // 99999999 pairs with nothing (cosine 0); t1/t2/v1 are mutual
+    // twins -> cross-split leaks are exactly the two (train, val)
+    // pairs; the (t1, t2) twin is same-split and must NOT appear
+    val got = Similarity.embeddingSplitLeakage(emb).collect()
+    assert(got.length == 1, got.toSeq.toString)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("train", "val")))
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == math.min(math.min(t1, t2), v1))
+  }
+
   test("anisotropyCardSampled: keepPer10k=10000 is bit-identical to " +
       "the full card; the default 50% slice is a strict subset whose " +
       "var_share lands within the concentration band of the full one") {
