@@ -176,6 +176,59 @@ object TextAnalysis {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** UNBLOCKED exact Jaccard pairs via PREFIX FILTERING (Chaudhuri,
+    * Ganti & Kaushik ICDE 2006; Xiao et al.'s PPJoin family) — the
+    * LOSSLESS candidate pruner for when q26's (lang, source) blocking
+    * key doesn't exist and q28's MinHash recall trade is not
+    * acceptable: order every document's shingle set by GLOBAL
+    * rarity (df asc, shingle asc — one shared total order), index
+    * only each set's first `|x| − ⌈t·|x|⌉ + 1` shingles, and join on
+    * those prefixes. The prefix lemma guarantees every pair with
+    * J ≥ t shares a prefix shingle (two sets missing each other's
+    * prefixes cannot overlap enough), so after the exact
+    * merge-pass verify the output is IDENTICAL to the all-pairs
+    * join — pruning without recall loss, spec-proven against brute
+    * force. Rare-first ordering makes prefixes mostly df-1 shingles,
+    * so candidate volume rides the near-dup density, not n².
+    *
+    * Scale: df is one partial-aggregated rollup; per-doc reorder is
+    * a doc-keyed collect bounded by document length; the prefix
+    * join's fan-out is Σ_g df(g)² over PREFIX occurrences only —
+    * the Bayardo argument with the cap replaced by a lossless
+    * bound. Exact integers + the codegen merge pass; one division. */
+  def prefixFilterJaccardPairs(documents: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      sortedShingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint() // feeds the df build + both verify sides
+    val dfr = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = docs
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+      .join(dfr, "g")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
+        s => s.getField("g")).as("og"))
+    val prefixLen =
+      (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int")
+    val prefix = ordered.select(col("doc_id"),
+      explode(slice(col("og"), lit(1), prefixLen)).as("g"))
+    val cands = prefix.select(col("g"), col("doc_id").as("d1"))
+      .join(prefix.select(col("g"), col("doc_id").as("d2")), Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+        "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        "d2")
+      .select(col("d1"), col("d2"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Asymmetric CONTAINMENT pairs — the quote/subset-duplication
     * detector Jaccard cannot be (Broder 1997's containment
     * C(A,B)=|A∩B|/|A|; the screen Lee et al. 2022 run alongside
@@ -1574,6 +1627,8 @@ object TextAnalysis {
     "q24_dedup_exact" -> ((s, d) => dedupExact(Tables(s, d))),
     "q25_dedup_tokenset" -> ((s, d) => dedupTokenSet(Tables(s, d))),
     "q26_jaccard_pairs" -> ((s, d) => jaccardPairs(Tables(s, d).documents)),
+    "q307_prefix_jaccard" -> ((s, d) =>
+      prefixFilterJaccardPairs(Tables(s, d).documents)),
     "q269_containment_pairs" -> ((s, d) =>
       containmentPairs(Tables(s, d).documents)),
     "q274_containment_winnowed" -> ((s, d) =>
@@ -2419,6 +2474,42 @@ object TextAnalysis {
         |GROUP BY 1
         |HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin,
+    // the same rarity order (df asc, shingle asc), the same
+    // |x| - ceil(t|x|) + 1 prefix, the same exact verify — a lossless
+    // filter replayed end to end; pinned to t=0.5
+    "q307_prefix_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |dfr AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM docs) GROUP BY g),
+        |ordered AS (
+        |  SELECT e.doc_id, list(e.g ORDER BY d.df, e.g) AS og
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM docs) e
+        |  JOIN dfr d USING (g)
+        |  GROUP BY e.doc_id),
+        |pre AS (
+        |  SELECT doc_id,
+        |    unnest(og[1 : len(og)
+        |      - CAST(ceil(0.5 * len(og)) AS BIGINT) + 1]) AS g
+        |  FROM ordered),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT c.d1, c.d2,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |FROM cand c JOIN docs x ON x.doc_id = c.d1
+        |JOIN docs y ON y.doc_id = c.d2
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "q26_jaccard_pairs" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, source,

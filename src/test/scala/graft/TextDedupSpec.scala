@@ -259,6 +259,34 @@ class TextDedupSpec extends AnyFunSuite {
       .subsetOf(pairs))
   }
 
+  test("prefix-filter jaccard: LOSSLESS vs brute-force all-pairs, " +
+      "prefix candidates genuinely prune, and the blocked q26 tier " +
+      "is a subset") {
+    val docsDf = Tables(spark, sf).documents
+    val got = TextAnalysis.prefixFilterJaccardPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same shingle sets — the prefix lemma's
+    // losslessness is the whole claim, so prove it, don't trust it
+    val sh = docsDf.select(col("doc_id"),
+      graft.functions.TextFunctions.sortedShingles(col("text"), 3)
+        .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+    assert(brute.nonEmpty) // the corpus genuinely has near-dups
+    // the (lang, source)-blocked q26 finds only within-block pairs —
+    // a subset of the unblocked result
+    val blocked = TextAnalysis.jaccardPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.subsetOf(got))
+  }
+
   test("portable simhash: identical texts at hamming 0, blocked tier " +
       "== brute-force radius pairs, xxhash tier agrees on exact dups") {
     val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
