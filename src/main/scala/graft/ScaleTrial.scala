@@ -150,7 +150,8 @@ object ScaleTrial {
     "q300_portable_simhash_pairs", // 64-accumulator doc rollup + chunk buckets
     "q301_vocab_utilization", // word-TYPE greedy walk + piece rollup
     "q303_memorization_spectrum", // span exposure + threshold join, O(tokens)
-    "q307_prefix_jaccard") // lossless prefix-filter candidates + exact verify
+    "q307_prefix_jaccard", // lossless prefix-filter candidates + exact verify
+    "q308_windowed_pmi") // window-2 pair rollup, Zipf-bounded pair vocab
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2111,7 +2111,64 @@ object CorpusSignals {
       .limit(k)
   }
 
+  /** WINDOWED co-occurrence PMI — [[collocationCard]] generalized
+    * from adjacent bigrams to a ±`window` token window: the
+    * word2vec/GloVe co-occurrence statistic (Mikolov 2013 / Pennington
+    * 2014 build exactly this matrix before factorizing it), ranking
+    * UNORDERED word pairs by the PMI ratio over all co-occurrence
+    * slots at distance ≤ window. Adjacent-only q268 finds fixed
+    * phrases ("new york"); the windowed form finds topical
+    * association bridging a word ("strong coffee" across "strong hot
+    * coffee") — the association mining a distillation/embedding
+    * pipeline reads.
+    *
+    * Exactness: pair keys are canonical (lexicographic min/max), all
+    * counts integers, the same decimal(38,0) product guard as q268,
+    * ONE double division. Scale: co-occurrence rows are window·tokens
+    * (constant factor over q268), partial-aggregated to the
+    * Zipf-bounded pair vocabulary; totals broadcast; TakeOrdered. */
+  def windowedPmiCard(docs: DataFrame, window: Int = 2,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // slots per doc: sum over d=1..window of max(len-d, 0)
+    val slotsOf = (1 to window).map(d =>
+      greatest(size(col("t")) - d, lit(0)).cast("long"))
+      .reduce(_ + _)
+    val totals = toks.agg(
+      sum(size(col("t"))).as("tot_toks"),
+      sum(slotsOf).as("tot_slots"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(t) - 1), i ->
+           |  transform(sequence(i + 1,
+           |      least(i + $window, size(t))), j ->
+           |    struct(least(element_at(t, i), element_at(t, j)) AS w1,
+           |      greatest(element_at(t, i), element_at(t, j)) AS w2))))
+           |""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12").cast("decimal(38,0)") *
+          col("tot_toks").cast("decimal(38,0)") *
+          col("tot_toks").cast("decimal(38,0)")).cast("double") /
+          (col("tot_slots").cast("decimal(38,0)") *
+            col("c1").cast("decimal(38,0)") *
+            col("c2").cast("decimal(38,0)")).cast("double"))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_windowed_pmi" -> ((s, d) =>
+      windowedPmiCard(Tables(s, d).documents)),
     "q268_collocations" -> ((s, d) =>
       collocationCard(Tables(s, d).documents)),
     "q267_type_growth" -> ((s, d) =>
@@ -2382,6 +2439,39 @@ object CorpusSignals {
     // exact integer products on both sides of ONE double division
     // (rank-equivalent to PMI since ln is monotone); same minCount=5,
     // k=100 pins
+    // q268's exact-ratio algebra over the ±2 window pair space:
+    // canonical (least, greatest) pair keys, HUGEINT products, ONE
+    // double division; slots = Σ(len−1)+ + Σ(len−2)+ pinned to w=2
+    "q308_windowed_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS tot_toks,
+        |    CAST(SUM(greatest(len(t) - 1, 0)
+        |      + greatest(len(t) - 2, 0)) AS BIGINT) AS tot_slots
+        |  FROM t),
+        |b AS (
+        |  SELECT least(t[i], t[j]) AS w1, greatest(t[i], t[j]) AS w2
+        |  FROM (SELECT t, i,
+        |          unnest(generate_series(i + 1,
+        |            least(i + 2, len(t)))) AS j
+        |        FROM (SELECT t,
+        |                unnest(generate_series(1, len(t) - 1)) AS i
+        |              FROM t WHERE len(t) >= 2))),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+        |  CAST(CAST(bc.c12 AS HUGEINT) * CAST(tot.tot_toks AS HUGEINT)
+        |      * CAST(tot.tot_toks AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(tot.tot_slots AS HUGEINT) * CAST(u1.c AS HUGEINT)
+        |      * CAST(u2.c AS HUGEINT) AS DOUBLE) AS pmi_ratio
+        |FROM bc
+        |JOIN u u1 ON u1.w = bc.w1
+        |JOIN u u2 ON u2.w = bc.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""".stripMargin,
     "q268_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -282,6 +282,36 @@ class CorpusSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowedPmiCard: hand corpus ratios exact, distance-2 pairs " +
+      "counted, adjacent-pair keys are a subset of q268's at the " +
+      "same floor") {
+    import spark.implicits._
+    // five copies of "a b c" (pairs ab/ac/bc each x5 — ac is the
+    // DISTANCE-2 pair q268 cannot see) + five of "x y"
+    val hand = ((1 to 5).map(i => (i.toLong, "a b c")) ++
+      (6 to 10).map(i => (i.toLong, "x y")))
+      .toDF("doc_id", "text")
+    val got = CorpusSignals.windowedPmiCard(hand).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    // tot_toks = 25, tot_slots = 20; every pair: c12=5, c1=c2=5 ->
+    // ratio = 5*25*25 / (20*5*5) = 6.25 exactly
+    assert(got.keySet ==
+      Set(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")))
+    got.values.foreach { case (c12, ratio) =>
+      assert(c12 == 5L && ratio == 6.25)
+    }
+    // real corpus: every q268 adjacent pair at the count floor also
+    // appears in the windowed pair space (canonicalized keys)
+    val adj = CorpusSignals.collocationCard(docs, k = 1000).collect()
+      .map(r => if (r.getString(0) <= r.getString(1))
+        (r.getString(0), r.getString(1))
+      else (r.getString(1), r.getString(0))).toSet
+    val win = CorpusSignals.windowedPmiCard(docs, k = 100000).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(adj.subsetOf(win))
+  }
+
   test("memorizationSpectrum: planted exposure levels land exactly; " +
       "T=2 mass equals the q135 per-doc coverage rolled up per source") {
     import spark.implicits._

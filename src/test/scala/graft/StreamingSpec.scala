@@ -561,6 +561,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("luhn screen streams in complete mode and equals batch") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (23L, "quarterly report", "en", "s1"), // mod-23 valid-PAN plant
+      (1L, "pay 371449635398431 now", "en", "s1"), // manual valid AmEx
+      (2L, "ref 4111111111111112 ok", "en", "s2")) // checksum near-miss
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.operators.DataHygiene.luhnScreen(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("luhn_out").start()
+    mem.addData(rows(0), rows(1))
+    q.processAllAvailable()
+    mem.addData(rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("luhn_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.luhnScreen(
+      rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 2)
+  }
+
   test("row-local fluency scoring streams unchanged (broadcast model)") {
     implicit val sc = spark.sqlContext
     val model = Seq((0L, "a b a b c")).toDF("doc_id", "text")
