@@ -768,6 +768,48 @@ object CorpusSignals {
     * is VOCABULARY-sized, not corpus-sized (the Zipf bound that makes
     * per-source vocab lists collectable at any corpus scale; past
     * that, drop the pin for a plain sum and accept ulp variance). */
+  /** Length-distribution DRIFT between two corpus snapshots, per
+    * source, as the exact two-sample Kolmogorov–Smirnov statistic
+    * D = max_v |F_old(v) − F_new(v)| over document lengths — the
+    * SHAPE-shift monitor complementing [[tokenDrift]]'s vocabulary
+    * TVD: a crawler that starts truncating pages or a boilerplate
+    * stripper that breaks moves the length CDF long before the token
+    * mix shifts. KS needs no binning decisions and is
+    * distribution-free — the standard ingest gate statistic.
+    *
+    * Exactness: both CDFs are cumulative integer counts over the
+    * union of observed lengths (full-outer join, absent lengths
+    * count 0); each CDF value is ONE exact-integer→double division,
+    * the diff/abs are IEEE-exact, and D is a pure max selection —
+    * nothing accumulates in float. Scale: per-(source, length)
+    * counts partial-aggregate map-side to a domain-bounded relation
+    * (distinct lengths, not documents); the one window rides that
+    * tiny relation partitioned by source. */
+  def lengthDriftKs(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, name: String) =
+      df.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as(name))
+    val joined = counts(oldDocs, "c_old")
+      .join(counts(newDocs, "c_new"), Seq("source", "v"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val tot = joined.groupBy(col("source"))
+      .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    joined
+      .select(col("source"),
+        sum(col("c_old")).over(w).as("cum_old"),
+        sum(col("c_new")).over(w).as("cum_new"))
+      .join(tot, "source")
+      .groupBy(col("source"), col("n_old"), col("n_new"))
+      .agg(max(abs(col("cum_old").cast("double") /
+        col("n_old").cast("double") -
+        col("cum_new").cast("double") / col("n_new").cast("double")))
+        .as("ks_stat"))
+      .select(col("source"), col("n_old"), col("n_new"), col("ks_stat"))
+      .orderBy(col("source"))
+  }
+
   def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def counts(df: DataFrame, cn: String) = df
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -2294,6 +2336,17 @@ object CorpusSignals {
           when(pmod(col("doc_id"), lit(31)) === 0,
             concat(col("text"), lit(" refreshed crawl content")))
             .otherwise(col("text"))))
+    }),
+    // the q163 snapshot-perturbation convention (every 97th doc
+    // leaves, every 31st gains the 24-char refresh suffix), read
+    // through the length CDFs
+    "q309_length_drift_ks" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      lengthDriftKs(docs, docs
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(31)) === 0,
+            col("n_chars") + 24).otherwise(col("n_chars"))))
     })
   )
 
@@ -2694,6 +2747,39 @@ object CorpusSignals {
         |  n.neg_id, n.neg_score, p.pos_score - n.neg_score AS margin
         |FROM pos p JOIN neg n ON p.query_id = n.query_id
         |ORDER BY p.query_id, neg_rank""".stripMargin,
+    // same perturbation, cumulative integer CDFs over the length
+    // union, one division per CDF value, max selection — pinned to
+    // the q163 snapshot convention
+    "q309_length_drift_ks" ->
+      """WITH od AS (SELECT source, n_chars AS v FROM documents),
+        |nw AS (
+        |  SELECT source, CASE WHEN doc_id % 31 = 0 THEN n_chars + 24
+        |    ELSE n_chars END AS v
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |co AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_old
+        |       FROM od GROUP BY 1, 2),
+        |cn AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c_new
+        |       FROM nw GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(co.source, cn.source) AS source,
+        |    coalesce(co.v, cn.v) AS v,
+        |    coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |  FROM co FULL OUTER JOIN cn
+        |    ON co.source = cn.source AND co.v = cn.v),
+        |cum AS (
+        |  SELECT source,
+        |    SUM(c_old) OVER (PARTITION BY source ORDER BY v) AS cum_old,
+        |    SUM(c_new) OVER (PARTITION BY source ORDER BY v) AS cum_new,
+        |    SUM(c_old) OVER (PARTITION BY source) AS n_old,
+        |    SUM(c_new) OVER (PARTITION BY source) AS n_new
+        |  FROM j)
+        |SELECT source, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  max(abs(CAST(cum_old AS DOUBLE) / CAST(n_old AS DOUBLE)
+        |    - CAST(cum_new AS DOUBLE) / CAST(n_new AS DOUBLE)))
+        |    AS ks_stat
+        |FROM cum GROUP BY source, n_old, n_new
+        |ORDER BY source""".stripMargin,
     "q163_token_drift" ->
       """WITH newdocs AS (
         |  SELECT source,

@@ -282,6 +282,24 @@ class CorpusSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthDriftKs: hand CDFs read the exact D, identical " +
+      "snapshots read 0, disjoint supports read 1") {
+    import spark.implicits._
+    def frame(ls: Seq[Long]) = ls.zipWithIndex
+      .map { case (n, i) => (i.toLong, "s", n) }
+      .toDF("doc_id", "source", "n_chars")
+    val old4 = frame(Seq(10L, 20L, 30L, 40L))
+    // new CDF jumps to .75 at 20 vs old .5 -> D = 0.25 exactly
+    val r = CorpusSignals.lengthDriftKs(old4,
+      frame(Seq(10L, 20L, 20L, 40L))).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((4L, 4L, 0.25)))
+    assert(CorpusSignals.lengthDriftKs(old4, old4)
+      .collect()(0).getDouble(3) == 0.0)
+    assert(CorpusSignals.lengthDriftKs(old4,
+      frame(Seq(100L, 200L))).collect()(0).getDouble(3) == 1.0)
+  }
+
   test("windowedPmiCard: hand corpus ratios exact, distance-2 pairs " +
       "counted, adjacent-pair keys are a subset of q268's at the " +
       "same floor") {
