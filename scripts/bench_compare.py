@@ -39,9 +39,12 @@ def canon(queries, base=10):
         # keys (and BENCH_r10.json really does carry a bare "q").
         # Parse base36 keys verbatim; strip 'q' + any trailing name
         # suffix only on the base-10 path.
+        # fullmatch, not prefix-match: a malformed legacy key like
+        # "q1a" must fall through to the raw-key path, not silently
+        # canonicalize to q01 by its leading digits
+        lm = re.fullmatch(r"q(\d+)(_.*)?", k) if base == 10 else None
         legacy = base == 10 and k.startswith("q")
-        kk = re.match(r"q(\d+)", k).group(1) if legacy and re.match(
-            r"q\d", k) else (k[1:] if legacy else k)
+        kk = lm.group(1) if lm else (k[1:] if legacy else k)
         try:
             out[f"q{int(kk, 10 if legacy else base):02d}"] = v
         except ValueError:
@@ -60,6 +63,9 @@ def selftest():
         "q26": 5.0, "q135": 2.0}
     # round-9 bare decimal keys
     assert canon({"26": 5.0}) == {"q26": 5.0}
+    # malformed legacy key: preserved raw, never coerced by its
+    # leading digits
+    assert canon({"q1a": 1.0}) == {"q1a": 1.0}
     # enc:36 object form (mid-round-10): verbatim base36 keys
     assert canon({"3r": 4.0, "q": 6.0}, base=36) == {"q135": 4.0, "q26": 6.0}
     print("bench_compare selftest: OK")

@@ -76,9 +76,17 @@ object Bench {
     path.foreach { p =>
       def num(v: Double) =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      // sfDir is a caller-supplied path: escape JSON string specials
+      // (a quote/backslash in it must not corrupt the committed file)
+      val sfJson = sfDir.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val qs = results
         .map { case (n, v) => s""""$n":${num(v)}""" }.mkString(",")
-      val json = s"""{"sf":"$sfDir","unit":"sec","best_of":2,""" +
+      val json = s"""{"sf":"$sfJson","unit":"sec","best_of":2,""" +
         s""""total":${num(results.map(_._2).sum)},"queries":{$qs}}""" + "\n"
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
       catch { case e: Throwable =>

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-GROWTH scale trial — the missing axis of [[ScaleTrial]],
+  * which deliberately copies the embeddings table as-is (its trial
+  * list excludes the all-pairs embedding tiers, so growing the table
+  * there would only add noise). The embedding-family scale claims —
+  * "q306's exact pair audit is O(n²) BY CONTRACT; q310's banded tier
+  * rides bucket density; q302/q311's serving cost is bounded by the
+  * probed cells" — need the embeddings table itself to grow, so this
+  * trial builds a `factor`× replica:
+  *
+  *  - vec_id shifts by the id span per replica (disjoint id spaces);
+  *  - dimension 0 gets a tiny per-replica perturbation (+replica·1e-3)
+  *    so replicas are NEAR-duplicates of their originals (cosine
+  *    ≈ 0.9999) rather than byte-equal — every original gains
+  *    factor−1 cross-replica near-twins, the dense true-pair growth a
+  *    bigger crawl's semantic dup mass actually produces (the
+  *    documents-replica convention of [[ScaleTrial]]);
+  *  - labels copy unchanged.
+  *
+  * Expected shapes: q306 grows ~factor² (the exact tier's declared
+  * quadratic — the q190 trial precedent, 20.9x at 10x); q310 grows
+  * with banded-bucket density (the true-pair mass, not corpus²);
+  * q302/q311 stay training-/serve-bounded. Other tables copy as-is
+  * (the trial queries read only embeddings).
+  *
+  * Usage: runMain graft.EmbedScaleTrial [baseSfDir] [factor] [workDir]
+  */
+object EmbedScaleTrial {
+
+  private val TrialQueries = Seq(
+    "q306_embedding_leakage", // exact pair audit: O(n²) BY CONTRACT
+    "q310_leakage_lsh", // the scale twin: capped banded candidates
+    "q302_ivfpq_topk", // IVF-PQ train+serve fused (one-time cost inside)
+    "q311_ivfpq_served", // serve-from-artifact: the steady-state cell
+    "q313_ivf_exact_topk") // exact-arithmetic IVF: train linear, serve cell-bounded
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft_escale"
+    val spark = Bench.timingSession()
+    val scaledDir = s"$workDir/x$factor"
+    buildScaled(spark, baseDir, scaledDir, factor)
+    Bench.warmUp(spark, baseDir)
+    println(f"${"query"}%-28s ${"base_s"}%8s ${"x" + factor + "_s"}%8s ratio")
+    TrialQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val base = time(spark, baseDir, fn)
+      val scaled = time(spark, scaledDir, fn)
+      println(f"$name%-28s $base%8.2f $scaled%8.2f ${scaled / base}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  /** Best-of-2 of construction + full materialization (the
+    * [[ScaleTrial]] clock — the IVF/PQ tiers run model-sized driver
+    * actions during construction). */
+  private def time(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
+  }
+
+  /** Idempotent scaled-twin build (embeddings grown, everything else
+    * copied — `_SUCCESS` on embeddings is the completion marker). */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists())
+      return
+    new java.io.File(outDir).mkdirs()
+    // raw byte-for-byte copies (the ScaleTrial nanosAsLong device
+    // covers legacy TIMESTAMP(NANOS) events files)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents").foreach { n =>
+      spark.read.parquet(s"$baseDir/$n.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    val emb = Tables(spark, baseDir).embeddings
+    val span = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val reps = (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * span))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, idx) => when(idx === 0,
+            x + lit(i * 1e-3f)).otherwise(x).cast("float")))
+    }
+    reps.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+}

@@ -150,8 +150,12 @@ object ScaleTrial {
     "q300_portable_simhash_pairs", // 64-accumulator doc rollup + chunk buckets
     "q301_vocab_utilization", // word-TYPE greedy walk + piece rollup
     "q303_memorization_spectrum", // span exposure + threshold join, O(tokens)
+    "q304_luhn_screen", // row-local regex + integer fold: must be ~flat
+    "q305_corr_matrix", // one map-side moment pass over 10x lineitem
     "q307_prefix_jaccard", // lossless prefix-filter candidates + exact verify
-    "q308_windowed_pmi") // window-2 pair rollup, Zipf-bounded pair vocab
+    "q308_windowed_pmi", // window-2 pair rollup, Zipf-bounded pair vocab
+    "q309_length_drift_ks", // domain-bounded CDF window: must be ~flat
+    "q312_portable_minhash_pairs") // portable-LSH candidates ride dup density
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

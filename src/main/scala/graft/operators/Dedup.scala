@@ -167,6 +167,58 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** MinHash-LSH banded near-dup pairs over the PORTABLE md5
+    * permutation family — [[minhashDedup]]'s banding with
+    * [[minhashCalibration]]'s engine-neutral signatures (minhash_i =
+    * lexicographic min over the doc's distinct shingles of
+    * md5("i:" || shingle)), which takes the LSH BUCKETING tier itself
+    * out of rows-only: band keys are plain string concatenations of
+    * signature positions, so candidate generation, the bucket cap,
+    * and verification all replay in SQL and the whole pipeline is
+    * hash-exact against the oracle (q300 did this for SimHash; this
+    * is the same move for the MinHash family the production dedup
+    * stack actually routes through). numPerms=16 banded 4×4 gives the
+    * same rows-per-band s-curve as q28 (P(candidate) = 1−(1−j⁴)^b):
+    * ~23% at j=0.5, ~88% at j=0.8, ~99% at j=0.9 — verification then
+    * keeps only true pairs at `threshold`, so emitted pairs are a
+    * subset of q26's exact tier by construction (spec-pinned, with
+    * planted-near-dup recall). The [[capBuckets]] guard is mirrored
+    * in the oracle's HAVING clause — unlike q300, a degenerate corpus
+    * cannot diverge the two engines. */
+  def portableMinhashPairs(docs: DataFrame, shingleSize: Int = 3,
+      numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val based = docs
+      .select(col("doc_id"),
+        sortedShingles(col("text"), shingleSize).as("sh"))
+      .localCheckpoint() // feeds signatures AND both verify sides
+    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(col("sh"),
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    val buckets0 = based.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r)): _*).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bh").as("bh"))
+    val buckets = capBuckets(buckets0, Seq("band", "bh"), maxBucket)
+    val candidates = buckets.alias("x")
+      .join(buckets.alias("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    candidates
+      .join(based.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(based.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Bound every BLOCK of an exact pair tier to its `maxBlock` first
     * members under the caller's total order `ord` — the anti-quadratic
     * guard for blocking keys whose cardinality is data-fixed
@@ -1286,6 +1338,10 @@ object Dedup {
     }),
     "q112_fuzzy_match" -> ((s, d) => fuzzyNameMatches(Tables(s, d).customer)),
     "q28_minhash_dedup" -> ((s, d) => minhashDedup(Tables(s, d).documents)),
+    // the hash-exact MinHash-LSH tier: portable md5 signature family,
+    // SQL-replayable band buckets (cap mirrored in the oracle)
+    "q312_portable_minhash_pairs" ->
+      ((s, d) => portableMinhashPairs(Tables(s, d).documents)),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1564,6 +1620,52 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE)
          |  >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+    // the ENTIRE MinHash-LSH pipeline replayed: q217's md5 signature
+    // family, band keys as ':'-joined signature positions (DuckDB
+    // list slices are 1-based inclusive: sig[b*4+1 : b*4+4] == the
+    // Spark band's 4 positions), the capBuckets population guard as a
+    // HAVING filter, the bucket self-join, and the q26 exact-jaccard
+    // verification. Pinned to shingleSize=3, numPerms=16, bands=4,
+    // threshold=0.5, maxBucket=10000.
+    "q312_portable_minhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh,
+        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM docs),
+        |b AS (
+        |  SELECT doc_id, CAST(bb AS INTEGER) AS band,
+        |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
+        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
+        |ok AS (
+        |  SELECT band, bh FROM b GROUP BY band, bh
+        |  HAVING count(*) <= 10000),
+        |kb AS (
+        |  SELECT bb.doc_id, bb.band, bb.bh
+        |  FROM b bb JOIN ok USING (band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM kb x JOIN kb y
+        |    ON x.band = y.band AND x.bh = y.bh
+        |    AND x.doc_id < y.doc_id),
+        |j AS (
+        |  SELECT d1, d2,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN docs x ON x.doc_id = cand.d1
+        |  JOIN docs y ON y.doc_id = cand.d2)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

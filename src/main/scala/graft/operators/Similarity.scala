@@ -324,21 +324,131 @@ object Similarity {
     .empty[(SparkSession, String), String]
   def materializedIvfIndex(s: SparkSession, embeddings: DataFrame,
       key: String, cells: Int = 16, iters: Int = 3): String =
-    ivfIndexTables.getOrElseUpdate((s, key), {
-      val name = s"graft_ivf_${java.lang.Integer.toHexString(key.hashCode)}"
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_")
-      val emb = withNorm(embeddings).persist()
-      try {
-        val cents = kmeansCentroids(emb, cells, iters)
-        cents.write.option("path", s"$dir/cents").mode("overwrite")
-          .saveAsTable(name + "_cents")
-        emb.join(assignCells(emb, cents), "vec_id")
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    ivfIndexTables.synchronized {
+      ivfIndexTables.getOrElseUpdate((s, key), {
+        val name = s"graft_ivf_${graft.Artifacts.digest(key)}"
+        val dir = graft.Artifacts.tempDir("graft_ivf_")
+        val emb = withNorm(embeddings).persist()
+        try {
+          val cents = kmeansCentroids(emb, cells, iters)
+          cents.write.option("path", s"$dir/cents").mode("overwrite")
+            .saveAsTable(name + "_cents")
+          emb.join(assignCells(emb, cents), "vec_id")
+            .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+            .write.partitionBy("cell")
+            .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
+        } finally emb.unpersist(false)
+        name
+      })
+    }
+
+  /** The AT-REST form of [[ivfPqTopK]]'s index — IVF cells AND the PQ
+    * model written to the lake ONCE per (session, key), so serving
+    * pays only probe + pruned scans (the q205/q299 at-rest
+    * convention, here for the FAISS IVFADC shape): on top of
+    * [[materializedIvfIndex]]'s partitionBy(cell) vector table +
+    * centroid sidecar, this adds `<name>_pq_cb` (the m×ksub codebook
+    * model — broadcast-sized) and `<name>_pq_codes` (one (vec_id,
+    * sub, code) row per subspace, partitionBy(cell) so the ADC scan
+    * partition-prunes exactly like the vector scan). Returns the base
+    * vector-table name. */
+  private val ivfPqIndexTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  def materializedIvfPqIndex(s: SparkSession, embeddings: DataFrame,
+      key: String, cells: Int = 16, iters: Int = 3, m: Int = 8,
+      ksub: Int = 16): String =
+    ivfPqIndexTables.synchronized {
+      ivfPqIndexTables.getOrElseUpdate((s, key), {
+        val table = materializedIvfIndex(s, embeddings, key, cells, iters)
+        val dir = graft.Artifacts.tempDir("graft_ivfpq_")
+        val cb = pqCodebooks(embeddings, m, ksub, iters)
+        cb.write.option("path", s"$dir/cb").mode("overwrite")
+          .saveAsTable(table + "_pq_cb")
+        val cellOf = s.table(table).select(col("vec_id"), col("cell"))
+        pqAssign(pqSubvectors(embeddings, m), cb)
+          .withColumnRenamed("cell", "code")
+          .join(cellOf, "vec_id")
           .write.partitionBy("cell")
-          .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
-      } finally emb.unpersist(false)
-      name
-    })
+          .option("path", s"$dir/codes").mode("overwrite")
+          .saveAsTable(table + "_pq_codes")
+        table
+      })
+    }
+
+  /** IVF-PQ top-k served FROM the at-rest index — [[ivfPqTopK]] with
+    * the one-time quantizer + codebook training amortized into the
+    * table layout (the q302 bench cell folds training into the serve;
+    * this is the steady-state serving cost, the q299-vs-q202
+    * precedent applied to ANN): probe the broadcast centroid sidecar,
+    * turn the `nprobe` cells into a static partition filter on BOTH
+    * the codes table (ADC scans codes, never vectors) and the vector
+    * table (exact rerank reads raw vectors only for probed cells —
+    * the shortlist is a subset by construction), rank by the same
+    * sub-sorted ADC fold, exact-rerank the `rerank·k` shortlist.
+    * Deterministic training ⇒ bit-identical to [[ivfPqTopK]]
+    * (spec-pinned). Rows-only for the oracle (k-means init
+    * convention, q34/q160/q205). */
+  def ivfPqTopKServed(s: SparkSession, embeddings: DataFrame,
+      key: String, nQueries: Int = 10, k: Int = 5, nprobe: Int = 3,
+      cells: Int = 16, iters: Int = 3, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    val table = materializedIvfPqIndex(s, embeddings, key, cells, iters,
+      m, ksub)
+    val cents = s.table(table + "_cents")
+      .withColumn("cn", norm(col("centroid")))
+    val queries = withNorm(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val probed = ivfProbedCells(queries, cents, nprobe)
+    val touched = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    def pruned(t: DataFrame): DataFrame =
+      if (touched.isEmpty) t.filter(lit(false))
+      else t.filter(col("cell").isin(touched.map(Int.box): _*))
+    val scan = pruned(s.table(table))
+    val cand = scan.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(broadcast(probed.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cb = s.table(table + "_pq_cb")
+    val codes = pruned(s.table(table + "_pq_codes"))
+      .select(col("vec_id"), col("sub"), col("code"))
+    val qtable = pqSubvectors(
+        embeddings.filter(col("vec_id") < nQueries), m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        subDist2(col("sv"), col("centroid")).as("d2"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("sub"), col("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    shortlist
+      .join(scan.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        subDist2(col("nv"), transform(col("qv"),
+          x => x.cast("double"))).as("d2"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("d2"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** IVF top-k served FROM the at-rest index: queries rank the
     * sidecar centroids (a broadcast k×Dim model), pick their `nprobe`
@@ -454,6 +564,115 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("d2"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ORACLE-REPLAYABLE k-means — the round-12 answer to "can the IVF
+    * quantizer be deterministic enough for SQL?": yes, by composing
+    * two devices this library already proves hash-exact. Seeds are
+    * the first `k` vectors' double-cast values (SQL-expressible);
+    * each Lloyd round assigns by CLASSIC L2 argmin over a fixed
+    * left-associated difference-square fold (the q146 assignment,
+    * bit-identical to `l2Sql`'s term expansion) with ties to the
+    * smallest cell, and re-centers through the q139 decimal device
+    * (shortest-decimal float parse → DECIMAL(18,12) sums,
+    * order-independent → ONE correctly-rounded double division), so
+    * every round's centroids — and therefore every cell assignment —
+    * replay bit-for-bit in DuckDB as unrolled CTEs. The spherical
+    * cosine quantizer of [[kmeansCentroids]] keeps the production
+    * role (its float mean re-centering is cheaper and
+    * partial-aggregates without the decimal detour); THIS tier is
+    * the auditable one — the q29→q300 / q28→q312 portable-family
+    * move applied to ANN bucketing. Between rounds only k·Dim
+    * doubles collect (model-sized, the kmeansCentroids discipline).
+    * A cell that loses all members drops out identically in both
+    * engines (GROUP BY over assigned cells). */
+  def kmeansCentroidsExact(emb: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    var cents: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"),
+        transform(col("embedding"), x => x.cast("double")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignCellsExact(emb, centLit(spark, cents))
+      cents = assigned
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cell"), posexplode(col("embedding"))
+          .as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          col("x").cast("string").cast("decimal(18,12)").as("v"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v")).cast("string").cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), s => s.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+    }
+    centLit(spark, cents)
+  }
+
+  private def centLit(spark: SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    spark.range(1).select(explode(array(cents.map { case (c, v) =>
+        struct(lit(c).as("cell"), typedLit(v).as("centroid"))
+      }: _*)).as("e"))
+      .select(col("e.cell").as("cell"), col("e.centroid").as("centroid"))
+
+  /** L2 argmin assignment with ties to the smallest cell — one
+    * broadcast crossJoin + `min_by` over the (d2, cell) struct, the
+    * exact shape the oracle states as
+    * `row_number() OVER (ORDER BY d2, cell) = 1`. */
+  def assignCellsExact(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        subDist2(col("embedding"), col("centroid")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+
+  /** HASH-EXACT IVF top-k over the [[kmeansCentroidsExact]] quantizer
+    * — the full ANN serving pipeline (train → assign → probe → serve)
+    * with a DuckDB oracle: queries rank the k cells by the same L2
+    * fold (nprobe smallest, ties to cell), candidates in probed cells
+    * exact-rank by L2 with ties to neighbor_id. Takes the IVF
+    * BUCKETING tier out of rows-only: q34/q205 keep the spherical
+    * production quantizer, this is the driver-checked proof that the
+    * cell machinery (seeding, Lloyd rounds, probe and serve ranking)
+    * is exactly what the docstrings claim. Same 100 TB shape as q205
+    * (cells = partition pruning); only the quantizer arithmetic
+    * differs. */
+  def ivfTopKExact(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 2, cells: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = kmeansCentroidsExact(emb, cells, iters)
+    val celled = assignCellsExact(emb, cents).join(emb, "vec_id")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2c"), col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        subDist2(col("qv"), col("centroid")).as("d2c"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    celled.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        subDist2(col("embedding"),
+          transform(col("qv"), x => x.cast("double"))).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1296,13 +1515,21 @@ object Similarity {
     * the SAME rollup rides the LSH/IVF candidate generators the way
     * q196 swaps edge tiers. */
   def embeddingSplitLeakage(emb: DataFrame,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45): DataFrame =
+    splitLeakageRollup(emb, similarPairs(emb, threshold))
+
+  /** The split assignment + cross-split rollup SHARED by the exact
+    * (q306) and LSH (q310) leakage tiers — the decision layer never
+    * cares who produced the (d1, d2, sim) pairs, exactly the
+    * q190→q196 edge-swap convention. */
+  private def splitLeakageRollup(emb: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val bucket = conv(substring(md5(concat_ws("", lit("esplit:"),
       col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
     val splitCol = when(bucket < 8, "train").when(bucket < 9, "val")
       .otherwise("test")
     val s = emb.select(col("vec_id"), splitCol.as("split"))
-    similarPairs(emb, threshold)
+    pairs
       .join(s.select(col("vec_id").as("d1"), col("split").as("sa")),
         "d1")
       .join(s.select(col("vec_id").as("d2"), col("split").as("sb")),
@@ -1314,6 +1541,64 @@ object Similarity {
         min(col("d1")).as("example_d1"))
       .orderBy(col("split_lo"), col("split_hi"))
   }
+
+  /** RP-LSH candidate PAIRS at `threshold` — the pair-set twin of
+    * [[similarPairs]] whose candidate volume rides banded sign-bucket
+    * density, never n²: 32 seeded-hyperplane sign bits
+    * ([[rpSignature]]'s family, unpacked as '0'/'1' chars so any band
+    * width works), banded 4×8, population-capped buckets
+    * ([[Dedup.capBuckets]] — a collapsed sign space cannot go
+    * quadratic), bucket self-join, then exact-cosine verification so
+    * every emitted pair is TRUE at `threshold`. Emitted pairs are by
+    * construction a SUBSET of [[similarPairs]]'s (spec-pinned); the
+    * miss probability per pair falls exponentially with similarity
+    * (Charikar 2002 — sign agreement per plane is 1 − θ/π), so the
+    * near-identical pairs a leakage audit exists to catch are the
+    * ones the bands essentially never lose. */
+  def rpLshPairs(embeddings: DataFrame, threshold: Double = 0.45,
+      nPlanes: Int = 32, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val perBand = nPlanes / bands
+    val signs = hyperplanes(nPlanes).map(p =>
+      when(dot(col("embedding"), p) > 0, lit("1")).otherwise(lit("0")))
+    val emb = withNorm(embeddings)
+    val banded0 = emb.select(col("vec_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat(signs.slice(b * perBand, (b + 1) * perBand): _*)
+            .as("bk"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bk").as("bk"))
+    val banded = Dedup.capBuckets(banded0, Seq("band", "bk"), maxBucket)
+    val cands = banded.alias("x").join(banded.alias("y"), Seq("band", "bk"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+    cands
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("va"),
+        col("nrm").as("na")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "d2")
+      .select(col("d1"), col("d2"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** The SCALE tier of [[embeddingSplitLeakage]] — the same
+    * cross-split rollup over [[rpLshPairs]]' banded candidate edges
+    * instead of the brute-force pair join (the q196 edge-swap made
+    * code, closing the q306 docstring's promise): at 100 TB the
+    * audit's cost rides bucket density and true-leak mass, never
+    * corpus². Rows-only for the oracle (the hyperplane family is
+    * engine-specific); the spec pins the subset property vs the exact
+    * tier, planted cross-split near-dup detection, and rollup
+    * equality on corpora where the bands lose nothing. */
+  def embeddingSplitLeakageLsh(emb: DataFrame,
+      threshold: Double = 0.45): DataFrame =
+    splitLeakageRollup(emb, rpLshPairs(emb, threshold))
 
   /** The EXTREME-SCALE tier of [[anisotropyCard]]: the identical card
     * over a deterministic md5 hash-slice of the vectors (the
@@ -1651,8 +1936,17 @@ object Similarity {
     // q205 convention); planted-twin + well-formed specs instead
     "q302_ivfpq_topk" ->
       ((s, d) => ivfPqTopK(s, Tables(s, d).embeddings, d)),
+    // q302's serve-from-artifact tier: training amortized to the lake
+    // once per (session, sfDir); bit-identical to q302 (spec-pinned)
+    "q311_ivfpq_served" ->
+      ((s, d) => ivfPqTopKServed(s, Tables(s, d).embeddings, d)),
     "q306_embedding_leakage" ->
       ((s, d) => embeddingSplitLeakage(Tables(s, d).embeddings)),
+    // q306's scale twin: the SAME rollup over banded RP-LSH candidate
+    // edges (subset + planted-detection spec-pinned; rows-only — the
+    // hyperplane family is engine-specific)
+    "q310_leakage_lsh" ->
+      ((s, d) => embeddingSplitLeakageLsh(Tables(s, d).embeddings)),
     "q166_bfs_hops" ->
       ((s, d) => bfsHops(Tables(s, d).embeddings)),
     "q167_kcore" ->
@@ -1681,6 +1975,10 @@ object Similarity {
     "q32_similar_pairs" -> ((s, d) => similarPairs(Tables(s, d).embeddings)),
     "q33_ann_rp_lsh" -> ((s, d) => annRandomHyperplane(Tables(s, d).embeddings)),
     "q34_ann_ivf" -> ((s, d) => ivfTopK(Tables(s, d).embeddings)),
+    // the ORACLE-REPLAYABLE IVF tier: decimal-exact Lloyd rounds, the
+    // whole train→assign→probe→serve pipeline hash-checked
+    "q313_ivf_exact_topk" ->
+      ((s, d) => ivfTopKExact(Tables(s, d).embeddings)),
     // the AT-REST index tier of q34: the table is built once per
     // (session, sfDir) and the query serves from the pruned scan
     "q205_ivf_materialized" -> ((s, d) =>
@@ -1693,6 +1991,75 @@ object Similarity {
     s"(${dotSql(s"$an.embedding", s"$bn.embedding", Dim)}) / " +
       s"(sqrt(${norm2Sql(s"$an.embedding", Dim)}) * " +
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
+
+  /** q313's DuckDB twin, GENERATED with the Lloyd rounds unrolled
+    * (the pageRank/anisotropy convention): seeds = first `cells`
+    * vectors double-cast; per round one L2-argmin assignment (the
+    * q146 row_number device over `l2Sql`'s fixed fold) and one q139
+    * decimal re-center; then the final assignment, the probe ranking
+    * and the serve ranking — the ENTIRE train→assign→probe→serve
+    * pipeline replays, not just its output. */
+  private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
+      cells: Int, iters: Int): String = {
+    def l2ff(a: String, b: String): String = (1 to Dim).map { i =>
+      val d = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+      s"$d*$d"
+    }.mkString(" + ")
+    def assignSql(name: String, cen: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.cvec", Dim)}, c.cell)
+         |        AS rn
+         |    FROM e CROSS JOIN $cen c) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignSql(s"a$r", s"c${r - 1}")},
+         |c$r AS (
+         |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+         |    SELECT cell, pos,
+         |      CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+         |        AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT a.cell, CAST(i - 1 AS INTEGER) AS pos,
+         |            ex.embedding[i] AS x
+         |          FROM (SELECT vec_id, embedding,
+         |                  unnest(range(1, len(embedding) + 1)) AS i
+         |                FROM e) ex
+         |          JOIN a$r a ON a.vec_id = ex.vec_id)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM e WHERE vec_id < $cells),
+       |$rounds,
+       |${assignSql("af", s"c$iters")},
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2Sql("q.embedding", "c.cvec", Dim)}, c.cell)
+       |        AS rn
+       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $nQueries)
+       |  WHERE rn <= $nprobe),
+       |serve AS (
+       |  SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    ${l2ff("n.embedding", "q.embedding")} AS d2
+       |  FROM af an
+       |  JOIN e n ON n.vec_id = an.vec_id
+       |  JOIN probe p ON an.cell = p.cell
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE n.vec_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id, d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM serve) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The q146 assignment (decimal-exact centroids + argmin) as one
     * shared CTE chain ending in `assign` — q146 states it directly,
@@ -2089,6 +2456,9 @@ object Similarity {
         |JOIN nb ON nb.label = f.label
         |JOIN ns ON ns.label = f.label
         |ORDER BY f.label""".stripMargin,
+    // the unrolled exact-k-means IVF pipeline — pinned to nQueries=10,
+    // k=5, nprobe=2, cells=8, iters=2
+    "q313_ivf_exact_topk" -> ivfExactOracle(10, 5, 2, 8, 2),
     "q31_cosine_topk" ->
       s"""SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -427,11 +427,13 @@ object TextAnalysis {
   private val postingsTables = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
   def materializedPostingsTable(s: SparkSession, d: String,
-      maxDf: Long = 20): String =
+      maxDf: Long = 20): String = postingsTables.synchronized {
     postingsTables.getOrElseUpdate((s, d), {
-      val name =
-        s"graft_postings_${java.lang.Integer.toHexString(d.hashCode)}"
-      val dir = java.nio.file.Files.createTempDirectory("graft_postings_")
+      // collision-resistant digest of the path + monitor around the
+      // non-atomic getOrElseUpdate + exit-time dir cleanup — see
+      // graft.Artifacts
+      val name = s"graft_postings_${graft.Artifacts.digest(d)}"
+      val dir = graft.Artifacts.tempDir("graft_postings_")
       val toks = Tables(s, d).documents
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -447,6 +449,7 @@ object TextAnalysis {
         .option("path", s"$dir/p").mode("overwrite").saveAsTable(name)
       name
     })
+  }
 
   /** q202 served FROM the at-rest posting table — identical results
     * (the table holds exactly the in-memory `kept` relation, and the

@@ -668,6 +668,125 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(4) == math.min(math.min(t1, t2), v1))
   }
 
+  test("rpLshPairs is a SUBSET of similarPairs and loses none of the " +
+      "near-identical pairs a leakage audit exists to catch") {
+    val exact = Similarity.similarPairs(t.embeddings)
+      .select("d1", "d2", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.rpLshPairs(t.embeddings)
+      .select("d1", "d2", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every banded pair is a true pair with the IDENTICAL sim value
+    lsh.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s), s"LSH emitted non-exact pair $k")
+    }
+    // the high-sim band (the leakage regime) survives banding: every
+    // exact pair at sim >= 0.8 is found (32 sign bits agree with
+    // overwhelming probability there — Charikar 2002)
+    val highExact = exact.filter(_._2 >= 0.8).keySet
+    val missedHigh = highExact -- lsh.keySet
+    assert(missedHigh.isEmpty, s"high-sim pairs lost: $missedHigh")
+  }
+
+  test("embeddingSplitLeakageLsh: the planted cross-split twin rollup " +
+      "equals the exact tier's on a corpus the bands lose nothing on") {
+    // the q306 planted setup verbatim: identical vectors across
+    // splits share every sign bucket, so the LSH tier must report the
+    // IDENTICAL rollup
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"esplit:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 10
+    }
+    val ids = (0L until 200L)
+    val train = ids.filter(bucket(_) < 8)
+    val vl = ids.filter(b => bucket(b) == 8)
+    val (t1, t2, v1) = (train(0), train(1), vl.head)
+    val vec = Seq(1f, 0f, 0f, 0f)
+    val ortho = Seq(0f, 1f, 0f, 0f)
+    val emb = Seq((t1, vec), (v1, vec), (t2, vec), (99999999L, ortho))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingSplitLeakage(emb).collect().toSeq
+    val lsh = Similarity.embeddingSplitLeakageLsh(emb).collect().toSeq
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    assert(lsh.length == 1 && lsh.head.getLong(2) == 2L)
+    // and on the real corpus the LSH rollup never over-counts the
+    // exact audit (subset property lifted through the rollup)
+    val exactReal = Similarity.embeddingSplitLeakage(t.embeddings)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    Similarity.embeddingSplitLeakageLsh(t.embeddings).collect()
+      .foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        assert(exactReal.contains(k) && r.getLong(2) <= exactReal(k),
+          s"LSH rollup exceeds exact tier at $k")
+      }
+  }
+
+  test("ivfPqTopKServed is bit-identical to ivfPqTopK and serves from " +
+      "partition-pruned codes + vector scans") {
+    val key = s"ivfpqserve_${System.nanoTime()}"
+    // deterministic training from the same corpus -> the at-rest
+    // artifacts reproduce the fused tier's results exactly
+    val fused = Similarity.ivfPqTopK(spark, t.embeddings, key).collect()
+    val served = Similarity.ivfPqTopKServed(spark, t.embeddings, key)
+      .collect()
+    assert(served.toSeq == fused.toSeq)
+    assert(served.nonEmpty)
+
+    // BOTH artifact scans (codes for ADC, vectors for rerank) carry a
+    // static cell partition filter — the steady-state serving cost is
+    // bounded by the probed cells, never the corpus
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val df = Similarity.ivfPqTopKServed(spark, t.embeddings, key)
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(s => s.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(scans.nonEmpty, "no partitioned artifact scan in the plan")
+    scans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("cell"),
+        s.metadata("PartitionFilters"))
+    }
+  }
+
+  test("ivfTopKExact: deterministic across invocations, well-ranked, " +
+      "and recall vs brute force holds on the corpus") {
+    val a = Similarity.ivfTopKExact(t.embeddings).collect()
+    val b = Similarity.ivfTopKExact(t.embeddings).collect()
+    assert(a.toSeq == b.toSeq) // exact arithmetic: no run variance
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"q$q ranks")
+      val d2s = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(d2s.toSeq == d2s.sorted.toSeq, s"q$q d2 not monotone")
+    }
+    // recall vs brute-force L2 over the same corpus at nprobe=2/8
+    // cells (measured headroom; the s-curve knobs are the trade)
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val exact = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.iterator.filter(_._1 != q).map { case (id, v) =>
+        (qv.zip(v).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d
+        }.sum, id)
+      }.toSeq.sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val byQ = a.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet)
+    val recall = (0L until 10L)
+      .map(q => (byQ(q) & exact(q)).size.toDouble / 5).sum / 10
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("anisotropyCardSampled: keepPer10k=10000 is bit-identical to " +
       "the full card; the default 50% slice is a strict subset whose " +
       "var_share lands within the concentration band of the full one") {

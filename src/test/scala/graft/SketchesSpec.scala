@@ -172,4 +172,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(est <= exactBound,
       s"disjoint sets must estimate 0 (one-sided bound), got $est")
   }
+
+  test("within_band contract holds on every oracle corpus: a sketch " +
+      "estimate outside its stated band is a CONTRACT VIOLATION, " +
+      "reported here by name before it surfaces as an opaque " +
+      "cross-engine hash mismatch") {
+    // q100 (GK ±1-rank slack), q65 (HLL 3·rsd), q243 (MinHash
+    // 2/√perms) hardcode `TRUE AS within_band` in their oracles — the
+    // device that makes the sketch's guarantee driver-checked. The
+    // failure mode is deterministic per corpus: on a corpus/SF change
+    // that pushes an estimate out of band, CORRECTNESS would show a
+    // generic hash mismatch. This spec fails FIRST, naming the query
+    // and the violating rows.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         q <- Seq("q100_approx_quantiles", "q65_cardinality_sketch",
+           "q243_source_overlap_sketch")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bad = df.filter(!col("within_band")).collect()
+      assert(bad.isEmpty,
+        s"CONTRACT VIOLATION ($q at $sf): sketch estimate outside its " +
+          s"stated band — the oracle pins within_band=TRUE, so the " +
+          s"driver hash check WILL fail; violating rows:\n" +
+          bad.mkString("\n"))
+    }
+  }
 }

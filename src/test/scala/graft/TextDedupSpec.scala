@@ -320,6 +320,90 @@ class TextDedupSpec extends AnyFunSuite {
     assert(xx.contains((1L, 2L)))
   }
 
+  test("portable minhash pairs: identical docs always pair; every " +
+      "emitted pair carries the exact brute-force jaccard; the tier " +
+      "is a subset of the unblocked exact pair set") {
+    val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s"),
+      (2L, base, "en", "s"), // identical -> identical signatures
+      (3L, base.replace("w05", "edit"), "en", "s"), // j ~ 0.93
+      (9L, "totally different vocabulary entirely here now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.portableMinhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs share every band bucket: recall exactly 1 there
+    assert(got((1L, 2L)) == 1.0)
+    // brute-force exact jaccard over all pairs
+    val sh = docs.select(col("doc_id"), sortedShingles(col("text"), 3)
+        .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    // subset with IDENTICAL jaccard values (verification is exact)
+    got.foreach { case (k, j) =>
+      assert(brute.get(k).contains(j), s"non-exact pair $k")
+    }
+    // the near-identical pair (j ~ 0.93) survives banding — the
+    // 1-(1-j^4)^4 s-curve sits at ~0.99 there, and the md5 family is
+    // deterministic, so this is a fixed fact of the corpus, not luck
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"high-jaccard pairs lost by banding: ${got.keySet}")
+    // agreement with the production xxhash tier on the same corpus
+    val xx = Dedup.minhashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(xx.keySet == got.keySet,
+      s"portable vs xxhash tier disagree: ${xx.keySet} vs ${got.keySet}")
+    xx.foreach { case (k, j) => assert(got(k) == j) }
+  }
+
+  test("portable minhash pairs on the corpus: subset of the exact " +
+      "unblocked jaccard pair set with identical values") {
+    val docsDf = Tables(spark, sf).documents
+    val got = Dedup.portableMinhashPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sh = docsDf.select(col("doc_id"), sortedShingles(col("text"), 3)
+        .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { case ((a, b), j) =>
+      val inter = (sh(a) & sh(b)).size
+      val exact = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      assert(j == exact && j >= 0.5, s"pair ($a,$b): $j vs $exact")
+    }
+  }
+
+  test("q300/q312 bucket-cap headroom on the oracle corpora: no LSH " +
+      "bucket approaches maxBucket, so the Spark-side cap provably " +
+      "never drops a pair the SQL-side keeps") {
+    // the q300 oracle replays the chunk join WITHOUT a capBuckets
+    // equivalent (q312's oracle mirrors it in HAVING) — sound only
+    // while no bucket exceeds the cap on corpora the driver checks.
+    // This pins that assumption with a named failure instead of an
+    // opaque cross-engine hash mismatch.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables(spark, d).documents
+      val chunkMax = Dedup.portableSimhashes(docs)
+        .select(col("doc_id"), explode(array((0 until 4).map { c =>
+          struct(lit(c).as("c"),
+            shiftright(col("simhash"), c * 16)
+              .bitwiseAND(0xFFFF).as("ck"))
+        }: _*)).as("b"))
+        .groupBy(col("b.c"), col("b.ck")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(chunkMax <= 2000,
+        s"CONTRACT HAZARD ($d): a simhash chunk bucket holds $chunkMax " +
+          "docs — approaching capBuckets' 10000, where the q300 Spark " +
+          "side would drop pairs its oracle keeps. Mirror the cap in " +
+          "portableSimhashSql (the q312 HAVING device) before this " +
+          "corpus ships.")
+    }
+  }
+
   test("bestQualityRepresentatives keeps the best doc, not the first") {
     // docs 10/11/12 are near-dups (same long base text, tiny tails).
     // 11 has the richest vocabulary (highest ttr -> highest quality),
