@@ -45,15 +45,75 @@ object EmbedScaleTrial {
     val spark = Bench.timingSession()
     val scaledDir = s"$workDir/x$factor"
     buildScaled(spark, baseDir, scaledDir, factor)
+    // the SPARSE twin: replicas dimension-ROLLED, so cross-replica
+    // cosines are background-level and the true-pair mass grows only
+    // ~factor (within-replica). The contrast cell: the exact tier
+    // pays factor² candidate work on BOTH replicas; the banded tier's
+    // work rides true-pair mass, so it grows ~factor here while the
+    // dense replica drives it ~factor².
+    val sparseDir = s"$workDir/x${factor}r"
+    buildScaledRolled(spark, baseDir, sparseDir, factor)
     Bench.warmUp(spark, baseDir)
-    println(f"${"query"}%-28s ${"base_s"}%8s ${"x" + factor + "_s"}%8s ratio")
-    TrialQueries.foreach { name =>
-      val fn = SparkEntry.queries(name)
+    // optional 4th arg "counts": print only the structural counts
+    // (cheap re-entry after a timing run)
+    val countsOnly = args.length > 3 && args(3) == "counts"
+    if (!countsOnly) {
+    println(f"${"query"}%-28s ${"base_s"}%8s ${"x" + factor + "_s"}%8s " +
+      f"${"x" + factor + "r_s"}%8s dense sparse")
+    // the band-WIDTH sizing knob demonstrated at the grown corpus:
+    // 16-bit bands (nPlanes=64, bands=4) cut the random-background
+    // collision term b·n²/2^w 256× vs the default 8-bit bands — the
+    // (b, r) re-tune a 10x corpus calls for (operator Scaladoc)
+    val wide: (SparkSession, String) => DataFrame = (s, d) =>
+      operators.Similarity.embeddingSplitLeakageLsh(
+        Tables(s, d).embeddings, nPlanes = 64, bands = 4)
+    (TrialQueries.map(n => n -> SparkEntry.queries(n)) :+
+        ("q310_wideband_16bit" -> wide)).foreach { case (name, fn) =>
       val base = time(spark, baseDir, fn)
-      val scaled = time(spark, scaledDir, fn)
-      println(f"$name%-28s $base%8.2f $scaled%8.2f ${scaled / base}%5.1fx")
+      val dense = time(spark, scaledDir, fn)
+      val sparse = time(spark, sparseDir, fn)
+      println(f"$name%-28s $base%8.2f $dense%8.2f $sparse%8.2f " +
+        f"${dense / base}%5.1fx ${sparse / base}%5.1fx")
+    }
+    }
+    // the STRUCTURAL counts behind the wall clocks: exact-tier pair
+    // space (n(n-1)/2 comparisons by contract) vs banded candidate
+    // volume at both band widths — the b·n²/2^w sizing analysis in
+    // numbers
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(baseDir, scaledDir, sparseDir)) {
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val c8 = operators.Similarity
+        .rpLshCandidates(emb, 32, 4, 10000).count()
+      val c16 = operators.Similarity
+        .rpLshCandidates(emb, 64, 4, 10000).count()
+      println(s"$dir: n=$n exact_pairs=${n * (n - 1) / 2} " +
+        s"banded_8bit_cands=$c8 banded_16bit_cands=$c16")
     }
     spark.stop()
+  }
+
+  /** The sparse-growth twin of [[buildScaled]]: each replica's
+    * vectors are circularly SHIFTED by `replica` dimensions (norms
+    * and within-replica geometry preserved exactly; cross-replica
+    * cosines fall to the random background), written to `outDir`. */
+  def buildScaledRolled(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists())
+      return
+    new java.io.File(outDir).mkdirs()
+    val emb = Tables(spark, baseDir).embeddings
+    val span = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val reps = (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * span))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i)))
+    }
+    reps.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   /** Best-of-2 of construction + full materialization (the

@@ -1558,23 +1558,8 @@ object Similarity {
   def rpLshPairs(embeddings: DataFrame, threshold: Double = 0.45,
       nPlanes: Int = 32, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    val perBand = nPlanes / bands
-    val signs = hyperplanes(nPlanes).map(p =>
-      when(dot(col("embedding"), p) > 0, lit("1")).otherwise(lit("0")))
     val emb = withNorm(embeddings)
-    val banded0 = emb.select(col("vec_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat(signs.slice(b * perBand, (b + 1) * perBand): _*)
-            .as("bk"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bk").as("bk"))
-    val banded = Dedup.capBuckets(banded0, Seq("band", "bk"), maxBucket)
-    val cands = banded.alias("x").join(banded.alias("y"), Seq("band", "bk"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
-      .distinct()
+    val cands = rpLshCandidates(emb, nPlanes, bands, maxBucket)
     val v = emb.select(col("vec_id"), col("embedding"), col("nrm"))
     cands
       .join(v.select(col("vec_id").as("d1"), col("embedding").as("va"),
@@ -1587,18 +1572,52 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** The CANDIDATE tier of [[rpLshPairs]] — exposed so the scale
+    * trial can report candidate volume next to wall clocks (the
+    * number the b·n²/2^w sizing analysis is actually about). */
+  private[graft] def rpLshCandidates(emb: DataFrame, nPlanes: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
+    val perBand = nPlanes / bands
+    val signs = hyperplanes(nPlanes).map(p =>
+      when(dot(col("embedding"), p) > 0, lit("1")).otherwise(lit("0")))
+    val banded0 = emb.select(col("vec_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat(signs.slice(b * perBand, (b + 1) * perBand): _*)
+            .as("bk"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bk").as("bk"))
+    val banded = Dedup.capBuckets(banded0, Seq("band", "bk"), maxBucket)
+    banded.alias("x").join(banded.alias("y"), Seq("band", "bk"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct()
+  }
+
   /** The SCALE tier of [[embeddingSplitLeakage]] — the same
     * cross-split rollup over [[rpLshPairs]]' banded candidate edges
     * instead of the brute-force pair join (the q196 edge-swap made
-    * code, closing the q306 docstring's promise): at 100 TB the
-    * audit's cost rides bucket density and true-leak mass, never
-    * corpus². Rows-only for the oracle (the hyperplane family is
-    * engine-specific); the spec pins the subset property vs the exact
-    * tier, planted cross-split near-dup detection, and rollup
-    * equality on corpora where the bands lose nothing. */
+    * code, closing the q306 docstring's promise). Rows-only for the
+    * oracle (the hyperplane family is engine-specific); the spec
+    * pins the subset property vs the exact tier, planted cross-split
+    * near-dup detection, and rollup equality on corpora where the
+    * bands lose nothing.
+    *
+    * SIZING (measured, EmbedScaleTrial): band WIDTH is the log(n)
+    * knob. With b bands of w sign bits, random-background collisions
+    * alone contribute ~b·n²/2^w candidate pairs — at n=50k the
+    * default 8-bit bands are collision-dominated (~20M background
+    * pairs), so growing the corpus 10× means widening bands (e.g.
+    * nPlanes=64, bands=4 → 16-bit bands cuts the background 256×)
+    * exactly as MinHash deployments re-tune (b, r) with corpus size.
+    * Wider bands trade recall at LOW similarity; the near-identical
+    * band a leakage audit exists for keeps essentially-total recall
+    * at any practical width (per-plane agreement ≈ 1 − θ/π → 1). */
   def embeddingSplitLeakageLsh(emb: DataFrame,
-      threshold: Double = 0.45): DataFrame =
-    splitLeakageRollup(emb, rpLshPairs(emb, threshold))
+      threshold: Double = 0.45, nPlanes: Int = 32,
+      bands: Int = 4): DataFrame =
+    splitLeakageRollup(emb, rpLshPairs(emb, threshold, nPlanes, bands))
 
   /** The EXTREME-SCALE tier of [[anisotropyCard]]: the identical card
     * over a deterministic md5 hash-slice of the vectors (the
