@@ -147,6 +147,47 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** ORACLE-REPLAYABLE SemDeDup — [[semDedup]] with the engine-
+    * specific spherical quantizer swapped for [[kmeansCentroidsExact]]
+    * (the q313 device), which takes the flagship semantic-dedup
+    * OPERATOR itself out of rows-only: cells from decimal-exact L2
+    * Lloyd rounds, intra-cell pairs by the q31-convention exact
+    * cosine, components via [[Dedup.dupClusters]] whose closure the
+    * oracle replays as a recursive CTE (the q136 device), component-
+    * minimum representatives. Identical decision layer to
+    * [[semDedup]] — only the quantizer arithmetic differs — so the
+    * same cross-cell recall trade applies and the k=1 degenerate
+    * config still recovers [[embeddingDedup]] bit-for-bit
+    * (spec-pinned). Same 100 TB shape: cell-local pair joins,
+    * edge-sized CC shuffles. */
+  def semDedupExact(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = withNorm(embeddings)
+    val cells = assignCellsExact(embeddings,
+      kmeansCentroidsExact(embeddings, k, iters))
+    val e = emb.join(cells, "vec_id")
+    val a = e.select(col("cell"), col("vec_id").as("d1"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("d2"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"))
+    val reps = Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(cells, Seq("vec_id"), "left")
+      .join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+      .withColumn("keep", col("rep_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Fixed hyperplanes from a seeded generator — deterministic across
     * runs and engines; materialized as literal arrays in the plan. */
   private def hyperplanes(nPlanes: Int): Seq[Column] = {
@@ -1998,6 +2039,10 @@ object Similarity {
     // whole train→assign→probe→serve pipeline hash-checked
     "q313_ivf_exact_topk" ->
       ((s, d) => ivfTopKExact(Tables(s, d).embeddings)),
+    // SemDeDup over the exact quantizer: cells + intra-cell pairs +
+    // CC closure all replayed in SQL (q313 + q136 devices composed)
+    "q314_semdedup_exact" ->
+      ((s, d) => semDedupExact(Tables(s, d).embeddings)),
     // the AT-REST index tier of q34: the table is built once per
     // (session, sfDir) and the query serves from the pruned scan
     "q205_ivf_materialized" -> ((s, d) =>
@@ -2018,22 +2063,30 @@ object Similarity {
     * decimal re-center; then the final assignment, the probe ranking
     * and the serve ranking — the ENTIRE train→assign→probe→serve
     * pipeline replays, not just its output. */
-  private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
-      cells: Int, iters: Int): String = {
-    def l2ff(a: String, b: String): String = (1 to Dim).map { i =>
-      val d = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
-      s"$d*$d"
-    }.mkString(" + ")
-    def assignSql(name: String, cen: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql("e.embedding", "c.cvec", Dim)}, c.cell)
-         |        AS rn
-         |    FROM e CROSS JOIN $cen c) WHERE rn = 1)""".stripMargin
+  private def l2ffSql(a: String, b: String): String = (1 to Dim).map { i =>
+    val d = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+    s"$d*$d"
+  }.mkString(" + ")
+
+  /** One L2-argmin assignment CTE (the q146 row_number device over
+    * `l2Sql`'s fixed fold). Shared by the q313 and q314 oracles. */
+  private def exactAssignSql(name: String, cen: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql("e.embedding", "c.cvec", Dim)}, c.cell)
+       |        AS rn
+       |    FROM e CROSS JOIN $cen c) WHERE rn = 1)""".stripMargin
+
+  /** The [[kmeansCentroidsExact]] pipeline as a CTE chain: `e` (the
+    * corpus), seeds `c0`, `iters` unrolled Lloyd rounds (assign a_r +
+    * q139 decimal re-center c_r), ending in the FINAL assignment
+    * `af` over `c$iters`. Shared by the q313 and q314 oracles so the
+    * two cannot drift. */
+  private def exactKmeansCtes(cells: Int, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
-      s"""${assignSql(s"a$r", s"c${r - 1}")},
+      s"""${exactAssignSql(s"a$r", s"c${r - 1}")},
          |c$r AS (
          |  SELECT cell, list(m ORDER BY pos) AS cvec FROM (
          |    SELECT cell, pos,
@@ -2048,13 +2101,19 @@ object Similarity {
          |    GROUP BY cell, pos)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
        |  FROM e WHERE vec_id < $cells),
        |$rounds,
-       |${assignSql("af", s"c$iters")},
+       |${exactAssignSql("af", s"c$iters")}""".stripMargin
+  }
+
+  private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
+      cells: Int, iters: Int): String = {
+    def l2ff(a: String, b: String): String = l2ffSql(a, b)
+    s"""WITH ${exactKmeansCtes(cells, iters)},
        |probe AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
@@ -2478,6 +2537,36 @@ object Similarity {
     // the unrolled exact-k-means IVF pipeline — pinned to nQueries=10,
     // k=5, nprobe=2, cells=8, iters=2
     "q313_ivf_exact_topk" -> ivfExactOracle(10, 5, 2, 8, 2),
+    // the same exact-k-means CTE chain (shared generator — the two
+    // oracles cannot drift) + intra-cell exact-cosine pairs + the
+    // q136 recursive transitive closure + component-minimum reps;
+    // pinned to k=8, iters=2, threshold=0.45
+    "q314_semdedup_exact" ->
+      s"""WITH RECURSIVE ${exactKmeansCtes(8, 2)},
+         |cellof AS MATERIALIZED (SELECT vec_id, cell FROM af),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM e a
+         |  JOIN cellof ca ON ca.vec_id = a.vec_id
+         |  JOIN e b ON a.vec_id < b.vec_id
+         |  JOIN cellof cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+         |  WHERE ${simSql("a", "b")} >= 0.45),
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS s, d2 AS t FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(s, t) AS (
+         |  SELECT s, t FROM edges
+         |  UNION
+         |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+         |rep AS (
+         |  SELECT e.vec_id,
+         |    LEAST(e.vec_id, COALESCE(MIN(r.t), e.vec_id)) AS rep_id
+         |  FROM e LEFT JOIN reach r ON r.s = e.vec_id
+         |  GROUP BY e.vec_id)
+         |SELECT rep.vec_id, cellof.cell, rep.rep_id,
+         |  (rep.rep_id = rep.vec_id) AS keep
+         |FROM rep JOIN cellof ON cellof.vec_id = rep.vec_id
+         |ORDER BY rep.vec_id""".stripMargin,
     "q31_cosine_topk" ->
       s"""SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

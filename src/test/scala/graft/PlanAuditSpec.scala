@@ -120,7 +120,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q302_ivfpq_topk", "q303_memorization_spectrum",
     "q308_windowed_pmi", "q311_ivfpq_served", "q313_ivf_exact_topk",
     "q34_ann_ivf", "q67_token_batches", "q88_price_histogram",
-    "q94_funnel")
+    "q94_funnel", "q314_semdedup_exact")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross

@@ -756,6 +756,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupExact: k=1 degenerate recovers embeddingDedup; " +
+      "planted intra-cell near-dup groups collapse to their minima") {
+    // k=1: one cell, intra-cell pairs == all pairs -> the decision
+    // layer must reproduce embeddingDedup bit-for-bit (the semDedup
+    // spec's own device, now on the exact quantizer)
+    val t2 = t
+    val full = Similarity.embeddingDedup(t2.embeddings)
+      .collect().toSeq
+    val one = Similarity.semDedupExact(t2.embeddings, k = 1)
+      .select("vec_id", "rep_id", "keep").collect().toSeq
+    assert(one == full)
+    // planted: two tight orthogonal pairs; whatever cells the exact
+    // quantizer picks, each twin pair is intra-cell (identical
+    // vectors assign identically) and collapses to its min id
+    val va = Seq(1f, 0f, 0f, 0f); val vb = Seq(0f, 1f, 0f, 0f)
+    val df = Seq((0L, va), (1L, va), (10L, vb), (11L, vb))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedupExact(df, k = 2, threshold = 0.9)
+      .select("vec_id", "rep_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((0L, true)) && got(1L) == ((0L, false)))
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+  }
+
   test("ivfTopKExact: deterministic across invocations, well-ranked, " +
       "and recall vs brute force holds on the corpus") {
     val a = Similarity.ivfTopKExact(t.embeddings).collect()
