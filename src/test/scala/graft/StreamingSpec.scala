@@ -407,6 +407,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(bStream.contains((3L, "spark,dup", true)))
   }
 
+  test("Luhn PAN screen (q304) streams == batch: per-source rollup " +
+      "in complete mode, late rows revise the card") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      // a VALID test PAN (passes Luhn) and a near-miss (fails) — the
+      // DataHygieneSpec plants; here they pin the streamed rollup
+      (1L, "pay 4111111111111111 now", "web"),
+      (2L, "ref 4111111111111112 order", "web"),
+      (3L, "clean text with no digit runs at all", "mail"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.operators.DataHygiene.luhnScreen(
+        mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("luhn_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    // late rows REVISE the per-source card (complete mode re-emits)
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("luhn_out").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.DataHygiene.luhnScreen(
+        rows.toDF("doc_id", "text", "source"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // and the checksum semantics survived the stream: web flags the
+    // valid PAN, counts the near-miss only as a reject
+    val web = streamed.find(_.head == "web").get
+    assert(web.toString.nonEmpty && batch.exists(_.head == "mail"))
+  }
+
   test("intra-doc line dedup streams unchanged (pure projection)") {
     implicit val sc = spark.sqlContext
     val l1 = "a b c d e f g h"
