@@ -1600,26 +1600,24 @@ object Similarity {
       nPlanes: Int = 32, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     val emb = withNorm(embeddings)
-    val cands = rpLshCandidates(emb, nPlanes, bands, maxBucket)
-    val v = emb.select(col("vec_id"), col("embedding"), col("nrm"))
-    cands
-      .join(v.select(col("vec_id").as("d1"), col("embedding").as("va"),
-        col("nrm").as("na")), "d1")
-      .join(v.select(col("vec_id").as("d2"), col("embedding").as("vb"),
-        col("nrm").as("nb")), "d2")
-      .select(col("d1"), col("d2"),
-        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
-          .as("sim"))
-      .filter(col("sim") >= threshold)
+    verifyCosinePairs(emb,
+      rpLshCandidates(emb, nPlanes, bands, maxBucket), threshold)
   }
 
   /** The CANDIDATE tier of [[rpLshPairs]] — exposed so the scale
     * trial can report candidate volume next to wall clocks (the
     * number the b·n²/2^w sizing analysis is actually about). */
   private[graft] def rpLshCandidates(emb: DataFrame, nPlanes: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    rpBandedCandidates(emb, hyperplanes(nPlanes), bands, maxBucket)
+
+  /** Banded sign-LSH candidates over ANY plane family — shared by the
+    * seeded-gaussian ([[rpLshPairs]]/q310) and md5-portable (q315)
+    * tiers so banding, capping and the bucket join cannot drift. */
+  private def rpBandedCandidates(emb: DataFrame, planes: Seq[Column],
       bands: Int, maxBucket: Int): DataFrame = {
-    val perBand = nPlanes / bands
-    val signs = hyperplanes(nPlanes).map(p =>
+    val perBand = planes.size / bands
+    val signs = planes.map(p =>
       when(dot(col("embedding"), p) > 0, lit("1")).otherwise(lit("0")))
     val banded0 = emb.select(col("vec_id"),
       explode(array((0 until bands).map { b =>
@@ -1634,6 +1632,62 @@ object Similarity {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
       .distinct()
+  }
+
+  /** Exact-cosine verification of a candidate pair set — shared by
+    * every banded tier ([[rpLshPairs]], [[portableRpPairs]]). */
+  private def verifyCosinePairs(emb: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+    cands
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("va"),
+        col("nrm").as("na")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "d2")
+      .select(col("d1"), col("d2"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** The md5-PORTABLE plane family: coordinate c of plane p =
+    * md5("rp:p:c")'s first 32 bits scaled into [-0.5, 0.5) — integer
+    * / 2³² − 0.5, every step correctly rounded, so the Scala-side
+    * literals here and the oracle's in-SQL derivation produce
+    * bit-identical doubles. */
+  private def portablePlanes(nPlanes: Int): Seq[Column] =
+    (0 until nPlanes).map { p =>
+      typedLit((0 until Dim).map { c =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$p:$c".getBytes("UTF-8"))
+        val hex = h.take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 - 0.5
+      })
+    }
+
+  /** PORTABLE RP-LSH near-dup pairs — [[rpLshPairs]] with the
+    * seeded-gaussian hyperplanes swapped for [[portablePlanes]]' md5
+    * family, which takes the sign-LSH BUCKETING tier itself out of
+    * rows-only (the q300/q312 move completed for the third LSH
+    * family): signs, 4×8 banding, the capBuckets guard (mirrored in
+    * the oracle's HAVING), the bucket self-join and the exact-cosine
+    * verification ALL replay in SQL. The sign fold's missing 0.0 seed
+    * in SQL's list_reduce is sign-safe (±0.0 compare > 0 identically,
+    * and any nonzero term makes the chains bitwise equal). Uniform
+    * coordinates are not rotation-invariant like gaussians — the
+    * Charikar θ/π agreement is approximate — which costs a
+    * driver-checked pair tier nothing: verification keeps only true
+    * pairs, bands only shape recall (planted-twin recall is
+    * spec-pinned; near-identical vectors agree on every sign at any
+    * practical width). */
+  def portableRpPairs(embeddings: DataFrame, threshold: Double = 0.45,
+      nPlanes: Int = 32, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val emb = withNorm(embeddings)
+    verifyCosinePairs(emb,
+      rpBandedCandidates(emb, portablePlanes(nPlanes), bands, maxBucket),
+      threshold)
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** The SCALE tier of [[embeddingSplitLeakage]] — the same
@@ -2043,6 +2097,11 @@ object Similarity {
     // CC closure all replayed in SQL (q313 + q136 devices composed)
     "q314_semdedup_exact" ->
       ((s, d) => semDedupExact(Tables(s, d).embeddings)),
+    // the PORTABLE sign-LSH pair tier: md5-derived planes, banding,
+    // cap and verify all replayed in SQL (the q300/q312 move for the
+    // RP family)
+    "q315_portable_rp_pairs" ->
+      ((s, d) => portableRpPairs(Tables(s, d).embeddings)),
     // the AT-REST index tier of q34: the table is built once per
     // (session, sfDir) and the query serves from the pruned scan
     "q205_ivf_materialized" -> ((s, d) =>
@@ -2108,6 +2167,57 @@ object Similarity {
        |  FROM e WHERE vec_id < $cells),
        |$rounds,
        |${exactAssignSql("af", s"c$iters")}""".stripMargin
+  }
+
+  /** q315's DuckDB twin — the whole portable sign-LSH pipeline in
+    * SQL: plane coordinates from md5, signs via an ordered
+    * list_reduce fold, band keys as signature substrings, the
+    * capBuckets guard as HAVING, bucket self-join, exact-cosine
+    * verification. */
+  private def portableRpOracle(nPlanes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): String = {
+    val perBand = nPlanes / bands
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |pl AS (
+       |  SELECT CAST(p AS INTEGER) AS p,
+       |    list_transform(range($Dim), c ->
+       |      CAST('0x' || substr(md5('rp:' || CAST(p AS VARCHAR)
+       |          || ':' || CAST(c AS VARCHAR)), 1, 8) AS BIGINT)
+       |        / 4294967296.0 - 0.5) AS coord
+       |  FROM (SELECT unnest(range($nPlanes)) AS p)),
+       |sg AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN list_reduce(
+       |      list_transform(range($Dim), i ->
+       |        CAST(e.embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+       |          * pl.coord[CAST(i AS INTEGER) + 1]),
+       |      (a, b) -> a + b) > 0 THEN '1' ELSE '0' END AS s
+       |  FROM e CROSS JOIN pl),
+       |sig AS (
+       |  SELECT vec_id, string_agg(s, '' ORDER BY p) AS sig
+       |  FROM sg GROUP BY vec_id),
+       |bd AS (
+       |  SELECT vec_id, CAST(bb AS INTEGER) AS band,
+       |    substr(sig, CAST(bb AS INTEGER) * $perBand + 1, $perBand)
+       |      AS bk
+       |  FROM sig, (SELECT unnest(range($bands)) AS bb)),
+       |ok AS (
+       |  SELECT band, bk FROM bd GROUP BY band, bk
+       |  HAVING count(*) <= $maxBucket),
+       |kb AS (
+       |  SELECT bd2.vec_id, bd2.band, bd2.bk
+       |  FROM bd bd2 JOIN ok USING (band, bk)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+       |  FROM kb x JOIN kb y
+       |    ON x.band = y.band AND x.bk = y.bk
+       |    AND x.vec_id < y.vec_id)
+       |SELECT cand.d1, cand.d2, ${simSql("a", "b")} AS sim
+       |FROM cand
+       |JOIN e a ON a.vec_id = cand.d1
+       |JOIN e b ON b.vec_id = cand.d2
+       |WHERE ${simSql("a", "b")} >= $threshold
+       |ORDER BY d1, d2""".stripMargin
   }
 
   private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
@@ -2537,6 +2647,13 @@ object Similarity {
     // the unrolled exact-k-means IVF pipeline — pinned to nQueries=10,
     // k=5, nprobe=2, cells=8, iters=2
     "q313_ivf_exact_topk" -> ivfExactOracle(10, 5, 2, 8, 2),
+    // the md5 plane family derived IN SQL (bit-identical to the Scala
+    // literals: integer/2^32 - 0.5, each step correctly rounded), the
+    // same sign fold (list_reduce's missing 0.0 seed is sign-safe),
+    // substring band keys, the HAVING bucket cap, and the q31
+    // exact-cosine verify. Pinned to nPlanes=32, bands=4,
+    // threshold=0.45, maxBucket=10000.
+    "q315_portable_rp_pairs" -> portableRpOracle(32, 4, 0.45, 10000),
     // the same exact-k-means CTE chain (shared generator — the two
     // oracles cannot drift) + intra-cell exact-cosine pairs + the
     // q136 recursive transitive closure + component-minimum reps;

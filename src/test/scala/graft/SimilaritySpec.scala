@@ -756,6 +756,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("portableRpPairs: subset of similarPairs with identical sims; " +
+      "identical planted twins always pair; agrees with the gaussian " +
+      "tier on them") {
+    val exact = Similarity.similarPairs(t.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val port = Similarity.portableRpPairs(t.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    port.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s), s"non-exact pair $k")
+    }
+    // identical vectors agree on every sign -> share every band ->
+    // always pair, at exactly sim 1.0; the gaussian tier (q310's
+    // generator) must find them too
+    val twin = t.embeddings.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(777777L))
+    val emb2 = t.embeddings.union(twin)
+    val p2 = Similarity.portableRpPairs(emb2)
+      .filter(col("d1") === 7 && col("d2") === 777777L).collect()
+    assert(p2.length == 1 && p2.head.getDouble(2) == 1.0)
+    val g2 = Similarity.rpLshPairs(emb2)
+      .filter(col("d1") === 7 && col("d2") === 777777L).collect()
+    assert(g2.length == 1 && g2.head.getDouble(2) == 1.0)
+  }
+
   test("semDedupExact: k=1 degenerate recovers embeddingDedup; " +
       "planted intra-cell near-dup groups collapse to their minima") {
     // k=1: one cell, intra-cell pairs == all pairs -> the decision
