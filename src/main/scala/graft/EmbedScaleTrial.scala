@@ -37,7 +37,8 @@ object EmbedScaleTrial {
     "q302_ivfpq_topk", // IVF-PQ train+serve fused (one-time cost inside)
     "q311_ivfpq_served", // serve-from-artifact: the steady-state cell
     "q313_ivf_exact_topk", // exact-arithmetic IVF: train linear, serve cell-bounded
-    "q314_semdedup_exact") // SemDeDup: pair work rides cell occupancy
+    "q314_semdedup_exact", // SemDeDup: pair work rides cell occupancy
+    "q315_portable_rp_pairs") // portable sign-LSH: same banded regime as q310
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
