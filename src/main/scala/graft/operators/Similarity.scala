@@ -2222,7 +2222,6 @@ object Similarity {
 
   private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
       cells: Int, iters: Int): String = {
-    def l2ff(a: String, b: String): String = l2ffSql(a, b)
     s"""WITH ${exactKmeansCtes(cells, iters)},
        |probe AS (
        |  SELECT query_id, cell FROM (
@@ -2234,7 +2233,7 @@ object Similarity {
        |  WHERE rn <= $nprobe),
        |serve AS (
        |  SELECT p.query_id, n.vec_id AS neighbor_id,
-       |    ${l2ff("n.embedding", "q.embedding")} AS d2
+       |    ${l2ffSql("n.embedding", "q.embedding")} AS d2
        |  FROM af an
        |  JOIN e n ON n.vec_id = an.vec_id
        |  JOIN probe p ON an.cell = p.cell
