@@ -107,12 +107,20 @@ object EmbedScaleTrial {
       return
     new java.io.File(outDir).mkdirs()
     val emb = Tables(spark, baseDir).embeddings
+    // derive the dimension from the data: a hardcoded 64 would give
+    // replica `dim` a zero roll (identical, not background, vectors)
+    // and factor > dim negative slice lengths (ADVICE r12)
+    val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(factor <= dim,
+      s"rolled replicas need factor <= dim ($factor > $dim): replica " +
+        "rolls repeat and the sparse-growth premise breaks")
     val span = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val reps = (0 until factor).map { i =>
+      val r = i % dim
       emb.withColumn("vec_id", col("vec_id") + lit(i * span))
         .withColumn("embedding",
-          concat(slice(col("embedding"), i + 1, 64 - i),
-            slice(col("embedding"), 1, i)))
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)))
     }
     reps.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

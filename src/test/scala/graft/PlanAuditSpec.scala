@@ -125,9 +125,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross
     * (explicit broadcast crossJoin). The operator renders as
-    * `BroadcastNestedLoopJoin BuildSide, JoinType[, (condition)]`. */
+    * `BroadcastNestedLoopJoin BuildSide, JoinType[, condition]` — the
+    * condition usually opens with '(' but a bare attribute or
+    * function call would not, so ANY non-space after ', ' counts as
+    * conditioned (ADVICE r12). */
   private def bnljOccurrences(plan: String): Seq[Boolean] =
-    "BroadcastNestedLoopJoin (?:BuildLeft|BuildRight), (\\w+)(, \\()?".r
+    "BroadcastNestedLoopJoin (?:BuildLeft|BuildRight), (\\w+)(, \\S)?".r
       .findAllMatchIn(plan)
       .map(m => m.group(2) != null || m.group(1) != "Cross")
       .toSeq
