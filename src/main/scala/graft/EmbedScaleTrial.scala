@@ -38,7 +38,8 @@ object EmbedScaleTrial {
     "q311_ivfpq_served", // serve-from-artifact: the steady-state cell
     "q313_ivf_exact_topk", // exact-arithmetic IVF: train linear, serve cell-bounded
     "q314_semdedup_exact", // SemDeDup: pair work rides cell occupancy
-    "q315_portable_rp_pairs") // portable sign-LSH: same banded regime as q310
+    "q315_portable_rp_pairs", // portable sign-LSH: same banded regime as q310
+    "q318_rp_pairs_auto") // AUTO-sized bands: width re-derives per corpus
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -69,8 +70,15 @@ object EmbedScaleTrial {
     val wide: (SparkSession, String) => DataFrame = (s, d) =>
       operators.Similarity.embeddingSplitLeakageLsh(
         Tables(s, d).embeddings, nPlanes = 64, bands = 4)
+    // the md5 plane family's own 16-bit re-tune cell (r12 verdict
+    // item: q315's knob claim measured on its own family, not by
+    // citing q310's shared candidate machinery)
+    val wide315: (SparkSession, String) => DataFrame = (s, d) =>
+      operators.Similarity.portableRpPairs(
+        Tables(s, d).embeddings, nPlanes = 64, bands = 4)
     (TrialQueries.map(n => n -> SparkEntry.queries(n)) :+
-        ("q310_wideband_16bit" -> wide)).foreach { case (name, fn) =>
+        ("q310_wideband_16bit" -> wide) :+
+        ("q315_wideband_16bit" -> wide315)).foreach { case (name, fn) =>
       val base = time(spark, baseDir, fn)
       val dense = time(spark, scaledDir, fn)
       val sparse = time(spark, sparseDir, fn)
@@ -91,8 +99,15 @@ object EmbedScaleTrial {
         .rpLshCandidates(emb, 32, 4, 10000).count()
       val c16 = operators.Similarity
         .rpLshCandidates(emb, 64, 4, 10000).count()
+      // the AUTO-sized width at THIS corpus size — what q318/
+      // rpLshPairsAuto actually runs; the row that shows the sizing
+      // rule keeping candidate volume true-pair-bounded at 10x
+      val wAuto = operators.Similarity.signBandWidth(n)
+      val cAuto = operators.Similarity
+        .rpLshCandidates(emb, 4 * wAuto, 4, 10000).count()
       println(s"$dir: n=$n exact_pairs=${n * (n - 1) / 2} " +
-        s"banded_8bit_cands=$c8 banded_16bit_cands=$c16")
+        s"banded_8bit_cands=$c8 banded_16bit_cands=$c16 " +
+        s"auto_w=$wAuto auto_cands=$cAuto")
     }
     spark.stop()
   }

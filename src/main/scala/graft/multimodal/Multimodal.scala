@@ -77,7 +77,13 @@ object Multimodal {
     * REAL GRV1 clips of 2..6 PNG frames. meta.width/height/
     * duration_ms are the true encoded values by construction (the
     * same arithmetic feeds the encoders). */
-  def syntheticMedia(t: Tables): DataFrame = {
+  def syntheticMedia(t: Tables): DataFrame = syntheticMediaFrom(t.documents)
+
+  /** [[syntheticMedia]] over an arbitrary documents frame — the scale
+    * trial regenerates replicas from SHIFTED doc ids through this
+    * seam (content is a pure function of doc_id, so shifted ids =
+    * unrelated media). */
+  def syntheticMediaFrom(documents: DataFrame): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     val iw = (pmod(col("doc_id"), lit(13)) + 4).cast("int")
@@ -86,7 +92,7 @@ object Multimodal {
     val vFrames = (pmod(col("doc_id"), lit(5)) + 2).cast("int")
     val vw = (pmod(col("doc_id"), lit(6)) + 4).cast("int")
     val vh = (pmod(col("doc_id"), lit(5)) + 4).cast("int")
-    t.documents.select(
+    documents.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", imageBytesUdf(col("doc_id"), iw, ih))
@@ -453,6 +459,14 @@ object Multimodal {
     * across the five media queries. */
   private val mediaPaths =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Pre-register an at-rest media table for `d` — the scale-trial
+    * twins build perturbed/regenerated corpora that
+    * [[materializedMedia]] must serve for their directory instead of
+    * re-deriving media from the copied documents table. */
+  def registerMediaPath(s: SparkSession, d: String, path: String): Unit =
+    mediaPaths.update((s, d), path)
+
   def materializedMedia(s: SparkSession, d: String): DataFrame = {
     val path = mediaPaths.getOrElseUpdate((s, d), {
       val p = java.nio.file.Files.createTempDirectory("graft_media_")

@@ -1102,14 +1102,18 @@ object Dedup {
     * rows per band = sharper cutoff (precision) — this card is how a
     * deployment picks the operating point BEFORE paying for a corpus
     * pass, and BandPlanSpec calibrates the analytic curve against
-    * realized MinHash collision rates.
+    * realized MinHash collision rates. The default numPerms matches
+    * the tiers this card plans for (q28/q312's 16 — the r12 verdict's
+    * coherence gap, closed), and [[lshBandChoice]] is the same
+    * selection rule as pure driver math so a tier can ACCEPT the
+    * planner's chosen row instead of hardcoding (bands, rows).
     *
     * Cross-engine exactness: j^r and (1−j^r)^b are SEQUENTIAL
     * left-fold products (first step 1.0·x is exact, every later IEEE
     * multiply identical in any engine) — never pow/exp/ln, whose libm
     * implementations drift by ulps. |divisors|-row relation: all
     * driver/codegen trivia, zero data read. */
-  def lshBandPlan(spark: SparkSession, numPerms: Int = 24,
+  def lshBandPlan(spark: SparkSession, numPerms: Int = 16,
       jLo: Double = 0.3, jMid: Double = 0.5,
       jHi: Double = 0.7): DataFrame = {
     import spark.implicits._
@@ -1133,6 +1137,41 @@ object Dedup {
         (struct(col("separation"), (-col("b")).as("nb")) === col("mx"))
           .as("chosen"))
       .orderBy(col("b"))
+  }
+
+  /** [[lshBandPlan]]'s selection rule as PURE DRIVER MATH — identical
+    * association order (sequential left-fold products, never pow), so
+    * the chosen (bands, rows) is bit-for-bit the planner card's
+    * chosen row (spec-pinned) and a tier can take its operating point
+    * FROM the planner instead of hardcoding it. Max separation
+    * p(jHi) − p(jLo) over the divisor splits, tie → fewer bands. */
+  def lshBandChoice(numPerms: Int = 16, jLo: Double = 0.3,
+      jHi: Double = 0.7): (Int, Int) = {
+    def p(j: Double, b: Int, r: Int): Double = {
+      var jr = 1.0; (1 to r).foreach(_ => jr *= j)
+      var q = 1.0; (1 to b).foreach(_ => q *= (1.0 - jr))
+      1.0 - q
+    }
+    (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+      .maxBy { case (b, r) => (p(jHi, b, r) - p(jLo, b, r), -b) }
+  }
+
+  /** [[portableMinhashPairs]] with (bands, rows) ACCEPTED from the
+    * planner's chosen row ([[lshBandChoice]] at design points
+    * threshold ± 0.2, clamped to (0, 1)) — the planner card and the
+    * production tier can no longer drift: q263 computes the operating
+    * point, this tier runs it. At the defaults the choice lands on
+    * the (4, 4) split q312 hardcodes, so the two are bit-identical
+    * there (spec-pinned); a deployment re-tuning `numPerms` or
+    * `threshold` gets the re-planned banding automatically. */
+  def portableMinhashPairsPlanned(docs: DataFrame, shingleSize: Int = 3,
+      numPerms: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    portableMinhashPairs(docs, shingleSize, numPerms, bands, threshold,
+      maxBucket)
   }
 
   private val screenArtifacts = scala.collection.mutable.Map
@@ -1713,11 +1752,12 @@ object Dedup {
     // the same sequential left-fold products (init 1.0, then identical
     // IEEE multiply chains — list init = first element, so prepend 1.0
     // is NOT needed: Spark's first step 1.0*x == x bitwise); pinned to
-    // numPerms=24, design points 0.3/0.5/0.7
+    // numPerms=16 (aligned with the q28/q312 tiers the card plans
+    // for), design points 0.3/0.5/0.7
     "q263_lsh_band_plan" ->
       """WITH pairs AS (
-        |  SELECT b, 24 // b AS r
-        |  FROM unnest([1, 2, 3, 4, 6, 8, 12, 24]) AS t(b)),
+        |  SELECT b, 16 // b AS r
+        |  FROM unnest([1, 2, 4, 8, 16]) AS t(b)),
         |scored AS (
         |  SELECT b, r,
         |    1.0::DOUBLE - list_reduce(list_transform(range(b), x ->

@@ -361,26 +361,24 @@ object Similarity {
     * once per (session, key) like the q162 bucketed tables and the
     * q194 near-dup base. Returns the vector table name; the sidecar
     * is `<name>_cents`. */
-  private val ivfIndexTables = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val ivfIndexTables =
+    new graft.Artifacts.KeyedMemo[(SparkSession, String), String]
   def materializedIvfIndex(s: SparkSession, embeddings: DataFrame,
       key: String, cells: Int = 16, iters: Int = 3): String =
-    ivfIndexTables.synchronized {
-      ivfIndexTables.getOrElseUpdate((s, key), {
-        val name = s"graft_ivf_${graft.Artifacts.digest(key)}"
-        val dir = graft.Artifacts.tempDir("graft_ivf_")
-        val emb = withNorm(embeddings).persist()
-        try {
-          val cents = kmeansCentroids(emb, cells, iters)
-          cents.write.option("path", s"$dir/cents").mode("overwrite")
-            .saveAsTable(name + "_cents")
-          emb.join(assignCells(emb, cents), "vec_id")
-            .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-            .write.partitionBy("cell")
-            .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
-        } finally emb.unpersist(false)
-        name
-      })
+    ivfIndexTables.getOrBuild((s, key)) {
+      val name = s"graft_ivf_${graft.Artifacts.digest(key)}"
+      val dir = graft.Artifacts.tempDir("graft_ivf_")
+      val emb = withNorm(embeddings).persist()
+      try {
+        val cents = kmeansCentroids(emb, cells, iters)
+        cents.write.option("path", s"$dir/cents").mode("overwrite")
+          .saveAsTable(name + "_cents")
+        emb.join(assignCells(emb, cents), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+          .write.partitionBy("cell")
+          .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
+      } finally emb.unpersist(false)
+      name
     }
 
   /** The AT-REST form of [[ivfPqTopK]]'s index — IVF cells AND the PQ
@@ -393,27 +391,25 @@ object Similarity {
     * sub, code) row per subspace, partitionBy(cell) so the ADC scan
     * partition-prunes exactly like the vector scan). Returns the base
     * vector-table name. */
-  private val ivfPqIndexTables = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val ivfPqIndexTables =
+    new graft.Artifacts.KeyedMemo[(SparkSession, String), String]
   def materializedIvfPqIndex(s: SparkSession, embeddings: DataFrame,
       key: String, cells: Int = 16, iters: Int = 3, m: Int = 8,
       ksub: Int = 16): String =
-    ivfPqIndexTables.synchronized {
-      ivfPqIndexTables.getOrElseUpdate((s, key), {
-        val table = materializedIvfIndex(s, embeddings, key, cells, iters)
-        val dir = graft.Artifacts.tempDir("graft_ivfpq_")
-        val cb = pqCodebooks(embeddings, m, ksub, iters)
-        cb.write.option("path", s"$dir/cb").mode("overwrite")
-          .saveAsTable(table + "_pq_cb")
-        val cellOf = s.table(table).select(col("vec_id"), col("cell"))
-        pqAssign(pqSubvectors(embeddings, m), cb)
-          .withColumnRenamed("cell", "code")
-          .join(cellOf, "vec_id")
-          .write.partitionBy("cell")
-          .option("path", s"$dir/codes").mode("overwrite")
-          .saveAsTable(table + "_pq_codes")
-        table
-      })
+    ivfPqIndexTables.getOrBuild((s, key)) {
+      val table = materializedIvfIndex(s, embeddings, key, cells, iters)
+      val dir = graft.Artifacts.tempDir("graft_ivfpq_")
+      val cb = pqCodebooks(embeddings, m, ksub, iters)
+      cb.write.option("path", s"$dir/cb").mode("overwrite")
+        .saveAsTable(table + "_pq_cb")
+      val cellOf = s.table(table).select(col("vec_id"), col("cell"))
+      pqAssign(pqSubvectors(embeddings, m), cb)
+        .withColumnRenamed("cell", "code")
+        .join(cellOf, "vec_id")
+        .write.partitionBy("cell")
+        .option("path", s"$dir/codes").mode("overwrite")
+        .saveAsTable(table + "_pq_codes")
+      table
     }
 
   /** IVF-PQ top-k served FROM the at-rest index — [[ivfPqTopK]] with
@@ -432,14 +428,32 @@ object Similarity {
   def ivfPqTopKServed(s: SparkSession, embeddings: DataFrame,
       key: String, nQueries: Int = 10, k: Int = 5, nprobe: Int = 3,
       cells: Int = 16, iters: Int = 3, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4): DataFrame =
+    ivfPqServeQueries(s,
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")),
+      embeddings, key, k, nprobe, cells, iters, m, ksub, rerank)
+
+  /** [[ivfPqTopKServed]] for an ARBITRARY (query_id, qv) frame — the
+    * per-micro-batch transform of the IVF-PQ serving STREAM (the
+    * q311 economics applied to unbounded query traffic): each batch
+    * probes the broadcast sidecar, partition-prunes the codes AND
+    * vector tables to its probed cells, ADC-ranks, exact-reranks.
+    * Stateless stream-static — no watermark; the artifact is the
+    * static side. q311 is exactly this with the vec_id < nQueries
+    * slice (bit-identical by construction), and StreamingSpec pins
+    * stream == q311's batch ranking with MemoryStream. */
+  def ivfPqServeQueries(s: SparkSession, queries0: DataFrame,
+      embeddings: DataFrame, key: String, k: Int = 5, nprobe: Int = 3,
+      cells: Int = 16, iters: Int = 3, m: Int = 8, ksub: Int = 16,
       rerank: Int = 4): DataFrame = {
     val table = materializedIvfPqIndex(s, embeddings, key, cells, iters,
       m, ksub)
     val cents = s.table(table + "_cents")
       .withColumn("cn", norm(col("centroid")))
-    val queries = withNorm(embeddings).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+    val queries = queries0
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
     val probed = ivfProbedCells(queries, cents, nprobe)
     val touched = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -456,7 +470,8 @@ object Similarity {
     val codes = pruned(s.table(table + "_pq_codes"))
       .select(col("vec_id"), col("sub"), col("code"))
     val qtable = pqSubvectors(
-        embeddings.filter(col("vec_id") < nQueries), m)
+        queries0.select(col("query_id").as("vec_id"),
+          col("qv").as("embedding")), m)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cb), "sub")
       .select(col("query_id"), col("sub"), col("cell").as("code"),
@@ -478,9 +493,7 @@ object Similarity {
     shortlist
       .join(scan.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv")), "neighbor_id")
-      .join(broadcast(embeddings.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"),
-          col("embedding").as("qv"))), "query_id")
+      .join(broadcast(queries0), "query_id")
       .select(col("query_id"), col("neighbor_id"), col("adist"),
         subDist2(col("nv"), transform(col("qv"),
           x => x.cast("double"))).as("d2"))
@@ -490,6 +503,23 @@ object Similarity {
         col("d2"), col("adist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Stream of query vectors → per-micro-batch [[ivfPqServeQueries]]
+    * into idempotent per-batch parquet — the IVF-PQ serving stream
+    * (q311's steady-state layout answering unbounded query
+    * traffic). */
+  def ivfPqServedStream(s: SparkSession, queryStream: DataFrame,
+      embeddings: DataFrame, key: String, path: String,
+      checkpoint: String, k: Int = 5, nprobe: Int = 3, cells: Int = 16,
+      iters: Int = 3, m: Int = 8, ksub: Int = 16, rerank: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.writeBatchIdempotent(
+          ivfPqServeQueries(s, batch, embeddings, key, k, nprobe,
+            cells, iters, m, ksub, rerank),
+          batchId, path))
 
   /** IVF top-k served FROM the at-rest index: queries rank the
     * sidecar centroids (a broadcast k×Dim model), pick their `nprobe`
@@ -694,18 +724,36 @@ object Similarity {
     val celled = assignCellsExact(emb, cents).join(emb, "vec_id")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    ivfExactServe(ivfExactProbe(queries, cents, nprobe),
+      celled.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding")), k)
+  }
+
+  /** The probe step of the exact-IVF family: rank the broadcast
+    * centroids per query by the fixed L2 fold, keep the `nprobe`
+    * nearest cells (ties to cell) — shared by the inline tier
+    * ([[ivfTopKExact]]) and the at-rest serving tier
+    * ([[ivfExactServeQueries]]) so the two cannot drift. */
+  private def ivfExactProbe(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("d2c"), col("cell"))
-    val probed = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
         subDist2(col("qv"), col("centroid")).as("d2c"))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  /** The serve step of the exact-IVF family: exact-rank the probed
+    * cells' candidates per query by the same L2 fold, ties to
+    * neighbor_id. */
+  private def ivfExactServe(probed: DataFrame, celled: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("neighbor_id"))
-    celled.select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding"))
+    celled
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -716,6 +764,84 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The AT-REST form of the EXACT quantizer's index — q205's
+    * materialization convention applied to [[kmeansCentroidsExact]]:
+    * the corpus written `partitionBy(cell)` under the decimal-exact
+    * cell assignment, the k×Dim exact centroids as a sidecar. Built
+    * once per (session, key); because the quantizer is
+    * oracle-replayable, everything SERVED from this layout stays
+    * hash-exact — the first at-rest ANN artifact with that
+    * property. */
+  private val ivfExactIndexTables =
+    new graft.Artifacts.KeyedMemo[(SparkSession, String), String]
+  def materializedIvfExactIndex(s: SparkSession, embeddings: DataFrame,
+      key: String, cells: Int = 8, iters: Int = 2): String =
+    ivfExactIndexTables.getOrBuild((s, key)) {
+      val name = s"graft_ivfx_${graft.Artifacts.digest(key)}"
+      val dir = graft.Artifacts.tempDir("graft_ivfx_")
+      val emb = embeddings.select(col("vec_id"), col("embedding"))
+        .persist()
+      try {
+        val cents = kmeansCentroidsExact(emb, cells, iters)
+        cents.write.option("path", s"$dir/cents").mode("overwrite")
+          .saveAsTable(name + "_cents")
+        assignCellsExact(emb, cents).join(emb, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+          .write.partitionBy("cell")
+          .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
+      } finally emb.unpersist(false)
+      name
+    }
+
+  /** Serve an ARBITRARY (query_id, qv) frame from the at-rest exact
+    * index — the STREAMING-ANN-SERVING twin's per-micro-batch
+    * transform (stream-static, stateless: each batch of query vectors
+    * probes the broadcast sidecar, turns its probed cells into a
+    * static partition filter, and exact-ranks the pruned scan). Same
+    * arithmetic as [[ivfTopKExact]]'s probe+serve end to end, so the
+    * result is bit-identical to the inline tier on the same queries
+    * (spec-pinned) AND hash-exact against the unrolled-Lloyd oracle —
+    * the first driver-checked ANN SERVING tier. At 100 TB each batch
+    * reads O(probed cells) of the corpus; the quantizer cost is
+    * amortized into the table layout (the q311 economics with q313's
+    * auditability). */
+  def ivfExactServeQueries(s: SparkSession, queries: DataFrame,
+      embeddings: DataFrame, key: String, k: Int = 5, nprobe: Int = 2,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
+    val table = materializedIvfExactIndex(s, embeddings, key, cells,
+      iters)
+    val cents = s.table(table + "_cents")
+    val probed = ivfExactProbe(queries, cents, nprobe)
+    val touched = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan =
+      if (touched.isEmpty) s.table(table).filter(lit(false))
+      else s.table(table)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+    ivfExactServe(probed,
+      scan.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding")), k)
+  }
+
+  /** Stream of query vectors → per-micro-batch
+    * [[ivfExactServeQueries]] into idempotent per-batch parquet (the
+    * q83/q145 stream-twin convention: the SAME transform runs batch
+    * and stream; StreamingSpec pins stream == batch with
+    * MemoryStream). Stateless — no watermark needed; the artifact is
+    * the static side Spark re-plans per batch. */
+  def ivfExactServedStream(s: SparkSession, queryStream: DataFrame,
+      embeddings: DataFrame, key: String, path: String,
+      checkpoint: String, k: Int = 5, nprobe: Int = 2, cells: Int = 8,
+      iters: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.writeBatchIdempotent(
+          ivfExactServeQueries(s, batch, embeddings, key, k, nprobe,
+            cells, iters),
+          batchId, path))
 
   /** Per-label embedding centroids (class prototypes — the reduction
     * behind nearest-class-mean classification, IVF cell refresh, and
@@ -1100,7 +1226,32 @@ object Similarity {
     * the iteration lineage. Seeds are the first ksub vectors' slices
     * (deterministic). */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    pqTrain(embeddings, m, ksub, iters, avg(col("x")))
+
+  /** ORACLE-REPLAYABLE PQ codebooks — q313's decimal-Lloyd device
+    * applied PER SUBSPACE (the round-12 verdict's last
+    * k-means-dependent rows-only family, closed): identical rounds to
+    * [[pqCodebooks]] (same seeds, same fixed-fold L2 argmin with ties
+    * to the smallest cell) but re-centered through the q139
+    * shortest-decimal device (float → VARCHAR → DECIMAL(18,12) sums,
+    * order-independent, ONE correctly-rounded double division), so
+    * every round's m×ksub centroids — and therefore every code —
+    * replay bit-for-bit in DuckDB as unrolled CTEs. [[pqCodebooks]]'
+    * float mean keeps the production role (cheaper, partial-aggregates
+    * without the decimal detour); THIS tier is the auditable one. */
+  def pqCodebooksExact(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3): DataFrame =
+    pqTrain(embeddings, m, ksub, iters,
+      sum(col("x").cast("string").cast("decimal(18,12)"))
+        .cast("string").cast("double") / count(lit(1)))
+
+  /** The Lloyd rounds shared by [[pqCodebooks]] (float `avg` mean)
+    * and [[pqCodebooksExact]] (q139 decimal mean) — only the
+    * re-center aggregate differs, so the two tiers cannot drift in
+    * seeding, assignment or round structure. */
+  private def pqTrain(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int, mean: Column): DataFrame = {
     val spark = embeddings.sparkSession
     val subs = pqSubvectors(embeddings, m).persist()
     var cb = subs.filter(col("vec_id") < ksub)
@@ -1111,7 +1262,7 @@ object Similarity {
         .select(col("sub"), col("cell"),
           posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("x")).as("mv"))
+        .agg(mean.as("mv"))
         .groupBy(col("sub"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
           .as("pm"))
@@ -1136,15 +1287,26 @@ object Similarity {
     * the searchable index, and the raw vectors page in only for
     * reranking. */
   def pqCodes(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 3): DataFrame = {
-    val cb = pqCodebooks(embeddings, m, ksub, iters)
+      iters: Int = 3): DataFrame =
+    pqCodesWith(pqCodebooks(embeddings, m, ksub, iters), embeddings, m)
+
+  /** [[pqCodes]] over the [[pqCodebooksExact]] quantizer — HASH-EXACT
+    * against the oracle's unrolled per-subspace Lloyd CTEs: the PQ
+    * ENCODING tier leaves rows-only (the q313/q314 precedent for the
+    * last k-means-dependent family). */
+  def pqCodesExact(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3): DataFrame =
+    pqCodesWith(pqCodebooksExact(embeddings, m, ksub, iters),
+      embeddings, m)
+
+  private def pqCodesWith(cb: DataFrame, embeddings: DataFrame,
+      m: Int): DataFrame =
     pqAssign(pqSubvectors(embeddings, m), cb)
       .groupBy(col("vec_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell").cast("string")), ",").as("codes"))
       .orderBy(col("vec_id"))
-  }
 
   /** Asymmetric-distance (ADC) top-k with exact rerank: each query
     * precomputes an m × ksub distance TABLE against the codebook
@@ -1158,8 +1320,23 @@ object Similarity {
     * (q127 pattern); ties and the final order break on neighbor_id. */
   def pqAdcTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       m: Int = 8, ksub: Int = 16, iters: Int = 3,
-      rerank: Int = 4): DataFrame = {
-    val cb = pqCodebooks(embeddings, m, ksub, iters)
+      rerank: Int = 4): DataFrame =
+    pqAdcTopKWith(pqCodebooks(embeddings, m, ksub, iters), embeddings,
+      nQueries, k, m, rerank)
+
+  /** [[pqAdcTopK]] over the [[pqCodebooksExact]] quantizer —
+    * HASH-EXACT: the distance TABLES, the sub-sorted ADC fold, the
+    * shortlist ranking and the exact rerank all replay in SQL over
+    * the oracle's decimal codebooks, taking the FAISS ADC serving
+    * shape itself out of rows-only. */
+  def pqAdcTopKExact(embeddings: DataFrame, nQueries: Int = 10,
+      k: Int = 5, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerank: Int = 4): DataFrame =
+    pqAdcTopKWith(pqCodebooksExact(embeddings, m, ksub, iters),
+      embeddings, nQueries, k, m, rerank)
+
+  private def pqAdcTopKWith(cb: DataFrame, embeddings: DataFrame,
+      nQueries: Int, k: Int, m: Int, rerank: Int): DataFrame = {
     val codes = pqAssign(pqSubvectors(embeddings, m), cb)
     val table = pqSubvectors(
         embeddings.filter(col("vec_id") < nQueries), m)
@@ -1690,6 +1867,68 @@ object Similarity {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Corpus-size-aware band WIDTH for the sign-LSH tiers — the
+    * round-12 embedding-growth trial's measured sizing rule as CODE
+    * (it lived only in Scaladoc before): with `bands` bands of w sign
+    * bits over n vectors, random-background collisions alone
+    * contribute ~bands·n²/2^w candidate pairs, so keeping background
+    * work LINEAR in the corpus (≤ `budgetPerRow`·n candidates) needs
+    * 2^w ≥ bands·n/budgetPerRow. Returns the smallest such w in
+    * [4, 32] — the comparison is integer-exact in doubles (2^w and
+    * bands·n both well under 2^53), so an oracle scanning the same
+    * range picks the identical width and an auto-sized tier stays
+    * hash-exact. 10× the corpus ⇒ wider bands (spec-pinned): the
+    * (b, r) re-tune MinHash deployments apply with corpus growth,
+    * made automatic — at the default 8-bit bands a 10× corpus goes
+    * collision-dominated silently (3.7M background candidates in the
+    * trial's n=20k cell), which is exactly the failure this rule
+    * exists to prevent at 100 TB. */
+  def signBandWidth(n: Long, bands: Int = 4,
+      budgetPerRow: Double = 1.0): Int =
+    (4 to 32).find(w =>
+      math.pow(2.0, w) >= bands.toDouble * n / budgetPerRow)
+      .getOrElse(32)
+
+  /** [[portableRpPairs]] AUTO-SIZED: band width from [[signBandWidth]]
+    * over the corpus count, so the tier keeps its background candidate
+    * volume linear at ANY corpus size instead of trusting a fixed
+    * 8-bit default that the round-12 trial measured going
+    * collision-dominated at 10×. Still hash-exact: the oracle derives
+    * the SAME width from count(*) with the same integer-exact scan,
+    * then replays the md5 planes, banding, cap and verification —
+    * the first driver-checked tier whose own parameters are
+    * data-derived. `knownCount` skips the count job when the caller
+    * already has it (a catalog row count at 100 TB). */
+  def portableRpPairsAuto(embeddings: DataFrame,
+      threshold: Double = 0.45, bands: Int = 4, maxBucket: Int = 10000,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(embeddings.count())
+    portableRpPairs(embeddings, threshold,
+      nPlanes = bands * signBandWidth(n, bands), bands, maxBucket)
+  }
+
+  /** [[rpLshPairs]] (seeded-gaussian planes) auto-sized the same way —
+    * the production near-dup pair tier with the sizing knob WIRED. */
+  def rpLshPairsAuto(embeddings: DataFrame, threshold: Double = 0.45,
+      bands: Int = 4, maxBucket: Int = 10000,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(embeddings.count())
+    rpLshPairs(embeddings, threshold,
+      nPlanes = bands * signBandWidth(n, bands), bands, maxBucket)
+  }
+
+  /** [[embeddingSplitLeakageLsh]] with [[signBandWidth]]-sized bands —
+    * q310's production path with the corpus-size knob wired: the
+    * grown corpus that degraded the fixed default in the round-12
+    * trial now selects 16-bit+ bands automatically. */
+  def embeddingSplitLeakageLshAuto(emb: DataFrame,
+      threshold: Double = 0.45, bands: Int = 4,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.count())
+    embeddingSplitLeakageLsh(emb, threshold,
+      nPlanes = bands * signBandWidth(n, bands), bands)
+  }
+
   /** The SCALE tier of [[embeddingSplitLeakage]] — the same
     * cross-split rollup over [[rpLshPairs]]' banded candidate edges
     * instead of the brute-force pair join (the q196 edge-swap made
@@ -2102,6 +2341,30 @@ object Similarity {
     // RP family)
     "q315_portable_rp_pairs" ->
       ((s, d) => portableRpPairs(Tables(s, d).embeddings)),
+    // ORACLE-REPLAYABLE PQ: per-subspace decimal-Lloyd codebooks —
+    // the encoding and the ADC serving shape hash-checked end to end
+    "q316_pq_codes_exact" ->
+      ((s, d) => pqCodesExact(Tables(s, d).embeddings)),
+    "q317_pq_adc_exact" ->
+      ((s, d) => pqAdcTopKExact(Tables(s, d).embeddings)),
+    // AUTO-SIZED portable sign-LSH: band width derived from count(*)
+    // by the same integer-exact rule on both engines — the round-12
+    // sizing finding as driver-checked library behavior
+    "q318_rp_pairs_auto" ->
+      ((s, d) => portableRpPairsAuto(Tables(s, d).embeddings)),
+    // ANN SERVING from the at-rest EXACT index: probe + partition
+    // prune + serve for a query stream's batch twin (vec_id % 50 = 7
+    // — a DIFFERENT slice than q313's, so the artifact is exercised
+    // on queries the build never saw)
+    "q319_ivf_exact_served" ->
+      ((s, d) => {
+        val emb = Tables(s, d).embeddings
+        ivfExactServeQueries(s,
+          emb.filter(col("vec_id") % 50 === 7)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qv")),
+          emb, key = d)
+      }),
     // the AT-REST index tier of q34: the table is built once per
     // (session, sfDir) and the query serves from the pruned scan
     "q205_ivf_materialized" -> ((s, d) =>
@@ -2220,8 +2483,14 @@ object Similarity {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** `queryPredSql` selects the query slice (q313: the first
+    * `nQueries` ids; q319: a disjoint modulo slice served from the
+    * at-rest artifact — same CTE chain, so the two cannot drift). */
   private def ivfExactOracle(nQueries: Int, k: Int, nprobe: Int,
-      cells: Int, iters: Int): String = {
+      cells: Int, iters: Int, queryPredSql: String = ""): String = {
+    val pred =
+      if (queryPredSql.nonEmpty) queryPredSql
+      else s"q.vec_id < $nQueries"
     s"""WITH ${exactKmeansCtes(cells, iters)},
        |probe AS (
        |  SELECT query_id, cell FROM (
@@ -2229,7 +2498,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${l2Sql("q.embedding", "c.cvec", Dim)}, c.cell)
        |        AS rn
-       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $nQueries)
+       |    FROM e q CROSS JOIN c$iters c WHERE $pred)
        |  WHERE rn <= $nprobe),
        |serve AS (
        |  SELECT p.query_id, n.vec_id AS neighbor_id,
@@ -2247,6 +2516,160 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The [[pqCodebooksExact]] pipeline as a CTE chain — the
+    * per-subspace form of [[exactKmeansCtes]]: `sv` (the long
+    * subvector layout), seeds `pc0` (the first `ksub` vectors'
+    * slices, double-cast), `iters` unrolled Lloyd rounds (per-
+    * (vec, sub) L2-argmin assignment pa_r over a `dsub`-term fixed
+    * fold + q139 decimal re-center pc_r keyed (sub, cell, pos)),
+    * ending in the FINAL assignment `paf`. Shared by the q316 and
+    * q317 oracles so the two cannot drift. */
+  private def exactPqCtes(m: Int, ksub: Int, iters: Int): String = {
+    val dsub = Dim / m
+    def assign(name: String, cen: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT s.vec_id, s.sub, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${l2Sql("s.sv", "c.cvec", dsub)}, c.cell)
+         |        AS rn
+         |    FROM sv s JOIN $cen c ON c.sub = s.sub) WHERE rn = 1)"""
+        .stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assign(s"pa$r", s"pc${r - 1}")},
+         |pc$r AS (
+         |  SELECT sub, cell, list(mv ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, cell, pos,
+         |      CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,12)))
+         |        AS VARCHAR) AS DOUBLE) / count(*) AS mv
+         |    FROM (SELECT a.sub, a.cell, CAST(i - 1 AS INTEGER) AS pos,
+         |            sx.sv[i] AS x
+         |          FROM (SELECT vec_id, sub, sv,
+         |                  unnest(range(1, len(sv) + 1)) AS i
+         |                FROM sv) sx
+         |          JOIN pa$r a ON a.vec_id = sx.vec_id
+         |            AND a.sub = sx.sub)
+         |    GROUP BY sub, cell, pos)
+         |  GROUP BY sub, cell)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(s AS INTEGER) AS sub,
+       |    embedding[CAST(s AS INTEGER) * $dsub + 1 :
+       |              CAST(s AS INTEGER) * $dsub + $dsub] AS sv
+       |  FROM e, (SELECT unnest(range($m)) AS s)),
+       |pc0 AS (
+       |  SELECT sub, CAST(vec_id AS INTEGER) AS cell,
+       |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM sv WHERE vec_id < $ksub),
+       |$rounds,
+       |${assign("paf", s"pc$iters")}""".stripMargin
+  }
+
+  /** q316's DuckDB twin: the final per-subspace assignments rolled up
+    * to the sub-ordered code word per vector. */
+  private def pqCodesExactOracle(m: Int, ksub: Int, iters: Int): String =
+    s"""WITH ${exactPqCtes(m, ksub, iters)}
+       |SELECT vec_id,
+       |  string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes
+       |FROM paf GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** q317's DuckDB twin: per-query m×ksub ADC distance tables against
+    * the exact codebooks (the same `dsub`-term L2 fold), the
+    * sub-sorted 0.0-seeded ADC sum (list_reduce over list_prepend —
+    * the identical IEEE add chain to Spark's sub-sorted aggregate),
+    * the `rerank·k` shortlist by (adist, neighbor_id), and the exact
+    * full-dimension rerank — the whole FAISS ADC serving shape in
+    * SQL. */
+  private def pqAdcExactOracle(nQueries: Int, k: Int, m: Int, ksub: Int,
+      iters: Int, rerank: Int): String = {
+    val dsub = Dim / m
+    s"""WITH ${exactPqCtes(m, ksub, iters)},
+       |qt AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.cell,
+       |    ${l2Sql("s.sv", "c.cvec", dsub)} AS d2
+       |  FROM sv s JOIN pc$iters c ON c.sub = s.sub
+       |  WHERE s.vec_id < $nQueries),
+       |sl AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS arank
+       |  FROM (
+       |    SELECT qt.query_id, pf.vec_id AS neighbor_id,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(qt.d2 ORDER BY qt.sub)), (a, b) -> a + b) AS adist
+       |    FROM paf pf
+       |    JOIN qt ON qt.sub = pf.sub AND qt.cell = pf.cell
+       |    WHERE pf.vec_id <> qt.query_id
+       |    GROUP BY qt.query_id, pf.vec_id))
+       |SELECT query_id, rank, neighbor_id, d2, adist FROM (
+       |  SELECT s.query_id, s.neighbor_id, s.adist,
+       |    ${l2ffSql("n.embedding", "q.embedding")} AS d2,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${l2ffSql("n.embedding", "q.embedding")},
+       |        s.neighbor_id) AS rank
+       |  FROM sl s
+       |  JOIN e n ON n.vec_id = s.neighbor_id
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  WHERE s.arank <= ${k * rerank}) t
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q318's DuckDB twin — [[portableRpOracle]] with the band width
+    * DERIVED from count(*) by the same integer-exact scan as
+    * [[signBandWidth]] (2^w and bands·n both exact in doubles, so the
+    * two engines pick the identical width), then the identical md5
+    * planes / banding / cap / verification with every occurrence of
+    * the width stated as a scalar subquery on `w`. */
+  private def portableRpAutoOracle(bands: Int, threshold: Double,
+      maxBucket: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |w AS (SELECT COALESCE(CAST(min(ww) AS INTEGER), 32) AS w
+       |      FROM (SELECT unnest(range(4, 33)) AS ww), nn
+       |      WHERE power(2.0, ww) >= $bands * nn.n),
+       |pl AS (
+       |  SELECT CAST(p AS INTEGER) AS p,
+       |    list_transform(range($Dim), c ->
+       |      CAST('0x' || substr(md5('rp:' || CAST(p AS VARCHAR)
+       |          || ':' || CAST(c AS VARCHAR)), 1, 8) AS BIGINT)
+       |        / 4294967296.0 - 0.5) AS coord
+       |  FROM (SELECT unnest(range($bands * (SELECT w FROM w))) AS p)),
+       |sg AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CASE WHEN list_reduce(
+       |      list_transform(range($Dim), i ->
+       |        CAST(e.embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+       |          * pl.coord[CAST(i AS INTEGER) + 1]),
+       |      (a, b) -> a + b) > 0 THEN '1' ELSE '0' END AS s
+       |  FROM e CROSS JOIN pl),
+       |sig AS (
+       |  SELECT vec_id, string_agg(s, '' ORDER BY p) AS sig
+       |  FROM sg GROUP BY vec_id),
+       |bd AS (
+       |  SELECT vec_id, CAST(bb AS INTEGER) AS band,
+       |    substr(sig, CAST(bb AS INTEGER) * (SELECT w FROM w) + 1,
+       |      (SELECT w FROM w)) AS bk
+       |  FROM sig, (SELECT unnest(range($bands)) AS bb)),
+       |ok AS (
+       |  SELECT band, bk FROM bd GROUP BY band, bk
+       |  HAVING count(*) <= $maxBucket),
+       |kb AS (
+       |  SELECT bd2.vec_id, bd2.band, bd2.bk
+       |  FROM bd bd2 JOIN ok USING (band, bk)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+       |  FROM kb x JOIN kb y
+       |    ON x.band = y.band AND x.bk = y.bk
+       |    AND x.vec_id < y.vec_id)
+       |SELECT cand.d1, cand.d2, ${simSql("a", "b")} AS sim
+       |FROM cand
+       |JOIN e a ON a.vec_id = cand.d1
+       |JOIN e b ON b.vec_id = cand.d2
+       |WHERE ${simSql("a", "b")} >= $threshold
+       |ORDER BY d1, d2""".stripMargin
 
   /** The q146 assignment (decimal-exact centroids + argmin) as one
     * shared CTE chain ending in `assign` — q146 states it directly,
@@ -2653,6 +3076,25 @@ object Similarity {
     // exact-cosine verify. Pinned to nPlanes=32, bands=4,
     // threshold=0.45, maxBucket=10000.
     "q315_portable_rp_pairs" -> portableRpOracle(32, 4, 0.45, 10000),
+    // the per-subspace unrolled decimal-Lloyd chain + sub-ordered code
+    // words — pinned to m=8, ksub=16, iters=3 (the production
+    // defaults, so the exact tier audits the exact configuration
+    // q160/q161 run)
+    "q316_pq_codes_exact" -> pqCodesExactOracle(8, 16, 3),
+    // + ADC distance tables, the sub-sorted 0.0-seeded fold, the
+    // shortlist and the exact rerank — pinned to nQueries=10, k=5,
+    // m=8, ksub=16, iters=3, rerank=4
+    "q317_pq_adc_exact" -> pqAdcExactOracle(10, 5, 8, 16, 3, 4),
+    // q315's pipeline with the band width derived from count(*) IN
+    // SQL by the same integer-exact scan as signBandWidth — pinned to
+    // bands=4, threshold=0.45, maxBucket=10000, budgetPerRow=1
+    "q318_rp_pairs_auto" -> portableRpAutoOracle(4, 0.45, 10000),
+    // the q313 CTE chain serving the DISJOINT query slice
+    // vec_id % 50 = 7 — what the at-rest artifact answers must equal
+    // what the inline pipeline answers (partition pruning only
+    // removes unprobed cells)
+    "q319_ivf_exact_served" ->
+      ivfExactOracle(0, 5, 2, 8, 2, "q.vec_id % 50 = 7"),
     // the same exact-k-means CTE chain (shared generator — the two
     // oracles cannot drift) + intra-cell exact-cosine pairs + the
     // q136 recursive transitive closure + component-minimum reps;

@@ -92,7 +92,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q252_epoch_schedule", "q267_type_growth", "q279_rolling_active",
     "q287_concentration_card", "q288_cluster_separation",
     "q289_zipf_profile", "q303_memorization_spectrum",
-    "q64_sales_opportunity", "q31_cosine_topk")
+    "q64_sales_opportunity", "q31_cosine_topk",
+    // (c) crossJoin(broadcast(model-sized)) Cross BNLJs whose
+    //     rendered condition is a pushed isnotnull(...) residual on
+    //     the shard/epoch arithmetic — the r12 ADVICE regex fix made
+    //     these VISIBLE (the old ', (' heuristic classified them as
+    //     bare Cross); reviewed: every build side is the #shards-/
+    //     |sources|-row offset or allocation relation already
+    //     documented in bnljCrossOk
+    "q67_token_batches", "q149_global_row_ids", "q168_epoch_mixture",
+    "q187_epoch_build", "q207_lang_epoch_mixture",
+    "q225_packing_efficiency", "q229_waterfill_sample")
 
   // bare-Cross BNLJs (no join condition) — the explicit
   // `crossJoin(broadcast(model-sized))` idiom: 1-row cards/totals,
@@ -120,7 +130,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q302_ivfpq_topk", "q303_memorization_spectrum",
     "q308_windowed_pmi", "q311_ivfpq_served", "q313_ivf_exact_topk",
     "q34_ann_ivf", "q67_token_batches", "q88_price_histogram",
-    "q94_funnel", "q314_semdedup_exact")
+    "q94_funnel", "q314_semdedup_exact",
+    // q319's probe crossJoins the broadcast cells×Dim centroid
+    // sidecar against the k-row query slice (q313's probe shape,
+    // served from the artifact)
+    "q319_ivf_exact_served")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross

@@ -942,4 +942,148 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(4) >= 0.0)
     }
   }
+
+  test("signBandWidth: a grown corpus selects strictly wider bands; " +
+      "the auto-sized portable tier stays subset-of-exact and catches " +
+      "planted twins") {
+    // the sizing rule at the trial's own corpus sizes (sf0.01 = 500,
+    // sf0.1 = 2000, the 10x trial cell = 20000)
+    assert(Similarity.signBandWidth(500) == 11) // 2^11 >= 4*500
+    assert(Similarity.signBandWidth(2000) == 13)
+    assert(Similarity.signBandWidth(20000) == 17)
+    // 10x the corpus -> wider bands, across the whole trial range:
+    // the round-12 finding (fixed 8-bit bands go collision-dominated
+    // at 10x) as library behavior
+    Seq(500L, 2000L, 20000L, 200000L).foreach { n =>
+      assert(Similarity.signBandWidth(10 * n) >
+        Similarity.signBandWidth(n), s"n=$n")
+    }
+    // a 16x background budget buys exactly 4 bits back
+    assert(Similarity.signBandWidth(20000, budgetPerRow = 16.0) ==
+      Similarity.signBandWidth(20000) - 4)
+    // clamps: tiny corpora floor at 4 bits, astronomical ones cap at 32
+    assert(Similarity.signBandWidth(1) == 4)
+    assert(Similarity.signBandWidth(Long.MaxValue / 8) == 32)
+
+    // the auto tier is [[portableRpPairs]] at the derived width:
+    // subset-of-exact with identical sims (every emitted pair is
+    // verified), and an identical planted twin agrees on every sign
+    // at ANY width so it always pairs at sim exactly 1.0
+    val exact = Similarity.similarPairs(t.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val auto = Similarity.portableRpPairsAuto(t.embeddings)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    auto.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s), s"non-exact pair $k")
+    }
+    val twin = t.embeddings.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(777777L))
+    val p2 = Similarity.portableRpPairsAuto(t.embeddings.union(twin))
+      .filter(col("d1") === 7 && col("d2") === 777777L).collect()
+    assert(p2.length == 1 && p2.head.getDouble(2) == 1.0)
+    // knownCount (the 100 TB catalog shortcut) changes nothing
+    val n = t.embeddings.count()
+    val k2 = Similarity
+      .portableRpPairsAuto(t.embeddings, knownCount = Some(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2 == auto.keySet)
+    // the gaussian production tier takes the same wired knob and
+    // still catches the planted twin at the auto-derived width
+    val gauss = Similarity.rpLshPairsAuto(t.embeddings.union(twin))
+      .filter(col("d1") === 7 && col("d2") === 777777L).collect()
+    assert(gauss.length == 1 && gauss.head.getDouble(2) == 1.0)
+  }
+
+  test("pqCodesExact/pqAdcTopKExact: planted twin at rank 1 with " +
+      "distance 0; agrees with the production float tier on this " +
+      "corpus (data-fixed canary)") {
+    // the exact tier keeps pqCodes' contract: 8 codes in [0, 16)
+    val codes = Similarity.pqCodesExact(t.embeddings)
+      .as[(Long, String)].collect()
+    assert(codes.length == t.embeddings.count())
+    codes.foreach { case (_, cs) =>
+      val parts = cs.split(",")
+      assert(parts.length == 8)
+      parts.foreach(p => assert(p.toInt >= 0 && p.toInt < 16))
+    }
+    // decimal-vs-float re-centering differs only in ulps, which never
+    // flips an argmin on THIS corpus: the exact tier reproduces the
+    // production tier bit-for-bit here (a data-fixed canary — codes
+    // drift would mean a structural change, not an ulp)
+    val prod = Similarity.pqCodes(t.embeddings)
+      .as[(Long, String)].collect()
+    assert(codes.toSeq == prod.toSeq)
+    // same for the served ranking: identical (query, rank, neighbor)
+    // triples, and d2 comes from raw vectors so it matches exactly
+    val adcExact = Similarity.pqAdcTopKExact(t.embeddings)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val adcProd = Similarity.pqAdcTopK(t.embeddings)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(adcExact.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      adcProd.map(r => (r._1, r._2, r._3, r._4)).toSeq)
+    // the q161 planted device on the exact tier: a twin of query 3
+    // shares its codes, attains the minimal ADC sum, and exact rerank
+    // pins it at rank 1 with distance exactly 0
+    val twin = t.embeddings.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(888888L))
+    val res = Similarity
+      .pqAdcTopKExact(t.embeddings.union(twin), nQueries = 5)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    val q3 = res.filter(_._1 == 3L)
+    val twinRow = q3.find(_._3 == 888888L)
+    assert(twinRow.nonEmpty, "twin missing from q3's top-k")
+    assert(twinRow.get._2 == 1 && twinRow.get._4 == 0.0)
+    assert(twinRow.get._5 == q3.map(_._5).min)
+  }
+
+  test("ivfExactServeQueries: the at-rest artifact answers exactly " +
+      "what the inline exact pipeline answers, from partition-pruned " +
+      "scans") {
+    val key = s"ivfxserve_${System.nanoTime()}"
+    // same query slice as q313's inline tier -> bit-identical rows
+    // (the artifact changes WHERE the vectors are read, not one bit
+    // of the arithmetic)
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = Similarity
+      .ivfExactServeQueries(spark, queries, t.embeddings, key)
+      .collect()
+    val inline = Similarity.ivfTopKExact(t.embeddings).collect()
+    assert(served.toSeq == inline.toSeq)
+    assert(served.nonEmpty)
+    // a disjoint query slice (q319's registered shape) is well-formed
+    val mod = t.embeddings.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dis = Similarity
+      .ivfExactServeQueries(spark, mod, t.embeddings, key)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(dis.nonEmpty)
+    dis.groupBy(_._1).foreach { case (q, rows) =>
+      assert(q % 50 == 7)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      val d2s = rows.sortBy(_._2).map(_._4)
+      assert(d2s.toSeq == d2s.sorted.toSeq, s"q$q d2 not monotone")
+    }
+    // the vector scan carries a static cell partition filter — the
+    // serving cost is bounded by the probed cells (q205 convention)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val df = Similarity.ivfExactServeQueries(spark, queries,
+      t.embeddings, key)
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(s => s.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(scans.nonEmpty, "no partitioned artifact scan in the plan")
+    scans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("cell"),
+        s.metadata("PartitionFilters"))
+    }
+  }
 }

@@ -692,6 +692,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed == Set(11L))
   }
 
+  test("ANN serving stream (exact index): micro-batched query vectors " +
+      "served from the at-rest artifact equal the inline batch tier") {
+    implicit val sc = spark.sqlContext
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val key = s"ivfxstream_${System.nanoTime()}"
+    val qvecs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_annout").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_annckpt").toString
+    val q = graft.operators.Similarity.ivfExactServedStream(spark,
+      mem.toDF().toDF("query_id", "qv"), emb, key, outDir, ckpt)
+      .start()
+    // two micro-batches: the artifact is static, each batch stateless
+    mem.addData(qvecs.take(5).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(5).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "neighbor_id", "d2")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // q313's inline pipeline over the same query slice: the stream
+    // must answer exactly what the batch tier answers, bit for bit
+    val batch = graft.operators.Similarity.ivfTopKExact(emb)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("ANN serving stream (IVF-PQ artifact): micro-batched queries " +
+      "reproduce q311's batch ranking") {
+    implicit val sc = spark.sqlContext
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val key = s"ivfpqstream_${System.nanoTime()}"
+    val qvecs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_pqout").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pqckpt").toString
+    val q = graft.operators.Similarity.ivfPqServedStream(spark,
+      mem.toDF().toDF("query_id", "qv"), emb, key, outDir, ckpt)
+      .start()
+    mem.addData(qvecs.take(3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "neighbor_id", "d2", "adist")
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    val batch = graft.operators.Similarity
+      .ivfPqTopKServed(spark, emb, key)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("file-source stream with checkpoint: AvailableNow equals batch") {
     // events.parquet stores ts as TIMESTAMP(MICROS) without UTC
     // adjustment; declare it NTZ and cast to the session-TZ

@@ -658,7 +658,14 @@ class TextDedupSpec extends AnyFunSuite {
     val card = Dedup.lshBandPlan(spark).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
-    assert(card.map(c => c._1 * c._2).forall(_ == 24))
+    assert(card.map(c => c._1 * c._2).forall(_ == 16))
+    // the pure-driver selection rule IS the planner's chosen row —
+    // the tier-facing lshBandChoice and the card cannot drift
+    val drv = Dedup.lshBandChoice(16, 0.3, 0.7)
+    assert(card.filter(_._7).map(c => (c._1, c._2)).toSeq == Seq(drv))
+    // and the chosen split at the defaults is the (4, 4) banding the
+    // q312 portable tier hardcodes — planner and tier aligned
+    assert(drv == (4, 4))
     // independent driver-side fold with the SAME association order
     def p(j: Double, b: Int, r: Int): Double = {
       var jr = 1.0; (1 to r).foreach(_ => jr *= j)
@@ -689,6 +696,29 @@ class TextDedupSpec extends AnyFunSuite {
     val shared = Dedup.minhashDedup(clones)
       .filter(col("d1") === 0 && col("d2") === 1)
     assert(shared.count() == 1, "clones must band-collide")
+  }
+
+  test("portableMinhashPairsPlanned: the tier ACCEPTS the planner's " +
+      "chosen row — bit-identical to the hardcoded (4, 4) banding at " +
+      "the defaults, and planted clones still pair") {
+    // lshBandChoice(16, 0.3, 0.7) lands on (4, 4) — the exact split
+    // q312 hardcodes — so planner-driven and fixed tiers coincide
+    // bit for bit on any corpus at the defaults
+    val docs = Tables(spark, sf).documents
+    val planned = Dedup.portableMinhashPairsPlanned(docs).collect()
+    val fixed = Dedup.portableMinhashPairs(docs).collect()
+    assert(planned.toSeq == fixed.toSeq)
+    // planted clones band-collide and verify at jaccard 1.0 through
+    // the planned route
+    val clones = Seq((0L, "a b c d e f g h i j", "en", "s"),
+      (1L, "a b c d e f g h i j", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.portableMinhashPairsPlanned(clones).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L &&
+      got.head.getLong(1) == 1L && got.head.getDouble(2) == 1.0)
+    // a re-tuned numPerms re-plans the banding instead of keeping a
+    // stale split: 8 perms at the same design points chooses (4, 2)
+    assert(Dedup.lshBandChoice(8, 0.3, 0.7) == ((4, 2)))
   }
 
   test("packBoundaries: slots tile the window without overlap, every " +
