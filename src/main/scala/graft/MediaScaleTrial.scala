@@ -181,7 +181,14 @@ object MediaScaleTrial {
     * resolves). */
   def buildDense(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
-    if (new java.io.File(s"$outDir/_MEDIA_SUCCESS").exists()) return
+    if (new java.io.File(s"$outDir/_MEDIA_SUCCESS").exists()) {
+      // idempotent re-entry still has to point the session at the
+      // PRE-BUILT media table, or materializedMedia would regenerate
+      // unperturbed media from the copied documents
+      Multimodal.registerMediaPath(spark, outDir,
+        s"$outDir/media.parquet")
+      return
+    }
     copyTables(spark, baseDir, outDir)
     val media = Multimodal.materializedMedia(spark, baseDir)
     val span = media.agg(max(col("media_id"))).head.getLong(0) + 1
@@ -207,7 +214,11 @@ object MediaScaleTrial {
     * doc ids — unrelated content, background-only collisions. */
   def buildSparse(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
-    if (new java.io.File(s"$outDir/_MEDIA_SUCCESS").exists()) return
+    if (new java.io.File(s"$outDir/_MEDIA_SUCCESS").exists()) {
+      Multimodal.registerMediaPath(spark, outDir,
+        s"$outDir/media.parquet")
+      return
+    }
     copyTables(spark, baseDir, outDir)
     val docs = Tables(spark, baseDir).documents
     val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
