@@ -1381,6 +1381,10 @@ object Dedup {
     // SQL-replayable band buckets (cap mirrored in the oracle)
     "q312_portable_minhash_pairs" ->
       ((s, d) => portableMinhashPairs(Tables(s, d).documents)),
+    // the same tier with (bands, rows) ACCEPTED from the q263
+    // planner's chosen row instead of hardcoded
+    "q321_minhash_planned" ->
+      ((s, d) => portableMinhashPairsPlanned(Tables(s, d).documents)),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1617,6 +1621,50 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** The portable MinHash-LSH pipeline in SQL (see the q312 oracle
+    * comment) — ONE literal shared by the fixed-banding (q312) and
+    * planner-driven (q321) tiers, which are the same pipeline by the
+    * spec-pinned lshBandChoice ≡ (4, 4) identity. */
+  private val portableMinhashOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+2], ' ')))
+      |    ELSE [text] END AS sh
+      |  FROM (SELECT doc_id, text,
+      |          string_split(text, ' ') AS toks FROM documents)),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(16), i ->
+      |      list_min(list_transform(sh,
+      |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+      |  FROM docs),
+      |b AS (
+      |  SELECT doc_id, CAST(bb AS INTEGER) AS band,
+      |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
+      |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
+      |ok AS (
+      |  SELECT band, bh FROM b GROUP BY band, bh
+      |  HAVING count(*) <= 10000),
+      |kb AS (
+      |  SELECT bb.doc_id, bb.band, bb.bh
+      |  FROM b bb JOIN ok USING (band, bh)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM kb x JOIN kb y
+      |    ON x.band = y.band AND x.bh = y.bh
+      |    AND x.doc_id < y.doc_id),
+      |j AS (
+      |  SELECT d1, d2,
+      |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      |  FROM cand
+      |  JOIN docs x ON x.doc_id = cand.d1
+      |  JOIN docs y ON y.doc_id = cand.d2)
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q300_portable_simhash_pairs" -> portableSimhashSql(3),
     // the winnowing selection itself replays: same md5(k-gram)||pos
@@ -1666,45 +1714,13 @@ object Dedup {
     // HAVING filter, the bucket self-join, and the q26 exact-jaccard
     // verification. Pinned to shingleSize=3, numPerms=16, bands=4,
     // threshold=0.5, maxBucket=10000.
-    "q312_portable_minhash_pairs" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(toks[i:i+2], ' ')))
-        |    ELSE [text] END AS sh
-        |  FROM (SELECT doc_id, text,
-        |          string_split(text, ' ') AS toks FROM documents)),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    list_transform(range(16), i ->
-        |      list_min(list_transform(sh,
-        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-        |  FROM docs),
-        |b AS (
-        |  SELECT doc_id, CAST(bb AS INTEGER) AS band,
-        |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
-        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
-        |ok AS (
-        |  SELECT band, bh FROM b GROUP BY band, bh
-        |  HAVING count(*) <= 10000),
-        |kb AS (
-        |  SELECT bb.doc_id, bb.band, bb.bh
-        |  FROM b bb JOIN ok USING (band, bh)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        |  FROM kb x JOIN kb y
-        |    ON x.band = y.band AND x.bh = y.bh
-        |    AND x.doc_id < y.doc_id),
-        |j AS (
-        |  SELECT d1, d2,
-        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-        |  FROM cand
-        |  JOIN docs x ON x.doc_id = cand.d1
-        |  JOIN docs y ON y.doc_id = cand.d2)
-        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY d1, d2""".stripMargin,
+    "q312_portable_minhash_pairs" -> portableMinhashOracle,
+    // the PLANNER-DRIVEN tier: lshBandChoice(16, 0.3, 0.7) selects the
+    // identical (4, 4) split q312 hardcodes, so the oracle is the SAME
+    // pipeline verbatim (the q189/q258 shared-oracle convention) —
+    // what the driver checks here is that accepting the planner's
+    // operating point reproduces the fixed tier exactly
+    "q321_minhash_planned" -> portableMinhashOracle,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

@@ -1953,6 +1953,23 @@ object Similarity {
       bands: Int = 4): DataFrame =
     splitLeakageRollup(emb, rpLshPairs(emb, threshold, nPlanes, bands))
 
+  /** The auto-sized SEMANTIC-LEAKAGE audit over the PORTABLE plane
+    * family — q306's cross-split rollup riding [[portableRpPairsAuto]]'s
+    * self-sizing candidate tier, which makes the 100 TB leakage-audit
+    * path driver-checked END TO END: the band width (from count(*)),
+    * the md5 planes, banding, cap, exact-cosine verification, the
+    * esplit assignment and the rollup ALL replay in SQL. Threshold
+    * pinned at 0.35 (vs q306's 0.45): the oracle-SF corpus's only
+    * ≥0.45 banded pair is intra-split, so the higher pin would make
+    * the registered rollup trivially empty — and the banded tier's
+    * recall at threshold-level similarity is the documented trade
+    * anyway (near-identical leaks are the ones bands never lose). */
+  def embeddingSplitLeakagePortableAuto(emb: DataFrame,
+      threshold: Double = 0.35, bands: Int = 4, maxBucket: Int = 10000,
+      knownCount: Option[Long] = None): DataFrame =
+    splitLeakageRollup(emb,
+      portableRpPairsAuto(emb, threshold, bands, maxBucket, knownCount))
+
   /** The EXTREME-SCALE tier of [[anisotropyCard]]: the identical card
     * over a deterministic md5 hash-slice of the vectors (the
     * q134/q193 sampling-knob pattern — `keepPer10k` per-10000 rate,
@@ -2352,6 +2369,11 @@ object Similarity {
     // sizing finding as driver-checked library behavior
     "q318_rp_pairs_auto" ->
       ((s, d) => portableRpPairsAuto(Tables(s, d).embeddings)),
+    // the leakage AUDIT over that self-sizing tier: width, planes,
+    // bands, cap, verify, split assignment and rollup all in SQL
+    "q320_leakage_portable_auto" ->
+      ((s, d) =>
+        embeddingSplitLeakagePortableAuto(Tables(s, d).embeddings)),
     // ANN SERVING from the at-rest EXACT index: probe + partition
     // prune + serve for a query stream's batch twin (vec_id % 50 = 7
     // — a DIFFERENT slice than q313's, so the artifact is exercised
@@ -2617,15 +2639,17 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** q318's DuckDB twin — [[portableRpOracle]] with the band width
-    * DERIVED from count(*) by the same integer-exact scan as
-    * [[signBandWidth]] (2^w and bands·n both exact in doubles, so the
-    * two engines pick the identical width), then the identical md5
-    * planes / banding / cap / verification with every occurrence of
-    * the width stated as a scalar subquery on `w`. */
-  private def portableRpAutoOracle(bands: Int, threshold: Double,
+  /** The auto-width portable-RP pipeline as a CTE chain ending in
+    * VERIFIED pairs `vp(d1, d2, sim)` — band width DERIVED from
+    * count(*) by the same integer-exact scan as [[signBandWidth]]
+    * (2^w and bands·n both exact in doubles, so the two engines pick
+    * the identical width), then the identical md5 planes / banding /
+    * cap / verification with every occurrence of the width stated as
+    * a scalar subquery on `w`. Shared by the q318 (bare pairs) and
+    * q320 (leakage rollup) oracles so the two cannot drift. */
+  private def portableRpAutoCtes(bands: Int, threshold: Double,
       maxBucket: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |nn AS (SELECT count(*) AS n FROM e),
        |w AS (SELECT COALESCE(CAST(min(ww) AS INTEGER), 32) AS w
        |      FROM (SELECT unnest(range(4, 33)) AS ww), nn
@@ -2663,13 +2687,50 @@ object Similarity {
        |  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
        |  FROM kb x JOIN kb y
        |    ON x.band = y.band AND x.bk = y.bk
-       |    AND x.vec_id < y.vec_id)
-       |SELECT cand.d1, cand.d2, ${simSql("a", "b")} AS sim
-       |FROM cand
-       |JOIN e a ON a.vec_id = cand.d1
-       |JOIN e b ON b.vec_id = cand.d2
-       |WHERE ${simSql("a", "b")} >= $threshold
-       |ORDER BY d1, d2""".stripMargin
+       |    AND x.vec_id < y.vec_id),
+       |vp AS (
+       |  SELECT cand.d1, cand.d2, ${simSql("a", "b")} AS sim
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.d1
+       |  JOIN e b ON b.vec_id = cand.d2
+       |  WHERE ${simSql("a", "b")} >= $threshold)""".stripMargin
+
+  /** q318's DuckDB twin: the shared auto-width chain, bare pairs.
+    * Concatenation, NOT an outer stripMargin: the interpolated chain
+    * contains SQL lines that BEGIN with the `||` concat operator,
+    * which an outer stripMargin would mangle into `|`. */
+  private def portableRpAutoOracle(bands: Int, threshold: Double,
+      maxBucket: Int): String =
+    s"WITH ${portableRpAutoCtes(bands, threshold, maxBucket)}\n" +
+      "SELECT d1, d2, sim FROM vp\nORDER BY d1, d2"
+
+  /** q320's DuckDB twin: q306's split assignment + cross-split rollup
+    * over the SAME auto-width verified pairs (concatenated — see
+    * [[portableRpAutoOracle]]'s stripMargin note). */
+  private def leakagePortableAutoOracle(bands: Int, threshold: Double,
+      maxBucket: Int): String =
+    s"WITH ${portableRpAutoCtes(bands, threshold, maxBucket)},\n" +
+      """s AS (
+        |  SELECT vec_id,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT vec_id,
+        |          CAST('0x' || substr(md5('esplit:'
+        |            || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |            % 10 AS b
+        |        FROM embeddings)),
+        |j AS (
+        |  SELECT vp.d1, vp.d2, vp.sim, sa.split AS split_a,
+        |    sb.split AS split_b
+        |  FROM vp JOIN s sa ON sa.vec_id = vp.d1
+        |  JOIN s sb ON sb.vec_id = vp.d2
+        |  WHERE sa.split <> sb.split)
+        |SELECT least(split_a, split_b) AS split_lo,
+        |  greatest(split_a, split_b) AS split_hi,
+        |  CAST(count(*) AS BIGINT) AS n_leaks, max(sim) AS max_sim,
+        |  min(d1) AS example_d1
+        |FROM j GROUP BY 1, 2
+        |ORDER BY split_lo, split_hi""".stripMargin
 
   /** The q146 assignment (decimal-exact centroids + argmin) as one
     * shared CTE chain ending in `assign` — q146 states it directly,
@@ -3089,6 +3150,10 @@ object Similarity {
     // SQL by the same integer-exact scan as signBandWidth — pinned to
     // bands=4, threshold=0.45, maxBucket=10000, budgetPerRow=1
     "q318_rp_pairs_auto" -> portableRpAutoOracle(4, 0.45, 10000),
+    // the q306 rollup over the SAME auto-width chain (shared CTE
+    // generator) — pinned to threshold=0.35 (see the operator doc)
+    "q320_leakage_portable_auto" ->
+      leakagePortableAutoOracle(4, 0.35, 10000),
     // the q313 CTE chain serving the DISJOINT query slice
     // vec_id % 50 = 7 — what the at-rest artifact answers must equal
     // what the inline pipeline answers (partition pruning only

@@ -442,4 +442,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, false))) // twin collapsed onto the original
     assert(got(3L) == ((3L, true))) // unrelated image survives alone
   }
+
+  test("MediaScaleTrial perturbations produce dedup-collapsible " +
+      "near-dups for all three kinds (the dense-twin premise)") {
+    // image: brightness shift keeps the aHash within the q147 verify
+    // bound, so original + perturbed replica collapse
+    val png = ImageCodec.encodeFixturePng(12, 9, seed = 42L)
+    val pPng = MediaScaleTrial.perturbImage(png, 5)
+    assert(!java.util.Arrays.equals(png, pPng), "perturb must re-encode")
+    val h0 = ImageCodec.aHashFromBytes(png).get
+    val h1 = ImageCodec.aHashFromBytes(pPng).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 3,
+      s"brightened replica drifted ${java.lang.Long.bitCount(h0 ^ h1)} bits")
+    // audio: per-replica gain keeps the RMS-profile fingerprint close
+    val wav = AudioCodec.encodeFixtureWav(2000, seed = 7L)
+    val pWav = MediaScaleTrial.perturbAudio(wav, replica = 1)
+    val f0 = AudioCodec.fingerprintFromBytes(wav).get
+    val f1 = AudioCodec.fingerprintFromBytes(pWav).get
+    assert(java.lang.Long.bitCount(f0 ^ f1) <= 3,
+      s"re-levelled replica drifted ${java.lang.Long.bitCount(f0 ^ f1)} bits")
+    // video: frame-wise brightening preserves frame count, cadence and
+    // per-frame hash proximity
+    val vid = VideoCodec.encodeFixtureVideo(3, 8, 6, frameMs = 40, seed = 3L)
+    val pVid = MediaScaleTrial.perturbVideo(vid, 5)
+    assert(VideoCodec.header(pVid) == VideoCodec.header(vid))
+    val hs0 = VideoCodec.frameHashes(vid).get
+    val hs1 = VideoCodec.frameHashes(pVid).get
+    assert(hs0.length == hs1.length)
+    hs0.zip(hs1).foreach { case ((i0, t0, a), (i1, t1, b)) =>
+      assert(i0 == i1 && t0 == t1)
+      assert(java.lang.Long.bitCount(a ^ b) <= 3,
+        s"frame $i0 drifted ${java.lang.Long.bitCount(a ^ b)} bits")
+    }
+    // corrupt bytes pass through unchanged (never an exception)
+    val junk = "notmedia".getBytes
+    assert(java.util.Arrays.equals(MediaScaleTrial.perturbImage(junk, 3), junk))
+    assert(java.util.Arrays.equals(MediaScaleTrial.perturbAudio(junk, 1), junk))
+    assert(java.util.Arrays.equals(MediaScaleTrial.perturbVideo(junk, 3), junk))
+
+    // and the dedup tiers collapse original + perturbed replica while
+    // an unrelated item survives — the trial's dense twin in miniature
+    val media = Seq(
+      (1L, "image", png), (2L, "image", pPng),
+      (3L, "image", ImageCodec.encodeFixturePng(12, 9, seed = 99L)),
+      (11L, "audio", wav), (12L, "audio", pWav),
+      (21L, "video", vid), (22L, "video", pVid)
+    ).toDF("media_id", "kind", "bytes")
+    val img = Multimodal.imageDedup(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(img(2L) == 1L && img(1L) == 1L && img(3L) == 3L)
+    val aud = Multimodal.audioDedup(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(aud(12L) == 11L && aud(11L) == 11L)
+    val vidd = Multimodal.videoDedup(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(vidd(22L) == 21L && vidd(21L) == 21L)
+  }
 }

@@ -994,6 +994,18 @@ class SimilaritySpec extends AnyFunSuite {
     val gauss = Similarity.rpLshPairsAuto(t.embeddings.union(twin))
       .filter(col("d1") === 7 && col("d2") === 777777L).collect()
     assert(gauss.length == 1 && gauss.head.getDouble(2) == 1.0)
+    // the q320 composition: a twin planted ACROSS splits (vec 7 is
+    // train, id 777707 hashes to val under the esplit salt) must
+    // surface in the auto-sized portable leakage rollup as a
+    // train/val leak at sim exactly 1.0
+    val xTwin = t.embeddings.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(777707L))
+    val leak = Similarity
+      .embeddingSplitLeakagePortableAuto(t.embeddings.union(xTwin))
+      .filter(col("split_lo") === "train" && col("split_hi") === "val")
+      .collect()
+    assert(leak.length == 1 && leak.head.getDouble(3) == 1.0,
+      s"planted cross-split twin missing: ${leak.toSeq}")
   }
 
   test("pqCodesExact/pqAdcTopKExact: planted twin at rank 1 with " +
