@@ -155,7 +155,10 @@ object ScaleTrial {
     "q307_prefix_jaccard", // lossless prefix-filter candidates + exact verify
     "q308_windowed_pmi", // window-2 pair rollup, Zipf-bounded pair vocab
     "q309_length_drift_ks", // domain-bounded CDF window: must be ~flat
-    "q312_portable_minhash_pairs") // portable-LSH candidates ride dup density
+    "q312_portable_minhash_pairs", // portable-LSH candidates ride dup density
+    "q322_jump_portable", // row-local jump walk + 1-row rollup: must be ~flat-linear
+    "q323_perceptron_exact", // integer GD rounds over persisted features
+    "q324_perceptron_served") // train + ZERO-shuffle serve: the classifier serving economics
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

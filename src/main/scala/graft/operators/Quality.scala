@@ -264,6 +264,193 @@ object Quality {
     } finally fullFeat.unpersist(false)
   }
 
+  // ---- ORACLE-EXACT linear classifier (integer batch perceptron) ----
+
+  /** Integer bag-of-words features for the exact perceptron: slot 0
+    * is the bias (always 1), slots 1..dim are RAW token counts for
+    * the salted-md5-prefix bucket `1 + md5("qb:" ++ token) mod dim`
+    * (the q134/q300 portability device — xxhash64 exists in no other
+    * engine). No normalization: counts stay integers, so every
+    * downstream quantity is exact 64-bit arithmetic in any engine.
+    * Same two partial-aggregatable groupBys as [[bowFeatures]]. */
+  private def intBowFeatures(docs: DataFrame, positive: Column,
+      dim: Int): DataFrame =
+    docs.select(col("doc_id"),
+        when(positive, 1L).otherwise(-1L).as("y2"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("y2"),
+        (pmod(conv(substring(md5(concat(lit("qb:"), col("w"))), 1, 8),
+          16, 10).cast("long"), lit(dim.toLong)) + 1L).cast("int")
+          .as("f"))
+      .groupBy(col("doc_id"), col("y2"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("y2"))
+      .agg(map_from_entries(collect_list(struct(col("f"), col("c"))))
+        .as("m"))
+      .select(col("doc_id"), col("y2"), expr(
+        s"concat(array(1L), transform(sequence(1, $dim), " +
+          "i -> coalesce(element_at(m, i), 0L)))").as("x"))
+
+  /** Batch-perceptron rounds over persisted integer features. Each
+    * round is ONE flat scan (the [[gdRounds]] shape): broadcast the
+    * integer weight vector as literals, mark misclassified docs
+    * (y2·margin ≤ 0 — the classic batch update, Rosenblatt 1958 run
+    * in aggregate), and fold their y2-signed feature sums into the
+    * weights. Every update is an order-independent INTEGER sum, so
+    * the trained model — unlike [[gdRounds]]'s float sigmoid path —
+    * replays bit-exactly in SQL (q323 unrolls these rounds as CTEs).
+    * An empty misclassified set converges early; the unrolled oracle
+    * keeps summing zero updates, which is the same fixed point. */
+  private def perceptronRounds(feat: DataFrame, dim: Int,
+      rounds: Int): Array[Long] = {
+    var w = new Array[Long](dim + 1)
+    var r = 0
+    while (r < rounds) {
+      val wLit = array(w.map(lit(_)): _*)
+      val margin = aggregate(
+        zip_with(col("x"), wLit, (x, wi) => x * wi),
+        lit(0L), (acc, t) => acc + t)
+      val sums = (0 to dim).map(i =>
+        sum(col("x").getItem(i) * col("y2")).as(s"u$i"))
+      val row = feat
+        .select(col("y2"), col("x"), margin.as("mg"))
+        .filter(col("y2") * col("mg") <= 0)
+        .agg(sums.head, sums.tail: _*)
+        .head()
+      if (row.isNullAt(0)) return w // no misclassified docs: converged
+      w = w.indices.map(i => w(i) + row.getLong(i)).toArray
+      r += 1
+    }
+    w
+  }
+
+  /** Train the exact perceptron and return the integer model —
+    * exposed for specs; the registered query is
+    * [[perceptronExactScores]]. */
+  def trainPerceptronExact(docs: DataFrame, positive: Column,
+      dim: Int = 16, rounds: Int = 4): Array[Long] = {
+    val feat = intBowFeatures(docs, positive, dim).persist()
+    try perceptronRounds(feat, dim, rounds)
+    finally feat.unpersist(false)
+  }
+
+  /** ORACLE-EXACT in-engine linear quality classifier — the
+    * [[qualityClassifierScores]] family's hash-exact tier (the
+    * q313/q314/q316 precedent applied to the LAST rows-only
+    * algorithmic family). The production tier trains logistic GD in
+    * floats (sigmoid puts it beyond any SQL replay); this tier trains
+    * a batch perceptron on integer md5-bucket counts, so training,
+    * margins and decisions are all exact integer arithmetic that
+    * DuckDB replays round by round. The linear-classifier shape is
+    * the fastText corpus-filter of CCNet/LLaMA curation (Joulin et
+    * al. 2016, arXiv:1607.01759; Wenzek et al. 2019,
+    * arXiv:1911.00359) — same features, same serving scan, exact
+    * decision audit.
+    *
+    * Scale: features build in two partial-agg groupBys (per-doc state
+    * ≤ dim entries); each round is one flat scan reduced to a
+    * (dim+1)-long driver row; scoring is one broadcast-literal scan.
+    * Weight magnitudes are bounded by rounds·Σtokens and margins by
+    * w·max-doc-tokens — int64-safe through ~10^13 corpus tokens; past
+    * that, lift the fold to decimal(38,0) (the q139 device). */
+  def perceptronExactScores(docs: DataFrame, positive: Column,
+      dim: Int = 16, rounds: Int = 4): DataFrame = {
+    val feat = intBowFeatures(docs, positive, dim).persist()
+    try {
+      val w = perceptronRounds(feat, dim, rounds)
+      val wLit = array(w.map(lit(_)): _*)
+      val margin = aggregate(
+        zip_with(col("x"), wLit, (x, wi) => x * wi),
+        lit(0L), (acc, t) => acc + t)
+      feat.select(col("doc_id"),
+          when(col("y2") > 0, 1).otherwise(0).as("y"),
+          margin.as("margin"))
+        .withColumn("pred", when(col("margin") > 0, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally feat.unpersist(false)
+  }
+
+  /** Row-local serving scan for a TRAINED exact-perceptron model —
+    * the q311/q319 train-once/serve-cheap economics applied to the
+    * classifier family. The fused tier (q323) builds per-doc feature
+    * vectors with two groupBys because TRAINING re-reads them round
+    * after round; a FIXED model needs none of that:
+    * `margin = w0 + Σ_tokens w[bucket(token)]` — the bucket-count
+    * contraction folded into one pass over the token array, so
+    * scoring is a pure row-local projection with ZERO shuffle that
+    * runs unchanged as an append-mode stream (stateless;
+    * StreamingSpec pins stream == batch, QualityClassifierSpec pins
+    * bit-identity to the fused tier and the Exchange-free plan).
+    * At 100 TB this is the serving shape: train on the sampled slice
+    * (q193's knob), broadcast 17 longs, score everything in one
+    * codegen'd scan. Unordered — the registered batch query adds the
+    * total order; streams can't sort in append mode. */
+  def perceptronServe(docs: DataFrame, positive: Column,
+      w: Array[Long], dim: Int = 16): DataFrame = {
+    require(w.length == dim + 1, s"model needs ${dim + 1} slots")
+    val wLit = array(w.map(lit(_)): _*)
+    // element_at is 1-based: bucket f = 1 + md5 mod dim lives at
+    // array slot f + 1 = md5 mod dim + 2; slot 1 (bias) seeds the fold
+    val bucketWeight = (tok: Column) => element_at(wLit,
+      (pmod(conv(substring(md5(concat(lit("qb:"), tok)), 1, 8), 16, 10)
+        .cast("long"), lit(dim.toLong)) + 2L).cast("int"))
+    val margin = aggregate(
+      transform(split(col("text"), " "), bucketWeight),
+      lit(w(0)), (acc, t) => acc + t)
+    docs.select(col("doc_id"),
+      when(positive, 1).otherwise(0).as("y"),
+      margin.as("margin"),
+      when(margin > 0, 1).otherwise(0).as("pred"))
+  }
+
+  /** q323's DuckDB twin, GENERATED with the perceptron rounds
+    * unrolled (the q313 convention): long-form integer features
+    * (bias row per doc + md5-bucket counts), then per round one
+    * margin join, one misclassified-update rollup, one weight merge —
+    * the whole training loop replays, not just the scores. */
+  private def perceptronOracle(dim: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS (
+         |  SELECT feat.doc_id, feat.y2, sum(w${r - 1}.w * feat.c) AS mg
+         |  FROM feat JOIN w${r - 1} USING (f) GROUP BY 1, 2),
+         |u$r AS (
+         |  SELECT f, sum(feat.y2 * feat.c) AS du
+         |  FROM feat JOIN m$r USING (doc_id)
+         |  WHERE m$r.y2 * m$r.mg <= 0 GROUP BY f),
+         |w$r AS (
+         |  SELECT w${r - 1}.f, w${r - 1}.w + coalesce(u$r.du, 0) AS w
+         |  FROM w${r - 1} LEFT JOIN u$r USING (f))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y2,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, y2,
+       |    CAST(1 + CAST('0x' || substr(md5('qb:' || w), 1, 8)
+       |      AS BIGINT) % $dim AS INTEGER) AS f,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2, 3),
+       |feat AS (
+       |  SELECT doc_id, y2, f, c FROM tf
+       |  UNION ALL
+       |  SELECT DISTINCT doc_id, y2, 0 AS f, CAST(1 AS BIGINT) AS c
+       |  FROM tok),
+       |w0 AS (
+       |  SELECT CAST(unnest(range(0, ${dim + 1})) AS INTEGER) AS f,
+       |    CAST(0 AS BIGINT) AS w),
+       |$roundCtes
+       |SELECT feat.doc_id,
+       |  CASE WHEN feat.y2 > 0 THEN 1 ELSE 0 END AS y,
+       |  CAST(sum(w$rounds.w * feat.c) AS BIGINT) AS margin,
+       |  CASE WHEN sum(w$rounds.w * feat.c) > 0 THEN 1 ELSE 0 END
+       |    AS pred
+       |FROM feat JOIN w$rounds USING (f)
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exactNdv = the oracle-pinned audit configuration; the library
     // default is the Expand-free approx path (q188 covers it)
@@ -284,11 +471,27 @@ object Quality {
     "q193_classifier_sampled" -> ((s, d) =>
       qualityClassifierScores(Tables(s, d).documents,
         col("source") === "src0", sampleFraction = 0.25)),
+    // the classifier family's hash-exact tier: integer batch
+    // perceptron, training replayed round-by-round in the oracle
+    "q323_perceptron_exact" -> ((s, d) =>
+      perceptronExactScores(Tables(s, d).documents,
+        col("source") === "src0")),
+    // the serving tier: train once, score in one zero-shuffle scan —
+    // registered with q323's oracle VERBATIM (the q321 convention),
+    // so the driver itself checks serve ≡ fused bit-for-bit
+    "q324_perceptron_served" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val w = trainPerceptronExact(docs, col("source") === "src0")
+      perceptronServe(docs, col("source") === "src0", w)
+        .orderBy(col("doc_id"))
+    }),
     "q110_value_outliers" -> ((s, d) => valueOutliers(Tables(s, d))),
     "q86_quality_report" -> ((s, d) => dataQualityReport(Tables(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q323_perceptron_exact" -> perceptronOracle(16, 4),
+    "q324_perceptron_served" -> perceptronOracle(16, 4),
     "q153_column_stats" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

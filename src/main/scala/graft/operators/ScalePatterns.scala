@@ -657,6 +657,87 @@ object ScalePatterns {
           .as("jump_frac"))
   }
 
+  /** MINSTD modulus: the Mersenne prime 2^31 − 1. Every quantity in
+    * the portable jump trajectory stays far under 2^63 — see
+    * [[portableJumpAssignments]]. */
+  private val JumpM = 2147483647L
+  /** MINSTD multiplier (Park–Miller 1988, CACM 31(10)). */
+  private val JumpA = 48271L
+
+  /** PORTABLE jump-consistent shard assignments — [[jumpShardId]]'s
+    * oracle-replayable twin (the q300/q312/q315 portability device
+    * applied to the q241 family, which until now was rows-only
+    * because Lamping–Veach's mod-2^64 LCG and the xxhash64 key exist
+    * in neither DuckDB nor portable SQL). Same consistency algebra,
+    * engine-neutral ingredients:
+    *
+    *  - key: md5-prefix long of "jump:" ++ doc_id (the q134/q164
+    *    salted-prefix device), reduced to MINSTD state space
+    *    `1 + h mod (M−1)` ∈ [1, M−1] so the generator never hits 0;
+    *  - generator: MINSTD `s' = s·48271 mod M`, M = 2^31 − 1 —
+    *    products ≤ (M−1)·48271 < 2^47, exact BIGINT in any engine;
+    *  - jump step: Lamping–Veach (arXiv:1406.2294 §3) with the
+    *    uniform draw U = s/M taken as INTEGER division
+    *    `j' = ((j+1)·M) div s'` — numerator ≤ nTo·M < 2^36, so the
+    *    whole trajectory is exact 64-bit integer arithmetic and the
+    *    data-dependent loop unrolls into exactly `nTo` guarded steps
+    *    (j strictly increases each active step, so after nTo of them
+    *    j ≥ nTo and every later step is the identity).
+    *
+    * Emits per-doc (mod_from, mod_to, jump_from, jump_to) where the
+    * mod pair uses the raw md5-prefix key — one scan, the unrolled
+    * loop is a row-local CASE chain inside whole-stage codegen, no
+    * shuffle until the caller aggregates. The q322 oracle replays the
+    * identical trajectory as `nTo` chained CTE steps. */
+  def portableJumpAssignments(docs: DataFrame, nFrom: Int = 16,
+      nTo: Int = 17): DataFrame = {
+    require(1 <= nFrom && nFrom < nTo, s"need 1 <= nFrom < nTo")
+    val h = conv(substring(md5(concat(lit("jump:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    var df = docs.select(col("doc_id"), h.as("h"),
+      (lit(1L) + pmod(h, lit(JumpM - 1))).as("s"),
+      lit(0L).as("j"), lit(-1L).as("bf"), lit(-1L).as("bt"))
+    // Unrolled trajectory: each step advances (s, j) and records the
+    // last j seen below each shard count; after nTo active steps the
+    // guard is permanently false. bf/bt are always set by step 1
+    // (j = 0 < nFrom), so neither ever returns -1.
+    (1 to nTo).foreach { _ =>
+      df = df.selectExpr("doc_id", "h",
+        // LEAST clamps the numerator so the inactive branch can never
+        // overflow int64 even under eager vectorized CASE evaluation
+        // (j can reach ~nTo·M once the walk finishes; (j+1)·M would
+        // pass 2^63 — clamped, the product is ≤ (nTo+1)·M < 2^36).
+        s"IF(j < $nTo, (s * $JumpA) % $JumpM, s) AS s",
+        s"IF(j < $nTo, ((least(j, $nTo) + 1) * $JumpM)" +
+          s" DIV ((s * $JumpA) % $JumpM), j) AS j",
+        s"IF(j < $nTo AND j < $nFrom, j, bf) AS bf",
+        s"IF(j < $nTo, j, bt) AS bt")
+    }
+    df.select(col("doc_id"),
+      pmod(col("h"), lit(nFrom.toLong)).as("mod_from"),
+      pmod(col("h"), lit(nTo.toLong)).as("mod_to"),
+      col("bf").as("jump_from"), col("bt").as("jump_to"))
+  }
+
+  /** [[reshardMovement]]'s one-row card over the PORTABLE assignments
+    * — identical output shape, every number hash-exact vs DuckDB
+    * (q322). The two fracs are each ONE double division of exact
+    * integers, deterministic IEEE in both engines. */
+  def portableReshardMovement(docs: DataFrame, nFrom: Int = 16,
+      nTo: Int = 17): DataFrame =
+    portableJumpAssignments(docs, nFrom, nTo)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mod_from") =!= col("mod_to"), 1L).otherwise(0L))
+          .as("mod_moved"),
+        sum(when(col("jump_from") =!= col("jump_to"), 1L).otherwise(0L))
+          .as("jump_moved"))
+      .select(lit(nFrom).as("n_from"), lit(nTo).as("n_to"),
+        col("n_docs"), col("mod_moved"), col("jump_moved"),
+        (col("mod_moved").cast("double") / col("n_docs").cast("double"))
+          .as("mod_frac"),
+        (col("jump_moved").cast("double") / col("n_docs").cast("double"))
+          .as("jump_frac"))
+
   /** Training-shard export manifest: per-shard document/token/char
     * totals plus an ORDER-INSENSITIVE content checksum (bit_xor of a
     * per-row md5-prefix long over doc_id:text) — the sidecar every
@@ -813,6 +894,11 @@ object ScalePatterns {
     // codegen==interpreted pin it instead
     "q241_jump_reshard" -> ((s, d) =>
       reshardMovement(Tables(s, d).documents)),
+    // q241's PORTABLE twin: md5 key + MINSTD jump walk, the whole
+    // trajectory replayed as unrolled CTE steps in the oracle — the
+    // jump-LCG family's first hash-exact tier
+    "q322_jump_portable" -> ((s, d) =>
+      portableReshardMovement(Tables(s, d).documents)),
     "q198_shard_manifest" -> ((s, d) =>
       shardManifest(Tables(s, d).documents)),
     // the merge must equal the direct whole-corpus manifest — the
@@ -875,7 +961,45 @@ object ScalePatterns {
       ((s, d) => quantizeInt8(Tables(s, d).embeddings))
   )
 
+  /** q322's DuckDB twin, GENERATED with the jump walk unrolled (the
+    * q313 convention): same md5 key, same MINSTD step, same integer
+    * jump division, one chained CTE per guarded step. Kept in lockstep
+    * with [[portableJumpAssignments]] by construction — both sides
+    * derive the step from (JumpA, JumpM, nFrom, nTo). */
+  private def portableJumpOracle(nFrom: Int, nTo: Int): String = {
+    val steps = (1 to nTo).map { t =>
+      s"""s$t AS (SELECT doc_id, h,
+         |  CASE WHEN j < $nTo THEN (s * $JumpA) % $JumpM ELSE s END AS s,
+         |  CASE WHEN j < $nTo THEN ((least(j, $nTo) + 1) * $JumpM)
+         |    // ((s * $JumpA) % $JumpM) ELSE j END AS j,
+         |  CASE WHEN j < $nTo AND j < $nFrom THEN j ELSE bf END AS bf,
+         |  CASE WHEN j < $nTo THEN j ELSE bt END AS bt
+         |  FROM s${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, h, 1 + h % ${JumpM - 1} AS s,
+       |    CAST(0 AS BIGINT) AS j, CAST(-1 AS BIGINT) AS bf,
+       |    CAST(-1 AS BIGINT) AS bt
+       |  FROM (SELECT doc_id, CAST('0x' || substr(md5('jump:'
+       |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |    FROM documents)),
+       |$steps,
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN h % $nFrom <> h % $nTo THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS mod_moved,
+       |    CAST(sum(CASE WHEN bf <> bt THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS jump_moved
+       |  FROM s$nTo)
+       |SELECT $nFrom AS n_from, $nTo AS n_to, n_docs, mod_moved,
+       |  jump_moved,
+       |  CAST(mod_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mod_frac,
+       |  CAST(jump_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS jump_frac
+       |FROM agg""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q322_jump_portable" -> portableJumpOracle(16, 17),
     // same salted-md5-prefix shard id and the same per-row
     // md5-prefix long under an order-insensitive bit_xor — 15 hex
     // chars = 60 bits, so the BIGINT cast is exact in both engines

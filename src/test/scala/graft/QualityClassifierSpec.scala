@@ -107,6 +107,101 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q323: the oracle-exact integer batch perceptron ----
+
+  test("exact perceptron: training replays an independent driver walk " +
+      "on a tiny corpus (every weight bit-equal)") {
+    val texts = Seq("aa aa bb", "bb cc", "aa cc cc", "bb bb")
+    val docs = texts.zipWithIndex.map { case (txt, i) =>
+      (i.toLong, txt, "en", if (i % 2 == 0) "hq" else "lq")
+    }.toDF("doc_id", "text", "lang", "source")
+    val dim = 8; val rounds = 3
+    // independent replay sharing NO code with the operator: java MD5
+    // for the bucket, plain Long arrays for the batch rule
+    def bucket(w: String): Int = (java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("qb:" + w).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16) % dim).toInt + 1
+    val feats = texts.map { txt =>
+      val x = new Array[Long](dim + 1); x(0) = 1L
+      txt.split(" ").foreach(w => x(bucket(w)) += 1L)
+      x
+    }
+    val ys = Array(1L, -1L, 1L, -1L)
+    var w = new Array[Long](dim + 1)
+    (1 to rounds).foreach { _ =>
+      val upd = new Array[Long](dim + 1)
+      feats.indices.foreach { i =>
+        val m = (0 to dim).map(j => w(j) * feats(i)(j)).sum
+        if (ys(i) * m <= 0L)
+          (0 to dim).foreach(j => upd(j) += ys(i) * feats(i)(j))
+      }
+      w = w.indices.map(j => w(j) + upd(j)).toArray
+    }
+    val got = Quality.trainPerceptronExact(docs,
+      col("source") === "hq", dim = dim, rounds = rounds)
+    assert(got.toSeq == w.toSeq,
+      s"got ${got.toSeq} vs replay ${w.toSeq}")
+  }
+
+  test("exact perceptron separates the planted corpus; decisions and " +
+      "margins are integers") {
+    val scored = Quality.perceptronExactScores(planted,
+      col("source") === "hq", dim = 16, rounds = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(scored.size == 40)
+    (0L until 20L).foreach { i =>
+      val (y, m, p) = scored(i)
+      assert(y == 1 && m > 0L && p == 1, s"pos doc $i: y=$y m=$m p=$p")
+    }
+    (20L until 40L).foreach { i =>
+      val (y, m, p) = scored(i)
+      assert(y == 0 && m <= 0L && p == 0, s"neg doc $i: y=$y m=$m p=$p")
+    }
+  }
+
+  test("exact perceptron: partitioning-invariant (integer updates are " +
+      "order-independent) and convergence is a fixed point") {
+    val a = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 10)
+    val b = Quality.trainPerceptronExact(planted.repartition(7),
+      col("source") === "hq", dim = 16, rounds = 10)
+    assert(a.toSeq == b.toSeq, "partitioning changed the model")
+    // once the misclassified set empties, extra rounds are no-ops —
+    // the property that makes the early return ≡ the unrolled oracle
+    val c = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 25)
+    assert(a.toSeq == c.toSeq, "converged model must be a fixed point")
+  }
+
+  test("perceptron serve: bit-identical to the fused tier, and the " +
+      "serving scan plans with ZERO Exchange") {
+    val w = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 10)
+    val served = Quality.perceptronServe(planted,
+      col("source") === "hq", w)
+    // the row-local token fold must contract to exactly the
+    // bucket-count margins the fused tier computes
+    val a = served.collect().map(_.toSeq).toSet
+    val b = Quality.perceptronExactScores(planted,
+      col("source") === "hq", dim = 16, rounds = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "serve != fused scores")
+    // zero-shuffle serving: a pure projection, no Exchange anywhere
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving scan shuffled:\n$plan")
+  }
+
+  test("exact perceptron: empty corpus yields the zero model and an " +
+      "empty scores frame") {
+    val empty = planted.limit(0)
+    val w = Quality.trainPerceptronExact(empty, col("source") === "hq")
+    assert(w.forall(_ == 0L))
+    assert(Quality.perceptronExactScores(empty,
+      col("source") === "hq").count() == 0L)
+  }
+
   test("column stats: nulls, ndv, and min/max on a known frame") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
       (null, "a"), (4L, null)).toDF("k", "s")

@@ -433,6 +433,47 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(landed.forall(_ == 16), s"landed: ${landed.toSeq}")
   }
 
+  test("portableJumpAssignments: every row matches an independent " +
+      "BigInt-free driver walk; movers land ONLY in the new shard") {
+    // independent replay of the q322 trajectory — plain Long driver
+    // math sharing NO code with the operator, so a transcription slip
+    // in either the Column chain or the oracle generator fails here
+    def refJump(key: Long, n: Int): Long = {
+      val M = 2147483647L
+      var b = -1L; var j = 0L; var s = key
+      while (j < n) { b = j; s = (s * 48271L) % M; j = ((b + 1) * M) / s }
+      b
+    }
+    def mdKey(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jump:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val got = ScalePatterns.portableJumpAssignments(t.documents, 16, 17)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length > 100)
+    got.foreach { case (id, mf, mt, jf, jt) =>
+      val h = mdKey(id)
+      val k = 1L + h % 2147483646L
+      assert(mf == h % 16 && mt == h % 17, s"doc $id mod pair")
+      assert(jf == refJump(k, 16), s"doc $id jump_from")
+      assert(jt == refJump(k, 17), s"doc $id jump_to")
+      // the jump-consistency contract: a mover can only enter shard 16
+      if (jf != jt) assert(jt == 16L, s"mover $id landed in $jt")
+    }
+    // balance sanity: every target shard is populated
+    assert(got.map(_._5).distinct.length == 17)
+  }
+
+  test("portableReshardMovement card: jump-bounded, mod-heavy — " +
+      "the q241 semantics on portable ingredients") {
+    val r = ScalePatterns.portableReshardMovement(t.documents).head
+    assert(r.getInt(0) == 16 && r.getInt(1) == 17 && r.getLong(2) > 0)
+    val (modF, jumpF) = (r.getDouble(5), r.getDouble(6))
+    assert(modF > 0.8, s"mod moved only $modF") // ~16/17 expected
+    assert(jumpF > 0.01 && jumpF < 0.15, s"jump moved $jumpF") // ~1/17
+  }
+
   test("interleavedOrder: closed-form pos == global interleave window; " +
       "round-robin blocks while all sources alive; partitioning-invariant") {
     val docs = t.documents.limit(300).localCheckpoint()

@@ -438,6 +438,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(web.toString.nonEmpty && batch.exists(_.head == "mail"))
   }
 
+  test("perceptron serve (q324) streams == batch: stateless row-local " +
+      "scoring in append mode") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, "good solid prose good solid prose", "hq"),
+      (2L, "junk spam noise junk spam noise", "lq"),
+      (3L, "good junk mixed signal text here", "hq"))
+    val batchDocs = rows.toDF("doc_id", "text", "source")
+    val w = graft.operators.Quality.trainPerceptronExact(batchDocs,
+      col("source") === "hq", dim = 8, rounds = 5)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Quality.perceptronServe(
+        mem.toDF().toDF("doc_id", "text", "source"),
+        col("source") === "hq", w, dim = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("perceptron_out").start()
+    mem.addData(rows(0))
+    q.processAllAvailable()
+    mem.addData(rows(1), rows(2))
+    q.processAllAvailable()
+    val streamed = spark.table("perceptron_out")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = graft.operators.Quality.perceptronServe(batchDocs,
+      col("source") === "hq", w, dim = 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streamed scores diverged from batch")
+    assert(streamed.size == 3)
+  }
+
   test("intra-doc line dedup streams unchanged (pure projection)") {
     implicit val sc = spark.sqlContext
     val l1 = "a b c d e f g h"
