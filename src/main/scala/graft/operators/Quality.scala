@@ -324,14 +324,29 @@ object Quality {
     w
   }
 
+  /** PORTABLE deterministic hash-slice over doc_id — the same 100 TB
+    * training knob as [[sampledPredicate]], built from the md5-prefix
+    * long instead of xxhash64 so the q325 oracle replays the SLICE
+    * SELECTION itself in SQL (sampled training and full-corpus
+    * scoring both driver-checked, not merely spec-pinned). */
+  private def portableSlice(sampleFraction: Double): Column =
+    pmod(conv(substring(md5(concat(lit("slice:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(1000000L)) < lit((sampleFraction * 1000000L).toLong)
+
   /** Train the exact perceptron and return the integer model —
     * exposed for specs; the registered query is
     * [[perceptronExactScores]]. */
   def trainPerceptronExact(docs: DataFrame, positive: Column,
-      dim: Int = 16, rounds: Int = 4): Array[Long] = {
+      dim: Int = 16, rounds: Int = 4,
+      sampleFraction: Double = 1.0): Array[Long] = {
     val feat = intBowFeatures(docs, positive, dim).persist()
-    try perceptronRounds(feat, dim, rounds)
-    finally feat.unpersist(false)
+    try {
+      val trainFeat =
+        if (sampleFraction >= 1.0) feat
+        else feat.filter(portableSlice(sampleFraction))
+      perceptronRounds(trainFeat, dim, rounds)
+    } finally feat.unpersist(false)
   }
 
   /** ORACLE-EXACT in-engine linear quality classifier — the
@@ -352,12 +367,25 @@ object Quality {
     * (dim+1)-long driver row; scoring is one broadcast-literal scan.
     * Weight magnitudes are bounded by rounds·Σtokens and margins by
     * w·max-doc-tokens — int64-safe through ~10^13 corpus tokens; past
-    * that, lift the fold to decimal(38,0) (the q139 device). */
+    * that, lift the fold to decimal(38,0) (the q139 device).
+    *
+    * `sampleFraction < 1` trains on a PORTABLE deterministic
+    * hash-slice (md5-prefix of doc_id — the q193 100 TB knob, but
+    * oracle-replayable: q325's SQL applies the identical slice
+    * predicate to its training CTEs) while scoring still covers the
+    * whole corpus; per-doc features are independent, so filtering
+    * the persisted frame equals building features from the sampled
+    * corpus. An empty slice trains the zero model (margin 0,
+    * pred 0 for every doc) in both engines. */
   def perceptronExactScores(docs: DataFrame, positive: Column,
-      dim: Int = 16, rounds: Int = 4): DataFrame = {
+      dim: Int = 16, rounds: Int = 4,
+      sampleFraction: Double = 1.0): DataFrame = {
     val feat = intBowFeatures(docs, positive, dim).persist()
     try {
-      val w = perceptronRounds(feat, dim, rounds)
+      val trainFeat =
+        if (sampleFraction >= 1.0) feat
+        else feat.filter(portableSlice(sampleFraction))
+      val w = perceptronRounds(trainFeat, dim, rounds)
       val wLit = array(w.map(lit(_)): _*)
       val margin = aggregate(
         zip_with(col("x"), wLit, (x, wi) => x * wi),
@@ -408,15 +436,34 @@ object Quality {
     * unrolled (the q313 convention): long-form integer features
     * (bias row per doc + md5-bucket counts), then per round one
     * margin join, one misclassified-update rollup, one weight merge —
-    * the whole training loop replays, not just the scores. */
-  private def perceptronOracle(dim: Int, rounds: Int): String = {
+    * the whole training loop replays, not just the scores. With
+    * `sampleFraction < 1` the training CTEs read the `tr` slice
+    * (the SAME md5 predicate as [[portableSlice]]) while the final
+    * scoring join still reads `feat` — the q325 contract (sampled
+    * training, full coverage) checked by the driver itself. */
+  private def perceptronOracle(dim: Int, rounds: Int,
+      sampleFraction: Double = 1.0): String = {
+    val trainRel = if (sampleFraction >= 1.0) "feat" else "tr"
+    val sliceCte =
+      if (sampleFraction >= 1.0) ""
+      else
+        // no line may START with the || concat operator: the OUTER
+        // template's stripMargin would strip through it (the q320
+        // hazard) — keep operators at line end
+        s"""tr AS (
+           |  SELECT * FROM feat
+           |  WHERE CAST('0x' || substr(md5('slice:' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           |    % 1000000 < ${(sampleFraction * 1000000L).toLong}),
+           |""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       s"""m$r AS (
-         |  SELECT feat.doc_id, feat.y2, sum(w${r - 1}.w * feat.c) AS mg
-         |  FROM feat JOIN w${r - 1} USING (f) GROUP BY 1, 2),
+         |  SELECT $trainRel.doc_id, $trainRel.y2,
+         |    sum(w${r - 1}.w * $trainRel.c) AS mg
+         |  FROM $trainRel JOIN w${r - 1} USING (f) GROUP BY 1, 2),
          |u$r AS (
-         |  SELECT f, sum(feat.y2 * feat.c) AS du
-         |  FROM feat JOIN m$r USING (doc_id)
+         |  SELECT f, sum($trainRel.y2 * $trainRel.c) AS du
+         |  FROM $trainRel JOIN m$r USING (doc_id)
          |  WHERE m$r.y2 * m$r.mg <= 0 GROUP BY f),
          |w$r AS (
          |  SELECT w${r - 1}.f, w${r - 1}.w + coalesce(u$r.du, 0) AS w
@@ -438,7 +485,7 @@ object Quality {
        |  UNION ALL
        |  SELECT DISTINCT doc_id, y2, 0 AS f, CAST(1 AS BIGINT) AS c
        |  FROM tok),
-       |w0 AS (
+       |${sliceCte}w0 AS (
        |  SELECT CAST(unnest(range(0, ${dim + 1})) AS INTEGER) AS f,
        |    CAST(0 AS BIGINT) AS w),
        |$roundCtes
@@ -476,6 +523,12 @@ object Quality {
     "q323_perceptron_exact" -> ((s, d) =>
       perceptronExactScores(Tables(s, d).documents,
         col("source") === "src0")),
+    // the 100 TB training knob on the EXACT tier: train on the
+    // portable quarter hash-slice, score the full corpus — slice
+    // selection, training and coverage all replayed in the oracle
+    "q325_perceptron_sampled" -> ((s, d) =>
+      perceptronExactScores(Tables(s, d).documents,
+        col("source") === "src0", sampleFraction = 0.25)),
     // the serving tier: train once, score in one zero-shuffle scan —
     // registered with q323's oracle VERBATIM (the q321 convention),
     // so the driver itself checks serve ≡ fused bit-for-bit
@@ -492,6 +545,7 @@ object Quality {
   val oracleSql: Map[String, String] = Map(
     "q323_perceptron_exact" -> perceptronOracle(16, 4),
     "q324_perceptron_served" -> perceptronOracle(16, 4),
+    "q325_perceptron_sampled" -> perceptronOracle(16, 4, 0.25),
     "q153_column_stats" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -175,6 +175,44 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(a.toSeq == c.toSeq, "converged model must be a fixed point")
   }
 
+  test("sampled exact perceptron (q325 knob): quarter-slice training " +
+      "still separates, every doc scored, slice is deterministic " +
+      "and strict") {
+    val scored = Quality.perceptronExactScores(planted,
+      col("source") === "hq", dim = 16, rounds = 10,
+      sampleFraction = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // full coverage: held-out docs are scored too (the q193 contract)
+    assert(scored.size == 40)
+    // the planted classes are redundant, so the half-slice model
+    // still separates them
+    (0L until 20L).foreach(i =>
+      assert(scored(i)._2 == 1, s"pos doc $i pred ${scored(i)}"))
+    (20L until 40L).foreach(i =>
+      assert(scored(i)._2 == 0, s"neg doc $i pred ${scored(i)}"))
+    // deterministic: same slice, same model, run to run
+    val w1 = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 3,
+      sampleFraction = 0.5)
+    val w2 = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 3,
+      sampleFraction = 0.5)
+    assert(w1.toSeq == w2.toSeq)
+    // strict: the slice must actually drop docs (unique number
+    // tokens make the full and sliced models differ)
+    val full = Quality.trainPerceptronExact(planted,
+      col("source") === "hq", dim = 16, rounds = 3)
+    assert(full.toSeq != w1.toSeq,
+      "the half-slice model must differ from the full model")
+    // an empty slice trains the zero model: every margin exactly 0
+    val zeros = Quality.perceptronExactScores(planted,
+      col("source") === "hq", dim = 16, rounds = 3,
+      sampleFraction = 1e-9).collect()
+    assert(zeros.length == 40)
+    zeros.foreach(r => assert(r.getLong(2) == 0L && r.getInt(3) == 0))
+  }
+
   test("perceptron serve: bit-identical to the fused tier, and the " +
       "serving scan plans with ZERO Exchange") {
     val w = Quality.trainPerceptronExact(planted,
