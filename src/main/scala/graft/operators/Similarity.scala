@@ -160,6 +160,41 @@ object Similarity {
     * config still recovers [[embeddingDedup]] bit-for-bit
     * (spec-pinned). Same 100 TB shape: cell-local pair joins,
     * edge-sized CC shuffles. */
+  /** CLUSTER-BALANCED corpus sampling — topic balancing for training
+    * mixes: the per-source quota discipline (q236/q227) re-pointed at
+    * SEMANTIC cells. Every vector is assigned to its exact k-means
+    * cell (the q313 quantizer, so the kept set replays in the
+    * oracle) and each cell keeps at most `perCell` members, ranked
+    * by a PORTABLE deterministic pseudo-random key (salted
+    * md5-prefix of vec_id): over-represented modes are capped to a
+    * flat budget while tail topics survive intact — the
+    * cluster-granularity counterpart of domain reweighting in
+    * multi-domain curation (DoReMi, arXiv:2305.10429; cluster-based
+    * pruning, Sorscher et al. arXiv:2206.14486 — SemDeDup's cell
+    * device re-pointed at budgets instead of dedup).
+    *
+    * Scale: assignment is crossJoin(broadcast(k cells)) — linear,
+    * vectors never shuffle for it; the quota is ONE rank window
+    * partitioned by cell over an 8-byte key (embeddings don't ride
+    * the window), so the shuffle is id-sized and cell-keyed — no
+    * global window, no pair blow-up. */
+  def clusterBalancedSample(embeddings: DataFrame, cells: Int = 8,
+      iters: Int = 2, perCell: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val celled =
+      assignCellsExact(emb, kmeansCentroidsExact(emb, cells, iters))
+    val rk = conv(substring(md5(concat(lit("cbs:"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(rk.asc, col("vec_id").asc)
+    celled
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= perCell)
+      .select(col("vec_id"), col("cell"), col("pos"))
+      .orderBy(col("vec_id"))
+  }
+
   def semDedupExact(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
       threshold: Double = 0.45): DataFrame = {
     val emb = withNorm(embeddings)
@@ -2353,6 +2388,11 @@ object Similarity {
     // CC closure all replayed in SQL (q313 + q136 devices composed)
     "q314_semdedup_exact" ->
       ((s, d) => semDedupExact(Tables(s, d).embeddings)),
+    // CLUSTER-BALANCED sampling: per-cell quotas over the exact
+    // quantizer with a portable md5 rank — topic balancing,
+    // driver-checked end to end
+    "q326_cluster_balanced_sample" ->
+      ((s, d) => clusterBalancedSample(Tables(s, d).embeddings)),
     // the PORTABLE sign-LSH pair tier: md5-derived planes, banding,
     // cap and verify all replayed in SQL (the q300/q312 move for the
     // RP family)
@@ -3160,6 +3200,23 @@ object Similarity {
     // removes unprobed cells)
     "q319_ivf_exact_served" ->
       ivfExactOracle(0, 5, 2, 8, 2, "q.vec_id % 50 = 7"),
+    // the shared exact-k-means CTE chain + the portable md5 rank
+    // window + the perCell cap — the whole topic-balancing decision
+    // replayed; pinned to cells=8, iters=2, perCell=40
+    "q326_cluster_balanced_sample" ->
+      s"""WITH ${exactKmeansCtes(8, 2)},
+         |rk AS (
+         |  SELECT vec_id, cell,
+         |    CAST('0x' || substr(md5('cbs:' ||
+         |      CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS rk
+         |  FROM af),
+         |kept AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY rk, vec_id) AS pos
+         |  FROM rk)
+         |SELECT vec_id, cell, pos FROM kept
+         |WHERE pos <= 40 ORDER BY vec_id""".stripMargin,
     // the same exact-k-means CTE chain (shared generator — the two
     // oracles cannot drift) + intra-cell exact-cosine pairs + the
     // q136 recursive transitive closure + component-minimum reps;

@@ -134,7 +134,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q319's probe crossJoins the broadcast cells×Dim centroid
     // sidecar against the k-row query slice (q313's probe shape,
     // served from the artifact)
-    "q319_ivf_exact_served")
+    "q319_ivf_exact_served",
+    // q326's cell assignment crossJoins the broadcast k×Dim exact
+    // centroids against the corpus (q313/q314's assignment shape);
+    // the quota window after it is cell-keyed, never global
+    "q326_cluster_balanced_sample")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross

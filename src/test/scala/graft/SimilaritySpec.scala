@@ -807,6 +807,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
   }
 
+  test("clusterBalancedSample: per-cell counts = min(cell size, " +
+      "perCell); skewed mode capped, tail intact; partition-invariant") {
+    // real corpus: kept set per cell must be exactly the quota rule
+    // over the SAME cells assignCellsExact produces
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val cellSizes = Similarity.assignCellsExact(emb,
+        Similarity.kmeansCentroidsExact(emb, 8, 2))
+      .groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val kept = Similarity.clusterBalancedSample(t.embeddings,
+      perCell = 10).collect()
+    val keptPerCell = kept.groupBy(_.getInt(1))
+      .map { case (c, rs) => c -> rs.length.toLong }
+    assert(keptPerCell == cellSizes.map { case (c, n) =>
+      c -> math.min(n, 10L) }.filter(_._2 > 0),
+      s"quota rule violated: $keptPerCell vs sizes $cellSizes")
+    // pos is a 1..quota ranking within each cell
+    kept.groupBy(_.getInt(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq ==
+        (1L to rs.length.toLong), s"cell $c pos ranks")
+    }
+    // deterministic under repartition (portable md5 rank, exact cells)
+    val again = Similarity.clusterBalancedSample(
+      t.embeddings.repartition(7), perCell = 10).collect()
+    assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // planted skew: 30 copies of one direction + 3 of another — the
+    // big mode is capped at perCell, the tail survives whole. Seeds
+    // are vec_id < cells, so each mode must OWN a seed (id 0 = big
+    // mode, id 1 = tail mode) or Lloyd starts with twin centroids.
+    val va = Seq.fill(4)(0f).updated(0, 1f)
+    val vb = Seq.fill(4)(0f).updated(1, 1f)
+    val skew = (Seq((0L, va), (1L, vb)) ++
+      (2L until 31L).map(i => (i, va)) ++
+      (101L until 103L).map(i => (i, vb))).toDF("vec_id", "embedding")
+    val balanced = Similarity.clusterBalancedSample(skew, cells = 2,
+      perCell = 5).collect()
+    val byCell = balanced.groupBy(_.getInt(1))
+      .map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+    // identical vectors assign identically: the two modes are two
+    // cells; one kept-set has 5 ids (capped), the other all 3
+    val sizes = byCell.values.map(_.size).toSeq.sorted
+    assert(sizes == Seq(3, 5), s"expected capped 5 + intact 3: $byCell")
+    assert(byCell.values.exists(_ == Set(1L, 101L, 102L)))
+  }
+
   test("ivfTopKExact: deterministic across invocations, well-ranked, " +
       "and recall vs brute force holds on the corpus") {
     val a = Similarity.ivfTopKExact(t.embeddings).collect()
