@@ -878,6 +878,63 @@ object Similarity {
             cells, iters),
           batchId, path))
 
+  /** INCREMENTAL SemDeDup against the AT-REST exact index — the
+    * nightly-ingest shape: a new-crawl slice dedups against the
+    * at-rest base WITHOUT retraining the quantizer or rescanning the
+    * base. The increment is the deterministic slice vec_id % 10 = 3
+    * (the q163/q124 perturbation convention); the base (everything
+    * else) is materialized once via [[materializedIvfExactIndex]].
+    * Each new vector assigns to ONE cell under the index's broadcast
+    * centroid sidecar (the q319 probe at nprobe=1), the base scan is
+    * PARTITION-PRUNED to the touched cells, and the SemDeDup decision
+    * — cos ≥ threshold against ANY base member of the cell, dup_of =
+    * best match (max sim, ties to min base id) — joins
+    * increment-vs-pruned-cells ONLY. At 100 TB the work scales with
+    * the increment and the touched-cell fraction, never the base
+    * (the q311/q319 serving economics applied to the semantic-dedup
+    * DECISION). Same cross-cell recall trade as [[semDedup]]; seeds
+    * are the base's first `cells` ids, so a seed id belonging to the
+    * increment simply isn't a seed — both engines agree by
+    * construction. Threshold 0.35 (the q320 convention: sits in an
+    * empirical gap AND keeps the oracle-SF result non-trivial). */
+  def semDedupIncremental(s: SparkSession, embeddings: DataFrame,
+      key: String, threshold: Double = 0.35, cells: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val base = embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    val inc = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 3)
+      .select(col("vec_id"), col("embedding"))
+    val table =
+      materializedIvfExactIndex(s, base, key + "#incbase", cells, iters)
+    val assigned = assignCellsExact(inc, s.table(table + "_cents"))
+    val touched = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan =
+      if (touched.isEmpty) s.table(table).filter(lit(false))
+      else s.table(table)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+    val incE = withNorm(inc).join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        col("embedding").as("va"), col("nrm").as("na"))
+    val baseE = withNorm(scan.select(col("vec_id").as("base_id"),
+        col("cell"), col("embedding")))
+      .select(col("cell"), col("base_id"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("base_id"))
+    val best = incE.join(baseE, Seq("cell"))
+      .select(col("vec_id"), col("base_id"),
+        cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("base_id").as("dup_of"))
+    assigned.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding centroids (class prototypes — the reduction
     * behind nearest-class-mean classification, IVF cell refresh, and
     * per-cluster drift monitoring), accumulated EXACTLY: each float
@@ -2393,6 +2450,12 @@ object Similarity {
     // driver-checked end to end
     "q326_cluster_balanced_sample" ->
       ((s, d) => clusterBalancedSample(Tables(s, d).embeddings)),
+    // INCREMENTAL SemDeDup from the at-rest exact index: the
+    // vec_id%10=3 crawl slice dedups against the partition-pruned
+    // base cells — index trained on the base only, work scales with
+    // the increment
+    "q327_semdedup_incremental" ->
+      ((s, d) => semDedupIncremental(s, Tables(s, d).embeddings, d)),
     // the PORTABLE sign-LSH pair tier: md5-derived planes, banding,
     // cap and verify all replayed in SQL (the q300/q312 move for the
     // RP family)
@@ -2440,6 +2503,44 @@ object Similarity {
       s"(sqrt(${norm2Sql(s"$an.embedding", Dim)}) * " +
       s"sqrt(${norm2Sql(s"$bn.embedding", Dim)}))"
 
+  /** q327's DuckDB twin — [[exactKmeansCtes]] trained on the BASE
+    * slice only (`e` restricted), the increment argmin-assigned to
+    * one cell each, and the best-match decision (sim ≥ threshold,
+    * max sim, ties to min base id) over increment × same-cell base
+    * members. The partition pruning is a plan property (spec side);
+    * the VALUES the pruned scan must produce are exactly these. */
+  private def semDedupIncOracle(cells: Int, iters: Int,
+      threshold: Double): String =
+    s"""WITH ${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
+       |inc AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 3),
+       |ia AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT i.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${l2Sql("i.embedding", "c.cvec", Dim)}, c.cell)
+       |        AS rn
+       |    FROM inc i CROSS JOIN c$iters c) WHERE rn = 1),
+       |cand AS (
+       |  SELECT ia.vec_id, b.vec_id AS base_id,
+       |    ${simSql("i", "b")} AS sim
+       |  FROM ia
+       |  JOIN inc i ON i.vec_id = ia.vec_id
+       |  JOIN af ba ON ba.cell = ia.cell
+       |  JOIN e b ON b.vec_id = ba.vec_id),
+       |best AS (
+       |  SELECT vec_id, base_id FROM (
+       |    SELECT vec_id, base_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, base_id) AS rn
+       |    FROM cand WHERE sim >= $threshold) t
+       |  WHERE rn = 1)
+       |SELECT ia.vec_id, ia.cell, best.base_id AS dup_of,
+       |  best.base_id IS NULL AS keep
+       |FROM ia LEFT JOIN best ON best.vec_id = ia.vec_id
+       |ORDER BY ia.vec_id""".stripMargin
+
   /** q313's DuckDB twin, GENERATED with the Lloyd rounds unrolled
     * (the pageRank/anisotropy convention): seeds = first `cells`
     * vectors double-cast; per round one L2-argmin assignment (the
@@ -2467,8 +2568,12 @@ object Similarity {
     * corpus), seeds `c0`, `iters` unrolled Lloyd rounds (assign a_r +
     * q139 decimal re-center c_r), ending in the FINAL assignment
     * `af` over `c$iters`. Shared by the q313 and q314 oracles so the
-    * two cannot drift. */
-  private def exactKmeansCtes(cells: Int, iters: Int): String = {
+    * two cannot drift. `ePredSql` restricts the TRAINING corpus `e`
+    * (q327 trains the index on the base slice only); empty renders
+    * the historical SQL byte-for-byte. */
+  private def exactKmeansCtes(cells: Int, iters: Int,
+      ePredSql: String = ""): String = {
+    val eWhere = if (ePredSql.isEmpty) "" else s" WHERE $ePredSql"
     val rounds = (1 to iters).map { r =>
       s"""${exactAssignSql(s"a$r", s"c${r - 1}")},
          |c$r AS (
@@ -2485,7 +2590,7 @@ object Similarity {
          |    GROUP BY cell, pos)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings$eWhere),
        |c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -3200,6 +3305,11 @@ object Similarity {
     // removes unprobed cells)
     "q319_ivf_exact_served" ->
       ivfExactOracle(0, 5, 2, 8, 2, "q.vec_id % 50 = 7"),
+    // the base-trained exact-k-means chain (e restricted to the base
+    // slice) + single-cell assignment of the increment + the
+    // best-match decision — index training, probe, pruned decision
+    // all replayed; pinned to cells=8, iters=2, threshold=0.35
+    "q327_semdedup_incremental" -> semDedupIncOracle(8, 2, 0.35),
     // the shared exact-k-means CTE chain + the portable md5 rank
     // window + the perCell cap — the whole topic-balancing decision
     // replayed; pinned to cells=8, iters=2, perCell=40

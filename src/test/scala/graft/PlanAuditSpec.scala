@@ -138,7 +138,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q326's cell assignment crossJoins the broadcast k×Dim exact
     // centroids against the corpus (q313/q314's assignment shape);
     // the quota window after it is cell-keyed, never global
-    "q326_cluster_balanced_sample")
+    "q326_cluster_balanced_sample",
+    // q327 assigns the INCREMENT slice against the broadcast centroid
+    // sidecar (q319's probe shape at nprobe=1); the decision join
+    // after it is cell-keyed against the partition-pruned base scan
+    "q327_semdedup_incremental")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross

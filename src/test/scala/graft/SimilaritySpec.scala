@@ -807,6 +807,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
   }
 
+  test("semDedupIncremental: planted twin collapses onto its min-id " +
+      "base copy, novel vector keeps; base scan is partition-pruned") {
+    val va = Seq(1f, 0f, 0f, 0f); val vb = Seq(0f, 1f, 0f, 0f)
+    val vc = Seq(0f, 0f, 1f, 0f)
+    // base = everything with vec_id % 10 != 3; each mode owns a Lloyd
+    // seed (ids 0 and 1). increment = % 10 == 3: a twin of mode A
+    // (13) and a vector orthogonal to the whole base (23)
+    val emb = Seq((0L, va), (1L, vb), (2L, va), (10L, va), (11L, vb),
+      (13L, va), (23L, vc)).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupIncremental(spark, emb,
+      "incdedup-planted")
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(2)) -1L else r.getLong(2)), r.getBoolean(3)))
+      .toMap
+    assert(rows.keySet == Set(13L, 23L),
+      s"only increment rows expected: $rows")
+    // the twin matches every base copy of mode A at sim 1.0 —
+    // dup_of must tie-break to the MIN base id
+    assert(rows(13L) == ((0L, false)), s"twin verdict: ${rows(13L)}")
+    // the novel direction matches nothing above threshold
+    assert(rows(23L) == ((-1L, true)), s"novel verdict: ${rows(23L)}")
+    // the base scan is partition-pruned to the touched cells — the
+    // 100 TB claim as a plan property (the q319/q311 pin)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(got.queryExecution.executedPlan)
+      .filter(s => s.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(scans.nonEmpty, "no partitioned artifact scan in the plan")
+    scans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("cell"),
+        s.metadata("PartitionFilters"))
+    }
+    // deterministic across invocations (memoized artifact + exact
+    // arithmetic)
+    val again = Similarity.semDedupIncremental(spark, emb,
+      "incdedup-planted").collect().map(_.toSeq).toSeq
+    assert(again == got.collect().map(_.toSeq).toSeq)
+  }
+
   test("clusterBalancedSample: per-cell counts = min(cell size, " +
       "perCell); skewed mode capped, tail intact; partition-invariant") {
     // real corpus: kept set per cell must be exactly the quota rule
