@@ -899,10 +899,20 @@ object Similarity {
     * empirical gap AND keeps the oracle-SF result non-trivial). */
   def semDedupIncremental(s: SparkSession, embeddings: DataFrame,
       key: String, threshold: Double = 0.35, cells: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val base = embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
-    val inc = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 3)
-      .select(col("vec_id"), col("embedding"))
+      iters: Int = 2): DataFrame =
+    semDedupAgainstIndex(s,
+      embeddings.filter(pmod(col("vec_id"), lit(10L)) === 3)
+        .select(col("vec_id"), col("embedding")),
+      embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 3),
+      key, threshold, cells, iters)
+
+  /** The core of [[semDedupIncremental]] over an ARBITRARY frame of
+    * new vectors — also the per-micro-batch transform of the
+    * streaming twin ([[semDedupIncrementalStream]]): same artifact,
+    * same probe, same decision, so stream == batch by construction. */
+  def semDedupAgainstIndex(s: SparkSession, inc: DataFrame,
+      base: DataFrame, key: String, threshold: Double = 0.35,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
     val table =
       materializedIvfExactIndex(s, base, key + "#incbase", cells, iters)
     val assigned = assignCellsExact(inc, s.table(table + "_cents"))
@@ -934,6 +944,25 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Stream of new crawl vectors → per-micro-batch
+    * [[semDedupAgainstIndex]] into idempotent per-batch parquet —
+    * the nightly ingest run CONTINUOUSLY (the q83/q145 stream-twin
+    * convention; the exact transform the batch tier runs, so
+    * StreamingSpec's stream == batch pin is by construction).
+    * Stateless: the at-rest index is the static side Spark re-plans
+    * per batch; each batch reads O(touched cells) of the base. */
+  def semDedupIncrementalStream(s: SparkSession, vecStream: DataFrame,
+      base: DataFrame, key: String, path: String, checkpoint: String,
+      threshold: Double = 0.35, cells: Int = 8, iters: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.writeBatchIdempotent(
+          semDedupAgainstIndex(s, batch, base, key, threshold, cells,
+            iters),
+          batchId, path))
 
   /** Per-label embedding centroids (class prototypes — the reduction
     * behind nearest-class-mean classification, IVF cell refresh, and

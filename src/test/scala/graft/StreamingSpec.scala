@@ -755,6 +755,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("incremental SemDeDup stream (q327's transform): micro-batched " +
+      "crawl vectors reproduce the batch verdicts against the static " +
+      "index") {
+    implicit val sc = spark.sqlContext
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val key = s"incdedupstream_${System.nanoTime()}"
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    val incVecs = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(incVecs.length > 5)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_incout").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_incckpt").toString
+    val q = graft.operators.Similarity.semDedupIncrementalStream(spark,
+      mem.toDF().toDF("vec_id", "embedding"), base, key, outDir, ckpt)
+      .start()
+    mem.addData(incVecs.take(5).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(incVecs.drop(5).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("vec_id", "cell", "dup_of", "keep")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    // the batch tier over the same slice and the same key (memoized
+    // artifact): verdicts must match row for row
+    val batch = graft.operators.Similarity.semDedupIncremental(spark,
+      emb, key).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("ANN serving stream (IVF-PQ artifact): micro-batched queries " +
       "reproduce q311's batch ranking") {
     implicit val sc = spark.sqlContext
