@@ -945,6 +945,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** INDEX-STALENESS monitor — the operational gate after each
+    * incremental ingest ([[semDedupIncremental]]): has the new data
+    * shifted the cell occupancy enough that the at-rest quantizer
+    * should be retrained? Rebuilding a 100 TB index is the most
+    * expensive operation in the serving stack; this card is the
+    * number that gates it. Per cell (full outer over index cells ∪
+    * increment cells): base/increment counts, the pre-ingest share,
+    * the post-ingest share, and |drift|. Integers end to end until
+    * three single IEEE divisions and one subtraction — hash-exact in
+    * any engine. Base counts read ONLY the index table's partition
+    * column; the increment assigns against the broadcast sidecar —
+    * the monitor never touches vectors of the base. Same memo key as
+    * q327, so monitoring and dedup share ONE artifact build. */
+  def indexStaleness(s: SparkSession, embeddings: DataFrame,
+      key: String, cells: Int = 8, iters: Int = 2): DataFrame = {
+    val base = embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    val inc = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 3)
+      .select(col("vec_id"), col("embedding"))
+    val table =
+      materializedIvfExactIndex(s, base, key + "#incbase", cells, iters)
+    val baseCounts = s.table(table).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val incCounts = assignCellsExact(inc, s.table(table + "_cents"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_inc"))
+    val joined = baseCounts.join(incCounts, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"))
+    val tot = joined.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_inc")).as("ti"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_inc"),
+        (col("n_base").cast("double") / col("tb").cast("double"))
+          .as("share_base"),
+        ((col("n_base") + col("n_inc")).cast("double") /
+          (col("tb") + col("ti")).cast("double")).as("share_merged"))
+      .withColumn("drift", abs(col("share_merged") - col("share_base")))
+      .orderBy(col("cell"))
+  }
+
   /** Stream of new crawl vectors → per-micro-batch
     * [[semDedupAgainstIndex]] into idempotent per-batch parquet —
     * the nightly ingest run CONTINUOUSLY (the q83/q145 stream-twin
@@ -2485,6 +2525,11 @@ object Similarity {
     // the increment
     "q327_semdedup_incremental" ->
       ((s, d) => semDedupIncremental(s, Tables(s, d).embeddings, d)),
+    // the retrain gate: per-cell occupancy drift of the SAME at-rest
+    // index after the ingest — counts + three IEEE divisions,
+    // hash-exact
+    "q328_index_staleness" ->
+      ((s, d) => indexStaleness(s, Tables(s, d).embeddings, d)),
     // the PORTABLE sign-LSH pair tier: md5-derived planes, banding,
     // cap and verify all replayed in SQL (the q300/q312 move for the
     // RP family)
@@ -2538,10 +2583,11 @@ object Similarity {
     * max sim, ties to min base id) over increment × same-cell base
     * members. The partition pruning is a plan property (spec side);
     * the VALUES the pruned scan must produce are exactly these. */
-  private def semDedupIncOracle(cells: Int, iters: Int,
-      threshold: Double): String =
-    s"""WITH ${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
-       |inc AS (
+  /** The increment slice + its single-cell argmin assignment as CTEs
+    * (`inc`, `ia`) over the base-trained centroids `c$iters` — shared
+    * by the q327 and q328 oracles so the two cannot drift. */
+  private def incAssignCtes(iters: Int): String =
+    s"""inc AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % 10 = 3),
        |ia AS (
@@ -2550,7 +2596,41 @@ object Similarity {
        |      row_number() OVER (PARTITION BY i.vec_id
        |        ORDER BY ${l2Sql("i.embedding", "c.cvec", Dim)}, c.cell)
        |        AS rn
-       |    FROM inc i CROSS JOIN c$iters c) WHERE rn = 1),
+       |    FROM inc i CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+
+  /** q328's DuckDB twin — the shared base-trained chain and the
+    * shared `inc`/`ia` CTEs, then per-cell occupancy rollups, a
+    * 1-row totals CTE and the drift arithmetic (single IEEE
+    * divisions of exact integers, same expressions as the Spark
+    * columns). */
+  private def indexStalenessOracle(cells: Int, iters: Int): String = {
+    val sb = "CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)"
+    val sm = "CAST(n_base + n_inc AS DOUBLE) / CAST(tb + ti AS DOUBLE)"
+    s"""WITH ${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
+       |${incAssignCtes(iters)},
+       |bc AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+       |  FROM af GROUP BY cell),
+       |ic AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_inc
+       |  FROM ia GROUP BY cell),
+       |j AS (
+       |  SELECT cell, CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+       |    CAST(coalesce(n_inc, 0) AS BIGINT) AS n_inc
+       |  FROM bc FULL OUTER JOIN ic USING (cell)),
+       |t AS (
+       |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+       |    CAST(sum(n_inc) AS BIGINT) AS ti
+       |  FROM j)
+       |SELECT cell, n_base, n_inc, $sb AS share_base,
+       |  $sm AS share_merged, abs($sm - $sb) AS drift
+       |FROM j, t ORDER BY cell""".stripMargin
+  }
+
+  private def semDedupIncOracle(cells: Int, iters: Int,
+      threshold: Double): String =
+    s"""WITH ${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
+       |${incAssignCtes(iters)},
        |cand AS (
        |  SELECT ia.vec_id, b.vec_id AS base_id,
        |    ${simSql("i", "b")} AS sim
@@ -3339,6 +3419,9 @@ object Similarity {
     // best-match decision — index training, probe, pruned decision
     // all replayed; pinned to cells=8, iters=2, threshold=0.35
     "q327_semdedup_incremental" -> semDedupIncOracle(8, 2, 0.35),
+    // the same base-trained chain + the SAME shared inc-assignment
+    // CTEs + per-cell occupancy rollups and the drift arithmetic
+    "q328_index_staleness" -> indexStalenessOracle(8, 2),
     // the shared exact-k-means CTE chain + the portable md5 rank
     // window + the perCell cap — the whole topic-balancing decision
     // replayed; pinned to cells=8, iters=2, perCell=40

@@ -142,7 +142,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q327 assigns the INCREMENT slice against the broadcast centroid
     // sidecar (q319's probe shape at nprobe=1); the decision join
     // after it is cell-keyed against the partition-pruned base scan
-    "q327_semdedup_incremental")
+    "q327_semdedup_incremental",
+    // q328: the same sidecar assignment plus a 1-row totals broadcast
+    // fanned against the ≤cells-row occupancy relation
+    "q328_index_staleness")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross

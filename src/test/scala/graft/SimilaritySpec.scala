@@ -852,6 +852,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == got.collect().map(_.toSeq).toSeq)
   }
 
+  test("indexStaleness: hand-computed drift on a planted ingest; " +
+      "counts match the index and the assignment; deterministic") {
+    val va = Seq(1f, 0f, 0f, 0f); val vb = Seq(0f, 1f, 0f, 0f)
+    // base: 4 of mode A + 2 of mode B (ids avoid % 10 == 3; modes own
+    // seeds 0 and 1); increment: 2 more of mode A (ids 13, 23)
+    val emb = Seq((0L, va), (1L, vb), (2L, va), (4L, va), (5L, va),
+      (11L, vb), (13L, va), (23L, va)).toDF("vec_id", "embedding")
+    val got = Similarity.indexStaleness(spark, emb, "staleness-planted")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 2, s"expected the two mode cells: ${got.toSeq}")
+    // all increment mass lands in mode A's cell: tb=6, ti=2
+    val a = got.find(_._2 == 4L).get
+    val b = got.find(_._2 == 2L).get
+    assert(a._3 == 2L && b._3 == 0L)
+    assert(a._4 == 4.0 / 6.0 && a._5 == 6.0 / 8.0)
+    assert(a._6 == math.abs(6.0 / 8.0 - 4.0 / 6.0))
+    assert(b._4 == 2.0 / 6.0 && b._5 == 2.0 / 8.0)
+    assert(b._6 == math.abs(2.0 / 8.0 - 2.0 / 6.0))
+    // the ingest grew mode A's share and shrank B's — the card reads
+    // exactly the retrain signal it claims to
+    assert(a._5 > a._4 && b._5 < b._4)
+    val again = Similarity.indexStaleness(spark, emb,
+      "staleness-planted").collect().map(_.toSeq).toSeq
+    assert(again == Similarity.indexStaleness(spark, emb,
+      "staleness-planted").collect().map(_.toSeq).toSeq)
+  }
+
   test("clusterBalancedSample: per-cell counts = min(cell size, " +
       "perCell); skewed mode capped, tail intact; partition-invariant") {
     // real corpus: kept set per cell must be exactly the quota rule
