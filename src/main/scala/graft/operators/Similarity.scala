@@ -2585,12 +2585,19 @@ object Similarity {
     * the VALUES the pruned scan must produce are exactly these. */
   /** The increment slice + its single-cell argmin assignment as CTEs
     * (`inc`, `ia`) over the base-trained centroids `c$iters` — shared
-    * by the q327 and q328 oracles so the two cannot drift. */
+    * by the q327 and q328 oracles so the two cannot drift. `ia` and
+    * the `afm` copy of the base assignment are MATERIALIZED (the q314
+    * device): DuckDB inlines plain CTEs per REFERENCE, so without the
+    * hint every downstream mention re-evaluates the whole unrolled
+    * Lloyd chain — the plan multiplies until the buffer pool flakes
+    * out (seen live: queries sorting AFTER q327/q328 OOM'd at tiny
+    * allocations). */
   private def incAssignCtes(iters: Int): String =
     s"""inc AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % 10 = 3),
-       |ia AS (
+       |afm AS MATERIALIZED (SELECT vec_id, cell FROM af),
+       |ia AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT i.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY i.vec_id
@@ -2610,11 +2617,11 @@ object Similarity {
        |${incAssignCtes(iters)},
        |bc AS (
        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_base
-       |  FROM af GROUP BY cell),
+       |  FROM afm GROUP BY cell),
        |ic AS (
        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_inc
        |  FROM ia GROUP BY cell),
-       |j AS (
+       |j AS MATERIALIZED (
        |  SELECT cell, CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
        |    CAST(coalesce(n_inc, 0) AS BIGINT) AS n_inc
        |  FROM bc FULL OUTER JOIN ic USING (cell)),
@@ -2636,7 +2643,7 @@ object Similarity {
        |    ${simSql("i", "b")} AS sim
        |  FROM ia
        |  JOIN inc i ON i.vec_id = ia.vec_id
-       |  JOIN af ba ON ba.cell = ia.cell
+       |  JOIN afm ba ON ba.cell = ia.cell
        |  JOIN e b ON b.vec_id = ba.vec_id),
        |best AS (
        |  SELECT vec_id, base_id FROM (
