@@ -745,13 +745,17 @@ object Dedup {
     * .bucketedTableNames]] precedent, plus partition pruning). Cached
     * per (session, key) like the q162 bucketed tables. */
   def materializedNearDupBase(s: SparkSession, base: DataFrame, key: String,
-      shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8): String =
-    baseBucketTables.getOrElseUpdate((s, key), {
+      shingleSize: Int = 3, numPerms: Int = 32, bands: Int = 8): String = {
+    // the signature parameters are part of the artifact identity — a
+    // key reused with different shingle/perm/band settings must build
+    // its own table, not probe the first build's bucket space
+    val fullKey = s"$key|s=$shingleSize|p=$numPerms|b=$bands"
+    baseBucketTables.getOrElseUpdate((s, fullKey), {
       // sanitized FULL key in the table name (hashCode alone can
       // collide across keys and silently overwrite another base)
       val name = "graft_nd_base_" +
-        key.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
-        "_" + java.lang.Integer.toHexString(key.hashCode)
+        fullKey.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+        "_" + java.lang.Integer.toHexString(fullKey.hashCode)
       val dir = java.nio.file.Files.createTempDirectory("graft_nd_base_")
       bandBuckets(base, shingleSize, numPerms, bands)
         .withColumn("pp", (col("band") * BhPartitions +
@@ -760,6 +764,7 @@ object Dedup {
         .option("path", s"$dir/t").mode("overwrite").saveAsTable(name)
       name
     })
+  }
 
   /** [[incrementalNearDups]] probing the MATERIALIZED base bucket
     * table instead of re-shingling the base corpus: the increment's
@@ -1190,11 +1195,13 @@ object Dedup {
     * re-collapsing the ingested corpus on every crawl snapshot and
     * reading a fingerprint table + a sketch file. */
   def materializedScreenBase(s: SparkSession, base: DataFrame,
-      key: String, fpp: Double = 0.01): (String, String) =
-    screenArtifacts.getOrElseUpdate((s, key), {
+      key: String, fpp: Double = 0.01): (String, String) = {
+    // fpp shapes the persisted Bloom sketch — part of the identity
+    val fullKey = s"$key|fpp=$fpp"
+    screenArtifacts.getOrElseUpdate((s, fullKey), {
       val name = "graft_screen_base_" +
-        key.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
-        "_" + java.lang.Integer.toHexString(key.hashCode)
+        fullKey.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) +
+        "_" + java.lang.Integer.toHexString(fullKey.hashCode)
       val dir = java.nio.file.Files.createTempDirectory("graft_screen_")
       val fps = base.select(contentFp.as("fp")).distinct().persist()
       try {
@@ -1208,6 +1215,7 @@ object Dedup {
       } finally fps.unpersist(false)
       (name, s"$dir/bloom")
     })
+  }
 
   /** [[crossCorpusNewBloomScreened]] reading the screen from the
     * at-rest artifact instead of re-deriving it from the base corpus:

@@ -413,7 +413,14 @@ object Quality {
     * At 100 TB this is the serving shape: train on the sampled slice
     * (q193's knob), broadcast 17 longs, score everything in one
     * codegen'd scan. Unordered — the registered batch query adds the
-    * total order; streams can't sort in append mode. */
+    * total order; streams can't sort in append mode.
+    *
+    * NULL-text docs are DROPPED, matching the fused tier exactly:
+    * there `explode(split(NULL))` erases the doc from the feature
+    * frame, so it gets no score row — without the mirrored filter
+    * here the serve fold would emit (NULL margin, pred 0) for the
+    * same doc and break the pinned serve ≡ fused bit-identity on any
+    * corpus containing one. */
   def perceptronServe(docs: DataFrame, positive: Column,
       w: Array[Long], dim: Int = 16): DataFrame = {
     require(w.length == dim + 1, s"model needs ${dim + 1} slots")
@@ -426,7 +433,7 @@ object Quality {
     val margin = aggregate(
       transform(split(col("text"), " "), bucketWeight),
       lit(w(0)), (acc, t) => acc + t)
-    docs.select(col("doc_id"),
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
       when(positive, 1).otherwise(0).as("y"),
       margin.as("margin"),
       when(margin > 0, 1).otherwise(0).as("pred"))

@@ -231,6 +231,25 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"serving scan shuffled:\n$plan")
   }
 
+  test("perceptron serve: a NULL-text doc is dropped by BOTH tiers " +
+      "(serve ≡ fused holds on corpora containing one)") {
+    // the fused tier loses a NULL-text doc at explode(split(NULL));
+    // the serve scan must mirror that drop, not emit a NULL-margin row
+    val withNullDoc = planted.unionByName(
+      Seq((99L, Option.empty[String], "en", "lq"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val w = Quality.trainPerceptronExact(withNullDoc,
+      col("source") === "hq", dim = 16, rounds = 10)
+    val served = Quality.perceptronServe(withNullDoc,
+      col("source") === "hq", w).collect().map(_.toSeq).toSet
+    val fused = Quality.perceptronExactScores(withNullDoc,
+      col("source") === "hq", dim = 16, rounds = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == fused, "serve != fused on a null-text corpus")
+    assert(!served.exists(_.head == 99L), "null-text doc must be dropped")
+    assert(served.size == 40)
+  }
+
   test("exact perceptron: empty corpus yields the zero model and an " +
       "empty scores frame") {
     val empty = planted.limit(0)
