@@ -63,6 +63,93 @@ object Artifacts {
     }
   }
 
+  /** Name of the commit marker written LAST inside a durable artifact
+    * directory: its presence is the transaction boundary — a crashed
+    * or partial build leaves no marker and is rebuilt, never served. */
+  val CommitMarker = "_GRAFT_COMMIT"
+
+  /** Params sidecar written before the marker; consulted on reuse so a
+    * caller pointing a DIFFERENT build configuration at an existing
+    * artifact fails loudly instead of silently serving the wrong
+    * layout (the r13 ADVICE memo-key hazard, applied to disk). */
+  val ParamsFile = "_GRAFT_PARAMS"
+
+  def isCommitted(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, CommitMarker))
+
+  /** Durable builds EXECUTED by this JVM — a spec hook: a cold-session
+    * reload that really served the at-rest artifact leaves this
+    * counter untouched. */
+  val durableBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private val durableMemo = new KeyedMemo[(Any, String), String]
+
+  /** The DURABLE build-once device — the piece the session-scoped
+    * [[KeyedMemo]] + [[tempDir]] convention deliberately lacks:
+    * `build(dir)` runs only when `dir` carries no [[CommitMarker]];
+    * a committed artifact — written by this JVM, a previous session,
+    * or another job entirely — is served as-is, so the "build once,
+    * serve many" economics survive process exit. `params` is the
+    * build-configuration string: recorded next to the artifact before
+    * the marker, and REQUIRED to match on every committed reuse.
+    * Memoized per (owner, canonical path) so repeat calls in one JVM
+    * skip even the marker stat; nothing here registers the directory
+    * for exit-time deletion. */
+  def durable(owner: Any, dir: String, params: String = "")
+      (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val canon = Paths.get(dir).toAbsolutePath.normalize.toString
+    // params ride the MEMO key too: a same-session caller with a
+    // different configuration re-enters the cell and hits the loud
+    // on-disk params check instead of a silent memo hit
+    durableMemo.getOrBuild((owner, s"$canon|$params")) {
+      if (isCommitted(canon)) {
+        val onDisk = Files.readString(Paths.get(canon, ParamsFile))
+        require(onDisk == params,
+          s"artifact at $canon was built with params '$onDisk', " +
+            s"caller expects '$params' — refusing to serve it")
+      } else {
+        Files.createDirectories(Paths.get(canon))
+        build(canon)
+        durableBuilds.incrementAndGet()
+        Files.writeString(Paths.get(canon, ParamsFile), params)
+        Files.write(Paths.get(canon, CommitMarker), Array.emptyByteArray)
+      }
+      canon
+    }
+  }
+
+  /** Default lake root for DURABLE artifacts: `$GRAFT_ARTIFACTS_DIR`
+    * when set (the production knob — point it at the warehouse), else
+    * `artifacts/` under the working directory. NOT registered for
+    * exit-time deletion — surviving the JVM is the point. */
+  def durableRoot: String =
+    sys.env.getOrElse("GRAFT_ARTIFACTS_DIR",
+      new java.io.File("artifacts").getAbsolutePath)
+
+  /** Metadata fingerprint of a dataset path (file or directory):
+    * digest over sorted (relative name, size, mtime) — cheap, no data
+    * read — used to key durable artifacts to their SOURCE so a
+    * regenerated input quietly gets a fresh artifact instead of being
+    * screened against a stale index. */
+  def pathFingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths, Path}
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return digest(s"absent:$path")
+    val sb = new StringBuilder
+    val s = Files.walk(root)
+    try {
+      s.sorted().forEach { (p: Path) =>
+        if (Files.isRegularFile(p)) {
+          sb.append(root.relativize(p)).append('|')
+            .append(Files.size(p)).append('|')
+            .append(Files.getLastModifiedTime(p).toMillis).append('\n')
+        }
+      }
+    } finally s.close()
+    digest(sb.toString)
+  }
+
   /** Build-once-per-key memo: `computeIfAbsent` installs a lazy cell
     * (cheap — no build under the map's bin lock); the build itself
     * runs under the cell's OWN monitor, so two threads racing on the

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** The r13 verdict's top item: durable at-rest artifacts. Pins
+  *  - commit-marker transactionality (a partial build is rebuilt, a
+  *    committed one is served as-is),
+  *  - COLD-SESSION serving: a fresh session serves bit-identically
+  *    from the committed index with the build counter FLAT (no
+  *    retraining) — the "build once, serve many" economics surviving
+  *    the process boundary,
+  *  - durable ≡ session-tier bit-identity for both the ANN serve and
+  *    the incremental-SemDeDup decision,
+  *  - loud failure when a dir is reused with different build params,
+  *  - partition pruning on the lake scan (the q327 plan guarantee,
+  *    re-proven on the parquet-path read).
+  */
+class DurableArtifactsSpec extends AnyFunSuite {
+  lazy val spark = SharedSession.spark
+
+  private def t = Tables(spark, "/root/testdata/sf0.001")
+  private def emb = t.embeddings.select(col("vec_id"), col("embedding"))
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_durable_spec_")
+      .resolve("idx").toString
+
+  test("durable: build once, commit marker written last, rebuild only " +
+      "when uncommitted") {
+    val dir = freshDir()
+    val before = Artifacts.durableBuilds.get()
+    var built = 0
+    Artifacts.durable(this, dir, "p=1") { d =>
+      built += 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, "payload"), "x")
+    }
+    assert(built == 1 && Artifacts.isCommitted(dir))
+    assert(Artifacts.durableBuilds.get() == before + 1)
+    // same owner+params: memo hit, no stat, no rebuild
+    Artifacts.durable(this, dir, "p=1")(_ => built += 1)
+    // different owner simulating a fresh JVM: marker short-circuits
+    Artifacts.durable("owner2", dir, "p=1")(_ => built += 1)
+    assert(built == 1)
+    assert(Artifacts.durableBuilds.get() == before + 1)
+    // an UNCOMMITTED dir (crashed build: payload present, no marker)
+    // is rebuilt, not served
+    val partial = freshDir()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(partial))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(partial, "payload"), "garbage")
+    var rebuilt = 0
+    Artifacts.durable(this, partial, "p=1")(_ => rebuilt += 1)
+    assert(rebuilt == 1 && Artifacts.isCommitted(partial))
+  }
+
+  test("durable: a dir reused with DIFFERENT params fails loudly " +
+      "instead of serving the wrong artifact") {
+    val dir = freshDir()
+    Artifacts.durable(this, dir, "cells=8")(_ => ())
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.durable(this, dir, "cells=16")(_ => ())
+    }
+    assert(e.getMessage.contains("cells=8") &&
+      e.getMessage.contains("cells=16"))
+    // concretely: the IVF builder refuses a quantizer-param mismatch
+    val idx = freshDir()
+    Similarity.ivfExactIndexDurable(spark, emb, idx, cells = 4,
+      iters = 1)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfExactIndexDurable(spark, emb, idx, cells = 8,
+        iters = 1)
+    }
+  }
+
+  test("COLD-SESSION serving: a fresh session answers bit-identically " +
+      "from the committed index without retraining, for both the ANN " +
+      "serve and the SemDeDup decision") {
+    val dir = freshDir()
+    val queries = emb.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // session 1 builds and serves
+    val served1 = Similarity.ivfExactServeQueriesDurable(spark, queries,
+      emb, dir).collect().map(_.toSeq)
+    val builds = Artifacts.durableBuilds.get()
+    assert(Artifacts.isCommitted(dir))
+    // a FRESH session (new session state — the closest one JVM gets
+    // to a cold start; the memo is keyed per session, so this call
+    // must go back to disk) serves the SAME answers with the build
+    // counter FLAT
+    val s2 = spark.newSession()
+    val t2 = Tables(s2, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding"))
+    val q2 = t2.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served2 = Similarity.ivfExactServeQueriesDurable(s2, q2, t2, dir)
+      .collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == builds,
+      "cold-session serve retrained the quantizer")
+    assert(served1.toSeq == served2.toSeq)
+    // the durable serve equals the session-catalog tier bit-for-bit
+    val catalog = Similarity.ivfExactServeQueries(spark, queries, emb,
+      key = "durable-spec-parity").collect().map(_.toSeq)
+    assert(served1.toSeq == catalog.toSeq)
+
+    // the SemDeDup decision: durable ≡ session tier, and the fresh
+    // session's decision rides the SAME artifact without a rebuild
+    val inc = emb.filter(pmod(col("vec_id"), lit(10L)) === 3)
+    val base = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    val dDir = freshDir()
+    val d1 = Similarity.semDedupAgainstIndexDurable(spark, inc, base,
+      dDir).collect().map(_.toSeq)
+    val buildsD = Artifacts.durableBuilds.get()
+    val inc2 = t2.filter(pmod(col("vec_id"), lit(10L)) === 3)
+    val base2 = t2.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    val d2 = Similarity.semDedupAgainstIndexDurable(s2, inc2, base2,
+      dDir).collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == buildsD)
+    assert(d1.toSeq == d2.toSeq)
+    val session = Similarity.semDedupAgainstIndex(spark, inc, base,
+      key = "durable-spec-dedup").collect().map(_.toSeq)
+    assert(d1.toSeq == session.toSeq)
+  }
+
+  test("the durable serve scan partition-prunes the lake vector table") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val dir = freshDir()
+    val queries = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val served = Similarity.ivfExactServeQueriesDurable(spark, queries,
+      emb, dir, nprobe = 2)
+    served.collect()
+    val scans = scansOf(served.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains(dir))
+      .filterNot(_.metadata("Location").contains("cents"))
+    assert(scans.nonEmpty, "no scan of the durable vector table found")
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.relation.partitionSchema.fieldNames.contains("cell"))
+    val allCells = spark.read.parquet(s"$dir/t")
+      .select("cell").distinct().count()
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead > 0 && partsRead <= 2 && partsRead < allCells,
+      s"read $partsRead of $allCells partitions at nprobe=2")
+  }
+}

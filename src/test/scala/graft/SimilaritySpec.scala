@@ -1079,6 +1079,12 @@ class SimilaritySpec extends AnyFunSuite {
     // a 16x background budget buys exactly 4 bits back
     assert(Similarity.signBandWidth(20000, budgetPerRow = 16.0) ==
       Similarity.signBandWidth(20000) - 4)
+    // FRACTIONAL budgets go through the same integer ceil-division
+    // (micros), so no float-division rounding can flip the width:
+    // need = ceil(4*500/2.5) = 800 -> w=10 (the q329 configuration);
+    // a sub-1 budget widens: need = ceil(4*500/0.25) = 8000 -> w=13
+    assert(Similarity.signBandWidth(500, budgetPerRow = 2.5) == 10)
+    assert(Similarity.signBandWidth(500, budgetPerRow = 0.25) == 13)
     // clamps: tiny corpora floor at 4 bits, astronomical ones cap at 32
     assert(Similarity.signBandWidth(1) == 4)
     assert(Similarity.signBandWidth(Long.MaxValue / 8) == 32)
