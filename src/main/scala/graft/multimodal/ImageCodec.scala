@@ -290,4 +290,11 @@ object ImageCodec {
   /** Decode + pHash in one call; None when the bytes don't decode. */
   def pHashFromBytes(bytes: Array[Byte]): Option[Long] =
     decode(bytes).map(pHash)
+
+  /** Decode ONCE, hash twice — the at-rest fingerprint build's image
+    * kernel: the decode dominates both hash costs, so persisting the
+    * aHash and pHash tiers from a single decode halves the one-time
+    * build against hashing them in separate scans. */
+  def hashesFromBytes(bytes: Array[Byte]): Option[(Long, Long)] =
+    decode(bytes).map(img => (aHash(img), pHash(img)))
 }

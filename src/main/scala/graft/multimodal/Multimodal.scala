@@ -281,16 +281,26 @@ object Multimodal {
     * never media bytes — the only shape that survives 100 TB of
     * images. */
   def imageDedup(media: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val hashes = imageAHashes(media).filter(col("ahash").isNotNull)
+      maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(imageAHashes(media), "ahash", maxHamming, maxBucket)
+
+  /** The shared 64-bit-fingerprint dedup core — chunk-pigeonhole
+    * candidates + hamming verify + connected components + component-
+    * minimum representative — over an EXPLICIT (media_id, hash) frame,
+    * so the inline tiers (hash straight off the decode UDF) and the
+    * at-rest tiers (hash read from the fingerprint artifact) run the
+    * IDENTICAL decision and cannot drift. */
+  private def fingerprintDedup(hashes0: DataFrame, hashCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val hashes = hashes0.filter(col(hashCol).isNotNull)
     val pairs = graft.operators.Dedup.hammingPairs(
-      hashes, "media_id", "ahash", maxHamming, maxBucket)
+      hashes, "media_id", hashCol, maxHamming, maxBucket)
     val clusters = graft.operators.Dedup.dupClusters(
       pairs.select(col("d1"), col("d2")))
     hashes
       .join(clusters.withColumnRenamed("doc_id", "media_id"),
         Seq("media_id"), "left")
-      .select(col("media_id"), col("ahash"),
+      .select(col("media_id"), col(hashCol),
         coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
       .withColumn("keep", col("rep_id") === col("media_id"))
       .orderBy(col("media_id"))
@@ -313,20 +323,8 @@ object Multimodal {
     * 8-bytes-per-image shape: decode once, hash-only pigeonhole
     * blocking + hamming verify + CC — media bytes never shuffle. */
   def imageDedupPhash(media: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val hashes = imagePHashes(media).filter(col("phash").isNotNull)
-    val pairs = graft.operators.Dedup.hammingPairs(
-      hashes, "media_id", "phash", maxHamming, maxBucket)
-    val clusters = graft.operators.Dedup.dupClusters(
-      pairs.select(col("d1"), col("d2")))
-    hashes
-      .join(clusters.withColumnRenamed("doc_id", "media_id"),
-        Seq("media_id"), "left")
-      .select(col("media_id"), col("phash"),
-        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
-      .withColumn("keep", col("rep_id") === col("media_id"))
-      .orderBy(col("media_id"))
-  }
+      maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(imagePHashes(media), "phash", maxHamming, maxBucket)
 
   private val frameHashUdf = udf((b: Array[Byte]) =>
     VideoCodec.frameHashes(b)
@@ -372,8 +370,16 @@ object Multimodal {
     * verify is a count over matched frames — partial-aggregable, no
     * window. Media bytes never shuffle. */
   def videoDedup(media: DataFrame, maxHamming: Int = 3,
+      minFrac: Double = 0.9, maxBucket: Int = 10000): DataFrame =
+    videoDedupFromFrames(videoFrameHashes(media), maxHamming, minFrac,
+      maxBucket)
+
+  /** [[videoDedup]]'s decision over an EXPLICIT per-frame-hash frame —
+    * shared by the inline tier (frames straight off the decode UDF)
+    * and the at-rest tier (frames read from the fingerprint
+    * artifact). */
+  def videoDedupFromFrames(frames: DataFrame, maxHamming: Int = 3,
       minFrac: Double = 0.9, maxBucket: Int = 10000): DataFrame = {
-    val frames = videoFrameHashes(media)
     val chunks0 = frames.select(col("media_id"), col("n_frames"),
       col("frame_idx"), col("fhash"),
       explode(array((0 until 4).map { c =>
@@ -428,20 +434,9 @@ object Multimodal {
     * later stage moves hashes, never media bytes — the same only-
     * shape-that-survives-100-TB argument as the image path. */
   def audioDedup(media: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
-    val fps = audioFingerprints(media).filter(col("afp").isNotNull)
-    val pairs = graft.operators.Dedup.hammingPairs(
-      fps, "media_id", "afp", maxHamming, maxBucket)
-    val clusters = graft.operators.Dedup.dupClusters(
-      pairs.select(col("d1"), col("d2")))
-    fps
-      .join(clusters.withColumnRenamed("doc_id", "media_id"),
-        Seq("media_id"), "left")
-      .select(col("media_id"), col("afp"),
-        coalesce(col("cluster_id"), col("media_id")).as("rep_id"))
-      .withColumn("keep", col("rep_id") === col("media_id"))
-      .orderBy(col("media_id"))
-  }
+      maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(audioFingerprints(media), "afp", maxHamming,
+      maxBucket)
 
   /** Serialize an array<float> column to a canonical CSV string —
     * the external harness sorts result rows, so every registered
@@ -477,6 +472,92 @@ object Multimodal {
     s.read.parquet(path)
   }
 
+  private val bothImageHashesUdf =
+    udf((b: Array[Byte]) => ImageCodec.hashesFromBytes(b))
+
+  /** AT-REST media fingerprints — the r13 media trial measured the
+    * 10× wall as RE-DECODING (audio 7.1×, video 4.3–5.0×; the hash
+    * stages ride 8-byte rows): this durable artifact is the
+    * decode-once-per-CORPUS answer, the q299/q258 at-rest convention
+    * applied to the media family. One committed build decodes every
+    * image ONCE (aHash AND pHash from a single decode —
+    * [[ImageCodec.hashesFromBytes]]), every audio clip and video
+    * once, and persists ONLY (id, 8-byte fingerprint) rows:
+    * `$dir/image` (media_id, ahash, phash), `$dir/audio` (media_id,
+    * afp), `$dir/video_frames` (media_id, n_frames, frame_idx,
+    * fhash). Every dedup tier then runs FROM the artifact
+    * ([[imageDedupFromArtifact]] and friends — bit-identical to the
+    * inline tiers by the shared decision cores), so re-runs, nightly
+    * re-dedups, and fresh JVMs never touch media bytes again. At
+    * 100 TB the artifact is GBs against the corpus's TBs — the only
+    * media I/O that repeats is the fingerprint table scan.
+    * Undecodable rows are dropped at build (the inline tiers drop
+    * them at the same point — corrupt media can't pair anyway). */
+  def mediaFingerprintArtifact(s: SparkSession, media: => DataFrame,
+      dir: String): String =
+    // `media` is BY-NAME: a committed artifact serves without even
+    // materializing the media table (the fresh-JVM path pays zero
+    // media I/O, which is the whole point)
+    graft.Artifacts.durable(s, dir, "mediafp|v1") { d =>
+      val m = media
+      m.filter(col("kind") === "image")
+        .select(col("media_id"),
+          bothImageHashesUdf(col("bytes")).as("h"))
+        .filter(col("h").isNotNull)
+        .select(col("media_id"), col("h._1").as("ahash"),
+          col("h._2").as("phash"))
+        .write.mode("overwrite").parquet(s"$d/image")
+      audioFingerprints(m).filter(col("afp").isNotNull)
+        .write.mode("overwrite").parquet(s"$d/audio")
+      videoFrameHashes(m)
+        .write.mode("overwrite").parquet(s"$d/video_frames")
+    }
+
+  /** [[imageDedup]] from the at-rest fingerprint artifact — zero
+    * decodes, media bytes untouched. */
+  def imageDedupFromArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(
+      s.read.parquet(s"$dir/image").select(col("media_id"), col("ahash")),
+      "ahash", maxHamming, maxBucket)
+
+  /** [[imageDedupPhash]] from the artifact (same single build serves
+    * both image tiers). */
+  def imageDedupPhashFromArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(
+      s.read.parquet(s"$dir/image").select(col("media_id"), col("phash")),
+      "phash", maxHamming, maxBucket)
+
+  /** [[audioDedup]] from the artifact. */
+  def audioDedupFromArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(s.read.parquet(s"$dir/audio"), "afp", maxHamming,
+      maxBucket)
+
+  /** [[videoDedup]] from the artifact's per-frame hash table. */
+  def videoDedupFromArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, minFrac: Double = 0.9,
+      maxBucket: Int = 10000): DataFrame =
+    videoDedupFromFrames(s.read.parquet(s"$dir/video_frames"),
+      maxHamming, minFrac, maxBucket)
+
+  /** The durable fingerprint home for a dataset dir: keyed to the
+    * documents table's metadata fingerprint (the synthetic media is a
+    * pure function of it), so regenerated testdata rebuilds instead
+    * of serving stale hashes. */
+  def mediaFpDurableDir(d: String): String =
+    s"${graft.Artifacts.durableRoot}/mediafp_${graft.Artifacts.digest(
+      d + "|" +
+        graft.Artifacts.pathFingerprint(s"$d/documents.parquet"))}"
+
+  /** Ensure the fingerprint artifact for `d` exists; return its dir
+    * (the accessor the four at-rest queries share — one build serves
+    * all of them, across sessions and JVMs). */
+  private def ensureMediaFp(s: SparkSession, d: String): String =
+    mediaFingerprintArtifact(s, materializedMedia(s, d),
+      mediaFpDurableDir(d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_features" -> ((s, d) =>
       extractFeatures(materializedMedia(s, d))
@@ -500,6 +581,19 @@ object Multimodal {
       audioDedup(materializedMedia(s, d))),
     "q266_video_dedup" -> ((s, d) =>
       videoDedup(materializedMedia(s, d))),
+    // the AT-REST tiers: dedup FROM the durable fingerprint artifact
+    // (one commit-marked build decodes the corpus once; these queries
+    // — and any fresh JVM — then never touch media bytes). Rows-only
+    // like the rest of the codec family; MultimodalSpec pins
+    // artifact ≡ inline bit-for-bit for all four.
+    "q331_image_dedup_atrest" -> ((s, d) =>
+      imageDedupFromArtifact(s, ensureMediaFp(s, d))),
+    "q332_image_phash_atrest" -> ((s, d) =>
+      imageDedupPhashFromArtifact(s, ensureMediaFp(s, d))),
+    "q333_audio_dedup_atrest" -> ((s, d) =>
+      audioDedupFromArtifact(s, ensureMediaFp(s, d))),
+    "q334_video_dedup_atrest" -> ((s, d) =>
+      videoDedupFromArtifact(s, ensureMediaFp(s, d))),
     "q186_scene_changes" -> ((s, d) =>
       sceneChanges(materializedMedia(s, d)))
   )

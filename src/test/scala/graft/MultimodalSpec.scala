@@ -443,6 +443,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, true))) // unrelated image survives alone
   }
 
+  test("at-rest fingerprint artifact: all four dedup tiers serve " +
+      "bit-identically to the inline tiers, and a fresh session " +
+      "serves WITHOUT re-decoding (build counter flat, media frame " +
+      "never evaluated)") {
+    val media = Multimodal.syntheticMedia(t).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mediafp_spec_").resolve("fp").toString
+    Multimodal.mediaFingerprintArtifact(spark, media, dir)
+    assert(Artifacts.isCommitted(dir))
+    val builds = Artifacts.durableBuilds.get()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // artifact ≡ inline, every tier
+    assert(rows(Multimodal.imageDedupFromArtifact(spark, dir)) ==
+      rows(Multimodal.imageDedup(media)))
+    assert(rows(Multimodal.imageDedupPhashFromArtifact(spark, dir)) ==
+      rows(Multimodal.imageDedupPhash(media)))
+    assert(rows(Multimodal.audioDedupFromArtifact(spark, dir)) ==
+      rows(Multimodal.audioDedup(media)))
+    assert(rows(Multimodal.videoDedupFromArtifact(spark, dir)) ==
+      rows(Multimodal.videoDedup(media)))
+    // a FRESH session (the cold-JVM stand-in): the by-name media
+    // argument must never be evaluated — a committed artifact serves
+    // with zero media I/O and no rebuild
+    val s2 = spark.newSession()
+    Multimodal.mediaFingerprintArtifact(s2,
+      sys.error("media frame evaluated on the committed path"), dir)
+    assert(Artifacts.durableBuilds.get() == builds)
+    assert(rows(Multimodal.imageDedupFromArtifact(s2, dir)) ==
+      rows(Multimodal.imageDedup(media)))
+  }
+
   test("MediaScaleTrial perturbations produce dedup-collapsible " +
       "near-dups for all three kinds (the dense-twin premise)") {
     // image: brightness shift keeps the aHash within the q147 verify

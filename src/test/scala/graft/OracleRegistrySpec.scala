@@ -21,13 +21,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleRegistrySpec extends AnyFunSuite {
 
-  /** SURVEY §8's declared rows-only set (31): ANN recall tiers,
+  /** SURVEY §8's declared rows-only set (35): ANN recall tiers,
     * engine-specific k-means / xxhash / media-codec / zlib / sketch
     * / float-GD / jump-LCG production tiers — every one now paired
     * with a hash-exact twin where the semantics are replayable at
-    * all. Additions to this list are DESIGN DECISIONS: update
-    * SURVEY §8 in the same commit. */
+    * all. The four r14 `*_atrest` media tiers are codec-family
+    * members served from the durable fingerprint artifact
+    * (artifact ≡ inline pinned bit-for-bit in MultimodalSpec).
+    * Additions to this list are DESIGN DECISIONS: update SURVEY §8
+    * in the same commit. */
   private val declaredRowsOnly = Set(
+    "q331_image_dedup_atrest", "q332_image_phash_atrest",
+    "q333_audio_dedup_atrest", "q334_video_dedup_atrest",
     "q28_minhash_dedup", "q29_simhash_dedup", "q33_ann_rp_lsh",
     "q34_ann_ivf", "q44_multimodal_features", "q45_video_frame_sample",
     "q56_multimodal_batched_decode", "q82_dup_clusters",
