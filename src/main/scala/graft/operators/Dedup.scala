@@ -185,26 +185,39 @@ object Dedup {
     * planted-near-dup recall). The [[capBuckets]] guard is mirrored
     * in the oracle's HAVING clause — unlike q300, a degenerate corpus
     * cannot diverge the two engines. */
+  /** (doc_id, band, bh) band keys of the PORTABLE md5 MinHash family
+    * over a (doc_id, sh[, extras]) frame — the bucketing stage shared
+    * by the batch ([[portableMinhashPairs]]) and incremental
+    * ([[portableIncrementalNearDups]]) tiers; extra input columns
+    * pass through (the incremental tier rides its is_inc flag). */
+  private def portableBandedBuckets(based: DataFrame, numPerms: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(col("sh"),
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    val extras = based.columns.filterNot(Set("doc_id", "sh")).map(col)
+    based.select(col("doc_id") +: extras :+ sig.as("sig"): _*)
+      .select(col("doc_id") +: extras :+
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", (0 until rowsPerBand).map(r =>
+              col("sig").getItem(b * rowsPerBand + r)): _*).as("bh"))
+        }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: extras :+ col("bk.band").as("band") :+
+        col("bk.bh").as("bh"): _*)
+  }
+
   def portableMinhashPairs(docs: DataFrame, shingleSize: Int = 3,
       numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
-    val rowsPerBand = numPerms / bands
     val based = docs
       .select(col("doc_id"),
         sortedShingles(col("text"), shingleSize).as("sh"))
       .localCheckpoint() // feeds signatures AND both verify sides
-    val sig = transform(sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(col("sh"),
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
-    val buckets0 = based.select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col("sig").getItem(b * rowsPerBand + r)): _*).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bh").as("bh"))
-    val buckets = capBuckets(buckets0, Seq("band", "bh"), maxBucket)
+    val buckets = capBuckets(
+      portableBandedBuckets(based, numPerms, bands),
+      Seq("band", "bh"), maxBucket)
     val candidates = buckets.alias("x")
       .join(buckets.alias("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -1179,6 +1192,56 @@ object Dedup {
       maxBucket)
   }
 
+  /** INCREMENTAL near-dup over the PORTABLE md5 MinHash family — the
+    * last production family whose incremental form had no
+    * driver-checked twin (the r13 verdict's item 3):
+    * [[portableMinhashPairs]]'s signature/banding machinery at the
+    * PLANNER-chosen split ([[lshBandChoice]], the q321 convention)
+    * composed with [[incrementalNearDups]]' increment-vs-base
+    * bucketing. The increment is the deterministic slice
+    * doc_id % 10 = 3 (the q327 convention); band keys, the PER-SIDE
+    * bucket caps (each side guards its own degenerate buckets, the
+    * q155 discipline), the inc×base bucket probe and the exact
+    * shingle-jaccard verify ALL replay in SQL — so the nightly
+    * DECISION, which new docs near-duplicate the base and against
+    * whom, is hash-exact for the first time (q335). No base×base
+    * pair is ever formed: candidates join the increment's buckets
+    * against the base's, so at 100 TB probe cost rides the
+    * increment's touched buckets (q194's at-rest table materializes
+    * the base side of exactly this join; this tier is its
+    * oracle-replayable twin, spec-pinned equal to the batch tier's
+    * inc×base restriction on corpora where the caps are inactive). */
+  def portableIncrementalNearDups(docs: DataFrame, shingleSize: Int = 3,
+      numPerms: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    val based = docs
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(10L)) === 3).as("is_inc"),
+        sortedShingles(col("text"), shingleSize).as("sh"))
+      .localCheckpoint() // feeds buckets AND both verify sides
+    val buckets0 = portableBandedBuckets(based, numPerms, bands)
+    val incB = capBuckets(buckets0.filter(col("is_inc")),
+      Seq("band", "bh"), maxBucket)
+    val baseB = capBuckets(buckets0.filter(!col("is_inc")),
+      Seq("band", "bh"), maxBucket)
+    val candidates = incB.alias("x").join(baseB.alias("y"),
+        Seq("band", "bh"))
+      .select(col("x.doc_id").as("new_id"),
+        col("y.doc_id").as("base_id"))
+      .distinct()
+    candidates
+      .join(based.select(col("doc_id").as("new_id"),
+        col("sh").as("sh1")), "new_id")
+      .join(based.select(col("doc_id").as("base_id"),
+        col("sh").as("sh2")), "base_id")
+      .select(col("new_id"), col("base_id"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("new_id"), col("base_id"))
+  }
+
   private val screenArtifacts = scala.collection.mutable.Map
     .empty[(SparkSession, String), (String, String)]
 
@@ -1393,6 +1456,10 @@ object Dedup {
     // planner's chosen row instead of hardcoded
     "q321_minhash_planned" ->
       ((s, d) => portableMinhashPairsPlanned(Tables(s, d).documents)),
+    // the nightly-increment DECISION hash-exact at last: planner-
+    // banded portable signatures, per-side caps, inc×base probe only
+    "q335_portable_incremental_neardups" ->
+      ((s, d) => portableIncrementalNearDups(Tables(s, d).documents)),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1729,6 +1796,53 @@ object Dedup {
     // what the driver checks here is that accepting the planner's
     // operating point reproduces the fixed tier exactly
     "q321_minhash_planned" -> portableMinhashOracle,
+    // the incremental form: the SAME signature/banding chain with an
+    // is_inc flag, the per-side HAVING caps, and the inc×base-only
+    // candidate join — the whole nightly decision replays
+    "q335_portable_incremental_neardups" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 10 = 3 AS is_inc,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |sigs AS (
+        |  SELECT doc_id, is_inc,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh,
+        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM docs),
+        |b AS (
+        |  SELECT doc_id, is_inc, CAST(bb AS INTEGER) AS band,
+        |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
+        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
+        |ok_i AS (
+        |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
+        |  HAVING count(*) <= 10000),
+        |ok_b AS (
+        |  SELECT band, bh FROM b WHERE NOT is_inc GROUP BY band, bh
+        |  HAVING count(*) <= 10000),
+        |ki AS (
+        |  SELECT bb.doc_id, bb.band, bb.bh
+        |  FROM b bb JOIN ok_i USING (band, bh) WHERE bb.is_inc),
+        |kb AS (
+        |  SELECT bb.doc_id, bb.band, bb.bh
+        |  FROM b bb JOIN ok_b USING (band, bh) WHERE NOT bb.is_inc),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+        |  FROM ki x JOIN kb y
+        |    ON x.band = y.band AND x.bh = y.bh),
+        |j AS (
+        |  SELECT new_id, base_id,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN docs x ON x.doc_id = cand.new_id
+        |  JOIN docs y ON y.doc_id = cand.base_id)
+        |SELECT new_id, base_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY new_id, base_id""".stripMargin,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

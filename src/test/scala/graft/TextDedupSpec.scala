@@ -362,6 +362,57 @@ class TextDedupSpec extends AnyFunSuite {
     xx.foreach { case (k, j) => assert(got(k) == j) }
   }
 
+  test("portableIncrementalNearDups: planted near-copy in the " +
+      "increment pairs with its base twin; NO base×base or inc×inc " +
+      "pair is ever emitted; equals the batch tier's inc×base " +
+      "restriction on the real corpus") {
+    // ids pick their side by doc_id % 10: 3/13 are increment, the
+    // rest base. A base doc (20) with a planted near-copy in the
+    // increment (3) must pair; the identical base pair (20, 30) and
+    // identical inc pair (3, 13) must NOT appear.
+    val base = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (3L, base, "en", "s"), // inc: identical to base 20/30
+      (13L, base, "en", "s"), // inc: identical to 3 — inc×inc, dropped
+      (20L, base, "en", "s"), // base twin
+      (30L, base, "en", "s"), // base twin — base×base, dropped
+      (21L, base.replace("w05", "edit"), "en", "s"), // base, j≈0.93 to 3
+      (9L, "totally different vocabulary entirely here now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.portableIncrementalNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the increment docs pair against EVERY base twin, exactly
+    assert(got.keySet == Set((3L, 20L), (3L, 21L), (3L, 30L),
+      (13L, 20L), (13L, 21L), (13L, 30L)), s"got ${got.keySet}")
+    assert(got((3L, 20L)) == 1.0 && got((13L, 30L)) == 1.0)
+    // every jaccard is the exact brute-force value
+    val sh = docs.select(col("doc_id"), sortedShingles(col("text"), 3)
+        .as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { case ((a, b), j) =>
+      val inter = (sh(a) & sh(b)).size
+      assert(j == inter.toDouble / (sh(a).size + sh(b).size - inter))
+    }
+    // real corpus: equals the batch portable tier restricted to
+    // pairs that straddle the increment boundary (caps inactive on
+    // this corpus, so the two candidate spaces coincide there)
+    val docsDf = Tables(spark, sf).documents
+    val inc = Dedup.portableIncrementalNearDups(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = Dedup.portableMinhashPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val straddle = batch.flatMap { case ((a, b), j) =>
+      (a % 10 == 3, b % 10 == 3) match {
+        case (true, false) => Some((a, b) -> j)
+        case (false, true) => Some((b, a) -> j)
+        case _ => None
+      }
+    }
+    assert(inc == straddle,
+      s"incremental != batch-restriction: ${inc.keySet} vs " +
+        s"${straddle.keySet}")
+  }
+
   test("portable minhash pairs on the corpus: subset of the exact " +
       "unblocked jaccard pair set with identical values") {
     val docsDf = Tables(spark, sf).documents
