@@ -158,7 +158,9 @@ object ScaleTrial {
     "q312_portable_minhash_pairs", // portable-LSH candidates ride dup density
     "q322_jump_portable", // row-local jump walk + 1-row rollup: must be ~flat-linear
     "q323_perceptron_exact", // integer GD rounds over persisted features
-    "q324_perceptron_served") // train + ZERO-shuffle serve: the classifier serving economics
+    "q324_perceptron_served", // train + ZERO-shuffle serve: the classifier serving economics
+    "q325_perceptron_sampled", // the 100 TB knob: training rides the FIXED slice fraction
+    "q335_portable_incremental_neardups") // inc×base probe: rides increment + dup mass, never base²
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1828,6 +1828,173 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // -------- convergence-adaptive tiers of the iterative graph family
+  // (r13 verdict item 6). The registered tiers run FIXED unrolled
+  // rounds because the oracle must replay the recurrence; a 100 TB
+  // graph job runs TO A CONVERGENCE TEST instead. These tiers iterate
+  // the IDENTICAL per-round recurrence and collect ONE driver scalar
+  // per round (the q82 changed-count discipline — parallelism-sized,
+  // never data-sized) to decide when to stop, so the fixed-round tier
+  // is literally their prefix: converged result == fixed-round result
+  // at the converged round count, bit-for-bit (GraphConvergenceSpec).
+  // Each returns (result, roundsRun); `maxRounds` bounds pathological
+  // graphs (synchronous LPA can 2-cycle; BFS depth is diameter-bounded
+  // but the diameter is unknown up front).
+
+  /** [[kCore]] peeled to its FIXED POINT: stop when a round deletes
+    * no edge (the surviving-edge count is the per-round scalar). */
+  def kCoreConvergedWithRounds(embeddings: DataFrame,
+      threshold: Double = 0.3, k: Int = 2, maxRounds: Int = 64)
+      : (DataFrame, Int) = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    var edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var nEdges = edges.count()
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      edges = edges
+        .join(keep, edges("src") === keep("id"), "left_semi")
+        .join(keep, edges("dst") === keep("id"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = edges.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      r += 1
+    }
+    (edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .select(col("src").as("vec_id"), col("core_degree"))
+      .orderBy(col("vec_id")), r)
+  }
+
+  /** [[labelPropagation]] run until the labeling reaches a FIXED
+    * POINT or the classic synchronous-LPA 2-CYCLE (bipartite-ish
+    * regions flip between two labelings forever — Raghavan 2007 §3
+    * notes exactly this; comparing against the round-before-last is
+    * the standard deterministic stop). Two changed-node counts per
+    * round (vs last, vs last-but-one) are the collected scalars. On
+    * either stop the result is whatever the recurrence produced at
+    * round r, so it still equals the fixed tier at r — and the
+    * period-2 invariant `converged == fixed(r + 2)` holds in both
+    * cases (spec-pinned). */
+  def labelPropagationConvergedWithRounds(embeddings: DataFrame,
+      threshold: Double = 0.3, maxRounds: Int = 32)
+      : (DataFrame, Int) = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var prevPrev: DataFrame = null
+    var r = 0
+    var stop = false
+    while (!stop && r < maxRounds) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("b"))
+        .select(col("src").as("id"), col("b.l").as("label"))
+        .localCheckpoint(true)
+      def changedVs(old: DataFrame): Long =
+        next.alias("n").join(old.alias("p"), col("n.id") === col("p.id"))
+          .filter(col("n.label") =!= col("p.label")).count()
+      val changed = changedVs(labels)
+      val cycled = prevPrev != null && changedVs(prevPrev) == 0L
+      prevPrev = labels
+      labels = next
+      stop = changed == 0L || cycled
+      r += 1
+    }
+    (labels.select(col("id").as("vec_id"), col("label").as("community"))
+      .orderBy(col("vec_id")), r)
+  }
+
+  /** [[pageRank]] iterated until max |Δpr| < `tol` (the per-round
+    * scalar); same damped fold-exact recurrence, so the run is the
+    * fixed-round tier's prefix bit-for-bit. */
+  def pageRankConvergedWithRounds(embeddings: DataFrame,
+      threshold: Double = 0.3, damping: Double = 0.85,
+      tol: Double = 1e-7, maxRounds: Int = 200): (DataFrame, Int) = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    val n = withDeg.select(col("src")).distinct().count()
+    var pr = withDeg.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      val next = withDeg.join(pr, withDeg("src") === pr("id"))
+        .select(col("dst"), col("src"),
+          (col("pr") / col("deg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+        .select(col("dst").as("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("s")).as("pr"))
+        .localCheckpoint(true)
+      val delta = next.alias("n")
+        .join(pr.alias("p"), col("n.id") === col("p.id"))
+        .agg(max(abs(col("n.pr") - col("p.pr")))).head.getDouble(0)
+      pr = next
+      converged = delta < tol
+      r += 1
+    }
+    withDeg.unpersist(false)
+    (pr.select(col("id").as("vec_id"), col("pr").as("pagerank"))
+      .orderBy(col("vec_id")), r)
+  }
+
+  /** [[bfsHops]] relaxed until the distance frame reaches its fixed
+    * point (reached-count + hop-sum is the per-round scalar pair —
+    * both monotone, so unchanged together means converged). */
+  def bfsConvergedWithRounds(embeddings: DataFrame,
+      threshold: Double = 0.3, nSources: Int = 3, maxRounds: Int = 64)
+      : (DataFrame, Int) = {
+    val pairs = similarPairs(embeddings, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var dist = embeddings.filter(col("vec_id") < nSources)
+      .select(col("vec_id").as("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    def scalar(d: DataFrame): (Long, Long) = {
+      val row = d.agg(count(lit(1)), coalesce(sum(col("hops")), lit(0L)))
+        .head
+      (row.getLong(0), row.getLong(1))
+    }
+    var prev = scalar(dist)
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      dist = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
+        .union(dist)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      val cur = scalar(dist)
+      converged = cur == prev
+      prev = cur
+      r += 1
+    }
+    (dist.select(col("id").as("vec_id"), col("hops"))
+      .orderBy(col("vec_id")), r)
+  }
+
   /** The unrolled CTE chain of [[labelPropagation]] ending in
     * `l$rounds` — ONE literal shared by the q226 oracle and the q284
     * modularity oracle (the q156/q209 shared-closure convention, so
