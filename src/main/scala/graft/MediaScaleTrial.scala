@@ -53,6 +53,12 @@ object MediaScaleTrial {
     buildSparse(spark, baseDir, sparseDir, factor)
     Bench.warmUp(spark, baseDir)
     val countsOnly = args.length > 3 && args(3) == "counts"
+    // "artifact": only the at-rest fingerprint economics cells (the
+    // r14 decode-once-per-corpus claim measured — q331-q334)
+    if (args.length > 3 && args(3) == "artifact") {
+      artifactEconomics(spark, baseDir, denseDir, factor)
+      spark.stop(); return
+    }
     if (!countsOnly) {
       println(f"${"query"}%-24s ${"base_s"}%8s ${"x" + factor + "_s"}%8s " +
         f"${"x" + factor + "r_s"}%8s dense sparse")
@@ -82,6 +88,58 @@ object MediaScaleTrial {
         s"all_pairs=${nAu * (nAu - 1) / 2} pigeonhole_cands=$cAu")
     }
     spark.stop()
+  }
+
+  /** The AT-REST fingerprint economics (r14): the r13 trial measured
+    * re-decoding as the 10× wall; the durable fingerprint artifact
+    * (q331–q334) claims dedup then rides 8-byte rows only. Measured:
+    * one-time artifact build (the decode term — grows with the
+    * corpus, paid once per corpus lifetime) vs the per-tier SERVE
+    * from the artifact vs the inline tier that re-decodes every run.
+    * The serve column is the nightly re-dedup cost; the inline
+    * column is what every run used to pay. */
+  private def artifactEconomics(spark: SparkSession, baseDir: String,
+      denseDir: String, factor: Int): Unit = {
+    def clock(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    println(f"${"cell"}%-26s ${"fp_build_s"}%10s ${"serve_s"}%8s " +
+      f"${"inline_s"}%9s")
+    Seq(("base", baseDir), (s"x$factor", denseDir)).foreach {
+      case (label, dir0) =>
+        val media = Multimodal.materializedMedia(spark, dir0)
+        // a fresh artifact dir per run: the BUILD cost is measured
+        // honestly, not served from a previous trial's commit
+        val fpDir = java.nio.file.Files
+          .createTempDirectory("graft_mediafp_trial_").resolve("fp")
+          .toString
+        val tBuild = clock {
+          Multimodal.mediaFingerprintArtifact(spark, media, fpDir)
+        }
+        val tiers = Seq[(String, () => DataFrame, () => DataFrame)](
+          ("image_ahash",
+            () => Multimodal.imageDedupFromArtifact(spark, fpDir),
+            () => Multimodal.imageDedup(media)),
+          ("image_phash",
+            () => Multimodal.imageDedupPhashFromArtifact(spark, fpDir),
+            () => Multimodal.imageDedupPhash(media)),
+          ("audio",
+            () => Multimodal.audioDedupFromArtifact(spark, fpDir),
+            () => Multimodal.audioDedup(media)),
+          ("video",
+            () => Multimodal.videoDedupFromArtifact(spark, fpDir),
+            () => Multimodal.videoDedup(media)))
+        tiers.foreach { case (tier, atRest, inline) =>
+          val tServe = math.min(clock(noop(atRest())),
+            clock(noop(atRest())))
+          val tInline = math.min(clock(noop(inline())),
+            clock(noop(inline())))
+          println(f"${label + "/" + tier}%-26s $tBuild%10.2f " +
+            f"$tServe%8.2f $tInline%9.2f")
+        }
+    }
   }
 
   /** The candidate tier of [[graft.operators.Dedup.hammingPairs]] —
