@@ -150,6 +150,26 @@ object Artifacts {
     digest(sb.toString)
   }
 
+  /** Register catalog table `name` over a COMMITTED bucketed layout at
+    * `location` — the reload half of a durable BUCKETED artifact:
+    * `spark.read.parquet` would discard the bucket spec (bucketing
+    * lives in the catalog, not the files), so a fresh session
+    * re-declares it with CREATE TABLE … CLUSTERED BY … LOCATION over
+    * the existing files (Spark recovers each file's bucket id from
+    * its name, so the co-location guarantee survives the JVM).
+    * No-op when the session already knows the table (the build
+    * session registered it via saveAsTable). */
+  def registerBucketedTable(s: org.apache.spark.sql.SparkSession,
+      name: String, location: String, schemaDdl: String,
+      bucketCol: String, nBuckets: Int,
+      sortCol: Option[String] = None): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val sortClause = sortCol.map(c => s" SORTED BY ($c)").getOrElse("")
+      s.sql(s"CREATE TABLE $name ($schemaDdl) USING parquet " +
+        s"CLUSTERED BY ($bucketCol)$sortClause INTO $nBuckets BUCKETS " +
+        s"LOCATION '$location'")
+    }
+
   /** Build-once-per-key memo: `computeIfAbsent` installs a lazy cell
     * (cheap — no build under the map's bin lock); the build itself
     * runs under the cell's OWN monitor, so two threads racing on the

@@ -1242,6 +1242,87 @@ object Dedup {
       .orderBy(col("new_id"), col("base_id"))
   }
 
+  /** The DURABLE base side of [[portableIncrementalNearDups]] — the
+    * q330 treatment for the MinHash family: the base corpus's
+    * planner-banded portable band buckets written ONCE under a
+    * commit-marked lake dir, so the nightly increment probe never
+    * re-shingles or re-hashes the base (the by-name `docs` frame is
+    * not even evaluated on the committed path). Stores the UNCAPPED
+    * (doc_id, band, bh) rows; the serve applies the same per-side
+    * [[capBuckets]] guard the inline tier applies, so the two are
+    * bit-identical by construction. */
+  def portableNearDupBaseDurable(s: SparkSession, docs: => DataFrame,
+      dir: String, shingleSize: Int = 3, numPerms: Int = 16,
+      threshold: Double = 0.5): String = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    graft.Artifacts.durable(s, dir,
+      s"pndbase|s=$shingleSize|p=$numPerms|b=$bands") { d =>
+      val based = docs
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+        .select(col("doc_id"),
+          sortedShingles(col("text"), shingleSize).as("sh"))
+      portableBandedBuckets(based, numPerms, bands)
+        .write.mode("overwrite").parquet(s"$d/buckets")
+    }
+  }
+
+  /** [[portableIncrementalNearDups]] probing the DURABLE base bucket
+    * artifact: only the increment is shingled and hashed tonight; the
+    * base contributes its at-rest band keys, and base TEXT is read
+    * only for the candidate doc_ids the bucket probe surfaced (the
+    * q194 economics on the oracle-replayable tier). Registered as
+    * q337 with q335's oracle verbatim — the driver itself checks the
+    * at-rest path changes nothing. */
+  def portableIncrementalNearDupsDurable(s: SparkSession,
+      docs: DataFrame, dir: String, shingleSize: Int = 3,
+      numPerms: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    val d = portableNearDupBaseDurable(s, docs, dir, shingleSize,
+      numPerms, threshold)
+    val baseB = capBuckets(s.read.parquet(s"$d/buckets"),
+      Seq("band", "bh"), maxBucket)
+    val incBased = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"),
+        sortedShingles(col("text"), shingleSize).as("sh"))
+      .localCheckpoint() // feeds the inc buckets AND the verify side
+    val incB = capBuckets(
+      portableBandedBuckets(incBased, numPerms, bands),
+      Seq("band", "bh"), maxBucket)
+    val candidates = incB.alias("x").join(baseB.alias("y"),
+        Seq("band", "bh"))
+      .select(col("x.doc_id").as("new_id"),
+        col("y.doc_id").as("base_id"))
+      .distinct()
+    // base shingles recomputed ONLY for candidate ids (semi-join
+    // first, then the shingle projection rides the candidate volume)
+    val baseSh = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .join(candidates.select(col("base_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("base_id"),
+        sortedShingles(col("text"), shingleSize).as("sh2"))
+    candidates
+      .join(incBased.select(col("doc_id").as("new_id"),
+        col("sh").as("sh1")), "new_id")
+      .join(baseSh, "base_id")
+      .select(col("new_id"), col("base_id"),
+        jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("new_id"), col("base_id"))
+  }
+
+  /** Durable-artifact home keyed to the dataset dir AND the documents
+    * table's metadata fingerprint (regenerated inputs rebuild instead
+    * of serving a stale artifact) — the [[graft.operators.Similarity
+    * .ivfExactDurableDir]] convention for the document-table
+    * families. */
+  def docsDurableDir(prefix: String, d: String): String =
+    s"${graft.Artifacts.durableRoot}/${prefix}_${graft.Artifacts.digest(
+      d + "|" +
+        graft.Artifacts.pathFingerprint(s"$d/documents.parquet"))}"
+
   private val screenArtifacts = scala.collection.mutable.Map
     .empty[(SparkSession, String), (String, String)]
 
@@ -1290,6 +1371,14 @@ object Dedup {
   def crossCorpusNewFromArtifact(s: SparkSession, candidates: DataFrame,
       base: DataFrame, key: String, fpp: Double = 0.01): DataFrame = {
     val (table, bloomDir) = materializedScreenBase(s, base, key, fpp)
+    screenServe(s, candidates, table, bloomDir)
+  }
+
+  /** The bloom-route + bucketed-anti-join serve over an EXPLICIT
+    * screen artifact (fps table name + bloom file) — shared by the
+    * session-scoped and durable tiers. */
+  private def screenServe(s: SparkSession, candidates: DataFrame,
+      table: String, bloomDir: String): DataFrame = {
     val bloom = s.read.parquet(bloomDir).head.getAs[Array[Byte]]("bloom")
     val baseFps = s.table(table)
     val withFp = candidates.withColumn("fp", contentFp)
@@ -1300,6 +1389,51 @@ object Dedup {
       .join(baseFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("fp"))
     definiteNew.unionByName(maybeDup)
+  }
+
+  /** The DURABLE screen base — [[materializedScreenBase]]'s artifact
+    * pair written under a commit-marked lake dir (the q330
+    * machinery): the collapsed fingerprint set as a BUCKETED table
+    * whose bucket spec a fresh session re-declares over the existing
+    * files ([[graft.Artifacts.registerBucketedTable]] — read.parquet
+    * would lose the co-location), and the Bloom sketch as a one-row
+    * parquet any screening job's driver reads without touching the
+    * base corpus. A crawl snapshot's screen thus survives the JVM:
+    * tomorrow's screening job routes + anti-joins against tonight's
+    * artifact with ZERO base work (base is by-name — never evaluated
+    * on the committed path). */
+  def materializedScreenBaseDurable(s: SparkSession,
+      base: => DataFrame, dir: String, fpp: Double = 0.01)
+      : (String, String) = {
+    val name = "graft_screen_d_" + graft.Artifacts.digest(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString)
+    val d = graft.Artifacts.durable(s, dir, s"screen|fpp=$fpp") { d =>
+      val fps = base.select(contentFp.as("fp")).distinct().persist()
+      try {
+        fps.write.bucketBy(8, "fp").sortBy("fp")
+          .option("path", s"$d/fps").mode("overwrite").saveAsTable(name)
+        val bloom = RuntimeFilters.buildBloom(
+          fps.select(xxhash64(col("fp")).as("h")), "h", fps.count(), fpp)
+        import s.implicits._
+        Seq(Tuple1(bloom)).toDF("bloom")
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/bloom")
+      } finally fps.unpersist(false)
+    }
+    graft.Artifacts.registerBucketedTable(s, name, s"$d/fps",
+      "fp STRING", "fp", 8, sortCol = Some("fp"))
+    (name, s"$d/bloom")
+  }
+
+  /** [[crossCorpusNewFromArtifact]] against the DURABLE screen —
+    * registered as q336 with the same q145/q189 oracle, so the driver
+    * itself checks that serving from the lake artifact changes
+    * nothing. */
+  def crossCorpusNewFromDurableArtifact(s: SparkSession,
+      candidates: DataFrame, base: => DataFrame, dir: String,
+      fpp: Double = 0.01): DataFrame = {
+    val (table, bloomDir) =
+      materializedScreenBaseDurable(s, base, dir, fpp)
+    screenServe(s, candidates, table, bloomDir)
   }
 
   /** Winnowing document fingerprints + shared-fingerprint pairs
@@ -1425,6 +1559,16 @@ object Dedup {
     // the same screen through the AT-REST artifact pair (bucketed fp
     // table + bloom parquet) — result-identical by construction
     "q263_lsh_band_plan" -> ((s, _) => lshBandPlan(s)),
+    // the DURABLE screen (q336): same split, same oracle — the fps
+    // table's bucket spec survives the JVM via the DDL re-register
+    "q336_screen_atrest" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      crossCorpusNewFromDurableArtifact(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docsDurableDir("screen", d))
+        .orderBy(col("doc_id"))
+    }),
     "q258_screen_artifact" -> ((s, d) => {
       val docs = Tables(s, d).documents
       crossCorpusNewFromArtifact(s,
@@ -1460,6 +1604,11 @@ object Dedup {
     // banded portable signatures, per-side caps, inc×base probe only
     "q335_portable_incremental_neardups" ->
       ((s, d) => portableIncrementalNearDups(Tables(s, d).documents)),
+    // q335 served from the DURABLE base-bucket artifact (q330's
+    // machinery on the MinHash family) — same oracle verbatim
+    "q337_portable_inc_atrest" ->
+      ((s, d) => portableIncrementalNearDupsDurable(s,
+        Tables(s, d).documents, docsDurableDir("pndbase", d))),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1740,6 +1889,53 @@ object Dedup {
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** q335's DuckDB twin — shared verbatim with q337 (the durable
+    * serve is the identical decision). */
+  private val portableIncOracle: String =
+    """WITH docs AS (
+        |  SELECT doc_id, doc_id % 10 = 3 AS is_inc,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [text] END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(text, ' ') AS toks FROM documents)),
+        |sigs AS (
+        |  SELECT doc_id, is_inc,
+        |    list_transform(range(16), i ->
+        |      list_min(list_transform(sh,
+        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM docs),
+        |b AS (
+        |  SELECT doc_id, is_inc, CAST(bb AS INTEGER) AS band,
+        |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
+        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
+        |ok_i AS (
+        |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
+        |  HAVING count(*) <= 10000),
+        |ok_b AS (
+        |  SELECT band, bh FROM b WHERE NOT is_inc GROUP BY band, bh
+        |  HAVING count(*) <= 10000),
+        |ki AS (
+        |  SELECT bb.doc_id, bb.band, bb.bh
+        |  FROM b bb JOIN ok_i USING (band, bh) WHERE bb.is_inc),
+        |kb AS (
+        |  SELECT bb.doc_id, bb.band, bb.bh
+        |  FROM b bb JOIN ok_b USING (band, bh) WHERE NOT bb.is_inc),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+        |  FROM ki x JOIN kb y
+        |    ON x.band = y.band AND x.bh = y.bh),
+        |j AS (
+        |  SELECT new_id, base_id,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN docs x ON x.doc_id = cand.new_id
+        |  JOIN docs y ON y.doc_id = cand.base_id)
+        |SELECT new_id, base_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY new_id, base_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q300_portable_simhash_pairs" -> portableSimhashSql(3),
     // the winnowing selection itself replays: same md5(k-gram)||pos
@@ -1799,50 +1995,14 @@ object Dedup {
     // the incremental form: the SAME signature/banding chain with an
     // is_inc flag, the per-side HAVING caps, and the inc×base-only
     // candidate join — the whole nightly decision replays
-    "q335_portable_incremental_neardups" ->
-      """WITH docs AS (
-        |  SELECT doc_id, doc_id % 10 = 3 AS is_inc,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(toks[i:i+2], ' ')))
-        |    ELSE [text] END AS sh
-        |  FROM (SELECT doc_id, text,
-        |          string_split(text, ' ') AS toks FROM documents)),
-        |sigs AS (
-        |  SELECT doc_id, is_inc,
-        |    list_transform(range(16), i ->
-        |      list_min(list_transform(sh,
-        |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-        |  FROM docs),
-        |b AS (
-        |  SELECT doc_id, is_inc, CAST(bb AS INTEGER) AS band,
-        |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
-        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
-        |ok_i AS (
-        |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
-        |  HAVING count(*) <= 10000),
-        |ok_b AS (
-        |  SELECT band, bh FROM b WHERE NOT is_inc GROUP BY band, bh
-        |  HAVING count(*) <= 10000),
-        |ki AS (
-        |  SELECT bb.doc_id, bb.band, bb.bh
-        |  FROM b bb JOIN ok_i USING (band, bh) WHERE bb.is_inc),
-        |kb AS (
-        |  SELECT bb.doc_id, bb.band, bb.bh
-        |  FROM b bb JOIN ok_b USING (band, bh) WHERE NOT bb.is_inc),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
-        |  FROM ki x JOIN kb y
-        |    ON x.band = y.band AND x.bh = y.bh),
-        |j AS (
-        |  SELECT new_id, base_id,
-        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-        |  FROM cand
-        |  JOIN docs x ON x.doc_id = cand.new_id
-        |  JOIN docs y ON y.doc_id = cand.base_id)
-        |SELECT new_id, base_id, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY new_id, base_id""".stripMargin,
+    "q335_portable_incremental_neardups" -> portableIncOracle,
+    // the durable-artifact serve is the identical decision (the base
+    // band keys come from the lake instead of tonight's shingling) —
+    // same oracle verbatim, the q330 convention
+    "q337_portable_inc_atrest" -> portableIncOracle,
+    // the durable screen: same route + anti join, bucketed base from
+    // the lake — same q145/q189 oracle as q258
+    "q336_screen_atrest" -> crossCorpusOracle,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

@@ -126,6 +126,65 @@ class DurableArtifactsSpec extends AnyFunSuite {
     assert(d1.toSeq == session.toSeq)
   }
 
+  test("durable screen base: fresh session serves bit-identically " +
+      "with the BUCKET SPEC recovered (no rebuild, base never " +
+      "evaluated) and equals the session-scoped tier") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val cand = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val dir = freshDir()
+    val d1 = Dedup.crossCorpusNewFromDurableArtifact(spark, cand, base,
+      dir).collect().map(_.toSeq).sortBy(_.toString)
+    val builds = Artifacts.durableBuilds.get()
+    // session tier parity
+    val sess = Dedup.crossCorpusNewFromArtifact(spark, cand, base,
+      key = "durable-screen-parity").collect().map(_.toSeq)
+      .sortBy(_.toString)
+    assert(d1.toSeq == sess.toSeq)
+    // fresh session: no rebuild, the by-name base is never evaluated
+    val s2 = spark.newSession()
+    // at this corpus size the anti join would broadcast, which
+    // sidesteps bucketing entirely — force the sort-merge path so the
+    // recovered bucket spec is actually exercised by the plan
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs2 = Tables(s2, "/root/testdata/sf0.001").documents
+    val cand2 = docs2.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+    val served = Dedup.crossCorpusNewFromDurableArtifact(s2, cand2,
+      sys.error("base evaluated on the committed path"), dir)
+    val d2 = served.collect().map(_.toSeq).sortBy(_.toString)
+    assert(Artifacts.durableBuilds.get() == builds)
+    assert(d1.toSeq == d2.toSeq)
+    // the re-declared catalog table carries the bucket spec: the
+    // anti-join's base side scans bucketed files (read.parquet would
+    // have planned an Exchange + 'Bucketed: false' here)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"bucket spec lost on reload:\n$plan")
+  }
+
+  test("durable portable near-dup base: fresh session probes the " +
+      "at-rest band buckets without re-shingling the base; equals " +
+      "the inline q335 tier bit-for-bit") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val dir = freshDir()
+    val d1 = Dedup.portableIncrementalNearDupsDurable(spark, docs, dir)
+      .collect().map(_.toSeq)
+    val builds = Artifacts.durableBuilds.get()
+    val inline = Dedup.portableIncrementalNearDups(docs)
+      .collect().map(_.toSeq)
+    assert(d1.toSeq == inline.toSeq,
+      "durable serve != inline q335 decision")
+    val s2 = spark.newSession()
+    val docs2 = Tables(s2, "/root/testdata/sf0.001").documents
+    val d2 = Dedup.portableIncrementalNearDupsDurable(s2, docs2, dir)
+      .collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == builds,
+      "cold-session serve rebuilt the base buckets")
+    assert(d1.toSeq == d2.toSeq)
+  }
+
   test("the durable serve scan partition-prunes the lake vector table") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

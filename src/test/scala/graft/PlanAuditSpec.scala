@@ -145,7 +145,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q327_semdedup_incremental",
     // q328: the same sidecar assignment plus a 1-row totals broadcast
     // fanned against the ≤cells-row occupancy relation
-    "q328_index_staleness")
+    "q328_index_staleness",
+    // q330 is q327's decision against the DURABLE artifact: the same
+    // increment-vs-broadcast-sidecar assignment crossJoin (the cents
+    // frame now a lake parquet read instead of a catalog table)
+    "q330_semdedup_atrest")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross
