@@ -1313,6 +1313,59 @@ object Dedup {
       .orderBy(col("new_id"), col("base_id"))
   }
 
+  /** NEAR-DUP-BASE STALENESS monitor — q328's retrain-gate discipline
+    * applied to the MinHash artifact q337 serves from: after each
+    * nightly ingest, is the at-rest base's BANDING still healthy?
+    * Per-band ENTRY counts are structural (every doc emits one row
+    * per band), so the data-dependent signals are bucket DIVERSITY
+    * and bucket-size PRESSURE: per band, the distinct-bucket count
+    * and max bucket population before and after the merge, plus the
+    * mean bucket size (one IEEE division each — hash-exact in any
+    * engine). When max_bucket_merged approaches `maxBucket`, the
+    * [[capBuckets]] guard will start dropping REAL candidates; when
+    * mean bucket size grows past the background the planner's
+    * separation assumed, the base wants more perms / a re-planned
+    * banding ([[lshBandChoice]]) — this card is the number that gates
+    * re-hashing a 100 TB base. Base stats read ONLY the at-rest
+    * bucket table (never base text); the increment is hashed once.
+    * Shares the q337 artifact — one build, dedup AND monitoring. */
+  def nearDupBaseStaleness(s: SparkSession, docs: DataFrame,
+      dir: String, shingleSize: Int = 3, numPerms: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    val d = portableNearDupBaseDurable(s, docs, dir, shingleSize,
+      numPerms, threshold)
+    val baseB = s.read.parquet(s"$d/buckets")
+      .select(col("band"), col("bh"))
+    val incB = portableBandedBuckets(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+        .select(col("doc_id"),
+          sortedShingles(col("text"), shingleSize).as("sh")),
+      numPerms, bands).select(col("band"), col("bh"))
+    val nb = baseB.groupBy(col("band")).agg(count(lit(1)).as("n_base"))
+    val ni = incB.groupBy(col("band")).agg(count(lit(1)).as("n_inc"))
+    val mb = baseB.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c")).groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets_base"),
+        max(col("c")).as("max_bucket_base"))
+    val mm = baseB.unionByName(incB)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets_merged"),
+        max(col("c")).as("max_bucket_merged"))
+    nb.join(ni, "band").join(mb, "band").join(mm, "band")
+      .select(col("band"), col("n_base"), col("n_inc"),
+        col("n_buckets_base"), col("n_buckets_merged"),
+        (col("n_base").cast("double") /
+          col("n_buckets_base").cast("double")).as("mean_bucket_base"),
+        ((col("n_base") + col("n_inc")).cast("double") /
+          col("n_buckets_merged").cast("double"))
+          .as("mean_bucket_merged"),
+        col("max_bucket_base"), col("max_bucket_merged"))
+      .orderBy(col("band"))
+  }
+
   /** Durable-artifact home keyed to the dataset dir AND the documents
     * table's metadata fingerprint (regenerated inputs rebuild instead
     * of serving a stale artifact) — the [[graft.operators.Similarity
@@ -1609,6 +1662,12 @@ object Dedup {
     "q337_portable_inc_atrest" ->
       ((s, d) => portableIncrementalNearDupsDurable(s,
         Tables(s, d).documents, docsDurableDir("pndbase", d))),
+    // the retrain gate for that artifact (q328's discipline on the
+    // MinHash family) — shares q337's build: one artifact, dedup AND
+    // monitoring
+    "q339_neardup_base_staleness" ->
+      ((s, d) => nearDupBaseStaleness(s, Tables(s, d).documents,
+        docsDurableDir("pndbase", d))),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1889,10 +1948,55 @@ object Dedup {
       |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** q339's DuckDB twin — the q328 staleness arithmetic on the
+    * MinHash artifact: per band, base/increment bucket-entry counts,
+    * pre/post-ingest shares, |drift|, and the max bucket population
+    * before and after the ingest (the degenerate-bucket pressure
+    * gauge — when max_bucket_merged approaches the cap, the cap will
+    * start dropping real candidates and the base wants re-banding). */
+  private val nearDupStalenessOracle: String =
+    s"WITH $portableIncCtes,\n" +
+    """nb AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_base
+      |  FROM b WHERE NOT is_inc GROUP BY band),
+      |ni AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n_inc
+      |  FROM b WHERE is_inc GROUP BY band),
+      |mb AS (
+      |  SELECT band,
+      |    CAST(count(*) AS BIGINT) AS n_buckets_base,
+      |    CAST(max(c) AS BIGINT) AS max_bucket_base
+      |  FROM (SELECT band, bh, count(*) AS c FROM b
+      |        WHERE NOT is_inc GROUP BY band, bh)
+      |  GROUP BY band),
+      |mm AS (
+      |  SELECT band,
+      |    CAST(count(*) AS BIGINT) AS n_buckets_merged,
+      |    CAST(max(c) AS BIGINT) AS max_bucket_merged
+      |  FROM (SELECT band, bh, count(*) AS c FROM b GROUP BY band, bh)
+      |  GROUP BY band)
+      |SELECT nb.band, n_base, n_inc,
+      |  n_buckets_base, n_buckets_merged,
+      |  CAST(n_base AS DOUBLE) / CAST(n_buckets_base AS DOUBLE)
+      |    AS mean_bucket_base,
+      |  CAST(n_base + n_inc AS DOUBLE)
+      |    / CAST(n_buckets_merged AS DOUBLE) AS mean_bucket_merged,
+      |  max_bucket_base, max_bucket_merged
+      |FROM nb JOIN ni USING (band) JOIN mb USING (band)
+      |  JOIN mm USING (band)
+      |ORDER BY band""".stripMargin
+
   /** q335's DuckDB twin — shared verbatim with q337 (the durable
     * serve is the identical decision). */
-  private val portableIncOracle: String =
-    """WITH docs AS (
+  /** The portable signature chain (is_inc-flagged docs → md5 sigs →
+    * band keys) shared by the q335/q337 pair oracles and the q339
+    * staleness card — three consumers, one literal, zero drift. */
+  // def, not val: consumed by oracle literals declared EARLIER in
+  // this object — a val here would still be null at their init time.
+  // private[operators]: the q340 composition oracle stitches this
+  // fragment verbatim, so the composition cannot drift from q335.
+  private[operators] def portableIncCtes: String =
+    """docs AS (
         |  SELECT doc_id, doc_id % 10 = 3 AS is_inc,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(toks) - 1),
@@ -1909,8 +2013,11 @@ object Dedup {
         |b AS (
         |  SELECT doc_id, is_inc, CAST(bb AS INTEGER) AS band,
         |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
-        |  FROM sigs, (SELECT unnest(range(4)) AS bb)),
-        |ok_i AS (
+        |  FROM sigs, (SELECT unnest(range(4)) AS bb))""".stripMargin
+
+  private val portableIncOracle: String =
+    s"WITH $portableIncCtes,\n" +
+    """ok_i AS (
         |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
         |  HAVING count(*) <= 10000),
         |ok_b AS (
@@ -2000,6 +2107,7 @@ object Dedup {
     // band keys come from the lake instead of tonight's shingling) —
     // same oracle verbatim, the q330 convention
     "q337_portable_inc_atrest" -> portableIncOracle,
+    "q339_neardup_base_staleness" -> nearDupStalenessOracle,
     // the durable screen: same route + anti join, bucketed base from
     // the lake — same q145/q189 oracle as q258
     "q336_screen_atrest" -> crossCorpusOracle,

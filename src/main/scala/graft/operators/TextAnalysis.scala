@@ -462,6 +462,53 @@ object TextAnalysis {
     cosineFromPostings(s.table(materializedPostingsTable(s, d, maxDf)),
       threshold, mergeHint = true)
 
+  /** The DURABLE postings table — the last at-rest family from the
+    * r13 verdict's list moved out of the exit-deleted temp tree: the
+    * df-capped (g, doc_id, tf) relation written bucketBy(g) under a
+    * commit-marked lake dir, with the bucket spec RE-DECLARED over the
+    * committed files in a fresh session
+    * ([[graft.Artifacts.registerBucketedTable]] — the q336 device),
+    * so the shuffle-free posting self-join survives the JVM. The
+    * documents frame is BY-NAME: a committed artifact serves without
+    * re-tokenizing anything. */
+  def materializedPostingsDurable(s: SparkSession,
+      documents: => org.apache.spark.sql.DataFrame, dir: String,
+      maxDf: Long = 20): String = {
+    val name = s"graft_postings_d_${graft.Artifacts.digest(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString)}"
+    val d = graft.Artifacts.durable(s, dir, s"postings|maxDf=$maxDf") {
+      d =>
+        val toks = documents
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+        val grams = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-2), i -> concat(" +
+            "element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+            "element_at(t, i+2)))")).as("g"))
+        val tf = grams.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        tf.join(dfr.filter(col("df") <= maxDf).select(col("g")),
+            Seq("g"))
+          .write.bucketBy(8, "g").sortBy("g")
+          .option("path", s"$d/p").mode("overwrite").saveAsTable(name)
+    }
+    graft.Artifacts.registerBucketedTable(s, name, s"$d/p",
+      "g STRING, doc_id BIGINT, tf BIGINT", "g", 8, Some("g"))
+    name
+  }
+
+  /** q202/q299 served from the DURABLE postings artifact — same
+    * downstream ([[cosineFromPostings]] verbatim), same oracle (q202's
+    * SQL unchanged: durability, like materialization, is a layout
+    * decision, not a semantic one). */
+  def sparseCosinePairsDurable(s: SparkSession,
+      documents: => org.apache.spark.sql.DataFrame, dir: String,
+      threshold: Double = 0.5, maxDf: Long = 20): DataFrame =
+    cosineFromPostings(
+      s.table(materializedPostingsDurable(s, documents, dir, maxDf)),
+      threshold, mergeHint = true)
+
   /** Quality-aware near-dup collapse: one KEPT document per duplicate
     * cluster, chosen by HIGHEST quality score (ties to the lowest
     * doc_id) instead of the arbitrary min-id representative — when a
@@ -1701,6 +1748,12 @@ object TextAnalysis {
       sparseCosinePairs(Tables(s, d).documents)),
     "q299_postings_materialized" -> ((s, d) =>
       sparseCosinePairsMaterialized(s, d)),
+    // the DURABLE postings twin (q338): same downstream, same oracle;
+    // a fresh JVM re-declares the bucket spec and self-joins the
+    // committed layout shuffle-free
+    "q338_postings_atrest" -> ((s, d) =>
+      sparseCosinePairsDurable(s, Tables(s, d).documents,
+        graft.operators.Dedup.docsDurableDir("postings", d))),
     "q209_cluster_sizes" -> ((s, d) =>
       clusterSizeDistribution(Tables(s, d).documents)),
     // the CCNet deployment shape: LM trained on the clean target
@@ -1951,6 +2004,7 @@ object TextAnalysis {
     // same SQL; a hash match proves the at-rest table reproduces the
     // in-memory posting relation exactly
     "q299_postings_materialized" -> sparseCosineSql,
+    "q338_postings_atrest" -> sparseCosineSql,
     // q202's CTE symmetrized, then per-doc argmax replayed as the
     // (cosine DESC, neighbor ASC) row_number the min(struct) encodes
     "q221_nearest_duplicates" ->

@@ -185,6 +185,53 @@ class DurableArtifactsSpec extends AnyFunSuite {
     assert(d1.toSeq == d2.toSeq)
   }
 
+  test("durable postings: fresh session self-joins the committed " +
+      "bucketed layout without re-tokenizing (no rebuild, documents " +
+      "never evaluated); equals the session-scoped q299 tier") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val dir = freshDir()
+    val d1 = TextAnalysis.sparseCosinePairsDurable(spark, docs, dir)
+      .collect().map(_.toSeq)
+    val builds = Artifacts.durableBuilds.get()
+    val sess = TextAnalysis.sparseCosinePairsMaterialized(spark,
+      "/root/testdata/sf0.001").collect().map(_.toSeq)
+    assert(d1.toSeq == sess.toSeq)
+    val s2 = spark.newSession()
+    val d2 = TextAnalysis.sparseCosinePairsDurable(s2,
+      sys.error("documents evaluated on the committed path"), dir)
+      .collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == builds)
+    assert(d1.toSeq == d2.toSeq)
+  }
+
+  test("nearDupBaseStaleness: rides the q337 artifact (no second " +
+      "build); counts decompose exactly (entries per band = docs per " +
+      "side, buckets ≤ entries, max ≤ entries)") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val dir = freshDir()
+    // the dedup tier builds the artifact ...
+    Dedup.portableIncrementalNearDupsDurable(spark, docs, dir).collect()
+    val builds = Artifacts.durableBuilds.get()
+    // ... and the monitor consumes the SAME one
+    val card = Dedup.nearDupBaseStaleness(spark, docs, dir).collect()
+    assert(Artifacts.durableBuilds.get() == builds,
+      "monitor rebuilt the artifact")
+    val nBase = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3).count()
+    val nInc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3).count()
+    assert(card.length == 4) // one row per band at the default split
+    card.foreach { r =>
+      assert(r.getLong(1) == nBase && r.getLong(2) == nInc,
+        s"structural entry counts off: $r")
+      val (nbk, nbm) = (r.getLong(3), r.getLong(4))
+      assert(nbk > 0 && nbk <= nBase && nbm >= nbk)
+      assert(r.getDouble(5) == nBase.toDouble / nbk)
+      assert(r.getDouble(6) == (nBase + nInc).toDouble / nbm)
+      assert(r.getLong(7) <= nBase && r.getLong(8) >= r.getLong(7))
+    }
+  }
+
   test("the durable serve scan partition-prunes the lake vector table") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
