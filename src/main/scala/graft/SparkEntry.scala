@@ -31,6 +31,7 @@ object SparkEntry {
     QueryModule(operators.TextAnalysis.queries, operators.TextAnalysis.oracleSql),
     QueryModule(operators.DataHygiene.queries, operators.DataHygiene.oracleSql),
     QueryModule(operators.Dedup.queries, operators.Dedup.oracleSql),
+    QueryModule(operators.Ingest.queries, operators.Ingest.oracleSql),
     QueryModule(operators.Similarity.queries, operators.Similarity.oracleSql),
     QueryModule(operators.Describe.queries, operators.Describe.oracleSql),
     QueryModule(operators.WaqiParity.queries, operators.WaqiParity.oracleSql),

@@ -1995,8 +1995,13 @@ object Dedup {
   // this object — a val here would still be null at their init time.
   // private[operators]: the q340 composition oracle stitches this
   // fragment verbatim, so the composition cannot drift from q335.
+  // docs and b are MATERIALIZED (the q314/q327 device): docs feeds
+  // sigs AND both verify sides, b feeds the four cap/keep CTEs —
+  // DuckDB inlines plain CTEs per REFERENCE, and in the q340
+  // composition (two heavy chains in one statement) the multiplied
+  // plan ran the checker's buffer pool out of memory
   private[operators] def portableIncCtes: String =
-    """docs AS (
+    """docs AS MATERIALIZED (
         |  SELECT doc_id, doc_id % 10 = 3 AS is_inc,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(toks) - 1),
@@ -2010,7 +2015,7 @@ object Dedup {
         |      list_min(list_transform(sh,
         |        s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
         |  FROM docs),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT doc_id, is_inc, CAST(bb AS INTEGER) AS band,
         |    array_to_string(sig[bb*4+1 : bb*4+4], ':') AS bh
         |  FROM sigs, (SELECT unnest(range(4)) AS bb))""".stripMargin

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The NIGHTLY-INGEST ADMISSION manifest — the composition a
+  * training-data pipeline actually runs on tonight's crawl slice,
+  * assembled from the three screens this library ships as separately
+  * driver-checked primitives:
+  *
+  *  1. EXACT screen (q145/q189/q258/q336): is the doc's content
+  *     fingerprint already in the base corpus?
+  *  2. NEAR-DUP screen (q335/q337): does the doc near-duplicate a
+  *     base doc under the portable MinHash bands (min matching base
+  *     id — deterministic)?
+  *  3. SEMANTIC screen (q327/q330): does the doc's embedding
+  *     SemDeDup-collapse onto a base vector under the base-trained
+  *     at-rest index (best match, ties to min id)?
+  *
+  * One row per increment doc: (doc_id, exact_dup, near_dup_of,
+  * sem_dup_of, admit) with `admit` = passed all three — the manifest
+  * a nightly job writes before packing tonight's batch. The
+  * embeddings table is the documents' embedding sidecar keyed
+  * `vec_id = doc_id` (the synthetic-corpus convention); docs without
+  * a vector simply pass the semantic screen, both engines (LEFT
+  * JOIN).
+  *
+  * The whole composition is HASH-EXACT: each screen's oracle chain
+  * was already SQL-replayable, and the q340 oracle stitches the three
+  * chains (shared CTE fragments — [[Similarity.semDedupDecisionChain]]
+  * and [[Dedup.portableIncCtes]] — so the composition CANNOT drift
+  * from its components) into one statement ending in the same
+  * three LEFT JOINs.
+  *
+  * Scale: the three screens share the increment scan; each is
+  * individually increment-bounded (broadcast Bloom/fps, inc×base
+  * bucket probe, partition-pruned cell scan), so the manifest costs
+  * the sum of its screens, never a corpus pass. The at-rest tier
+  * ([[nightlyAdmissionAtRest]]) serves all three from durable
+  * artifacts — the form a real nightly job runs. */
+object Ingest {
+
+  private val contentFpSql =
+    "md5(array_to_string(list_sort(list_distinct(" +
+      "string_split(text, ' '))), ' '))"
+
+  private def contentFp = md5(array_join(
+    array_sort(array_distinct(split(col("text"), " "))), " "))
+
+  /** The session-tier composition (screens build their artifacts in
+    * the session memo — the q327/q335 forms). */
+  def nightlyAdmission(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, key: String): DataFrame =
+    assemble(docs,
+      Dedup.portableIncrementalNearDups(docs),
+      Similarity.semDedupIncremental(s, embeddings, key))
+
+  /** The composition as a nightly job actually runs it: every screen
+    * serves from its DURABLE commit-marked artifact (q330/q337's
+    * forms), so tomorrow's JVM pays increment-sized work only. Same
+    * decision by shared cores — registered against the same oracle
+    * as the session tier (q341 vs q340, the q330 convention). */
+  def nightlyAdmissionAtRest(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String)
+      : DataFrame =
+    assemble(docs,
+      Dedup.portableIncrementalNearDupsDurable(s, docs, nearDir),
+      Similarity.semDedupIncrementalDurable(s, embeddings, semDir))
+
+  private def assemble(docs: DataFrame, nearPairs: DataFrame,
+      semDecision: DataFrame): DataFrame = {
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"))
+    val baseFps = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .select(contentFp.as("fp")).distinct()
+    val ex = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"), contentFp.as("fp"))
+      .join(baseFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    val near = nearPairs
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("base_id")).as("near_dup_of"))
+    val sem = semDecision
+      .select(col("vec_id").as("doc_id"), col("dup_of").as("sem_dup_of"))
+    inc
+      .join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+        col("near_dup_of"), col("sem_dup_of"),
+        (coalesce(col("exact_hit"), lit(false)) === false &&
+          col("near_dup_of").isNull && col("sem_dup_of").isNull)
+          .as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q340's DuckDB twin: the semantic decision chain + the portable
+    * near-dup chain (both SHARED fragments — the components' own
+    * oracles use the same text) + the fingerprint screen, stitched by
+    * three LEFT JOINs. Concatenation, not an outer stripMargin (the
+    * fragments strip their own margins). */
+  private def admissionOracle: String =
+    s"WITH ${Similarity.semDedupDecisionChain(8, 2, 0.35)},\n" +
+      s"${Dedup.portableIncCtes},\n" +
+      s"""ok_i AS (
+         |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
+         |  HAVING count(*) <= 10000),
+         |ok_b AS (
+         |  SELECT band, bh FROM b WHERE NOT is_inc GROUP BY band, bh
+         |  HAVING count(*) <= 10000),
+         |ki AS (
+         |  SELECT bb.doc_id, bb.band, bb.bh
+         |  FROM b bb JOIN ok_i USING (band, bh) WHERE bb.is_inc),
+         |kb AS (
+         |  SELECT bb.doc_id, bb.band, bb.bh
+         |  FROM b bb JOIN ok_b USING (band, bh) WHERE NOT bb.is_inc),
+         |ncand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+         |  FROM ki x JOIN kb y
+         |    ON x.band = y.band AND x.bh = y.bh),
+         |nj AS (
+         |  SELECT new_id, base_id,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+         |  FROM ncand
+         |  JOIN docs x ON x.doc_id = ncand.new_id
+         |  JOIN docs y ON y.doc_id = ncand.base_id),
+         |near AS (
+         |  SELECT new_id, min(base_id) AS near_dup_of
+         |  FROM nj WHERE jaccard >= 0.5 GROUP BY new_id),
+         |bfp AS (
+         |  SELECT DISTINCT $contentFpSql AS fp
+         |  FROM documents WHERE doc_id % 10 <> 3),
+         |ifp AS (
+         |  SELECT doc_id, $contentFpSql AS fp
+         |  FROM documents WHERE doc_id % 10 = 3),
+         |ex AS (
+         |  SELECT DISTINCT ifp.doc_id FROM ifp JOIN bfp USING (fp)),
+         |di AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 10 = 3)
+         |SELECT di.doc_id,
+         |  ex.doc_id IS NOT NULL AS exact_dup,
+         |  near.near_dup_of,
+         |  best.base_id AS sem_dup_of,
+         |  (ex.doc_id IS NULL AND near.near_dup_of IS NULL
+         |    AND best.base_id IS NULL) AS admit
+         |FROM di
+         |LEFT JOIN ex ON ex.doc_id = di.doc_id
+         |LEFT JOIN near ON near.new_id = di.doc_id
+         |LEFT JOIN best ON best.vec_id = di.doc_id
+         |ORDER BY di.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_nightly_admission" -> ((s, d) =>
+      nightlyAdmission(s, Tables(s, d).documents,
+        Tables(s, d).embeddings, key = d)),
+    // the at-rest form — durable artifacts for both the near-dup base
+    // and the semantic index; registered against the SAME oracle so
+    // the driver checks the cross-job serving path changes nothing
+    "q341_nightly_admission_atrest" -> ((s, d) =>
+      nightlyAdmissionAtRest(s, Tables(s, d).documents,
+        Tables(s, d).embeddings,
+        Dedup.docsDurableDir("pndbase", d),
+        Similarity.ivfExactDurableDir(d)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q340_nightly_admission" -> admissionOracle,
+    "q341_nightly_admission_atrest" -> admissionOracle
+  )
+}

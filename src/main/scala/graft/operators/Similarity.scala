@@ -2960,9 +2960,14 @@ object Similarity {
        |FROM j, t ORDER BY cell""".stripMargin
   }
 
-  private def semDedupIncOracle(cells: Int, iters: Int,
+  /** The q327 DECISION CHAIN as a WITH-less fragment ending in
+    * `best(vec_id, base_id)` (plus `ia`, `inc`, the trained chain) —
+    * shared verbatim by the q327/q330 oracles AND the q340/q341
+    * composition, so the composition cannot drift from its
+    * component. */
+  private[operators] def semDedupDecisionChain(cells: Int, iters: Int,
       threshold: Double): String =
-    s"""WITH ${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
+    s"""${exactKmeansCtes(cells, iters, "vec_id % 10 <> 3")},
        |${incAssignCtes(iters)},
        |cand AS (
        |  SELECT ia.vec_id, b.vec_id AS base_id,
@@ -2977,11 +2982,17 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY sim DESC, base_id) AS rn
        |    FROM cand WHERE sim >= $threshold) t
-       |  WHERE rn = 1)
-       |SELECT ia.vec_id, ia.cell, best.base_id AS dup_of,
-       |  best.base_id IS NULL AS keep
-       |FROM ia LEFT JOIN best ON best.vec_id = ia.vec_id
-       |ORDER BY ia.vec_id""".stripMargin
+       |  WHERE rn = 1)""".stripMargin
+
+  private def semDedupIncOracle(cells: Int, iters: Int,
+      threshold: Double): String =
+    s"WITH ${semDedupDecisionChain(cells, iters, threshold)},\n" +
+      """fin AS (
+        |  SELECT ia.vec_id, ia.cell, best.base_id AS dup_of,
+        |    best.base_id IS NULL AS keep
+        |  FROM ia LEFT JOIN best ON best.vec_id = ia.vec_id)
+        |SELECT vec_id, cell, dup_of, keep FROM fin
+        |ORDER BY vec_id""".stripMargin
 
   /** q313's DuckDB twin, GENERATED with the Lloyd rounds unrolled
     * (the pageRank/anisotropy convention): seeds = first `cells`

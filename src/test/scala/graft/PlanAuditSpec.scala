@@ -149,7 +149,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q330 is q327's decision against the DURABLE artifact: the same
     // increment-vs-broadcast-sidecar assignment crossJoin (the cents
     // frame now a lake parquet read instead of a catalog table)
-    "q330_semdedup_atrest")
+    "q330_semdedup_atrest",
+    // q340/q341 compose the q327/q330 semantic screen — the same
+    // broadcast-sidecar assignment crossJoin, one per composition
+    "q340_nightly_admission", "q341_nightly_admission_atrest")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross
