@@ -85,35 +85,78 @@ object Artifacts {
   private val durableMemo = new KeyedMemo[(Any, String), String]
 
   /** The DURABLE build-once device — the piece the session-scoped
-    * [[KeyedMemo]] + [[tempDir]] convention deliberately lacks:
-    * `build(dir)` runs only when `dir` carries no [[CommitMarker]];
-    * a committed artifact — written by this JVM, a previous session,
-    * or another job entirely — is served as-is, so the "build once,
+    * [[KeyedMemo]] + [[tempDir]] convention deliberately lacks: a
+    * committed artifact — written by this JVM, a previous session, or
+    * another job entirely — is served as-is, so the "build once,
     * serve many" economics survive process exit. `params` is the
-    * build-configuration string: recorded next to the artifact before
-    * the marker, and REQUIRED to match on every committed reuse.
-    * Memoized per (owner, canonical path) so repeat calls in one JVM
-    * skip even the marker stat; nothing here registers the directory
-    * for exit-time deletion. */
+    * build-configuration string: recorded inside the artifact and
+    * REQUIRED to match on every committed reuse. NOTE the dir itself
+    * carries the INPUT identity — two different input frames pointed
+    * at one dir are indistinguishable to the params check, so durable
+    * homes should be derived from the source data ([[durableDirFor]]
+    * keys them to the dataset's metadata fingerprint, which is what
+    * every registered query does).
+    *
+    * Publication is RACE-SAFE across builders (sessions, or whole
+    * JVMs on a shared lake): `build` writes into a private staging
+    * dir NEXT TO the target (same filesystem), the params + commit
+    * marker land in the staging tree, and the tree is published with
+    * ONE atomic rename — the target either doesn't exist or is a
+    * complete committed artifact; two racing first-builders each
+    * build a consistent tree and the rename loser discards its
+    * staging copy and serves the winner's. No partially-written
+    * artifact can ever carry the marker. Memoized per (owner,
+    * canonical path, params) so repeat calls in one JVM skip even the
+    * marker stat. */
   def durable(owner: Any, dir: String, params: String = "")
       (build: String => Unit): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val canon = Paths.get(dir).toAbsolutePath.normalize.toString
     // params ride the MEMO key too: a same-session caller with a
     // different configuration re-enters the cell and hits the loud
     // on-disk params check instead of a silent memo hit
     durableMemo.getOrBuild((owner, s"$canon|$params")) {
-      if (isCommitted(canon)) {
+      def checkParams(): Unit = {
         val onDisk = Files.readString(Paths.get(canon, ParamsFile))
         require(onDisk == params,
           s"artifact at $canon was built with params '$onDisk', " +
             s"caller expects '$params' — refusing to serve it")
-      } else {
-        Files.createDirectories(Paths.get(canon))
-        build(canon)
-        durableBuilds.incrementAndGet()
-        Files.writeString(Paths.get(canon, ParamsFile), params)
-        Files.write(Paths.get(canon, CommitMarker), Array.emptyByteArray)
+      }
+      if (isCommitted(canon)) checkParams()
+      else {
+        val parent = Paths.get(canon).getParent
+        Files.createDirectories(parent)
+        val staging = Files.createTempDirectory(parent, ".graft_build_")
+        cleanupHook
+        cleanupPaths.add(staging) // crash leftovers, not the artifact
+        build(staging.toString)
+        Files.writeString(staging.resolve(ParamsFile), params)
+        Files.write(staging.resolve(CommitMarker), Array.emptyByteArray)
+        // crashed-build debris at the target (a tree with NO marker —
+        // a committed tree only ever appears atomically) is replaced,
+        // not served and not treated as a lost race
+        if (Files.exists(Paths.get(canon)) && !isCommitted(canon))
+          try deleteTree(Paths.get(canon)) catch { case _: Throwable => () }
+        val published =
+          try {
+            Files.move(staging, Paths.get(canon),
+              StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            // exists / not-empty / denied — the JDK surfaces the
+            // collision as assorted FileSystemExceptions per platform
+            case _: java.nio.file.FileSystemException => false
+          }
+        if (published) durableBuilds.incrementAndGet()
+        else {
+          // a racing builder published first: serve ITS tree (must be
+          // committed + params-compatible), discard ours
+          try deleteTree(staging) catch { case _: Throwable => () }
+          require(isCommitted(canon),
+            s"lost the publish race at $canon but the winner's " +
+              "artifact is not committed")
+          checkParams()
+        }
       }
       canon
     }
@@ -126,6 +169,18 @@ object Artifacts {
   def durableRoot: String =
     sys.env.getOrElse("GRAFT_ARTIFACTS_DIR",
       new java.io.File("artifacts").getAbsolutePath)
+
+  /** THE durable-artifact home convention:
+    * `<durableRoot>/<prefix>_<digest(datasetDir | fingerprint(sidecar))>`
+    * — keyed to the dataset path AND the named source table's
+    * metadata fingerprint, so a regenerated input quietly gets a
+    * fresh artifact instead of being served a stale one. One
+    * definition; the per-family helpers delegate here so a keying
+    * change cannot fork the scheme. */
+  def durableDirFor(prefix: String, datasetDir: String,
+      sidecar: String): String =
+    s"$durableRoot/${prefix}_${digest(
+      datasetDir + "|" + pathFingerprint(s"$datasetDir/$sidecar"))}"
 
   /** Metadata fingerprint of a dataset path (file or directory):
     * digest over sorted (relative name, size, mtime) — cheap, no data

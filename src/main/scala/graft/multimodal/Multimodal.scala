@@ -542,14 +542,12 @@ object Multimodal {
     videoDedupFromFrames(s.read.parquet(s"$dir/video_frames"),
       maxHamming, minFrac, maxBucket)
 
-  /** The durable fingerprint home for a dataset dir: keyed to the
-    * documents table's metadata fingerprint (the synthetic media is a
-    * pure function of it), so regenerated testdata rebuilds instead
-    * of serving stale hashes. */
+  /** The durable fingerprint home for a dataset dir — the
+    * [[graft.Artifacts.durableDirFor]] convention keyed to the
+    * documents table (the synthetic media is a pure function of
+    * it). */
   def mediaFpDurableDir(d: String): String =
-    s"${graft.Artifacts.durableRoot}/mediafp_${graft.Artifacts.digest(
-      d + "|" +
-        graft.Artifacts.pathFingerprint(s"$d/documents.parquet"))}"
+    graft.Artifacts.durableDirFor("mediafp", d, "documents.parquet")
 
   /** Ensure the fingerprint artifact for `d` exists; return its dir
     * (the accessor the four at-rest queries share — one build serves

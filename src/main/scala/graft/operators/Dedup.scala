@@ -1088,8 +1088,17 @@ object Dedup {
     * with pushdown at execution time. */
   /** The content fingerprint shared by the cross-corpus screen family
     * (sorted-distinct-token md5 — [[crossCorpusNewAgainst]]'s key). */
-  private val contentFp: Column = md5(array_join(
+  // private[operators]: the q340/q341 admission manifest composes
+  // this exact screen — ONE fingerprint definition (and one SQL twin,
+  // below), so the composition cannot drift from q145/q258/q336
+  private[operators] val contentFp: Column = md5(array_join(
     array_sort(array_distinct(split(col("text"), " "))), " "))
+
+  /** [[contentFp]]'s DuckDB spelling — shared with the q340/q341
+    * oracle. */
+  private[operators] val contentFpSql: String =
+    "md5(array_to_string(list_sort(list_distinct(" +
+      "string_split(text, ' '))), ' '))"
 
   def crossCorpusNewBloomScreened(candidates: DataFrame, base: DataFrame,
       fpp: Double = 0.01): DataFrame = {
@@ -1354,27 +1363,30 @@ object Dedup {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets_merged"),
         max(col("c")).as("max_bucket_merged"))
-    nb.join(ni, "band").join(mb, "band").join(mm, "band")
-      .select(col("band"), col("n_base"), col("n_inc"),
+    // LEFT join + coalesce on the increment side: an EMPTY nightly
+    // increment must still report the base-health columns (the gate
+    // reads max/mean bucket pressure off the artifact alone) — an
+    // inner join would return an empty card exactly when the monitor
+    // is cheapest to run
+    nb.join(ni, Seq("band"), "left").join(mb, "band").join(mm, "band")
+      .select(col("band"), col("n_base"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"),
         col("n_buckets_base"), col("n_buckets_merged"),
         (col("n_base").cast("double") /
           col("n_buckets_base").cast("double")).as("mean_bucket_base"),
-        ((col("n_base") + col("n_inc")).cast("double") /
+        ((col("n_base") + coalesce(col("n_inc"), lit(0L)))
+          .cast("double") /
           col("n_buckets_merged").cast("double"))
           .as("mean_bucket_merged"),
         col("max_bucket_base"), col("max_bucket_merged"))
       .orderBy(col("band"))
   }
 
-  /** Durable-artifact home keyed to the dataset dir AND the documents
-    * table's metadata fingerprint (regenerated inputs rebuild instead
-    * of serving a stale artifact) — the [[graft.operators.Similarity
-    * .ivfExactDurableDir]] convention for the document-table
-    * families. */
+  /** Durable-artifact home for the document-table families — the
+    * [[graft.Artifacts.durableDirFor]] convention keyed to the
+    * documents table. */
   def docsDurableDir(prefix: String, d: String): String =
-    s"${graft.Artifacts.durableRoot}/${prefix}_${graft.Artifacts.digest(
-      d + "|" +
-        graft.Artifacts.pathFingerprint(s"$d/documents.parquet"))}"
+    graft.Artifacts.durableDirFor(prefix, d, "documents.parquet")
 
   private val screenArtifacts = scala.collection.mutable.Map
     .empty[(SparkSession, String), (String, String)]
@@ -1462,15 +1474,26 @@ object Dedup {
       java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString)
     val d = graft.Artifacts.durable(s, dir, s"screen|fpp=$fpp") { d =>
       val fps = base.select(contentFp.as("fp")).distinct().persist()
+      // bucketed layouts only write through saveAsTable; the build
+      // registers a THROWAWAY catalog name over the staging path and
+      // drops it (external table: files stay) — the durable publish
+      // renames the tree, so only the post-publish registration below
+      // may point the real name at the final path
+      val tmpName = s"${name}_b${System.nanoTime()}"
       try {
         fps.write.bucketBy(8, "fp").sortBy("fp")
-          .option("path", s"$d/fps").mode("overwrite").saveAsTable(name)
+          .option("path", s"$d/fps").mode("overwrite")
+          .saveAsTable(tmpName)
         val bloom = RuntimeFilters.buildBloom(
           fps.select(xxhash64(col("fp")).as("h")), "h", fps.count(), fpp)
         import s.implicits._
         Seq(Tuple1(bloom)).toDF("bloom")
           .coalesce(1).write.mode("overwrite").parquet(s"$d/bloom")
-      } finally fps.unpersist(false)
+      } finally {
+        try s.sql(s"DROP TABLE IF EXISTS $tmpName")
+        catch { case _: Throwable => () }
+        fps.unpersist(false)
+      }
     }
     graft.Artifacts.registerBucketedTable(s, name, s"$d/fps",
       "fp STRING", "fp", 8, sortCol = Some("fp"))
@@ -1975,14 +1998,15 @@ object Dedup {
       |    CAST(max(c) AS BIGINT) AS max_bucket_merged
       |  FROM (SELECT band, bh, count(*) AS c FROM b GROUP BY band, bh)
       |  GROUP BY band)
-      |SELECT nb.band, n_base, n_inc,
+      |SELECT nb.band, n_base,
+      |  COALESCE(n_inc, CAST(0 AS BIGINT)) AS n_inc,
       |  n_buckets_base, n_buckets_merged,
       |  CAST(n_base AS DOUBLE) / CAST(n_buckets_base AS DOUBLE)
       |    AS mean_bucket_base,
-      |  CAST(n_base + n_inc AS DOUBLE)
+      |  CAST(n_base + COALESCE(n_inc, CAST(0 AS BIGINT)) AS DOUBLE)
       |    / CAST(n_buckets_merged AS DOUBLE) AS mean_bucket_merged,
       |  max_bucket_base, max_bucket_merged
-      |FROM nb JOIN ni USING (band) JOIN mb USING (band)
+      |FROM nb LEFT JOIN ni USING (band) JOIN mb USING (band)
       |  JOIN mm USING (band)
       |ORDER BY band""".stripMargin
 

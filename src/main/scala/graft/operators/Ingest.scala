@@ -42,43 +42,61 @@ import graft.Tables
   * artifacts — the form a real nightly job runs. */
 object Ingest {
 
-  private val contentFpSql =
-    "md5(array_to_string(list_sort(list_distinct(" +
-      "string_split(text, ' '))), ' '))"
-
-  private def contentFp = md5(array_join(
-    array_sort(array_distinct(split(col("text"), " "))), " "))
+  // ONE fingerprint definition for the exact screen — Dedup's own
+  // (q145/q258/q336's), not a copy that could drift
+  private def contentFpSql = Dedup.contentFpSql
+  private def contentFp = Dedup.contentFp
 
   /** The session-tier composition (screens build their artifacts in
-    * the session memo — the q327/q335 forms). */
+    * the session memo — the q327/q335 forms; the exact screen is the
+    * plain fps semi join, the q145 shape). */
   def nightlyAdmission(s: SparkSession, docs: DataFrame,
-      embeddings: DataFrame, key: String): DataFrame =
-    assemble(docs,
-      Dedup.portableIncrementalNearDups(docs),
-      Similarity.semDedupIncremental(s, embeddings, key))
-
-  /** The composition as a nightly job actually runs it: every screen
-    * serves from its DURABLE commit-marked artifact (q330/q337's
-    * forms), so tomorrow's JVM pays increment-sized work only. Same
-    * decision by shared cores — registered against the same oracle
-    * as the session tier (q341 vs q340, the q330 convention). */
-  def nightlyAdmissionAtRest(s: SparkSession, docs: DataFrame,
-      embeddings: DataFrame, nearDir: String, semDir: String)
-      : DataFrame =
-    assemble(docs,
-      Dedup.portableIncrementalNearDupsDurable(s, docs, nearDir),
-      Similarity.semDedupIncrementalDurable(s, embeddings, semDir))
-
-  private def assemble(docs: DataFrame, nearPairs: DataFrame,
-      semDecision: DataFrame): DataFrame = {
-    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
-      .select(col("doc_id"))
+      embeddings: DataFrame, key: String): DataFrame = {
     val baseFps = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
       .select(contentFp.as("fp")).distinct()
     val ex = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
       .select(col("doc_id"), contentFp.as("fp"))
       .join(baseFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_hit"))
+    assemble(docs, ex,
+      Dedup.portableIncrementalNearDups(docs),
+      Similarity.semDedupIncremental(s, embeddings, key))
+  }
+
+  /** The composition as a nightly job actually runs it: ALL THREE
+    * screens serve from DURABLE commit-marked artifacts — the exact
+    * screen from the q336 Bloom + bucketed-fps screen base (survivors
+    * anti-join; the base corpus is never re-fingerprinted), the
+    * near-dup screen from the q337 band-bucket base, the semantic
+    * screen from the q330 index — so tomorrow's JVM pays
+    * increment-sized work only. Same decisions by shared cores /
+    * row-identity pins — registered against the same oracle as the
+    * session tier (q341 vs q340, the q330 convention). */
+  def nightlyAdmissionAtRest(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String,
+      screenDir: String): DataFrame = {
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    // the durable screen returns the SURVIVORS (definite-new routed
+    // around the shuffle + maybe-branch anti join) — exact dups are
+    // the increment minus them (row-identical to the fps semi join,
+    // the q258/q336 pin)
+    val survivors = Dedup.crossCorpusNewFromDurableArtifact(s,
+      inc, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3),
+      screenDir)
+    val ex = inc.select(col("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    assemble(docs, ex,
+      Dedup.portableIncrementalNearDupsDurable(s, docs, nearDir),
+      Similarity.semDedupIncrementalDurable(s, embeddings, semDir))
+  }
+
+  private def assemble(docs: DataFrame, exactHits: DataFrame,
+      nearPairs: DataFrame, semDecision: DataFrame): DataFrame = {
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"))
+    val ex = exactHits
     val near = nearPairs
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("base_id")).as("near_dup_of"))
@@ -160,11 +178,16 @@ object Ingest {
     // the at-rest form — durable artifacts for both the near-dup base
     // and the semantic index; registered against the SAME oracle so
     // the driver checks the cross-job serving path changes nothing
+    // screen home prefixed "screen10": the %10-split base is a
+    // DIFFERENT input than q336's %2-split screen — same knobs,
+    // different data must never share a durable dir (the params
+    // sidecar can't tell frames apart; the dir scheme must)
     "q341_nightly_admission_atrest" -> ((s, d) =>
       nightlyAdmissionAtRest(s, Tables(s, d).documents,
         Tables(s, d).embeddings,
         Dedup.docsDurableDir("pndbase", d),
-        Similarity.ivfExactDurableDir(d)))
+        Similarity.ivfExactDurableDir(d),
+        Dedup.docsDurableDir("screen10", d)))
   )
 
   val oracleSql: Map[String, String] = Map(

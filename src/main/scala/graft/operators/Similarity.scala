@@ -997,13 +997,11 @@ object Similarity {
       embeddings.filter(pmod(col("vec_id"), lit(10L)) =!= 3),
       dir, threshold, cells, iters)
 
-  /** The durable-artifact home for a given dataset dir: rooted at
-    * [[graft.Artifacts.durableRoot]], keyed by the dataset path AND
-    * its metadata fingerprint, so a regenerated input gets a fresh
-    * artifact instead of a stale serve. */
+  /** The durable-artifact home for a given dataset dir — the
+    * [[graft.Artifacts.durableDirFor]] convention keyed to the
+    * embeddings table. */
   def ivfExactDurableDir(d: String): String =
-    s"${graft.Artifacts.durableRoot}/ivfx_${graft.Artifacts.digest(
-      d + "|" + graft.Artifacts.pathFingerprint(s"$d/embeddings.parquet"))}"
+    graft.Artifacts.durableDirFor("ivfx", d, "embeddings.parquet")
 
   /** The core of [[semDedupIncremental]] over an ARBITRARY frame of
     * new vectors — also the per-micro-batch transform of the
@@ -1947,9 +1945,13 @@ object Similarity {
         .select(col("dst").as("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("s")).as("pr"))
         .localCheckpoint(true)
-      val delta = next.alias("n")
+      // max over an EMPTY graph's zero rows is NULL — an empty frame
+      // is its own fixed point (the fixed-round tier returns it
+      // gracefully; the converged tier must too, not NPE)
+      val deltaRow = next.alias("n")
         .join(pr.alias("p"), col("n.id") === col("p.id"))
-        .agg(max(abs(col("n.pr") - col("p.pr")))).head.getDouble(0)
+        .agg(max(abs(col("n.pr") - col("p.pr")))).head
+      val delta = if (deltaRow.isNullAt(0)) 0.0 else deltaRow.getDouble(0)
       pr = next
       converged = delta < tol
       r += 1

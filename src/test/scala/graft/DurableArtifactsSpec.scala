@@ -230,6 +230,18 @@ class DurableArtifactsSpec extends AnyFunSuite {
       assert(r.getDouble(6) == (nBase + nInc).toDouble / nbm)
       assert(r.getLong(7) <= nBase && r.getLong(8) >= r.getLong(7))
     }
+    // an EMPTY nightly increment still reports the base-health
+    // columns (left join + coalesce — the gate is cheapest exactly
+    // then, it must not return an empty card)
+    val noInc = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    val dir2 = freshDir()
+    val card2 = Dedup.nearDupBaseStaleness(spark, noInc, dir2).collect()
+    assert(card2.length == 4, "empty increment dropped the card")
+    card2.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(1) > 0 &&
+        r.getLong(7) > 0, s"base health lost on empty increment: $r")
+      assert(r.getLong(4) == r.getLong(3), "merged == base when inc empty")
+    }
   }
 
   test("the durable serve scan partition-prunes the lake vector table") {

@@ -120,8 +120,10 @@ class IngestSpec extends AnyFunSuite {
       .createTempDirectory("graft_ingest_spec_").resolve("n").toString
     val dirS = java.nio.file.Files
       .createTempDirectory("graft_ingest_spec_").resolve("s").toString
+    val dirE = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec_").resolve("e").toString
     val atRest = Ingest.nightlyAdmissionAtRest(spark, docs, emb,
-      dirN, dirS).collect().map(_.toSeq)
+      dirN, dirS, dirE).collect().map(_.toSeq)
     val session = Ingest.nightlyAdmission(spark, docs, emb,
       key = "ingest-spec-parity").collect().map(_.toSeq)
     assert(atRest.toSeq == session.toSeq)
