@@ -1262,13 +1262,22 @@ object Dedup {
     * bit-identical by construction. */
   def portableNearDupBaseDurable(s: SparkSession, docs: => DataFrame,
       dir: String, shingleSize: Int = 3, numPerms: Int = 16,
-      threshold: Double = 0.5): String = {
+      threshold: Double = 0.5): String =
+    portableNearDupBaseDurableFrom(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3), dir,
+      shingleSize, numPerms, threshold)
+
+  /** [[portableNearDupBaseDurable]] over an EXPLICIT base frame — the
+    * seam the streaming admission twin probes through (its base is a
+    * parameter, not a slice convention). */
+  def portableNearDupBaseDurableFrom(s: SparkSession,
+      base: => DataFrame, dir: String, shingleSize: Int = 3,
+      numPerms: Int = 16, threshold: Double = 0.5): String = {
     val (bands, _) = lshBandChoice(numPerms,
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
     graft.Artifacts.durable(s, dir,
       s"pndbase|s=$shingleSize|p=$numPerms|b=$bands") { d =>
-      val based = docs
-        .filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      val based = base
         .select(col("doc_id"),
           sortedShingles(col("text"), shingleSize).as("sh"))
       portableBandedBuckets(based, numPerms, bands)
@@ -1286,14 +1295,29 @@ object Dedup {
   def portableIncrementalNearDupsDurable(s: SparkSession,
       docs: DataFrame, dir: String, shingleSize: Int = 3,
       numPerms: Int = 16, threshold: Double = 0.5,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    portableIncNearDupsAgainstArtifact(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3),
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3),
+      dir, shingleSize, numPerms, threshold, maxBucket)
+
+  /** The at-rest probe over an ARBITRARY increment frame — also the
+    * per-micro-batch transform of the streaming admission twin. Only
+    * the increment is shingled; base text is read ONLY for candidate
+    * ids. Per-doc decisions are independent (no inc×inc pair is ever
+    * considered), so micro-batched serving unions to the batch
+    * result by construction. */
+  def portableIncNearDupsAgainstArtifact(s: SparkSession,
+      inc: DataFrame, base: => DataFrame, dir: String,
+      shingleSize: Int = 3, numPerms: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val (bands, _) = lshBandChoice(numPerms,
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
-    val d = portableNearDupBaseDurable(s, docs, dir, shingleSize,
+    val d = portableNearDupBaseDurableFrom(s, base, dir, shingleSize,
       numPerms, threshold)
     val baseB = capBuckets(s.read.parquet(s"$d/buckets"),
       Seq("band", "bh"), maxBucket)
-    val incBased = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    val incBased = inc
       .select(col("doc_id"),
         sortedShingles(col("text"), shingleSize).as("sh"))
       .localCheckpoint() // feeds the inc buckets AND the verify side
@@ -1307,7 +1331,7 @@ object Dedup {
       .distinct()
     // base shingles recomputed ONLY for candidate ids (semi-join
     // first, then the shingle projection rides the candidate volume)
-    val baseSh = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    val baseSh = base
       .join(candidates.select(col("base_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("base_id"),

@@ -92,10 +92,63 @@ object Ingest {
       Similarity.semDedupIncrementalDurable(s, embeddings, semDir))
   }
 
+  /** Per-micro-batch admission over an ARBITRARY crawl-record frame
+    * (doc_id, text, lang, source, embedding) — every screen serves
+    * from its durable artifact, and per-doc decisions are independent
+    * (no screen ever pairs increment docs with each other), so
+    * micro-batched serving unions to the batch manifest by
+    * construction (spec-pinned stream == q341). Also usable directly
+    * for ad-hoc "would this batch be admitted?" probes. */
+  def admitBatch(s: SparkSession, records: DataFrame,
+      baseDocs: => DataFrame, baseEmb: => DataFrame, nearDir: String,
+      semDir: String, screenDir: String): DataFrame = {
+    val incDocs = records.select(col("doc_id"), col("text"),
+      col("lang"), col("source"))
+    val incVecs = records.filter(col("embedding").isNotNull)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val survivors = Dedup.crossCorpusNewFromDurableArtifact(s,
+      incDocs, baseDocs, screenDir)
+    val ex = incDocs.select(col("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    assembleFor(incDocs.select(col("doc_id")), ex,
+      Dedup.portableIncNearDupsAgainstArtifact(s, incDocs, baseDocs,
+        nearDir),
+      Similarity.semDedupAgainstIndexDurable(s, incVecs, baseEmb,
+        semDir))
+  }
+
+  /** The admission manifest run CONTINUOUSLY — a crawl-record stream
+    * (doc_id, text, lang, source, embedding) admitted per micro-batch
+    * against the three static durable artifacts, into idempotent
+    * per-batch parquet (the q83/q145 stream-twin convention:
+    * [[admitBatch]] IS the batch transform, so stream == batch by
+    * construction; StreamingSpec pins the union of batches against
+    * the q341 manifest). Stateless — the artifacts are the static
+    * side Spark re-plans per batch. */
+  def nightlyAdmissionStream(s: SparkSession, crawlStream: DataFrame,
+      baseDocs: DataFrame, baseEmb: DataFrame, nearDir: String,
+      semDir: String, screenDir: String, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    crawlStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.writeBatchIdempotent(
+          admitBatch(s, batch, baseDocs, baseEmb, nearDir, semDir,
+            screenDir),
+          batchId, path))
+
   private def assemble(docs: DataFrame, exactHits: DataFrame,
+      nearPairs: DataFrame, semDecision: DataFrame): DataFrame =
+    assembleFor(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+        .select(col("doc_id")),
+      exactHits, nearPairs, semDecision)
+
+  private def assembleFor(incIds: DataFrame, exactHits: DataFrame,
       nearPairs: DataFrame, semDecision: DataFrame): DataFrame = {
-    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
-      .select(col("doc_id"))
+    val inc = incIds
     val ex = exactHits
     val near = nearPairs
       .groupBy(col("new_id").as("doc_id"))

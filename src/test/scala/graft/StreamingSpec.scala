@@ -790,6 +790,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("nightly-admission stream: micro-batched crawl records union " +
+      "to the q341 manifest exactly (all three screens served from " +
+      "the static durable artifacts)") {
+    implicit val sc = spark.sqlContext
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val docs = t.documents
+    val emb = t.embeddings
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).resolve("d").toString
+    val (nearDir, semDir, screenDir) =
+      (tmp("graft_adm_n"), tmp("graft_adm_s"), tmp("graft_adm_e"))
+    // the crawl records: tonight's slice with its embedding sidecar
+    val records = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("embedding"))
+      .as[(Long, String, String, String, Seq[Float])]
+      .collect().sortBy(_._1)
+    assert(records.length > 10)
+    val baseDocs = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    val baseEmb = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    val mem = MemoryStream[(Long, String, String, String, Seq[Float])]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_admout").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_admckpt").toString
+    val q = graft.operators.Ingest.nightlyAdmissionStream(spark,
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "embedding"),
+      baseDocs, baseEmb, nearDir, semDir, screenDir, outDir, ckpt)
+      .start()
+    mem.addData(records.take(7).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(records.drop(7).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "exact_dup", "near_dup_of", "sem_dup_of",
+        "admit")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    // the registered q341 manifest over the same artifacts' HOMES —
+    // fresh dirs here, but identical inputs: verdicts must match row
+    // for row
+    val batch = graft.operators.Ingest.nightlyAdmissionAtRest(spark,
+      docs, emb, nearDir, semDir, screenDir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("ANN serving stream (IVF-PQ artifact): micro-batched queries " +
       "reproduce q311's batch ranking") {
     implicit val sc = spark.sqlContext
