@@ -58,15 +58,23 @@ def to_py(df):
     return df.astype(object).where(pd.notnull(df), None)
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+def connect(sf_dir):
+    """Fresh DuckDB connection with the table views and the 8GB
+    stress limit (the memory budget every oracle must clear)."""
     con = duckdb.connect()
+    con.execute("SET memory_limit='8GB'")
     for t in TABLES:
         p = Path(sf_dir, f"{t}.parquet")
         if p.exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = connect(sf_dir)
 
     n_pass = n_fail = 0
     rows_only = []
@@ -89,9 +97,25 @@ def main():
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+            if "Out of Memory" in str(e):
+                # the long-lived connection's buffer pool can be left
+                # fragmented by an earlier heavy chain (the q327/q328
+                # flake) and OOM on an UNRELATED query: retry once on
+                # a fresh connection — a query that really exceeds the
+                # 8GB stress limit fails there too
+                try:
+                    con.close()
+                    con = connect(sf_dir)
+                    exp = con.execute(oracle[name]).df()
+                except Exception as e2:
+                    print(f"FAIL {name}: oracle SQL error (fresh "
+                          f"connection): {e2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                n_fail += 1
+                continue
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} != "
                   f"{sorted(exp.columns)}")

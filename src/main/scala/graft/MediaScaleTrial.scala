@@ -105,8 +105,7 @@ object MediaScaleTrial {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    println(f"${"cell"}%-26s ${"fp_build_s"}%10s ${"serve_s"}%8s " +
-      f"${"inline_s"}%9s")
+    println(f"${"cell"}%-26s ${"serve_s"}%8s ${"inline_s"}%9s")
     Seq(("base", baseDir), (s"x$factor", denseDir)).foreach {
       case (label, dir0) =>
         val media = Multimodal.materializedMedia(spark, dir0)
@@ -118,6 +117,11 @@ object MediaScaleTrial {
         val tBuild = clock {
           Multimodal.mediaFingerprintArtifact(spark, media, fpDir)
         }
+        // the decode-and-fingerprint build is paid ONCE PER CORPUS,
+        // not per tier — its own line, so the table cannot read as if
+        // each tier paid it (the r14 ADVICE layout finding)
+        println(f"${label + "/shared_fp_build"}%-26s $tBuild%8.2f" +
+          "   (once per corpus, all tiers share it)")
         val tiers = Seq[(String, () => DataFrame, () => DataFrame)](
           ("image_ahash",
             () => Multimodal.imageDedupFromArtifact(spark, fpDir),
@@ -136,8 +140,8 @@ object MediaScaleTrial {
             clock(noop(atRest())))
           val tInline = math.min(clock(noop(inline())),
             clock(noop(inline())))
-          println(f"${label + "/" + tier}%-26s $tBuild%10.2f " +
-            f"$tServe%8.2f $tInline%9.2f")
+          println(f"${label + "/" + tier}%-26s $tServe%8.2f " +
+            f"$tInline%9.2f")
         }
     }
   }

@@ -1311,11 +1311,89 @@ object Dedup {
       inc: DataFrame, base: => DataFrame, dir: String,
       shingleSize: Int = 3, numPerms: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val (bands, _) = lshBandChoice(numPerms,
-      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
     val d = portableNearDupBaseDurableFrom(s, base, dir, shingleSize,
       numPerms, threshold)
-    val baseB = capBuckets(s.read.parquet(s"$d/buckets"),
+    portableIncNearDupsCore(s, inc, base,
+      s.read.parquet(s"$d/buckets"), shingleSize, numPerms, threshold,
+      maxBucket)
+  }
+
+  /** APPEND a nightly increment's band keys to the durable near-dup
+    * base as a commit-marked delta ([[graft.Artifacts.deltaDir]]):
+    * only the increment is shingled and hashed — the base is
+    * untouched — and because the portable band keys are PER-DOC
+    * deterministic (no corpus-dependent state), (base buckets ∪
+    * delta buckets) is ROW-IDENTICAL to a base rebuilt from the
+    * union: append-then-serve cannot drift from rebuild-then-serve
+    * (spec-pinned; q343 registers the appended serve against q335's
+    * oracle VERBATIM, whose base is the union slice). The staleness
+    * card (q339) still owns the REBUILD decision — appends grow
+    * bucket pressure, and the card says when re-hashing the base
+    * pays. */
+  def appendToNearDupBase(s: SparkSession, newDocs: DataFrame,
+      dir: String, deltaName: String, shingleSize: Int = 3,
+      numPerms: Int = 16, threshold: Double = 0.5): String = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    graft.Artifacts.durable(s, graft.Artifacts.deltaDir(dir, deltaName),
+      s"pnddelta|s=$shingleSize|p=$numPerms|b=$bands") { d =>
+      portableBandedBuckets(
+        newDocs.select(col("doc_id"),
+          sortedShingles(col("text"), shingleSize).as("sh")),
+        numPerms, bands)
+        .write.mode("overwrite").parquet(s"$d/buckets")
+    }
+  }
+
+  /** The at-rest probe against (base artifact + ALL its committed
+    * deltas): tomorrow's increment screens against everything
+    * admitted through yesterday WITHOUT re-hashing the base.
+    * `baseText` must cover the union (base + appended docs) — it is
+    * read ONLY for the candidate ids the bucket probe surfaces, so
+    * its size never enters the plan. */
+  def portableIncNearDupsAgainstAppendedArtifact(s: SparkSession,
+      inc: DataFrame, baseText: => DataFrame, base: => DataFrame,
+      dir: String, shingleSize: Int = 3, numPerms: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val d = portableNearDupBaseDurableFrom(s, base, dir, shingleSize,
+      numPerms, threshold)
+    val buckets = graft.Artifacts.committedDeltas(d)
+      .foldLeft(s.read.parquet(s"$d/buckets"))((acc, dd) =>
+        acc.unionByName(s.read.parquet(s"$dd/buckets")))
+    portableIncNearDupsCore(s, inc, baseText, buckets, shingleSize,
+      numPerms, threshold, maxBucket)
+  }
+
+  /** q343's shape — one nightly maintenance cycle of the near-dup
+    * base: day-0 base (doc_id % 10 ∉ {3,4}) built durable, day-1
+    * crawl (% 10 = 4) APPENDED as a commit-marked delta, day-2
+    * increment (% 10 = 3) probed against the appended artifact.
+    * Registered against q335's oracle VERBATIM (whose base slice
+    * % 10 <> 3 IS the union), so the driver itself checks
+    * append ≡ rebuild-from-union. */
+  def portableIncrementalNearDupsAppended(s: SparkSession,
+      docs: DataFrame, dir: String): DataFrame = {
+    val base0 =
+      docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    portableNearDupBaseDurableFrom(s, base0, dir)
+    appendToNearDupBase(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 4), dir, "m4")
+    portableIncNearDupsAgainstAppendedArtifact(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3),
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3),
+      base0, dir)
+  }
+
+  /** The probe + cap + exact-verify core over an EXPLICIT base-bucket
+    * frame — shared verbatim by the plain at-rest serve (q337) and
+    * the appended serve (q343), so the two cannot drift. */
+  private def portableIncNearDupsCore(s: SparkSession,
+      inc: DataFrame, baseText: => DataFrame, baseBuckets: DataFrame,
+      shingleSize: Int, numPerms: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    val baseB = capBuckets(baseBuckets,
       Seq("band", "bh"), maxBucket)
     val incBased = inc
       .select(col("doc_id"),
@@ -1331,7 +1409,7 @@ object Dedup {
       .distinct()
     // base shingles recomputed ONLY for candidate ids (semi-join
     // first, then the shingle projection rides the candidate volume)
-    val baseSh = base
+    val baseSh = baseText
       .join(candidates.select(col("base_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("base_id"),
@@ -1495,7 +1573,7 @@ object Dedup {
       base: => DataFrame, dir: String, fpp: Double = 0.01)
       : (String, String) = {
     val name = "graft_screen_d_" + graft.Artifacts.digest(
-      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString)
+      graft.Artifacts.canonical(dir))
     val d = graft.Artifacts.durable(s, dir, s"screen|fpp=$fpp") { d =>
       val fps = base.select(contentFp.as("fp")).distinct().persist()
       // bucketed layouts only write through saveAsTable; the build
@@ -1534,6 +1612,64 @@ object Dedup {
     val (table, bloomDir) =
       materializedScreenBaseDurable(s, base, dir, fpp)
     screenServe(s, candidates, table, bloomDir)
+  }
+
+  /** APPEND admitted docs' fingerprints to the durable exact screen
+    * as a commit-marked delta ([[graft.Artifacts.deltaDir]]) — the
+    * base corpus is never re-fingerprinted, and the Bloom
+    * route-around stays SOUND because it only gates the BASE side:
+    * survivors of the base screen are additionally anti-joined
+    * against the (increment-sized) delta fingerprints, so a doc that
+    * duplicates an APPENDED row can never ride the definite-new
+    * route around the delta check. Fingerprints are per-doc
+    * deterministic, so (base fps ∪ delta fps) equals the rebuilt
+    * union set — append ≡ rebuild (q345 registers the appended serve
+    * against the union-rebuilt oracle). */
+  def appendFpsToScreenBase(s: SparkSession, newDocs: DataFrame,
+      dir: String, deltaName: String): String =
+    graft.Artifacts.durable(s, graft.Artifacts.deltaDir(dir, deltaName),
+      "screendelta|v1") { d =>
+      newDocs.select(contentFp.as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$d/fps")
+    }
+
+  /** [[crossCorpusNewFromDurableArtifact]] against (base artifact +
+    * ALL committed deltas): the bloom-routed bucketed base screen
+    * first, then one anti join against the delta fingerprints — both
+    * sides of that join are increment-scale, so the appended screen
+    * costs the base serve plus a small join, never a base rebuild. */
+  def crossCorpusNewFromAppendedArtifact(s: SparkSession,
+      candidates: DataFrame, base: => DataFrame, dir: String,
+      fpp: Double = 0.01): DataFrame = {
+    val survivors =
+      crossCorpusNewFromDurableArtifact(s, candidates, base, dir, fpp)
+    val deltas = graft.Artifacts.committedDeltas(dir)
+    if (deltas.isEmpty) survivors
+    else {
+      val deltaFps = deltas.map(dd => s.read.parquet(s"$dd/fps"))
+        .reduce(_ unionByName _)
+      // a USING join reorders the join column first — restore the
+      // screenServe column contract
+      survivors.join(deltaFps, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+    }
+  }
+
+  /** q345's shape — one maintenance cycle of the exact screen: day-0
+    * base (doc_id % 10 ∉ {3,4}) materialized durable, day-1 crawl
+    * (% 10 = 4) fingerprints APPENDED, day-2 increment (% 10 = 3)
+    * screened against the appended artifact. The oracle collapses
+    * the union slice (% 10 <> 3) — append ≡ rebuild, driver-checked. */
+  def crossCorpusNewAppended(s: SparkSession, docs: DataFrame,
+      dir: String): DataFrame = {
+    val base0 =
+      docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    materializedScreenBaseDurable(s, base0, dir)
+    appendFpsToScreenBase(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 4), dir, "m4")
+    crossCorpusNewFromAppendedArtifact(s,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3), base0, dir)
+      .orderBy(col("doc_id"))
   }
 
   /** Winnowing document fingerprints + shared-fingerprint pairs
@@ -1715,6 +1851,21 @@ object Dedup {
     "q339_neardup_base_staleness" ->
       ((s, d) => nearDupBaseStaleness(s, Tables(s, d).documents,
         docsDurableDir("pndbase", d))),
+    // nightly MAINTENANCE (r15): base built from %10∉{3,4}, day-1
+    // (%10=4) APPENDED as a commit-marked delta, day-2 (%10=3) probed
+    // against (base + delta) — q335's oracle VERBATIM, whose base
+    // slice %10<>3 IS the union: the driver checks append ≡ rebuild.
+    // Home prefixed "pnd9": the %10∉{3,4} base is a DIFFERENT input
+    // than q337's %10<>3 base — same knobs, different data must never
+    // share a durable dir
+    "q343_neardup_appended" ->
+      ((s, d) => portableIncrementalNearDupsAppended(s,
+        Tables(s, d).documents, docsDurableDir("pnd9", d))),
+    // the exact screen's maintenance cycle, same convention — the
+    // oracle collapses the union slice (append ≡ rebuild)
+    "q345_screen_appended" ->
+      ((s, d) => crossCorpusNewAppended(s, Tables(s, d).documents,
+        docsDurableDir("screen9", d))),
     "q217_minhash_calibration" ->
       ((s, d) => minhashCalibration(Tables(s, d).documents)),
     "q29_simhash_dedup" -> ((s, d) => simhashDedup(Tables(s, d).documents)),
@@ -1808,6 +1959,23 @@ object Dedup {
       |    md5(array_to_string(list_sort(list_distinct(
       |      string_split(text, ' '))), ' ')) AS fp,
       |    doc_id % 2 = 0 AS isbase
+      |  FROM documents)
+      |SELECT doc_id, lang, source, fp FROM f
+      |WHERE NOT isbase
+      |  AND fp NOT IN (SELECT fp FROM f WHERE isbase)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q345's DuckDB twin — [[crossCorpusOracle]]'s shape on the
+    * maintenance-cycle split: base = % 10 <> 3 (the day-0 base ∪ the
+    * appended day-1 delta), candidates = % 10 = 3. The union
+    * collapses in SQL exactly because fingerprints are per-doc
+    * deterministic — this IS the append ≡ rebuild statement. */
+  private val crossCorpusAppendedOracle =
+    """WITH f AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(text, ' '))), ' ')) AS fp,
+      |    doc_id % 10 <> 3 AS isbase
       |  FROM documents)
       |SELECT doc_id, lang, source, fp FROM f
       |WHERE NOT isbase
@@ -2160,10 +2328,17 @@ object Dedup {
     // band keys come from the lake instead of tonight's shingling) —
     // same oracle verbatim, the q330 convention
     "q337_portable_inc_atrest" -> portableIncOracle,
+    // the APPENDED serve (base + commit-marked day-1 delta): q335's
+    // oracle VERBATIM — its %10<>3 base IS the union, so the driver
+    // itself checks append ≡ rebuild-from-union
+    "q343_neardup_appended" -> portableIncOracle,
     "q339_neardup_base_staleness" -> nearDupStalenessOracle,
     // the durable screen: same route + anti join, bucketed base from
     // the lake — same q145/q189 oracle as q258
     "q336_screen_atrest" -> crossCorpusOracle,
+    // the appended exact screen: the oracle collapses the union slice
+    // (%10<>3 = day-0 base ∪ day-1 delta) — append ≡ rebuild
+    "q345_screen_appended" -> crossCorpusAppendedOracle,
     // same md5("i:"||shingle) permutation family, same lexicographic
     // hex min, same matches/16 estimator and the q26 exact-jaccard
     // formula — the sketch itself replays, not just its output

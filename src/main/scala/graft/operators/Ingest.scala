@@ -92,6 +92,47 @@ object Ingest {
       Similarity.semDedupIncrementalDurable(s, embeddings, semDir))
   }
 
+  /** DAY-2 of the nightly loop — the r15 MAINTENANCE composition:
+    * day-0 bases (doc_id/vec_id % 10 ∉ {3,4}) built durable once,
+    * day-1's crawl (% 10 = 4) APPENDED to all three screens as
+    * commit-marked deltas ([[Dedup.appendFpsToScreenBase]],
+    * [[Dedup.appendToNearDupBase]], [[Similarity.appendToIvfIndex]]),
+    * and tonight's increment (% 10 = 3) admitted against
+    * (base + delta) — so the 100 TB base is rebuilt only when the
+    * staleness gates (q328/q339) fire, never nightly. The exact and
+    * near-dup screens are append ≡ rebuild by per-doc determinism
+    * (their oracle fragments collapse the union slice); the semantic
+    * screen keeps the FROZEN day-0 quantizer — its oracle fragment
+    * ([[Similarity.semDedupAppendedChain]]) trains on day-0 and
+    * argmin-assigns the union membership, stating the append
+    * semantics exactly. */
+  def nightlyAdmissionAppended(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String,
+      screenDir: String): DataFrame = {
+    val base0 =
+      docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    // exact screen: ensure day-0 base, append day-1 fps, screen day-2
+    Dedup.materializedScreenBaseDurable(s, base0, screenDir)
+    Dedup.appendFpsToScreenBase(s, day1, screenDir, "m4")
+    val survivors =
+      Dedup.crossCorpusNewFromAppendedArtifact(s, inc, base0, screenDir)
+    val ex = inc.select(col("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    // near-dup screen: ensure day-0 buckets, append day-1 band keys
+    Dedup.portableNearDupBaseDurableFrom(s, base0, nearDir)
+    Dedup.appendToNearDupBase(s, day1, nearDir, "m4")
+    val near = Dedup.portableIncNearDupsAgainstAppendedArtifact(s, inc,
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3), base0, nearDir)
+    // semantic screen: frozen-quantizer appended index (ensures +
+    // appends internally)
+    val sem =
+      Similarity.semDedupIncrementalAppended(s, embeddings, semDir)
+    assembleFor(inc.select(col("doc_id")), ex, near, sem)
+  }
+
   /** Per-micro-batch admission over an ARBITRARY crawl-record frame
     * (doc_id, text, lang, source, embedding) — every screen serves
     * from its durable artifact, and per-doc decisions are independent
@@ -175,8 +216,24 @@ object Ingest {
     * fragments strip their own margins). */
   private def admissionOracle: String =
     s"WITH ${Similarity.semDedupDecisionChain(8, 2, 0.35)},\n" +
-      s"${Dedup.portableIncCtes},\n" +
-      s"""ok_i AS (
+      s"${Dedup.portableIncCtes},\n" + admissionTail
+
+  /** q342's DuckDB twin — the SAME stitched statement with ONE
+    * substitution: the semantic fragment is the frozen-quantizer
+    * appended chain (train day-0 % 10 ∉ {3,4}, assign the union
+    * % 10 <> 3) instead of the union-trained chain. The exact and
+    * near-dup fragments are append-invariant (per-doc fingerprints /
+    * band keys — the union collapses), so they stay VERBATIM. */
+  private def admissionAppendedOracle: String =
+    s"WITH ${Similarity.semDedupAppendedChain(8, 2, 0.35,
+        "vec_id % 10 NOT IN (3, 4)", "vec_id % 10 <> 3")},\n" +
+      s"${Dedup.portableIncCtes},\n" + admissionTail
+
+  /** The stitch shared by q340/q341/q342: near-dup caps + candidate
+    * join + verify, the fingerprint screen, and the three LEFT JOINs
+    * into the per-doc manifest. */
+  private def admissionTail: String =
+    s"""ok_i AS (
          |  SELECT band, bh FROM b WHERE is_inc GROUP BY band, bh
          |  HAVING count(*) <= 10000),
          |ok_b AS (
@@ -240,11 +297,39 @@ object Ingest {
         Tables(s, d).embeddings,
         Dedup.docsDurableDir("pndbase", d),
         Similarity.ivfExactDurableDir(d),
-        Dedup.docsDurableDir("screen10", d)))
+        Dedup.docsDurableDir("screen10", d))),
+    // DAY-2 of the loop (r15): every screen serves from (day-0 base
+    // artifact + day-1 commit-marked delta). Homes SHARED with the
+    // per-screen maintenance tiers (q343/q344/q345) — one build + one
+    // append serve all four queries, the production amortization
+    "q342_nightly_admission_appended" -> ((s, d) =>
+      nightlyAdmissionAppended(s, Tables(s, d).documents,
+        Tables(s, d).embeddings,
+        Dedup.docsDurableDir("pnd9", d),
+        Similarity.ivfExactAppendDurableDir(d),
+        Dedup.docsDurableDir("screen9", d))),
+    // the nightly job's BOOKKEEPING: one row per artifact home under
+    // the lake root — family, params, committed, size, delta count,
+    // and fingerprint LIVENESS against this dataset's tables (a
+    // regenerated input's predecessors show live=false: gcArtifacts
+    // food). Rows-only BY DESIGN: the inventory describes whatever
+    // artifact population earlier jobs left in the shared root — not
+    // a corpus fact SQL could restate. A 1-row sentinel artifact is
+    // ensured first so the inventory is never vacuously empty
+    "q346_artifact_inventory" -> ((s, d) => {
+      graft.Artifacts.durable(s,
+        graft.Artifacts.durableDirFor("invsent", d,
+          "documents.parquet"), "sentinel|v1") { dd =>
+        s.range(1).write.mode("overwrite").parquet(s"$dd/t")
+      }
+      graft.Artifacts.inventory(s, graft.Artifacts.durableRoot,
+        Seq((d, "documents.parquet"), (d, "embeddings.parquet")))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
     "q340_nightly_admission" -> admissionOracle,
-    "q341_nightly_admission_atrest" -> admissionOracle
+    "q341_nightly_admission_atrest" -> admissionOracle,
+    "q342_nightly_admission_appended" -> admissionAppendedOracle
   )
 }

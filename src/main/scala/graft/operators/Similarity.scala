@@ -1031,9 +1031,89 @@ object Similarity {
     semDedupDecide(inc, vectors, cents, threshold)
   }
 
+  /** APPEND new vectors to the durable exact index WITHOUT
+    * retraining: each vector argmin-assigns under the artifact's
+    * COMMITTED centroid sidecar — the identical assignment the serve
+    * applies to queries — and lands as a commit-marked delta
+    * ([[graft.Artifacts.deltaDir]]) partitioned by cell, so
+    * (artifact + deltas) is ROW-IDENTICAL to the index rebuilt over
+    * the union WITH THE ARTIFACT'S CENTROIDS (the frozen-quantizer
+    * rebuild; spec-pinned). Appending never moves the centroids —
+    * quantizer drift under appended mass is exactly what the
+    * staleness card (q328) monitors, and the RETRAIN decision stays
+    * with that gate: this is the nightly path, rebuild is the
+    * gate-fired path. */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame,
+      dir: String, deltaName: String): String = {
+    val canon = graft.Artifacts.canonical(dir)
+    require(graft.Artifacts.isCommitted(canon),
+      s"appendToIvfIndex needs a committed index at $canon — build " +
+        "it first (ivfExactIndexDurable)")
+    val cents = s.read.parquet(s"$canon/cents")
+    graft.Artifacts.durable(s,
+      graft.Artifacts.deltaDir(canon, deltaName), "ivfxdelta|v1") { d =>
+      assignCellsExact(newVecs, cents).join(newVecs, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$d/t")
+    }
+  }
+
+  /** The (vectors, centroids) frames of a durable index PLUS all its
+    * committed deltas — the serving side of the append path. A cell
+    * filter pushes into every member scan: the base stays
+    * partition-pruned, and each delta is increment-sized. */
+  def ivfExactIndexAppended(s: SparkSession, base: => DataFrame,
+      dir: String, cells: Int = 8, iters: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val (vecs, cents) = ivfExactIndexDurable(s, base, dir, cells, iters)
+    val all = graft.Artifacts.committedDeltas(dir).foldLeft(vecs)(
+      (acc, dd) => acc.unionByName(s.read.parquet(s"$dd/t")))
+    (all, cents)
+  }
+
+  /** [[semDedupAgainstIndexDurable]] against (index + committed
+    * deltas) — the decision core unchanged, candidates now include
+    * appended members of the touched cells. */
+  def semDedupAgainstAppendedIndex(s: SparkSession, inc: DataFrame,
+      base: => DataFrame, dir: String, threshold: Double = 0.35,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
+    val (vectors, cents) =
+      ivfExactIndexAppended(s, base, dir, cells, iters)
+    semDedupDecide(inc, vectors, cents, threshold)
+  }
+
+  /** q344's shape — one nightly maintenance cycle of the semantic
+    * index: day-0 base (vec_id % 10 ∉ {3,4}) trained + materialized
+    * durable, day-1 vectors (% 10 = 4) APPENDED under the frozen
+    * centroids, day-2 increment (% 10 = 3) SemDeDup'd against the
+    * appended index. The oracle trains on the day-0 slice and
+    * argmin-assigns the UNION membership (% 10 <> 3) to those
+    * centroids — the frozen-quantizer semantics stated in SQL
+    * ([[semDedupAppendedChain]]). */
+  def semDedupIncrementalAppended(s: SparkSession,
+      embeddings: DataFrame, dir: String, threshold: Double = 0.35,
+      cells: Int = 8, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val base0 = e.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 4L))
+    ivfExactIndexDurable(s, base0, dir, cells, iters)
+    appendToIvfIndex(s,
+      e.filter(pmod(col("vec_id"), lit(10L)) === 4), dir, "m4")
+    semDedupAgainstAppendedIndex(s,
+      e.filter(pmod(col("vec_id"), lit(10L)) === 3), base0, dir,
+      threshold, cells, iters)
+  }
+
+  /** Durable home for the APPEND-cycle index (q342/q344): the day-0
+    * %10∉{3,4} base is a DIFFERENT input than q330's %10<>3 base —
+    * same knobs, different data must never share a durable dir. */
+  def ivfExactAppendDurableDir(d: String): String =
+    graft.Artifacts.durableDirFor("ivfx9", d, "embeddings.parquet")
+
   /** The assign + prune + best-match decision core over EXPLICIT
-    * index frames — shared by the catalog and durable tiers. */
-  private def semDedupDecide(inc: DataFrame, vectors: DataFrame,
+    * index frames — shared by the catalog and durable tiers.
+    * private[graft]: the maintenance spec replays the
+    * frozen-quantizer rebuild through it. */
+  private[graft] def semDedupDecide(inc: DataFrame, vectors: DataFrame,
       cents: DataFrame, threshold: Double): DataFrame = {
     val assigned = assignCellsExact(inc, cents)
     val touched = assigned.select(col("cell")).distinct()
@@ -2844,6 +2924,14 @@ object Similarity {
     "q330_semdedup_atrest" ->
       ((s, d) => semDedupIncrementalDurable(s, Tables(s, d).embeddings,
         ivfExactDurableDir(d))),
+    // nightly MAINTENANCE (r15): day-0 index (%10∉{3,4}) built
+    // durable, day-1 vectors (%10=4) APPENDED under the FROZEN
+    // centroids, day-2 increment SemDeDup'd against (index + delta).
+    // The oracle restates the frozen-quantizer semantics: train on
+    // day-0, argmin-assign the union membership to those centroids
+    "q344_sem_appended" ->
+      ((s, d) => semDedupIncrementalAppended(s,
+        Tables(s, d).embeddings, ivfExactAppendDurableDir(d))),
     // the retrain gate: per-cell occupancy drift of the SAME at-rest
     // index after the ingest — counts + three IEEE divisions,
     // hash-exact
@@ -2989,6 +3077,69 @@ object Similarity {
   private def semDedupIncOracle(cells: Int, iters: Int,
       threshold: Double): String =
     s"WITH ${semDedupDecisionChain(cells, iters, threshold)},\n" +
+      """fin AS (
+        |  SELECT ia.vec_id, ia.cell, best.base_id AS dup_of,
+        |    best.base_id IS NULL AS keep
+        |  FROM ia LEFT JOIN best ON best.vec_id = ia.vec_id)
+        |SELECT vec_id, cell, dup_of, keep FROM fin
+        |ORDER BY vec_id""".stripMargin
+
+  /** The FROZEN-QUANTIZER decision chain for the APPENDED index
+    * (q344, and stitched into the q342 composition): centroids
+    * trained on `trainPredSql`'s slice ONLY (day-0), base MEMBERSHIP
+    * is `memberPredSql`'s slice (day-0 ∪ appended days)
+    * argmin-assigned to those frozen centroids — exactly what
+    * [[appendToIvfIndex]] does to a delta — and the decision
+    * unchanged (sim ≥ threshold, max sim, ties to min base id). Ends
+    * in `best(vec_id, base_id)` + `ia` like
+    * [[semDedupDecisionChain]], so compositions stitch it the same
+    * way. `abm`/`ia` are MATERIALIZED (the q314 device — each is
+    * referenced downstream and must not re-unroll the Lloyd chain). */
+  private[operators] def semDedupAppendedChain(cells: Int, iters: Int,
+      threshold: Double, trainPredSql: String,
+      memberPredSql: String): String =
+    s"""${exactKmeansCtes(cells, iters, trainPredSql)},
+       |eb AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE $memberPredSql),
+       |inc AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 3),
+       |abm AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${l2Sql("x.embedding", "c.cvec", Dim)}, c.cell)
+       |        AS rn
+       |    FROM eb x CROSS JOIN c$iters c) WHERE rn = 1),
+       |ia AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT i.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ${l2Sql("i.embedding", "c.cvec", Dim)}, c.cell)
+       |        AS rn
+       |    FROM inc i CROSS JOIN c$iters c) WHERE rn = 1),
+       |cand AS (
+       |  SELECT ia.vec_id, b.vec_id AS base_id,
+       |    ${simSql("i", "b")} AS sim
+       |  FROM ia
+       |  JOIN inc i ON i.vec_id = ia.vec_id
+       |  JOIN abm ba ON ba.cell = ia.cell
+       |  JOIN eb b ON b.vec_id = ba.vec_id),
+       |best AS (
+       |  SELECT vec_id, base_id FROM (
+       |    SELECT vec_id, base_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, base_id) AS rn
+       |    FROM cand WHERE sim >= $threshold) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** q344's DuckDB twin — the frozen-quantizer chain on the
+    * maintenance-cycle split, then the q327-shaped finish. */
+  private def semDedupAppendedOracle(cells: Int, iters: Int,
+      threshold: Double): String =
+    s"WITH ${semDedupAppendedChain(cells, iters, threshold,
+        "vec_id % 10 NOT IN (3, 4)", "vec_id % 10 <> 3")},\n" +
       """fin AS (
         |  SELECT ia.vec_id, ia.cell, best.base_id AS dup_of,
         |    best.base_id IS NULL AS keep
@@ -3776,6 +3927,9 @@ object Similarity {
     // all replayed; pinned to cells=8, iters=2, threshold=0.35
     "q327_semdedup_incremental" -> semDedupIncOracle(8, 2, 0.35),
     "q330_semdedup_atrest" -> semDedupIncOracle(8, 2, 0.35),
+    // the APPENDED index: frozen-quantizer chain (train day-0, assign
+    // the union), q327-shaped finish
+    "q344_sem_appended" -> semDedupAppendedOracle(8, 2, 0.35),
     // the same base-trained chain + the SAME shared inc-assignment
     // CTEs + per-cell occupancy rollups and the drift arithmetic
     "q328_index_staleness" -> indexStalenessOracle(8, 2),

@@ -475,7 +475,7 @@ object TextAnalysis {
       documents: => org.apache.spark.sql.DataFrame, dir: String,
       maxDf: Long = 20): String = {
     val name = s"graft_postings_d_${graft.Artifacts.digest(
-      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString)}"
+      graft.Artifacts.canonical(dir))}"
     val d = graft.Artifacts.durable(s, dir, s"postings|maxDf=$maxDf") {
       d =>
         val toks = documents

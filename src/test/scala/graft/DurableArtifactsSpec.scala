@@ -142,8 +142,14 @@ class DurableArtifactsSpec extends AnyFunSuite {
       key = "durable-screen-parity").collect().map(_.toSeq)
       .sortBy(_.toString)
     assert(d1.toSeq == sess.toSeq)
-    // fresh session: no rebuild, the by-name base is never evaluated
+    // fresh session: no rebuild, the by-name base is never evaluated.
+    // newSession SHARES the catalog, so drop the build session's
+    // registration first — otherwise the test inherits it and never
+    // exercises the CREATE TABLE re-declaration path (the r14 ADVICE
+    // finding)
     val s2 = spark.newSession()
+    s2.sql("DROP TABLE IF EXISTS graft_screen_d_" +
+      Artifacts.digest(Artifacts.canonical(dir)))
     // at this corpus size the anti join would broadcast, which
     // sidesteps bucketing entirely — force the sort-merge path so the
     // recovered bucket spec is actually exercised by the plan
@@ -242,6 +248,234 @@ class DurableArtifactsSpec extends AnyFunSuite {
         r.getLong(7) > 0, s"base health lost on empty increment: $r")
       assert(r.getLong(4) == r.getLong(3), "merged == base when inc empty")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Publish-race and commit-protocol coverage (the r14 verdict's #4
+  // plus the Hadoop-FS port's marker-mode protocol).
+  // ------------------------------------------------------------------
+
+  private def withProp[T](key: String, value: String)(body: => T): T = {
+    val prev = sys.props.get(key)
+    sys.props(key) = value
+    try body
+    finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
+    }
+  }
+
+  test("two racing first-builders: both build, exactly ONE publish " +
+      "executes, the loser discards its staging copy and serves the " +
+      "winner's committed tree, no debris survives") {
+    import java.nio.file.{Files, Paths}
+    val dir = freshDir()
+    val before = Artifacts.durableBuilds.get()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def racer(owner: String) = new Thread(() => {
+      try Artifacts.durable(owner, dir, "p=1") { d =>
+        builds.incrementAndGet()
+        // both builders are HERE at once — neither saw a committed
+        // tree, both will publish
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Files.writeString(Paths.get(d, "payload"), owner)
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val t1 = racer("racerA"); val t2 = racer("racerB")
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    assert(builds.get() == 2, "both racers should have built")
+    assert(Artifacts.durableBuilds.get() == before + 1,
+      "exactly one publish must count")
+    assert(Artifacts.isCommitted(dir))
+    // the served tree is ONE complete build, not a mix
+    val payload = Files.readString(Paths.get(dir, "payload"))
+    assert(payload == "racerA" || payload == "racerB")
+    // the loser's staging copy (and any trash) is gone
+    val s = Files.list(Paths.get(dir).getParent)
+    val leftovers =
+      try {
+        val it = s.iterator()
+        var acc = List.empty[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith(".graft_")) acc ::= n
+        }
+        acc
+      } finally s.close()
+    assert(leftovers.isEmpty, s"race left debris: $leftovers")
+  }
+
+  test("a params-mismatched racer that loses the publish race fails " +
+      "loudly instead of serving the winner's artifact") {
+    import java.nio.file.{Files, Paths}
+    val dir = freshDir()
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val tB = new Thread(() => {
+      try {
+        Artifacts.durable("mismatchB", dir, "p=2") { d =>
+          bStarted.countDown()
+          // hold B's build open until A has PUBLISHED, so B is
+          // guaranteed to lose the race
+          aDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          Files.writeString(Paths.get(d, "payload"), "B")
+        }
+        ()
+      } catch { case t: Throwable => err.set(t) }
+    })
+    tB.start()
+    assert(bStarted.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    Artifacts.durable("winnerA", dir, "p=1") { d =>
+      Files.writeString(Paths.get(d, "payload"), "A")
+    }
+    aDone.countDown()
+    tB.join(60000)
+    val e = err.get()
+    assert(e != null, "the mismatched loser must not serve silently")
+    assert(e.getMessage.contains("p=1") && e.getMessage.contains("p=2"),
+      s"loser's error should name both params: ${e.getMessage}")
+    // the winner's artifact is intact and still serves
+    assert(Artifacts.isCommitted(dir))
+    assert(Files.readString(Paths.get(dir, "payload")) == "A")
+  }
+
+  test("marker-mode commit (object-store protocol): in-place build, " +
+      "marker written last, lock released, debris cleared on rebuild, " +
+      "committed tree served as-is") {
+    import java.nio.file.{Files, Paths}
+    withProp("graft.artifacts.commit", "marker") {
+      val dir = freshDir()
+      val before = Artifacts.durableBuilds.get()
+      Artifacts.durable("marker1", dir, "p=1") { d =>
+        // marker mode builds IN PLACE at the target
+        assert(Artifacts.canonical(d) == Artifacts.canonical(dir))
+        Files.writeString(Paths.get(d, "payload"), "x")
+      }
+      assert(Artifacts.isCommitted(dir))
+      assert(Artifacts.durableBuilds.get() == before + 1)
+      assert(!Files.exists(Paths.get(dir, Artifacts.BuildLock)),
+        "build lock must be released after commit")
+      // a fresh owner serves the committed tree without rebuilding
+      Artifacts.durable("marker2", dir, "p=1")(_ =>
+        fail("rebuilt a committed artifact"))
+      assert(Artifacts.durableBuilds.get() == before + 1)
+      // crash debris (payload, no marker) is cleared and rebuilt
+      val partial = freshDir()
+      Files.createDirectories(Paths.get(partial))
+      Files.writeString(Paths.get(partial, "stale"), "junk")
+      Artifacts.durable("marker3", partial, "p=1") { d =>
+        Files.writeString(Paths.get(d, "payload"), "y")
+      }
+      assert(Artifacts.isCommitted(partial))
+      assert(!Files.exists(Paths.get(partial, "stale")),
+        "debris survived the in-place rebuild")
+    }
+  }
+
+  test("marker-mode: a contender blocked by the build lock serves the " +
+      "winner's marker without double-building; a lock released " +
+      "without a marker is re-contended; a stale lock fails loudly") {
+    import java.nio.file.{Files, Paths}
+    withProp("graft.artifacts.commit", "marker") {
+      // (a) winner commits while the contender polls
+      val dir = freshDir()
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, Artifacts.BuildLock), "held")
+      val winner = new Thread(() => {
+        Thread.sleep(300)
+        Files.writeString(Paths.get(dir, Artifacts.ParamsFile), "p=1")
+        Files.write(Paths.get(dir, Artifacts.CommitMarker),
+          Array.emptyByteArray)
+        Files.delete(Paths.get(dir, Artifacts.BuildLock))
+      })
+      winner.start()
+      val before = Artifacts.durableBuilds.get()
+      Artifacts.durable("contender", dir, "p=1")(_ =>
+        fail("double-built under a held lock"))
+      assert(Artifacts.durableBuilds.get() == before,
+        "the contender must serve, not build")
+      winner.join()
+      // (b) a lock released without a marker (failed build) lets the
+      // contender take over and build
+      val dir2 = freshDir()
+      Files.createDirectories(Paths.get(dir2))
+      Files.writeString(Paths.get(dir2, Artifacts.BuildLock), "dying")
+      val quitter = new Thread(() => {
+        Thread.sleep(300)
+        Files.delete(Paths.get(dir2, Artifacts.BuildLock))
+      })
+      quitter.start()
+      var built = 0
+      Artifacts.durable("takeover", dir2, "p=1") { d =>
+        built += 1
+        Files.writeString(Paths.get(d, "payload"), "z")
+      }
+      quitter.join()
+      assert(built == 1 && Artifacts.isCommitted(dir2))
+      // (c) a stale lock past the wait budget fails loudly instead of
+      // hanging forever
+      withProp("graft.artifacts.lockWaitMs", "400") {
+        val dir3 = freshDir()
+        Files.createDirectories(Paths.get(dir3))
+        Files.writeString(Paths.get(dir3, Artifacts.BuildLock), "stale")
+        val e = intercept[RuntimeException] {
+          Artifacts.durable("staled", dir3, "p=1")(_ =>
+            fail("built under a stale foreign lock"))
+        }
+        assert(e.getMessage.contains("timed out"), e.getMessage)
+      }
+    }
+  }
+
+  test("a file: URI artifact home rides the same Hadoop-FS seam as the " +
+      "plain local path — same canonical home, build dir handed back " +
+      "as a plain path, cross-form serving without rebuild") {
+    import java.nio.file.{Files, Paths}
+    val dir = freshDir()
+    val uri = "file:" + dir
+    assert(Artifacts.canonical(uri) == Artifacts.canonical(dir))
+    Artifacts.durable("uriOwner", uri, "p=1") { d =>
+      // non-Hadoop writers (java.nio, local tools) must be able to use
+      // the staging dir verbatim
+      assert(!d.startsWith("file:"), s"staging dir is a URI: $d")
+      Files.writeString(Paths.get(d, "payload"), "x")
+    }
+    assert(Artifacts.isCommitted(uri) && Artifacts.isCommitted(dir))
+    Artifacts.durable("plainOwner", dir, "p=1")(_ =>
+      fail("plain-path caller rebuilt the URI-built artifact"))
+  }
+
+  test("registerBucketedTable verifies an existing catalog entry: " +
+      "matching re-registration no-ops, a stale location or a " +
+      "mismatched bucket spec fails loudly") {
+    val loc1 = freshDir(); val loc2 = freshDir()
+    val name = "graft_regtest_" + Artifacts.digest(loc1)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Artifacts.registerBucketedTable(spark, name, loc1, "fp STRING",
+      "fp", 8, sortCol = Some("fp"))
+    // identical request: verifying no-op
+    Artifacts.registerBucketedTable(spark, name, loc1, "fp STRING",
+      "fp", 8, sortCol = Some("fp"))
+    val e1 = intercept[IllegalArgumentException] {
+      Artifacts.registerBucketedTable(spark, name, loc2, "fp STRING",
+        "fp", 8, sortCol = Some("fp"))
+    }
+    assert(e1.getMessage.contains("stale"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Artifacts.registerBucketedTable(spark, name, loc1, "fp STRING",
+        "fp", 16, sortCol = Some("fp"))
+    }
+    assert(e2.getMessage.contains("bucket spec"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Artifacts.registerBucketedTable(spark, name, loc1, "fp STRING",
+        "fp", 8, sortCol = None)
+    }
+    assert(e3.getMessage.contains("bucket spec"), e3.getMessage)
+    spark.sql(s"DROP TABLE $name")
   }
 
   test("the durable serve scan partition-prunes the lake vector table") {

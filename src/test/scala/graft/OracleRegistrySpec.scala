@@ -31,6 +31,11 @@ class OracleRegistrySpec extends AnyFunSuite {
     * Additions to this list are DESIGN DECISIONS: update SURVEY §8
     * in the same commit. */
   private val declaredRowsOnly = Set(
+    // q346 (r15) describes whatever artifact population earlier jobs
+    // left in the shared lake root — operational state, not a corpus
+    // fact SQL could restate; the GC/liveness semantics are pinned by
+    // ArtifactMaintenanceSpec instead
+    "q346_artifact_inventory",
     "q331_image_dedup_atrest", "q332_image_phash_atrest",
     "q333_audio_dedup_atrest", "q334_video_dedup_atrest",
     "q28_minhash_dedup", "q29_simhash_dedup", "q33_ann_rp_lsh",

@@ -152,7 +152,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q330_semdedup_atrest",
     // q340/q341 compose the q327/q330 semantic screen — the same
     // broadcast-sidecar assignment crossJoin, one per composition
-    "q340_nightly_admission", "q341_nightly_admission_atrest")
+    "q340_nightly_admission", "q341_nightly_admission_atrest",
+    // q344 is q330's decision against the APPENDED index (frozen
+    // centroids; base ∪ delta scan) — the same increment-vs-
+    // broadcast-sidecar assignment crossJoin; q342 composes it
+    "q344_sem_appended", "q342_nightly_admission_appended")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross
