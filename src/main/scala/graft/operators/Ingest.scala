@@ -180,6 +180,25 @@ object Ingest {
             screenDir),
           batchId, path))
 
+  /** The admission stream run as a NIGHTLY DRAIN —
+    * `Trigger.AvailableNow`: one invocation admits every crawl record
+    * available at start, in checkpointed micro-batches, then STOPS —
+    * the reference's `catchup=False` daily semantics
+    * (`dags/airflow_dag.py:27-29`) on the streaming engine: tonight's
+    * run processes tonight's backlog exactly once and exits; a
+    * crashed run resumes from the checkpoint, and a REPLAYED batch
+    * (same batchId) overwrites its own directory idempotently, so
+    * delivery to the manifest is effectively-once (both spec-pinned
+    * in StreamingSpec). */
+  def nightlyAdmissionDrain(s: SparkSession, crawlStream: DataFrame,
+      baseDocs: DataFrame, baseEmb: DataFrame, nearDir: String,
+      semDir: String, screenDir: String, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    nightlyAdmissionStream(s, crawlStream, baseDocs, baseEmb, nearDir,
+      semDir, screenDir, path, checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
   private def assemble(docs: DataFrame, exactHits: DataFrame,
       nearPairs: DataFrame, semDecision: DataFrame): DataFrame =
     assembleFor(

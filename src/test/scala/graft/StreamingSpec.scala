@@ -919,4 +919,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(expected).isEmpty &&
       expected.except(streamed).isEmpty)
   }
+
+  test("replaying a failed batch (same batchId) leaves the admission " +
+      "manifest identical — effectively-once delivery over the " +
+      "idempotent per-batch parquet sink") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val docs = t.documents
+    val emb = t.embeddings
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).resolve("d").toString
+    val (nearDir, semDir, screenDir) =
+      (tmp("graft_rp_n"), tmp("graft_rp_s"), tmp("graft_rp_e"))
+    val manifest = java.nio.file.Files
+      .createTempDirectory("graft_rp_out").toString
+    val records = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("embedding"))
+    val baseDocs = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    val baseEmb = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    def admit() = graft.operators.Ingest.admitBatch(spark, records,
+      baseDocs, baseEmb, nearDir, semDir, screenDir)
+    StreamingOps.writeBatchIdempotent(admit(), 7L, manifest)
+    def snapshot() = {
+      val rows = spark.read.parquet(manifest)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val dirs = new java.io.File(manifest).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      (rows.toSeq, dirs)
+    }
+    val (rows1, dirs1) = snapshot()
+    assert(dirs1 == Seq("batch_id=7"))
+    // the recovery path: Spark re-runs the SAME batch id after a
+    // failure — the overwrite must land the identical manifest, not
+    // a duplicate
+    StreamingOps.writeBatchIdempotent(admit(), 7L, manifest)
+    val (rows2, dirs2) = snapshot()
+    assert(rows2 == rows1, "replayed batch changed the manifest")
+    assert(dirs2 == dirs1, "replayed batch added a batch directory")
+    assert(rows1.nonEmpty)
+  }
+
+  test("nightly drain (Trigger.AvailableNow): one run admits the " +
+      "night's backlog and TERMINATES (catchup=False semantics); the " +
+      "drained manifest equals the q341 batch manifest; a re-drain " +
+      "on the same checkpoint writes nothing new") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val docs = t.documents
+    val emb = t.embeddings
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).resolve("d").toString
+    val (nearDir, semDir, screenDir) =
+      (tmp("graft_dr_n"), tmp("graft_dr_s"), tmp("graft_dr_e"))
+    val crawlDir = java.nio.file.Files
+      .createTempDirectory("graft_dr_crawl").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_dr_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dr_ckpt").toString
+    // tonight's backlog, at rest as parquet crawl records
+    docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(crawlDir)
+    val schema = spark.read.parquet(crawlDir).schema
+    val baseDocs = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    val baseEmb = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(crawlDir)
+      val q = graft.operators.Ingest.nightlyAdmissionDrain(spark,
+        stream, baseDocs, baseEmb, nearDir, semDir, screenDir, outDir,
+        ckpt).start()
+      assert(q.awaitTermination(180000),
+        "AvailableNow drain did not terminate")
+    }
+    drain()
+    val drained = spark.read.parquet(outDir)
+      .select("doc_id", "exact_dup", "near_dup_of", "sem_dup_of",
+        "admit")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.operators.Ingest.nightlyAdmissionAtRest(spark,
+      docs, emb, nearDir, semDir, screenDir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(drained.toSeq == batch.toSeq)
+    assert(drained.nonEmpty)
+    // catchup=False: a second nightly run over the SAME checkpoint
+    // sees no new records and leaves the manifest untouched
+    def listing() = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val before = listing()
+    drain()
+    assert(listing() == before, "re-drain wrote new batch dirs")
+    val after = spark.read.parquet(outDir)
+      .select("doc_id", "exact_dup", "near_dup_of", "sem_dup_of",
+        "admit")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(after.toSeq == drained.toSeq)
+  }
 }
