@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Interleaved PAIRED bench: drive TWO builds' `graft.Bench --serve`
+processes alternately per query inside ONE session, so the window term
+(noisy-neighbor drift) cancels pairwise — the r14 adjudication needed a
+byte-identical control-worktree re-bench to defeat window drift; this
+protocol makes every per-query ratio self-controlled instead.
+
+Per query id i over the sorted common set: run (A then B) when i is
+even, (B then A) when i is odd — alternating which build pays any
+first-touch cost (page cache, JIT of a cold path) so ordering bias
+cancels across the set too.
+
+Each serve process gets its own scratch cwd + GRAFT_ARTIFACTS_DIR, so
+durable artifacts are built once PER PROCESS (the same economics as a
+normal full bench run) and the two builds can't serve each other's
+artifacts.
+
+Usage:
+  paired_bench.py <jarA> <jarB> [--sf DIR] [--cpus N] [--out FILE]
+                  [--label-a NAME] [--label-b NAME] [--mem 8g]
+A is the baseline (prev build), B the candidate (current build); the
+reported ratio is B/A per query (<1 = B faster). Output JSON carries
+full-precision per-query pairs, the per-query ratio MEDIAN (the
+headline number), and totals recomputed from the per-query map (never
+a carried-over field).
+"""
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+class Serve:
+    def __init__(self, jar, sf, cpus, mem, label):
+        self.label = label
+        self.scratch = tempfile.mkdtemp(prefix=f"graft_paired_{label}_")
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_ARTIFACTS_DIR"] = os.path.join(self.scratch, "artifacts")
+        cmd = ["java", f"-Xmx{mem}",
+               "-Dspark.ui.enabled=false",
+               "-Dspark.sql.session.timeZone=UTC"]
+        for p in ADD_OPENS:
+            cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+        cmd += ["-cp", f"/opt/spark/jars/*:{os.path.abspath(jar)}",
+                "graft.Bench", "--serve"]
+        self.proc = subprocess.Popen(
+            cmd, cwd=self.scratch, env=env,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+        self._await("READY")
+
+    def _await(self, *prefixes):
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"{self.label}: serve process died")
+            if any(line.startswith(p) for p in prefixes):
+                return line.strip()
+
+    def list_queries(self):
+        self.proc.stdin.write("LIST\n")
+        self.proc.stdin.flush()
+        return set(self._await("QUERIES").split()[1:])
+
+    def time(self, name):
+        self.proc.stdin.write(name + "\n")
+        self.proc.stdin.flush()
+        line = self._await("TIME", "UNKNOWN")
+        if line.startswith("UNKNOWN"):
+            raise RuntimeError(f"{self.label}: unknown query {name}")
+        _, got, sec = line.split()
+        assert got == name, f"{self.label}: answered {got} for {name}"
+        return float(sec)
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("jar_a")
+    ap.add_argument("jar_b")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", default="8")
+    ap.add_argument("--out", default="BENCH_PAIRED.json")
+    ap.add_argument("--label-a", default="prev")
+    ap.add_argument("--label-b", default="curr")
+    ap.add_argument("--mem", default="8g")
+    args = ap.parse_args()
+
+    a = Serve(args.jar_a, args.sf, args.cpus, args.mem, args.label_a)
+    b = Serve(args.jar_b, args.sf, args.cpus, args.mem, args.label_b)
+    common = sorted(a.list_queries() & b.list_queries())
+    only_a = sorted(a.list_queries() - b.list_queries())
+    only_b = sorted(b.list_queries() - a.list_queries())
+    print(f"common {len(common)}, only-{args.label_a} {len(only_a)}, "
+          f"only-{args.label_b} {len(only_b)}", file=sys.stderr)
+
+    pairs = {}
+    for i, q in enumerate(common):
+        if i % 2 == 0:
+            ta, tb = a.time(q), b.time(q)
+        else:
+            tb, ta = b.time(q), a.time(q)
+        pairs[q] = {"a": round(ta, 4), "b": round(tb, 4),
+                    "ratio": round(tb / ta, 4) if ta > 0 else None}
+        print(f"[paired] {q} {args.label_a}={ta:.2f}s "
+              f"{args.label_b}={tb:.2f}s ratio={tb / ta:.2f}",
+              file=sys.stderr)
+    a.close()
+    b.close()
+
+    ratios = [p["ratio"] for p in pairs.values() if p["ratio"]]
+    total_a = sum(p["a"] for p in pairs.values())
+    total_b = sum(p["b"] for p in pairs.values())
+    out = {
+        "protocol": "interleaved-paired",
+        "sf": args.sf,
+        "labels": {"a": args.label_a, "b": args.label_b},
+        "n_common": len(common),
+        "only_a": only_a,
+        "only_b": only_b,
+        # the headline: the per-query paired-ratio median — each ratio
+        # is its own window control, so no cross-run normalization is
+        # needed
+        "median_ratio": round(statistics.median(ratios), 4),
+        # totals recomputed from the per-query map (the r14 verdict's
+        # stale-total finding: a consolidated total must never be a
+        # carried-over field)
+        "total_a": round(total_a, 3),
+        "total_b": round(total_b, 3),
+        "ratio_of_totals": round(total_b / total_a, 4),
+        "queries": pairs,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("median_ratio", "total_a", "total_b",
+                       "ratio_of_totals", "n_common")}))
+
+
+if __name__ == "__main__":
+    main()

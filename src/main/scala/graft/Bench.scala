@@ -23,7 +23,52 @@ object Bench {
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
+  /** PAIRED-BENCH serve mode (`--serve`): read query names from stdin
+    * one per line, run each against SPARK_GRAFT_SF_DIR through the
+    * same noop-sink timing as the batch main, and answer with one
+    * line — `TIME <name> <seconds>` (full precision), or
+    * `UNKNOWN <name>`; the `LIST` command answers
+    * `QUERIES <n1> <n2> …`; EOF exits. scripts/paired_bench.py drives
+    * TWO builds' serve processes ALTERNATELY per query inside one
+    * session, so the window term (noisy-neighbor drift — the r14
+    * adjudication needed a control-worktree rebuild to defeat it)
+    * cancels pairwise and the per-query paired ratio is meaningful
+    * on its own. */
+  private def serve(): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = timingSession()
+    warmUp(spark, sfDir)
+    println("READY")
+    Console.out.flush()
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null) {
+      val name = line.trim
+      if (name == "LIST")
+        println("QUERIES " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(" "))
+      else if (name.nonEmpty) SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite")
+            .save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"TIME $name $sec%.4f")
+        case None => println(s"UNKNOWN $name")
+      }
+      Console.out.flush()
+      line = in.readLine()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--serve")) { serve(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = timingSession()
     warmUp(spark, sfDir)
