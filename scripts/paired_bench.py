@@ -43,8 +43,24 @@ ADD_OPENS = [
 ]
 
 
+def compile_harness(against_jar):
+    """Compile scripts/ServeHarness.scala with the scala compiler that
+    ships in /opt/spark/jars, against one of the benched jars — so a
+    baseline build that PREDATES `graft.Bench --serve` can still be
+    driven (its Bench would ignore --serve and run the batch main)."""
+    out = tempfile.mkdtemp(prefix="graft_harness_")
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "ServeHarness.scala")
+    subprocess.run(
+        ["java", "-cp", "/opt/spark/jars/*", "scala.tools.nsc.Main",
+         "-classpath", f"/opt/spark/jars/*:{os.path.abspath(against_jar)}",
+         "-d", out, src],
+        check=True)
+    return out
+
+
 class Serve:
-    def __init__(self, jar, sf, cpus, mem, label):
+    def __init__(self, jar, sf, cpus, mem, label, harness):
         self.label = label
         self.scratch = tempfile.mkdtemp(prefix=f"graft_paired_{label}_")
         env = dict(os.environ)
@@ -56,8 +72,9 @@ class Serve:
                "-Dspark.sql.session.timeZone=UTC"]
         for p in ADD_OPENS:
             cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
-        cmd += ["-cp", f"/opt/spark/jars/*:{os.path.abspath(jar)}",
-                "graft.Bench", "--serve"]
+        cmd += ["-cp",
+                f"{harness}:/opt/spark/jars/*:{os.path.abspath(jar)}",
+                "graftbench.ServeHarness"]
         self.proc = subprocess.Popen(
             cmd, cwd=self.scratch, env=env,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -105,13 +122,23 @@ def main():
     ap.add_argument("--label-a", default="prev")
     ap.add_argument("--label-b", default="curr")
     ap.add_argument("--mem", default="8g")
+    ap.add_argument("--only", default="",
+                    help="comma-separated names: re-pair a suspect "
+                         "subset (the double-run rule) instead of the "
+                         "whole common set")
     args = ap.parse_args()
 
-    a = Serve(args.jar_a, args.sf, args.cpus, args.mem, args.label_a)
-    b = Serve(args.jar_b, args.sf, args.cpus, args.mem, args.label_b)
+    harness = compile_harness(args.jar_b)
+    a = Serve(args.jar_a, args.sf, args.cpus, args.mem, args.label_a,
+              harness)
+    b = Serve(args.jar_b, args.sf, args.cpus, args.mem, args.label_b,
+              harness)
     common = sorted(a.list_queries() & b.list_queries())
     only_a = sorted(a.list_queries() - b.list_queries())
     only_b = sorted(b.list_queries() - a.list_queries())
+    if args.only:
+        wanted = set(args.only.split(","))
+        common = [q for q in common if q in wanted]
     print(f"common {len(common)}, only-{args.label_a} {len(only_a)}, "
           f"only-{args.label_b} {len(only_b)}", file=sys.stderr)
 
