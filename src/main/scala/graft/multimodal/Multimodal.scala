@@ -499,19 +499,68 @@ object Multimodal {
     // materializing the media table (the fresh-JVM path pays zero
     // media I/O, which is the whole point)
     graft.Artifacts.durable(s, dir, "mediafp|v1") { d =>
-      val m = media
-      m.filter(col("kind") === "image")
-        .select(col("media_id"),
-          bothImageHashesUdf(col("bytes")).as("h"))
-        .filter(col("h").isNotNull)
-        .select(col("media_id"), col("h._1").as("ahash"),
-          col("h._2").as("phash"))
-        .write.mode("overwrite").parquet(s"$d/image")
-      audioFingerprints(m).filter(col("afp").isNotNull)
-        .write.mode("overwrite").parquet(s"$d/audio")
-      videoFrameHashes(m)
-        .write.mode("overwrite").parquet(s"$d/video_frames")
+      writeFingerprints(media, d)
     }
+
+  /** The decode + fingerprint + persist pass — shared verbatim by the
+    * base build and the delta append so the two cannot drift. */
+  private def writeFingerprints(m: DataFrame, d: String): Unit = {
+    m.filter(col("kind") === "image")
+      .select(col("media_id"),
+        bothImageHashesUdf(col("bytes")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("media_id"), col("h._1").as("ahash"),
+        col("h._2").as("phash"))
+      .write.mode("overwrite").parquet(s"$d/image")
+    audioFingerprints(m).filter(col("afp").isNotNull)
+      .write.mode("overwrite").parquet(s"$d/audio")
+    videoFrameHashes(m)
+      .write.mode("overwrite").parquet(s"$d/video_frames")
+  }
+
+  /** APPEND a media increment's fingerprints to the durable artifact
+    * as a commit-marked delta ([[graft.Artifacts.deltaDir]]) — the
+    * q343/q344/q345 maintenance convention on the media family:
+    * tonight's admitted images/clips are decoded ONCE at append time,
+    * the base corpus is never re-decoded, and because the
+    * fingerprints are per-item deterministic, (artifact + deltas) is
+    * ROW-IDENTICAL to a rebuild over the union (spec-pinned;
+    * q347 registers the appended image tier). Idempotent per delta
+    * name. */
+  def appendToMediaFingerprintArtifact(s: SparkSession,
+      newMedia: => DataFrame, dir: String, deltaName: String): String =
+    graft.Artifacts.durable(s,
+      graft.Artifacts.deltaDir(dir, deltaName), "mediafpdelta|v1") {
+      d => writeFingerprints(newMedia, d)
+    }
+
+  /** A fingerprint table unioned with all committed deltas — the
+    * serving side of the media append path. */
+  private def fpTable(s: SparkSession, dir: String,
+      sub: String): DataFrame =
+    graft.Artifacts.committedDeltas(dir).foldLeft(
+      s.read.parquet(s"$dir/$sub"))((acc, dd) =>
+      acc.unionByName(s.read.parquet(s"$dd/$sub")))
+
+  /** [[imageDedupFromArtifact]] over (artifact + committed deltas). */
+  def imageDedupFromAppendedArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(
+      fpTable(s, dir, "image").select(col("media_id"), col("ahash")),
+      "ahash", maxHamming, maxBucket)
+
+  /** [[audioDedupFromArtifact]] over (artifact + committed deltas). */
+  def audioDedupFromAppendedArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintDedup(fpTable(s, dir, "audio"), "afp", maxHamming,
+      maxBucket)
+
+  /** [[videoDedupFromArtifact]] over (artifact + committed deltas). */
+  def videoDedupFromAppendedArtifact(s: SparkSession, dir: String,
+      maxHamming: Int = 3, minFrac: Double = 0.9,
+      maxBucket: Int = 10000): DataFrame =
+    videoDedupFromFrames(fpTable(s, dir, "video_frames"), maxHamming,
+      minFrac, maxBucket)
 
   /** [[imageDedup]] from the at-rest fingerprint artifact — zero
     * decodes, media bytes untouched. */
@@ -586,6 +635,22 @@ object Multimodal {
     // artifact ≡ inline bit-for-bit for all four.
     "q331_image_dedup_atrest" -> ((s, d) =>
       imageDedupFromArtifact(s, ensureMediaFp(s, d))),
+    // the media family's MAINTENANCE tier (r15): day-0 fingerprints
+    // (media_id %10 ∉ {3,4}) built durable, day-1 media (%10=4)
+    // APPENDED as a commit-marked delta — tonight's items decoded
+    // once, the base never re-decoded; rows-only like its family,
+    // appended ≡ rebuilt ≡ inline spec-pinned bit-for-bit. Home
+    // prefixed "mediafp9": a different input than q331's whole-corpus
+    // base must never share a durable dir
+    "q347_image_dedup_appended" -> ((s, d) => {
+      val dir = graft.Artifacts.durableDirFor("mediafp9", d,
+        "documents.parquet")
+      mediaFingerprintArtifact(s, materializedMedia(s, d)
+        .filter(!pmod(col("media_id"), lit(10L)).isin(3L, 4L)), dir)
+      appendToMediaFingerprintArtifact(s, materializedMedia(s, d)
+        .filter(pmod(col("media_id"), lit(10L)) === 4), dir, "m4")
+      imageDedupFromAppendedArtifact(s, dir)
+    }),
     "q332_image_phash_atrest" -> ((s, d) =>
       imageDedupPhashFromArtifact(s, ensureMediaFp(s, d))),
     "q333_audio_dedup_atrest" -> ((s, d) =>

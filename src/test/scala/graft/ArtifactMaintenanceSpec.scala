@@ -153,6 +153,82 @@ class ArtifactMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("media fingerprints: append ≡ rebuild-from-union ≡ inline for " +
+      "image, audio and video; re-append is a no-op; a cold session " +
+      "serves the appended artifact without decoding") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.materializedMedia(spark, sf)
+    val base0 =
+      media.filter(!pmod(col("media_id"), lit(10L)).isin(3L, 4L))
+    val day1 = media.filter(pmod(col("media_id"), lit(10L)) === 4)
+    val union = media.filter(pmod(col("media_id"), lit(10L)) =!= 3)
+    val dirA = freshDir(); val dirB = freshDir()
+    Multimodal.mediaFingerprintArtifact(spark, base0, dirA)
+    Multimodal.appendToMediaFingerprintArtifact(spark, day1, dirA, "m4")
+    val builds = Artifacts.durableBuilds.get()
+    Multimodal.appendToMediaFingerprintArtifact(spark, day1, dirA, "m4")
+    assert(Artifacts.durableBuilds.get() == builds,
+      "re-appending delta m4 re-decoded it")
+    Multimodal.mediaFingerprintArtifact(spark, union, dirB)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // image
+    assert(rows(Multimodal.imageDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.imageDedupFromArtifact(spark, dirB)))
+    assert(rows(Multimodal.imageDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.imageDedup(union)))
+    // audio
+    assert(rows(Multimodal.audioDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.audioDedupFromArtifact(spark, dirB)))
+    assert(rows(Multimodal.audioDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.audioDedup(union)))
+    // video
+    assert(rows(Multimodal.videoDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.videoDedupFromArtifact(spark, dirB)))
+    assert(rows(Multimodal.videoDedupFromAppendedArtifact(spark, dirA))
+      == rows(Multimodal.videoDedup(union)))
+    // cold session: serve only, no decode, counter flat
+    val s2 = spark.newSession()
+    val buildsC = Artifacts.durableBuilds.get()
+    val served =
+      rows(Multimodal.imageDedupFromAppendedArtifact(s2, dirA))
+    assert(Artifacts.durableBuilds.get() == buildsC,
+      "cold-session appended media serve rebuilt something")
+    assert(served ==
+      rows(Multimodal.imageDedupFromAppendedArtifact(spark, dirA)))
+  }
+
+  test("multi-day deltas: two appended days serve identically to one " +
+      "combined append and to the union rebuild (deltas compose)") {
+    val real = t.documents
+    val day1 = real.filter(pmod(col("doc_id"), lit(10L)) === 4)
+    val d1a = day1.filter(pmod(col("doc_id"), lit(20L)) === 4)
+    val d1b = day1.filter(pmod(col("doc_id"), lit(20L)) === 14)
+    val base0 =
+      real.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    val inc = real.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    val baseText = real.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    // two-day home: day-1 split into two commit-marked deltas
+    val dir2 = freshDir()
+    Dedup.portableNearDupBaseDurableFrom(spark, base0, dir2)
+    Dedup.appendToNearDupBase(spark, d1a, dir2, "day1")
+    Dedup.appendToNearDupBase(spark, d1b, dir2, "day2")
+    val multi = Dedup.portableIncNearDupsAgainstAppendedArtifact(
+      spark, inc, baseText, base0, dir2).collect().map(_.toSeq)
+    // single-delta home (q343's shape)
+    val dir1 = freshDir()
+    val single =
+      Dedup.portableIncrementalNearDupsAppended(spark, real, dir1)
+        .collect().map(_.toSeq)
+    assert(multi.toSeq == single.toSeq,
+      "two-day deltas != one-day append")
+    // and both equal the union rebuild
+    val dirU = freshDir()
+    val rebuilt = Dedup.portableIncrementalNearDupsDurable(spark, real,
+      dirU).collect().map(_.toSeq)
+    assert(multi.toSeq == rebuilt.toSeq)
+  }
+
   test("inventory + GC: debris always collected, orphaned committed " +
       "artifact collected, live committed artifact REFUSED, young " +
       "entries untouched") {

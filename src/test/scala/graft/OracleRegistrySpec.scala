@@ -36,6 +36,10 @@ class OracleRegistrySpec extends AnyFunSuite {
     // fact SQL could restate; the GC/liveness semantics are pinned by
     // ArtifactMaintenanceSpec instead
     "q346_artifact_inventory",
+    // q347 (r15) is the media family's maintenance tier — rows-only
+    // like the whole codec family; appended ≡ rebuilt ≡ inline
+    // spec-pinned in ArtifactMaintenanceSpec
+    "q347_image_dedup_appended",
     "q331_image_dedup_atrest", "q332_image_phash_atrest",
     "q333_audio_dedup_atrest", "q334_video_dedup_atrest",
     "q28_minhash_dedup", "q29_simhash_dedup", "q33_ann_rp_lsh",
