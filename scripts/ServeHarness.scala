@@ -41,12 +41,21 @@ object ServeHarness {
       else if (name.nonEmpty) queries.get(name) match {
         case Some(fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite")
-            .save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.4f")
+          // a failed query must NOT masquerade as a fast timing — the
+          // ok/err flag rides the answer so the driver can exclude it
+          val ok =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite")
+                .save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          val flag = if (ok) "ok" else "err"
+          println(
+            f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.4f $flag")
         case None => println(s"UNKNOWN $name")
       }
       Console.out.flush()

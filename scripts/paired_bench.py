@@ -75,10 +75,14 @@ class Serve:
         cmd += ["-cp",
                 f"{harness}:/opt/spark/jars/*:{os.path.abspath(jar)}",
                 "graftbench.ServeHarness"]
+        # stderr goes to a per-process log (Spark noise + the
+        # '[bench] <q> failed' lines), never to the bit bucket — a
+        # failing query must stay diagnosable
+        self.errlog = os.path.join(self.scratch, "serve_stderr.log")
         self.proc = subprocess.Popen(
             cmd, cwd=self.scratch, env=env,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+            stderr=open(self.errlog, "w"), text=True, bufsize=1)
         self._await("READY")
 
     def _await(self, *prefixes):
@@ -95,14 +99,20 @@ class Serve:
         return set(self._await("QUERIES").split()[1:])
 
     def time(self, name):
+        """Returns (seconds, ok). A query that THREW must never be
+        recorded as a valid fast timing — the serve answers
+        'TIME <name> <sec> ok|err' (older harness generations omit the
+        flag; absence decodes as ok for backward compatibility)."""
         self.proc.stdin.write(name + "\n")
         self.proc.stdin.flush()
         line = self._await("TIME", "UNKNOWN")
         if line.startswith("UNKNOWN"):
             raise RuntimeError(f"{self.label}: unknown query {name}")
-        _, got, sec = line.split()
+        parts = line.split()
+        got, sec = parts[1], parts[2]
+        ok = len(parts) < 4 or parts[3] == "ok"
         assert got == name, f"{self.label}: answered {got} for {name}"
-        return float(sec)
+        return float(sec), ok
 
     def close(self):
         try:
@@ -143,11 +153,21 @@ def main():
           f"only-{args.label_b} {len(only_b)}", file=sys.stderr)
 
     pairs = {}
+    errors = []
     for i, q in enumerate(common):
         if i % 2 == 0:
-            ta, tb = a.time(q), b.time(q)
+            (ta, oka), (tb, okb) = a.time(q), b.time(q)
         else:
-            tb, ta = b.time(q), a.time(q)
+            (tb, okb), (ta, oka) = b.time(q), a.time(q)
+        if not (oka and okb):
+            # a failed cell is REPORTED, never averaged in as a
+            # (deceptively fast) timing
+            errors.append({"q": q, "a_ok": oka, "b_ok": okb})
+            print(f"[paired] {q} FAILED "
+                  f"({args.label_a}_ok={oka} {args.label_b}_ok={okb}) "
+                  f"— see serve_stderr.log in the scratch dirs",
+                  file=sys.stderr)
+            continue
         pairs[q] = {"a": round(ta, 4), "b": round(tb, 4),
                     "ratio": round(tb / ta, 4) if ta > 0 else None}
         print(f"[paired] {q} {args.label_a}={ta:.2f}s "
@@ -166,6 +186,7 @@ def main():
         "n_common": len(common),
         "only_a": only_a,
         "only_b": only_b,
+        "errors": errors,
         # the headline: the per-query paired-ratio median — each ratio
         # is its own window control, so no cross-run normalization is
         # needed

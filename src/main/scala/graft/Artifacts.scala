@@ -105,12 +105,24 @@ object Artifacts {
   }
 
   /** The canonical string form handed back to callers and used as the
-    * memo key: for the local scheme the PLAIN absolute path (so build
+    * memo key: the PLAIN absolute path for the local scheme (so build
     * lambdas and Spark writers can use it verbatim, and pre-existing
-    * local callers see the exact strings they always did); the full
-    * URI for any other scheme. */
+    * local callers see the exact strings they always did) — but ONLY
+    * when the deployment's default filesystem is also local: on a
+    * cluster whose fs.defaultFS is hdfs://, a stripped `file:` path
+    * handed to a Spark writer would re-resolve against HDFS and split
+    * the payload from the marker across two filesystems, so there the
+    * explicit URI is preserved. */
   private def pathString(p: Path): String =
-    if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+    if (p.toUri.getScheme == "file" && defaultFsIsLocal)
+      p.toUri.getPath
+    else p.toString
+
+  private def defaultFsIsLocal: Boolean =
+    FileSystem.getDefaultUri(hadoopConf).getScheme match {
+      case null | "file" => true
+      case _ => false
+    }
 
   /** Canonical form of a dir string — exposed so artifact NAMES
     * (catalog tables keyed to a dir) derive from the same
@@ -323,20 +335,32 @@ object Artifacts {
       if (fs.exists(marker)) { checkParams(); done = true }
       else {
         fs.mkdirs(target)
-        // exclusive create is best-effort on stores without a
-        // conditional PUT; the token read-back closes most of the
-        // remaining window (two racers that both "created" the lock
-        // see ONE surviving token — at most one proceeds)
+        // exclusive create is BEST-EFFORT on stores without a
+        // conditional PUT: the token read-back catches most lost
+        // races at acquisition, and a second read-back immediately
+        // before the commit marker ensures at most one builder ever
+        // COMMITS (a builder whose token was overwritten aborts
+        // without the marker and re-contends). The residual hazard —
+        // two builders interleaving payload writes inside the
+        // read-back windows — cannot be closed without a conditional
+        // PUT; stores that have one (S3 conditional writes, GCS
+        // preconditions) get true exclusivity when the Hadoop client
+        // surfaces it, and GRAFT_ARTIFACTS_COMMIT=rename opts into
+        // the rename protocol where the store's rename is known
+        // consistent.
+        def ownsLock(): Boolean =
+          try readSmall(fs, lock) == token
+          catch { case _: Throwable => false }
         val acquired =
           try {
             val out = fs.create(lock, false)
             try out.write(token.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
-            try readSmall(fs, lock) == token
-            catch { case _: Throwable => false }
+            ownsLock()
           } catch { case _: Throwable => false }
         if (acquired) {
+          var committedHere = false
           try {
             if (!fs.exists(marker)) {
               // clear previous debris payloads (never the lock)
@@ -346,13 +370,25 @@ object Artifacts {
               }
               build(pathString(target))
               writeSmall(fs, new Path(target, ParamsFile), params)
-              writeSmall(fs, marker, "")
-              durableBuilds.incrementAndGet()
-            } else checkParams()
+              // the pre-commit re-verification: if another builder
+              // overwrote the token meanwhile, this tree may be
+              // interleaved — abort WITHOUT the marker (it stays
+              // uncommitted debris) and re-contend
+              if (ownsLock()) {
+                writeSmall(fs, marker, "")
+                durableBuilds.incrementAndGet()
+                committedHere = true
+              }
+            } else { checkParams(); committedHere = true }
           } finally {
-            try fs.delete(lock, false) catch { case _: Throwable => () }
+            // release the lock when it is still OURS (normal commit,
+            // or a thrown build) — but never delete another builder's
+            // lock (the aborted-lost-token path)
+            if (committedHere || ownsLock())
+              try fs.delete(lock, false)
+              catch { case _: Throwable => () }
           }
-          done = true
+          done = committedHere
         } else {
           // someone else holds the lock: poll for their marker; a
           // lock released WITHOUT a marker (failed build) loops back
@@ -406,6 +442,9 @@ object Artifacts {
     * (the r14 ADVICE hazard). Parquet puts its footer metadata
     * (row-group offsets, column stats) in exactly that tail window,
     * so any re-write of real data moves the witness. */
+  private val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def pathFingerprint(path: String): String = {
     val (fs, root) = fsPath(path)
     if (!fs.exists(root)) return digest(s"absent:$path")
@@ -416,26 +455,46 @@ object Artifacts {
       val st = it.next()
       if (st.isFile) files += st
     }
-    val sb = new StringBuilder
-    files
+    val listed = files
       .map(st => (st.getPath.toUri.getPath.stripPrefix(rootUriPath)
         .stripPrefix("/"), st))
       .sortBy(_._1)
-      .foreach { case (rel, st) =>
-        sb.append(rel).append('|')
-          .append(st.getLen).append('|')
-          .append(st.getModificationTime).append('|')
-          .append(contentWitness(fs, st)).append('\n')
-      }
-    digest(sb.toString)
+    // metadata-only signature of the listing, memoized per JVM: repeat
+    // calls (every at-rest query invocation keys its durable home
+    // through here) cost ONE recursive listing, not O(files) reads.
+    // The witness still catches the cross-JOB mtime-preserving
+    // rewrite — its target hazard — because a fresh JVM's memo is
+    // empty; a same-metadata rewrite WITHIN one JVM's lifetime would
+    // serve the memoized fingerprint until restart (accepted: the
+    // alternative is O(files) object-store reads per query)
+    val metaSb = new StringBuilder(pathString(root)).append('\n')
+    listed.foreach { case (rel, st) =>
+      metaSb.append(rel).append('|').append(st.getLen).append('|')
+        .append(st.getModificationTime).append('\n')
+    }
+    val metaKey = digest(metaSb.toString)
+    val cached = fingerprintMemo.get(metaKey)
+    if (cached != null) return cached
+    val sb = new StringBuilder
+    listed.foreach { case (rel, st) =>
+      sb.append(rel).append('|')
+        .append(st.getLen).append('|')
+        .append(st.getModificationTime).append('|')
+        .append(contentWitness(fs, st)).append('\n')
+    }
+    val fp = digest(sb.toString)
+    fingerprintMemo.put(metaKey, fp)
+    fp
   }
 
   /** md5-digest of a file's first + last 64 bytes (clamped for short
-    * files) — the cheap content term of [[pathFingerprint]]. A file
-    * that cannot be opened contributes a fixed token rather than
-    * failing the fingerprint. */
-  private def contentWitness(fs: FileSystem, st: FileStatus): String =
-    try {
+    * files) — the cheap content term of [[pathFingerprint]]. A read
+    * failure retries once and then FAILS LOUDLY: silently
+    * substituting a fixed token would flip the fingerprint (re-keying
+    * every durable artifact to a fresh home) on a transient blip and
+    * flip it back afterwards, orphaning the blip-keyed builds. */
+  private def contentWitness(fs: FileSystem, st: FileStatus): String = {
+    def readOnce(): String = {
       val n = st.getLen
       val span = math.min(64L, n).toInt
       val head = new Array[Byte](span)
@@ -450,7 +509,10 @@ object Artifacts {
       val b64 = java.util.Base64.getEncoder
       digest(b64.encodeToString(head) + "|" + b64.encodeToString(tail))
         .take(8)
-    } catch { case _: Throwable => "nowitnes" }
+    }
+    try readOnce()
+    catch { case _: Throwable => readOnce() }
+  }
 
   /** Register catalog table `name` over a COMMITTED bucketed layout at
     * `location` — the reload half of a durable BUCKETED artifact:
@@ -514,8 +576,11 @@ object Artifacts {
     * the increment's identity (a batch id, a crawl date) — appending
     * the same name twice is a no-op serve, not a duplicate. */
   def deltaDir(artifactDir: String, name: String): String = {
-    require(name.nonEmpty && !name.contains("/"),
-      s"delta name must be a single path segment, got '$name'")
+    require(name.nonEmpty && !name.contains("/") &&
+        !name.contains("\\") && name != "." && name != "..",
+      s"delta name must be a real single path segment, got '$name' — " +
+        "'.', '..' or a separator would resolve the delta into the " +
+        "artifact root itself")
     s"${canonical(artifactDir)}/deltas/$name"
   }
 
@@ -574,19 +639,25 @@ object Artifacts {
       : org.apache.spark.sql.DataFrame = {
     val live = liveSuffixes(liveDatasets)
     val (fs, _) = fsPath(root)
-    val rows = listArtifactDirs(root).map { st =>
-      val name = st.getPath.getName
-      val cut = name.lastIndexOf('_')
-      val family = if (cut > 0) name.substring(0, cut) else name
-      val suffix = if (cut > 0) name.substring(cut + 1) else ""
-      val committed = fs.exists(new Path(st.getPath, CommitMarker))
-      val params =
-        try readSmall(fs, new Path(st.getPath, ParamsFile))
-        catch { case _: Throwable => "" }
-      val summary = fs.getContentSummary(st.getPath)
-      (name, family, params, committed, summary.getFileCount,
-        summary.getLength,
-        committedDeltas(pathString(st.getPath)).size, live(suffix))
+    val rows = listArtifactDirs(root).flatMap { st =>
+      // per-artifact rows are individually guarded: a dir vanishing
+      // between the listing and its stat (a concurrent gcArtifacts —
+      // the companion feature — or another job's cleanup) drops ITS
+      // row instead of aborting the whole inventory
+      try {
+        val name = st.getPath.getName
+        val cut = name.lastIndexOf('_')
+        val family = if (cut > 0) name.substring(0, cut) else name
+        val suffix = if (cut > 0) name.substring(cut + 1) else ""
+        val committed = fs.exists(new Path(st.getPath, CommitMarker))
+        val params =
+          try readSmall(fs, new Path(st.getPath, ParamsFile))
+          catch { case _: Throwable => "" }
+        val summary = fs.getContentSummary(st.getPath)
+        Some((name, family, params, committed, summary.getFileCount,
+          summary.getLength,
+          committedDeltas(pathString(st.getPath)).size, live(suffix)))
+      } catch { case _: Throwable => None }
     }
     import s.implicits._
     rows.toDF("artifact", "family", "params", "committed", "n_files",
@@ -616,8 +687,16 @@ object Artifacts {
       val name = st.getPath.getName
       val suffix = name.substring(name.lastIndexOf('_') + 1)
       val committed = fs.exists(new Path(st.getPath, CommitMarker))
+      // a marker-mode build IN FLIGHT holds the lock — never collect
+      // under a live builder, regardless of age (a crashed builder's
+      // stale lock must be removed by the operator first, exactly as
+      // the lock-wait error message instructs)
+      val locked =
+        try fs.exists(new Path(st.getPath, BuildLock))
+        catch { case _: Throwable => true }
       if (committed && live(suffix)) None // refused: live artifact
-      else if (now - st.getModificationTime < minAgeMs) None // too young
+      else if (locked) None // refused: builder may be live
+      else if (now - lastActivity(fs, st) < minAgeMs) None // too young
       else {
         try {
           fs.delete(st.getPath, true)
@@ -625,6 +704,24 @@ object Artifacts {
         } catch { case _: Throwable => None }
       }
     }.sorted
+  }
+
+  /** The newest modification time anywhere under an artifact dir —
+    * the GC age signal. The top-level dir mtime alone is NOT it: a
+    * long rename-mode build writing nested payload subdirs can leave
+    * the staging dir's own mtime at build start, and an age-based
+    * sweep would collect the tree from under the live builder. */
+  private def lastActivity(fs: FileSystem, st: FileStatus): Long = {
+    var latest = st.getModificationTime
+    try {
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getModificationTime > latest)
+          latest = f.getModificationTime
+      }
+    } catch { case _: Throwable => latest = System.currentTimeMillis() }
+    latest
   }
 
   /** Build-once-per-key memo: `computeIfAbsent` installs a lazy cell

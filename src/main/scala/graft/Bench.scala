@@ -52,13 +52,21 @@ object Bench {
       else if (name.nonEmpty) SparkEntry.queries.get(name) match {
         case Some(fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite")
-            .save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+          // a failed query must not masquerade as a fast timing: the
+          // ok/err flag rides the answer (scripts/paired_bench.py
+          // excludes err cells and reports them)
+          val ok =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite")
+                .save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
           val sec = (System.nanoTime() - t0) / 1e9
-          println(f"TIME $name $sec%.4f")
+          println(f"TIME $name $sec%.4f ${if (ok) "ok" else "err"}")
         case None => println(s"UNKNOWN $name")
       }
       Console.out.flush()

@@ -528,11 +528,17 @@ object Multimodal {
     * q347 registers the appended image tier). Idempotent per delta
     * name. */
   def appendToMediaFingerprintArtifact(s: SparkSession,
-      newMedia: => DataFrame, dir: String, deltaName: String): String =
+      newMedia: => DataFrame, dir: String, deltaName: String): String = {
+    // committed-base guard: a delta under an unbuilt home would be
+    // destroyed by the base publish (marker-less tree = debris)
+    require(graft.Artifacts.isCommitted(dir),
+      s"appendToMediaFingerprintArtifact needs a committed artifact " +
+        s"at $dir — build it first (mediaFingerprintArtifact)")
     graft.Artifacts.durable(s,
       graft.Artifacts.deltaDir(dir, deltaName), "mediafpdelta|v1") {
       d => writeFingerprints(newMedia, d)
     }
+  }
 
   /** A fingerprint table unioned with all committed deltas — the
     * serving side of the media append path. */

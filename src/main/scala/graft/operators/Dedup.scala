@@ -1333,6 +1333,12 @@ object Dedup {
   def appendToNearDupBase(s: SparkSession, newDocs: DataFrame,
       dir: String, deltaName: String, shingleSize: Int = 3,
       numPerms: Int = 16, threshold: Double = 0.5): String = {
+    // the base must be COMMITTED first: a delta landed under an
+    // unbuilt home would be destroyed by the base publish (which
+    // treats any marker-less target tree as crashed-build debris)
+    require(graft.Artifacts.isCommitted(dir),
+      s"appendToNearDupBase needs a committed base at $dir — build " +
+        "it first (portableNearDupBaseDurableFrom)")
     val (bands, _) = lshBandChoice(numPerms,
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
     graft.Artifacts.durable(s, graft.Artifacts.deltaDir(dir, deltaName),
@@ -1626,12 +1632,18 @@ object Dedup {
     * union set — append ≡ rebuild (q345 registers the appended serve
     * against the union-rebuilt oracle). */
   def appendFpsToScreenBase(s: SparkSession, newDocs: DataFrame,
-      dir: String, deltaName: String): String =
+      dir: String, deltaName: String): String = {
+    // committed-base guard: a delta under an unbuilt home would be
+    // destroyed by the base publish (marker-less tree = debris)
+    require(graft.Artifacts.isCommitted(dir),
+      s"appendFpsToScreenBase needs a committed screen base at $dir " +
+        "— build it first (materializedScreenBaseDurable)")
     graft.Artifacts.durable(s, graft.Artifacts.deltaDir(dir, deltaName),
       "screendelta|v1") { d =>
       newDocs.select(contentFp.as("fp")).distinct()
         .write.mode("overwrite").parquet(s"$d/fps")
     }
+  }
 
   /** [[crossCorpusNewFromDurableArtifact]] against (base artifact +
     * ALL committed deltas): the bloom-routed bucketed base screen
