@@ -1351,6 +1351,37 @@ object Dedup {
     }
   }
 
+  /** COMPACT a near-dup base's accumulated deltas into a fresh
+    * durable home: (base buckets ∪ every committed delta) rewritten
+    * as ONE bucket table under `outDir` — no document is ever
+    * re-shingled, so compaction costs ARTIFACT mass, never corpus
+    * mass (at 100 TB the band-key table is GBs against the corpus's
+    * TBs). Serving from the compacted home is bit-identical to
+    * serving from (base + deltas) — the band keys are the same rows
+    * (spec-pinned). Use it when [[nearDupBaseStaleness]]'s card says
+    * the banding is still healthy but the delta COUNT has grown past
+    * what nightly serving should union; a full REBUILD (re-shingle
+    * under new knobs) remains the gate-fired path. The OLD home stays
+    * behind deliberately — its source fingerprint is still live, so
+    * [[graft.Artifacts.gcArtifacts]] refuses it; retire it explicitly
+    * once consumers move. */
+  def compactNearDupBase(s: SparkSession, dir: String, outDir: String,
+      shingleSize: Int = 3, numPerms: Int = 16,
+      threshold: Double = 0.5): String = {
+    val canon = graft.Artifacts.canonical(dir)
+    require(graft.Artifacts.isCommitted(canon),
+      s"compactNearDupBase needs a committed base at $canon")
+    val (bands, _) = lshBandChoice(numPerms,
+      math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
+    graft.Artifacts.durable(s, outDir,
+      s"pndbase|s=$shingleSize|p=$numPerms|b=$bands") { d =>
+      graft.Artifacts.committedDeltas(canon)
+        .foldLeft(s.read.parquet(s"$canon/buckets"))((acc, dd) =>
+          acc.unionByName(s.read.parquet(s"$dd/buckets")))
+        .write.mode("overwrite").parquet(s"$d/buckets")
+    }
+  }
+
   /** The at-rest probe against (base artifact + ALL its committed
     * deltas): tomorrow's increment screens against everything
     * admitted through yesterday WITHOUT re-hashing the base.
@@ -1577,11 +1608,41 @@ object Dedup {
     * on the committed path). */
   def materializedScreenBaseDurable(s: SparkSession,
       base: => DataFrame, dir: String, fpp: Double = 0.01)
+      : (String, String) =
+    screenBaseDurableFromFps(s,
+      base.select(contentFp.as("fp")).distinct(), dir, fpp)
+
+  /** COMPACT an exact screen's deltas into a fresh durable home: the
+    * (base ∪ delta) fingerprint set re-bucketed and its Bloom rebuilt
+    * under `outDir` — the base CORPUS is never re-fingerprinted
+    * (compaction reads fingerprint rows only: artifact mass, not
+    * corpus mass), and serving from the compacted home is
+    * row-identical to the appended serve (same fp set — spec-pinned).
+    * The old home stays behind (its source fingerprint is still live,
+    * so GC refuses it); retire it explicitly once consumers move. */
+  def compactScreenBase(s: SparkSession, dir: String, outDir: String,
+      fpp: Double = 0.01): (String, String) = {
+    val canon = graft.Artifacts.canonical(dir)
+    require(graft.Artifacts.isCommitted(canon),
+      s"compactScreenBase needs a committed screen base at $canon")
+    val union = graft.Artifacts.committedDeltas(canon)
+      .foldLeft(s.read.parquet(s"$canon/fps"))((acc, dd) =>
+        acc.unionByName(s.read.parquet(s"$dd/fps")))
+      .distinct()
+    screenBaseDurableFromFps(s, union, outDir, fpp)
+  }
+
+  /** The screen-base build over an EXPLICIT fingerprint frame — shared
+    * by the from-corpus build and the delta compaction so the layout
+    * cannot drift. `fps` is BY-NAME: a committed home serves without
+    * evaluating it. */
+  private def screenBaseDurableFromFps(s: SparkSession,
+      fps0: => DataFrame, dir: String, fpp: Double)
       : (String, String) = {
     val name = "graft_screen_d_" + graft.Artifacts.digest(
       graft.Artifacts.canonical(dir))
     val d = graft.Artifacts.durable(s, dir, s"screen|fpp=$fpp") { d =>
-      val fps = base.select(contentFp.as("fp")).distinct().persist()
+      val fps = fps0.persist()
       // bucketed layouts only write through saveAsTable; the build
       // registers a THROWAWAY catalog name over the staging path and
       // drops it (external table: files stay) — the durable publish

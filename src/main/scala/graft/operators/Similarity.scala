@@ -1058,6 +1058,35 @@ object Similarity {
     }
   }
 
+  /** COMPACT an exact index's accumulated deltas into a fresh durable
+    * home: the centroid sidecar copies VERBATIM (the quantizer stays
+    * frozen — no retrain, no re-assignment: every row already carries
+    * its cell) and (base partitions ∪ every committed delta) rewrite
+    * as one cell-partitioned table under `outDir`. Compaction reads
+    * index rows only — the source corpus is never touched — and
+    * serving from the compacted home is bit-identical to serving from
+    * (index + deltas) (spec-pinned). Use it when the delta COUNT
+    * outgrows what nightly serving should union while q328's
+    * staleness card still says the quantizer is healthy; the
+    * gate-fired RETRAIN remains the full-rebuild path. The old home
+    * stays behind (source fingerprint still live — GC refuses it);
+    * retire it explicitly once consumers move. */
+  def compactIvfIndex(s: SparkSession, dir: String, outDir: String,
+      cells: Int = 8, iters: Int = 2): String = {
+    val canon = graft.Artifacts.canonical(dir)
+    require(graft.Artifacts.isCommitted(canon),
+      s"compactIvfIndex needs a committed index at $canon")
+    graft.Artifacts.durable(s, outDir, s"ivfx|c=$cells|i=$iters") { d =>
+      s.read.parquet(s"$canon/cents")
+        .write.mode("overwrite").parquet(s"$d/cents")
+      graft.Artifacts.committedDeltas(canon)
+        .foldLeft(s.read.parquet(s"$canon/t"))((acc, dd) =>
+          acc.unionByName(s.read.parquet(s"$dd/t")))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$d/t")
+    }
+  }
+
   /** The (vectors, centroids) frames of a durable index PLUS all its
     * committed deltas — the serving side of the append path. A cell
     * filter pushes into every member scan: the base stays

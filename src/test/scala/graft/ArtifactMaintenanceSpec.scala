@@ -229,6 +229,79 @@ class ArtifactMaintenanceSpec extends AnyFunSuite {
     assert(multi.toSeq == rebuilt.toSeq)
   }
 
+  test("compaction: folding deltas into a fresh home preserves every " +
+      "decision bit-for-bit, and the SOURCE frames are never " +
+      "evaluated (compaction costs artifact mass, not corpus mass)") {
+    val real = t.documents
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val inc = real.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    val baseText = real.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+    // near-dup: appended home -> compacted home, decisions identical
+    val nd = freshDir()
+    val appendedNd =
+      Dedup.portableIncrementalNearDupsAppended(spark, real, nd)
+        .collect().map(_.toSeq)
+    val ndC = freshDir()
+    Dedup.compactNearDupBase(spark, nd, ndC)
+    // the probe reads base TEXT only for surfaced candidates (that is
+    // its contract) — but the compacted home must serve the BUCKETS
+    // without a rebuild (build counter flat)
+    val buildsNd = Artifacts.durableBuilds.get()
+    val compactedNd = Dedup.portableIncNearDupsAgainstArtifact(spark,
+      inc, baseText, ndC)
+      .collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == buildsNd,
+      "probing the compacted near-dup home rebuilt it")
+    assert(compactedNd.toSeq == appendedNd.toSeq,
+      "compacted near-dup home changed the decision")
+    // exact screen: appended home -> compacted home
+    val sc = freshDir()
+    Dedup.materializedScreenBaseDurable(spark,
+      real.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L)), sc)
+    Dedup.appendFpsToScreenBase(spark,
+      real.filter(pmod(col("doc_id"), lit(10L)) === 4), sc, "m4")
+    val appendedSc = Dedup.crossCorpusNewFromAppendedArtifact(spark,
+      inc, sys.error("base evaluated"), sc)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val scC = freshDir()
+    Dedup.compactScreenBase(spark, sc, scC)
+    val compactedSc = Dedup.crossCorpusNewFromDurableArtifact(spark,
+      inc, sys.error("base evaluated on the compacted path"), scC)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(compactedSc.toSeq == appendedSc.toSeq,
+      "compacted screen home changed the survivors")
+    // semantic index: frozen-quantizer compaction — centroids copied
+    // verbatim, decisions identical, vectors never re-assigned
+    val sem = freshDir()
+    val appendedSem =
+      Similarity.semDedupIncrementalAppended(spark, t.embeddings, sem)
+        .collect().map(_.toSeq)
+    val semC = freshDir()
+    Similarity.compactIvfIndex(spark, sem, semC)
+    val buildsSem = Artifacts.durableBuilds.get()
+    val compactedSem = Similarity.semDedupAgainstIndexDurable(spark,
+      emb.filter(pmod(col("vec_id"), lit(10L)) === 3),
+      emb.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 4L)), semC)
+      .collect().map(_.toSeq)
+    assert(Artifacts.durableBuilds.get() == buildsSem,
+      "serving the compacted index rebuilt or retrained it")
+    assert(compactedSem.toSeq == appendedSem.toSeq,
+      "compacted index changed the SemDeDup decision")
+    assert(spark.read.parquet(s"${Artifacts.canonical(semC)}/cents")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      spark.read.parquet(s"${Artifacts.canonical(sem)}/cents")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      "compaction moved the centroids")
+    // compacted homes carry no deltas; compacting an unbuilt home
+    // fails loudly
+    assert(Artifacts.committedDeltas(ndC).isEmpty &&
+      Artifacts.committedDeltas(scC).isEmpty &&
+      Artifacts.committedDeltas(semC).isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.compactNearDupBase(spark, freshDir(), freshDir())
+    }
+  }
+
   test("inventory + GC: debris always collected, orphaned committed " +
       "artifact collected, live committed artifact REFUSED, young " +
       "entries untouched") {
