@@ -179,6 +179,11 @@ def main():
     ratios = [p["ratio"] for p in pairs.values() if p["ratio"]]
     total_a = sum(p["a"] for p in pairs.values())
     total_b = sum(p["b"] for p in pairs.values())
+    # pairs can end up empty (every common query errored, or --only
+    # matched nothing): still write the output JSON with the errors
+    # list instead of crashing after the full bench ran
+    median_ratio = round(statistics.median(ratios), 4) if ratios else None
+    ratio_of_totals = round(total_b / total_a, 4) if total_a > 0 else None
     out = {
         "protocol": "interleaved-paired",
         "sf": args.sf,
@@ -190,13 +195,13 @@ def main():
         # the headline: the per-query paired-ratio median — each ratio
         # is its own window control, so no cross-run normalization is
         # needed
-        "median_ratio": round(statistics.median(ratios), 4),
+        "median_ratio": median_ratio,
         # totals recomputed from the per-query map (the r14 verdict's
         # stale-total finding: a consolidated total must never be a
         # carried-over field)
         "total_a": round(total_a, 3),
         "total_b": round(total_b, 3),
-        "ratio_of_totals": round(total_b / total_a, 4),
+        "ratio_of_totals": ratio_of_totals,
         "queries": pairs,
     }
     with open(args.out, "w") as f:

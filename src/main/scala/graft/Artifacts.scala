@@ -158,9 +158,33 @@ object Artifacts {
     * when the build finishes or fails. */
   val BuildLock = "_GRAFT_BUILD_LOCK"
 
+  /** Per-file payload manifest written BEFORE the marker in every
+    * durable build: one line `relpath|size|md5` per payload file
+    * (sidecars and `deltas/` excluded), sorted by path. The commit
+    * marker says "a build finished here"; the manifest says WHICH
+    * files that build produced — [[verifyArtifact]] checks a served
+    * tree against it, catching torn copies, bit-rotted payloads and
+    * stray files an interleaved marker-mode writer left behind. */
+  val ManifestFile = "_GRAFT_MANIFEST"
+
+  private val SidecarNames =
+    Set(CommitMarker, ParamsFile, BuildLock, ManifestFile)
+
   def isCommitted(dir: String): Boolean = {
     val (fs, p) = fsPath(dir)
     fs.exists(new Path(p, CommitMarker))
+  }
+
+  /** The params sidecar of a COMMITTED artifact — what the artifact
+    * says it was built with. Compactors consult this before folding:
+    * copying rows verbatim while stamping caller-supplied params
+    * would mislabel the output whenever the caller's arguments
+    * disagree with the source build. */
+  def committedParams(dir: String): String = {
+    val (fs, p) = fsPath(dir)
+    require(fs.exists(new Path(p, CommitMarker)),
+      s"${pathString(p)} is not a committed artifact")
+    readSmall(fs, new Path(p, ParamsFile))
   }
 
   /** Durable builds EXECUTED by this JVM — a spec hook: a cold-session
@@ -172,18 +196,27 @@ object Artifacts {
 
   /** Commit protocol for this FS: `rename` (staging dir + one atomic
     * directory rename — local, HDFS, anything POSIX-renaming) or
-    * `marker` (in-place build, marker written last — object stores,
-    * where "rename" is a non-atomic copy loop). Scheme-derived;
-    * overridable per-run via -Dgraft.artifacts.commit /
+    * `marker` (staged build moved in under the lock, marker written
+    * last — object stores, where "rename" is a non-atomic copy loop).
+    * Scheme-derived; overridable PER SCHEME via
+    * -Dgraft.artifacts.commit.<scheme> /
+    * $GRAFT_ARTIFACTS_COMMIT_<SCHEME> (a mixed lake — local staging
+    * plus an s3 root in one job — must not share one global answer),
+    * then globally via -Dgraft.artifacts.commit /
     * $GRAFT_ARTIFACTS_COMMIT for stores this list mis-classifies. */
   private val NoAtomicRenameSchemes = Set(
     "s3", "s3a", "s3n", "gs", "oss", "cos", "obs",
     "wasb", "wasbs", "abfs", "abfss", "swift")
-  private[graft] def commitMode(fs: FileSystem): String =
-    sys.props.get("graft.artifacts.commit")
+  private[graft] def commitMode(fs: FileSystem): String = {
+    val scheme = Option(fs.getScheme).getOrElse("file")
+    sys.props.get(s"graft.artifacts.commit.$scheme")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS_COMMIT_" +
+        scheme.toUpperCase.replace('-', '_')))
+      .orElse(sys.props.get("graft.artifacts.commit"))
       .orElse(sys.env.get("GRAFT_ARTIFACTS_COMMIT"))
       .getOrElse(
-        if (NoAtomicRenameSchemes(fs.getScheme)) "marker" else "rename")
+        if (NoAtomicRenameSchemes(scheme)) "marker" else "rename")
+  }
 
   /** The DURABLE build-once device — the piece the session-scoped
     * [[KeyedMemo]] + [[tempDir]] convention deliberately lacks: a
@@ -253,6 +286,123 @@ object Artifacts {
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  /** The payload files of an artifact tree: every file under `root`
+    * except the four sidecars and anything under `deltas/` (deltas
+    * are [[durable]] builds themselves and carry their own
+    * manifests). Sorted by relative path. */
+  private def payloadFiles(fs: FileSystem, root: Path)
+      : Seq[(String, FileStatus)] = {
+    val rootUriPath = root.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, FileStatus)]
+    // recursive listStatus walk, not fs.listFiles: the default
+    // listFiles implementation round-trips paths through java.io.File
+    // on some FileSystem impls, which rejects non-file schemes
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUriPath)
+          .stripPrefix("/")
+        if (!SidecarNames(rel) && !rel.startsWith("deltas/"))
+          out += ((rel, st))
+      }
+    }
+    walk(root)
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Full-content md5 of one artifact file, streamed — the manifest's
+    * integrity term. Artifacts are fingerprint/centroid/band-key
+    * tables (artifact mass, not corpus mass), so one extra read at
+    * build time is cheap against the lifetime of serves it protects. */
+  private def fileMd5(fs: FileSystem, p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Write the [[ManifestFile]] over a finished build tree — called
+    * by both publish protocols AFTER the build and BEFORE the
+    * marker, so a committed artifact always states its own payload. */
+  private def writeManifest(fs: FileSystem, buildDir: Path): Unit = {
+    val sb = new StringBuilder
+    payloadFiles(fs, buildDir).foreach { case (rel, st) =>
+      sb.append(rel).append('|').append(st.getLen).append('|')
+        .append(fileMd5(fs, st.getPath)).append('\n')
+    }
+    writeSmall(fs, new Path(buildDir, ManifestFile), sb.toString)
+  }
+
+  /** Opt-in serve-side integrity check of a COMMITTED artifact
+    * against its [[ManifestFile]]:
+    *  - every manifest-listed file must exist with its recorded size;
+    *  - NO stray payload file may exist outside the manifest (the
+    *    signature of an interleaved marker-mode writer, or of a torn
+    *    copy-loop "rename" on a misconfigured store);
+    *  - a deterministic `md5Sample` fraction of the listed files is
+    *    re-hashed and must match (1.0 = every file — the spec
+    *    setting; serving jobs on big artifacts sample).
+    * Deltas under `deltas/` are outside this manifest — verify each
+    * committed delta dir separately. Fails loudly on any violation;
+    * returns (files md5-checked, files listed). An artifact built by
+    * a pre-manifest layer fails with a rebuild instruction — silence
+    * is exactly what this check exists to remove. */
+  def verifyArtifact(dir: String, md5Sample: Double = 1.0,
+      seed: Long = 42L): (Int, Int) = {
+    val (fs, target) = fsPath(dir)
+    val canon = pathString(target)
+    require(fs.exists(new Path(target, CommitMarker)),
+      s"$canon is not a committed artifact")
+    val mPath = new Path(target, ManifestFile)
+    require(fs.exists(mPath),
+      s"$canon carries no $ManifestFile — built by a pre-manifest " +
+        "layer; rebuild it to enable payload verification")
+    val manifest = readSmall(fs, mPath).split('\n')
+      .iterator.filter(_.nonEmpty).map { line =>
+        val cut2 = line.lastIndexOf('|')
+        val cut1 = line.lastIndexOf('|', cut2 - 1)
+        (line.substring(0, cut1),
+          line.substring(cut1 + 1, cut2).toLong,
+          line.substring(cut2 + 1))
+      }.toSeq
+    val actual = payloadFiles(fs, target)
+    val listed = manifest.map(_._1).toSet
+    val strays = actual.map(_._1).filterNot(listed)
+    require(strays.isEmpty,
+      s"$canon carries payload files NOT in its manifest (an " +
+        s"interleaved writer or torn publish?): " +
+        strays.sorted.take(5).mkString(", "))
+    val bySize = actual.map { case (rel, st) => rel -> st }.toMap
+    manifest.foreach { case (rel, size, _) =>
+      val st = bySize.getOrElse(rel,
+        sys.error(s"$canon/$rel is in the manifest but MISSING — " +
+          "torn or partially deleted payload"))
+      require(st.getLen == size,
+        s"$canon/$rel is ${st.getLen} bytes, manifest says $size — " +
+          "torn or corrupted payload")
+    }
+    val rnd = new java.util.Random(seed)
+    var checked = 0
+    manifest.foreach { case (rel, _, md5) =>
+      if (rnd.nextDouble() < md5Sample) {
+        checked += 1
+        val have = fileMd5(fs, new Path(target, rel))
+        require(have == md5,
+          s"$canon/$rel content checksum $have != manifest $md5 — " +
+            "corrupted payload")
+      }
+    }
+    (checked, manifest.length)
+  }
+
   private def publishByRename(fs: FileSystem, target: Path,
       canon: String, params: String, build: String => Unit,
       checkParams: () => Unit): Unit = {
@@ -264,6 +414,7 @@ object Artifacts {
     // crash leftovers, not the artifact
     cleanupActions.add(() => { fs.delete(staging, true); () })
     build(pathString(staging))
+    writeManifest(fs, staging)
     writeSmall(fs, new Path(staging, ParamsFile), params)
     writeSmall(fs, new Path(staging, CommitMarker), "")
     // crashed-build debris at the target (a tree with NO marker — a
@@ -363,21 +514,72 @@ object Artifacts {
           var committedHere = false
           try {
             if (!fs.exists(marker)) {
-              // clear previous debris payloads (never the lock)
-              fs.listStatus(target).foreach { st =>
-                if (st.getPath.getName != BuildLock)
-                  fs.delete(st.getPath, true)
-              }
-              build(pathString(target))
-              writeSmall(fs, new Path(target, ParamsFile), params)
-              // the pre-commit re-verification: if another builder
-              // overwrote the token meanwhile, this tree may be
-              // interleaved — abort WITHOUT the marker (it stays
-              // uncommitted debris) and re-contend
-              if (ownsLock()) {
-                writeSmall(fs, marker, "")
-                durableBuilds.incrementAndGet()
-                committedHere = true
+              // build into a PRIVATE staging dir next to the target —
+              // not in place: if a second builder slips through a
+              // stolen lock (the non-exclusive-create residual), the
+              // two builds never touch each other's files during the
+              // multi-minute build; only the short move-in below ever
+              // writes at the target, and it runs under a fresh
+              // ownership re-check.
+              val parent = target.getParent
+              fs.mkdirs(parent)
+              val staging = new Path(parent, s".graft_build_${nonce()}")
+              fs.mkdirs(staging)
+              cleanupHook
+              cleanupActions.add(() => { fs.delete(staging, true); () })
+              try {
+                build(pathString(staging))
+                writeManifest(fs, staging)
+                writeSmall(fs, new Path(staging, ParamsFile), params)
+                if (ownsLock() && !fs.exists(marker)) {
+                  // clear previous debris payloads — never the lock,
+                  // and NEVER the commit marker: on a store without
+                  // atomic exclusive create, a racing builder that
+                  // passed its own ownsLock() re-check can COMMIT
+                  // between our marker check and these deletes;
+                  // deleting its marker would turn one commit into two
+                  // and tear a tree its session is already serving. If
+                  // the marker appears mid-clear, abort the clear and
+                  // serve the winner. (The move-in interleave residual
+                  // inside the read-back windows remains the
+                  // documented conditional-PUT caveat — and
+                  // [[verifyArtifact]] detects its stray-file
+                  // signature at serve time.)
+                  val entries = fs.listStatus(target)
+                  var markerAppeared =
+                    entries.exists(_.getPath.getName == CommitMarker)
+                  entries.foreach { st =>
+                    val n = st.getPath.getName
+                    if (!markerAppeared && n != BuildLock &&
+                        n != CommitMarker) {
+                      if (fs.exists(marker)) markerAppeared = true
+                      else fs.delete(st.getPath, true)
+                    }
+                  }
+                  if (markerAppeared || fs.exists(marker)) {
+                    checkParams(); committedHere = true
+                  } else {
+                    // move the finished build in, entry by entry
+                    fs.listStatus(staging).foreach { st =>
+                      val moved = fs.rename(st.getPath,
+                        new Path(target, st.getPath.getName))
+                      require(moved, s"could not move " +
+                        s"${st.getPath.getName} into $canon")
+                    }
+                    // the pre-commit re-verification: if another
+                    // builder overwrote the token meanwhile, this tree
+                    // may be interleaved — abort WITHOUT the marker
+                    // (it stays uncommitted debris) and re-contend
+                    if (ownsLock()) {
+                      writeSmall(fs, marker, "")
+                      durableBuilds.incrementAndGet()
+                      committedHere = true
+                    }
+                  }
+                }
+              } finally {
+                try fs.delete(staging, true)
+                catch { case _: Throwable => () }
               }
             } else { checkParams(); committedHere = true }
           } finally {
@@ -664,13 +866,32 @@ object Artifacts {
       "bytes", "n_deltas", "live").orderBy("artifact")
   }
 
+  /** A home name produced by [[durableDirFor]]:
+    * `<family>_<16-hex-digest>`. Committed homes that do NOT parse —
+    * e.g. a caller-chosen compaction outDir — carry no fingerprint
+    * the liveness check could interpret, so [[gcArtifacts]] refuses
+    * them rather than deleting a possibly-served artifact on a
+    * garbage suffix. */
+  private val ConventionName =
+    java.util.regex.Pattern.compile("^.+_[0-9a-f]{16}$")
+
   /** Garbage-collect artifact homes under `root`:
     *  - UNCOMMITTED debris (crashed builds, staging/trash leftovers)
     *    is always collectable;
-    *  - COMMITTED artifacts are deleted ONLY when ORPHANED — their
-    *    fingerprint suffix matches none of the supplied live
-    *    datasets; an artifact still keyed to a live dataset is
-    *    REFUSED no matter what (the keep-live contract);
+    *  - COMMITTED artifacts are deleted ONLY when their name parses
+    *    as a [[durableDirFor]] convention name AND the fingerprint
+    *    suffix matches none of the supplied live datasets; an
+    *    artifact still keyed to a live dataset is REFUSED no matter
+    *    what (the keep-live contract), and a committed home whose
+    *    name does NOT parse (a caller-named compaction target, say)
+    *    is REFUSED too — its suffix is garbage, not evidence of
+    *    orphanhood. GC'd roots should therefore contain only
+    *    durableDirFor-named homes if orphan collection is wanted;
+    *  - inside every REFUSED committed home, the `deltas/` dir is
+    *    swept for nested debris — uncommitted delta trees and
+    *    dot-prefixed staging/trash leftovers from crashed appenders —
+    *    under the same lock and age guards (the nightly append loop
+    *    writes exactly there, so that is where debris accumulates);
     *  - nothing younger than `minAgeMs` is touched, so an in-flight
     *    build's staging dir or an about-to-commit target cannot be
     *    collected from under its builder.
@@ -683,27 +904,60 @@ object Artifacts {
     val live = liveSuffixes(liveDatasets)
     val (fs, _) = fsPath(root)
     val now = System.currentTimeMillis()
+    def locked(p: Path): Boolean =
+      try fs.exists(new Path(p, BuildLock))
+      catch { case _: Throwable => true }
+    def collectable(st: FileStatus): Boolean =
+      !locked(st.getPath) && now - lastActivity(fs, st) >= minAgeMs
+    def delete(p: Path): Option[String] =
+      try { fs.delete(p, true); Some(pathString(p)) }
+      catch { case _: Throwable => None }
     listArtifactDirs(root).flatMap { st =>
       val name = st.getPath.getName
       val suffix = name.substring(name.lastIndexOf('_') + 1)
+      val conventionNamed = ConventionName.matcher(name).matches()
       val committed = fs.exists(new Path(st.getPath, CommitMarker))
       // a marker-mode build IN FLIGHT holds the lock — never collect
       // under a live builder, regardless of age (a crashed builder's
       // stale lock must be removed by the operator first, exactly as
       // the lock-wait error message instructs)
+      if (committed && (!conventionNamed || live(suffix)))
+        sweepDeltaDebris(fs, st.getPath, minAgeMs) // refused home
+      else if (!collectable(st)) Nil
+      else delete(st.getPath).toSeq
+    }.sorted
+  }
+
+  /** The nested sweep under a REFUSED committed home: crashed
+    * appenders run [[durable]] inside `<home>/deltas/`, leaving
+    * uncommitted `deltas/<name>` trees and `.graft_build_*` /
+    * `.graft_trash_*` staging debris that the top-level GC can never
+    * reach (the home itself is correctly refused). Committed deltas
+    * are untouchable — they are the serving set. */
+  private def sweepDeltaDebris(fs: FileSystem, home: Path,
+      minAgeMs: Long): Seq[String] = {
+    val deltas = new Path(home, "deltas")
+    val now = System.currentTimeMillis()
+    val entries =
+      try { if (fs.exists(deltas)) fs.listStatus(deltas).toSeq
+            else Seq.empty }
+      catch { case _: Throwable => Seq.empty }
+    entries.flatMap { st =>
+      val n = st.getPath.getName
+      val committed = st.isDirectory &&
+        fs.exists(new Path(st.getPath, CommitMarker))
+      val dotDebris = n.startsWith(".")
       val locked =
         try fs.exists(new Path(st.getPath, BuildLock))
         catch { case _: Throwable => true }
-      if (committed && live(suffix)) None // refused: live artifact
-      else if (locked) None // refused: builder may be live
+      if (committed && !dotDebris) None // serving delta: untouchable
+      else if (locked) None // appender may be live
       else if (now - lastActivity(fs, st) < minAgeMs) None // too young
       else {
-        try {
-          fs.delete(st.getPath, true)
-          Some(pathString(st.getPath))
-        } catch { case _: Throwable => None }
+        try { fs.delete(st.getPath, true); Some(pathString(st.getPath)) }
+        catch { case _: Throwable => None }
       }
-    }.sorted
+    }
   }
 
   /** The newest modification time anywhere under an artifact dir —

@@ -300,6 +300,22 @@ class ArtifactMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.compactNearDupBase(spark, freshDir(), freshDir())
     }
+    // PARAMS-SAFE folding (the r15 verdict's finding #1): a compactor
+    // called with arguments that disagree with the source artifact's
+    // params sidecar refuses — it copies rows verbatim, so stamping
+    // the caller's arguments would mislabel the fold
+    val eN = intercept[IllegalArgumentException] {
+      Dedup.compactNearDupBase(spark, nd, freshDir(), numPerms = 32)
+    }
+    assert(eN.getMessage.contains("was built with"), eN.getMessage)
+    val eS = intercept[IllegalArgumentException] {
+      Dedup.compactScreenBase(spark, sc, freshDir(), fpp = 0.5)
+    }
+    assert(eS.getMessage.contains("was built with"), eS.getMessage)
+    val eI = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, sem, freshDir(), cells = 16)
+    }
+    assert(eI.getMessage.contains("was built with"), eI.getMessage)
   }
 
   test("inventory + GC: debris always collected, orphaned committed " +
@@ -331,13 +347,41 @@ class ArtifactMaintenanceSpec extends AnyFunSuite {
     // a too-young sweep touches nothing
     assert(Artifacts.gcArtifacts(root, live,
       minAgeMs = 3600000L).isEmpty)
-    // a due sweep collects the orphan + debris, refuses the live one
+    // a committed home whose name does NOT parse as
+    // <family>_<16-hex> (a caller-named compaction target) is REFUSED
+    // even past age — its suffix is garbage, not orphanhood evidence
+    val callerNamed = s"$root/compacted_nd"
+    Artifacts.durable("gcCallerNamed", callerNamed, "p=1") { d =>
+      Files.writeString(Paths.get(d, "payload"), "z")
+    }
+    // nested delta debris inside the LIVE home: an uncommitted delta
+    // tree + dot-prefixed staging debris are sweepable; a committed
+    // delta is the serving set and stays
+    val goodDelta = Artifacts.deltaDir(liveDir, "day1")
+    Artifacts.durable("gcGoodDelta", goodDelta, "p=1") { d =>
+      Files.writeString(Paths.get(d, "rows"), "r")
+    }
+    val crashedDelta = Paths.get(liveDir, "deltas", "day2_crashed")
+    Files.createDirectories(crashedDelta)
+    Files.writeString(crashedDelta.resolve("rows"), "half")
+    val stagingDebris = Paths.get(liveDir, "deltas", ".graft_build_ff")
+    Files.createDirectories(stagingDebris)
+    // a due sweep collects the orphan + debris + nested delta debris,
+    // refuses the live home, the caller-named home and committed deltas
     val deleted = Artifacts.gcArtifacts(root, live, minAgeMs = 0L)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1))
-      .toSet == Set("fam_0123456789abcdef", "fam_deadbeefdeadbeef"),
+      .toSet == Set("fam_0123456789abcdef", "fam_deadbeefdeadbeef",
+        "day2_crashed", ".graft_build_ff"),
       s"gc deleted $deleted")
     assert(Artifacts.isCommitted(liveDir),
       "gc touched a live committed artifact")
+    assert(Artifacts.isCommitted(callerNamed),
+      "gc deleted a committed caller-named home on a garbage suffix")
+    assert(Artifacts.committedDeltas(liveDir).size == 1 &&
+      Artifacts.isCommitted(goodDelta),
+      "gc touched a committed (serving) delta")
+    assert(!Files.exists(crashedDelta) && !Files.exists(stagingDebris),
+      "gc left nested delta debris behind")
     assert(!Files.exists(Paths.get(orphanDir)) &&
       !Files.exists(Paths.get(debrisDir)))
   }

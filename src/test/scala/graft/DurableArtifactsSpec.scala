@@ -351,14 +351,22 @@ class DurableArtifactsSpec extends AnyFunSuite {
       val dir = freshDir()
       val before = Artifacts.durableBuilds.get()
       Artifacts.durable("marker1", dir, "p=1") { d =>
-        // marker mode builds IN PLACE at the target
-        assert(Artifacts.canonical(d) == Artifacts.canonical(dir))
+        // marker mode builds in PRIVATE staging next to the target
+        // (never in place — an interleaved builder must not be able
+        // to touch this tree mid-build), moved in under the lock
+        assert(Artifacts.canonical(d) != Artifacts.canonical(dir) &&
+          Paths.get(d).getFileName.toString.startsWith(".graft_build_"),
+          s"marker-mode build dir should be private staging, got $d")
         Files.writeString(Paths.get(d, "payload"), "x")
       }
       assert(Artifacts.isCommitted(dir))
+      assert(Files.readString(Paths.get(dir, "payload")) == "x",
+        "staged build was not moved into the target")
       assert(Artifacts.durableBuilds.get() == before + 1)
       assert(!Files.exists(Paths.get(dir, Artifacts.BuildLock)),
         "build lock must be released after commit")
+      // the staged build's manifest moved in with it and verifies
+      assert(Artifacts.verifyArtifact(dir) == ((1, 1)))
       // a fresh owner serves the committed tree without rebuilding
       Artifacts.durable("marker2", dir, "p=1")(_ =>
         fail("rebuilt a committed artifact"))
@@ -429,6 +437,70 @@ class DurableArtifactsSpec extends AnyFunSuite {
         assert(e.getMessage.contains("timed out"), e.getMessage)
       }
     }
+  }
+
+  test("payload manifest: every durable build writes one before the " +
+      "marker; verifyArtifact passes a clean tree and detects a " +
+      "corrupted payload, a missing file, a stray file, and a " +
+      "pre-manifest artifact — in both commit modes") {
+    import java.nio.file.{Files, Paths}
+    for (mode <- Seq("rename", "marker")) withProp(
+        "graft.artifacts.commit", mode) {
+      val dir = freshDir()
+      Artifacts.durable(s"manifest-$mode", dir, "p=1") { d =>
+        Files.writeString(Paths.get(d, "a.bin"), "alpha")
+        Files.createDirectories(Paths.get(d, "t"))
+        Files.writeString(Paths.get(d, "t", "part-0"), "rows")
+      }
+      assert(Files.exists(Paths.get(dir, Artifacts.ManifestFile)))
+      // clean tree verifies; both payload files are listed + hashed
+      assert(Artifacts.verifyArtifact(dir) == ((2, 2)))
+      // sampling checks existence+size for all, md5 for a fraction
+      val (checked, total) = Artifacts.verifyArtifact(dir, 1e-9)
+      assert(checked == 0 && total == 2)
+      // a corrupted payload (same path, different bytes) is detected
+      Files.writeString(Paths.get(dir, "a.bin"), "ALPHA")
+      val e1 = intercept[Exception](Artifacts.verifyArtifact(dir))
+      assert(e1.getMessage.contains("checksum") ||
+        e1.getMessage.contains("Checksum"), e1.getMessage)
+      Files.writeString(Paths.get(dir, "a.bin"), "alpha")
+      // a size change is caught before any hashing
+      Files.writeString(Paths.get(dir, "t", "part-0"), "torn payload!")
+      val e2 = intercept[Exception](Artifacts.verifyArtifact(dir))
+      assert(e2.getMessage.contains("bytes") ||
+        e2.getMessage.contains("Checksum"), e2.getMessage)
+      Files.writeString(Paths.get(dir, "t", "part-0"), "rows")
+      // a missing payload file is detected
+      Files.delete(Paths.get(dir, "a.bin"))
+      val e3 = intercept[Exception](Artifacts.verifyArtifact(dir))
+      assert(e3.getMessage.contains("MISSING"), e3.getMessage)
+      Files.writeString(Paths.get(dir, "a.bin"), "alpha")
+      // a STRAY payload file (an interleaved writer's signature) is
+      // detected
+      Files.writeString(Paths.get(dir, "t", "part-1-stray"), "junk")
+      val e4 = intercept[Exception](Artifacts.verifyArtifact(dir))
+      assert(e4.getMessage.contains("stray") ||
+        e4.getMessage.contains("manifest"), e4.getMessage)
+      Files.delete(Paths.get(dir, "t", "part-1-stray"))
+      // a committed DELTA is outside the home's manifest (it has its
+      // own) — appending must not break the home's verification
+      Artifacts.durable(s"manifest-delta-$mode",
+        Artifacts.deltaDir(dir, "d1"), "p=1") { d =>
+        Files.writeString(Paths.get(d, "rows"), "delta")
+      }
+      assert(Artifacts.verifyArtifact(dir) == ((2, 2)))
+      assert(Artifacts.verifyArtifact(Artifacts.deltaDir(dir, "d1"))
+        == ((1, 1)))
+    }
+    // a pre-manifest artifact fails loudly with a rebuild instruction
+    val old = freshDir()
+    Files.createDirectories(Paths.get(old))
+    Files.writeString(Paths.get(old, "payload"), "x")
+    Files.writeString(Paths.get(old, Artifacts.ParamsFile), "p=1")
+    Files.write(Paths.get(old, Artifacts.CommitMarker),
+      Array.emptyByteArray)
+    val e5 = intercept[Exception](Artifacts.verifyArtifact(old))
+    assert(e5.getMessage.contains("pre-manifest"), e5.getMessage)
   }
 
   test("a file: URI artifact home rides the same Hadoop-FS seam as the " +
