@@ -597,12 +597,131 @@ object Multimodal {
     videoDedupFromFrames(s.read.parquet(s"$dir/video_frames"),
       maxHamming, minFrac, maxBucket)
 
+  // ------------------------------------------------------------------
+  // MEDIA ADMISSION SCREEN (r16): the media family composed into the
+  // nightly-ingest manifest — each increment item's fingerprint
+  // probed against the durable (base + delta) artifact, per-kind
+  // tiers, inc decoded ONCE inline (increment-sized), base never
+  // re-decoded. Per-doc INDEPENDENT: no inc×inc pair ever forms, so
+  // micro-batched serving unions to the batch result by construction
+  // (the q83/q145 stream-twin argument).
+  // ------------------------------------------------------------------
+
+  /** Asymmetric 64-bit probe: inc fingerprints against base
+    * fingerprints via the same chunk-pigeonhole blocking as
+    * [[graft.operators.Dedup.hammingPairs]], but inc×base ONLY —
+    * admission judges each increment item against the base, never
+    * against tonight's siblings. Returns (inc_id, base_id). */
+  private def probe64(inc: DataFrame, base: DataFrame, hashCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    def chunked(f: DataFrame): DataFrame =
+      graft.operators.Dedup.capBuckets(
+        f.filter(col(hashCol).isNotNull)
+          .select(col("media_id"), col(hashCol).as("h"),
+            explode(array((0 until 4).map { c =>
+              struct(lit(c).as("chunk"),
+                shiftright(col(hashCol), c * 16).bitwiseAND(0xffffL)
+                  .as("ck"))
+            }: _*)).as("b"))
+          .select(col("media_id"), col("h"),
+            col("b.chunk").as("chunk"), col("b.ck").as("ck")),
+        Seq("chunk", "ck"), maxBucket)
+    chunked(inc).alias("x").join(chunked(base).alias("y"),
+        Seq("chunk", "ck"))
+      .select(col("x.media_id").as("inc_id"),
+        col("y.media_id").as("base_id"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("inc_id"), col("base_id"))
+  }
+
+  /** Asymmetric frame-sequence probe (the [[videoDedupFromFrames]]
+    * rule, inc×base only): clips match when they have the same frame
+    * count and ≥ `minFrac` of positions hamming-match. */
+  private def probeFrames(inc: DataFrame, base: DataFrame,
+      maxHamming: Int, minFrac: Double, maxBucket: Int): DataFrame = {
+    def chunked(f: DataFrame): DataFrame =
+      graft.operators.Dedup.capBuckets(
+        f.select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("fhash"),
+          explode(array((0 until 4).map { c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("fhash"), c * 16).bitwiseAND(0xffffL)
+                .as("ck"))
+          }: _*)).as("b"))
+          .select(col("media_id"), col("n_frames"), col("frame_idx"),
+            col("fhash"), col("b.chunk").as("chunk"),
+            col("b.ck").as("ck")),
+        Seq("frame_idx", "chunk", "ck"), maxBucket)
+    chunked(inc).alias("x").join(chunked(base).alias("y"),
+        Seq("frame_idx", "chunk", "ck"))
+      .filter(col("x.n_frames") === col("y.n_frames"))
+      .select(col("x.media_id").as("inc_id"),
+        col("y.media_id").as("base_id"), col("frame_idx"),
+        col("x.n_frames").as("n"),
+        bit_count(col("x.fhash").bitwiseXOR(col("y.fhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("inc_id"), col("base_id"), col("n"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= ceil(lit(minFrac) * col("n")))
+      .select(col("inc_id"), col("base_id"))
+  }
+
+  /** The probe core over EXPLICIT base fingerprint frames — shared by
+    * the at-rest screen ([[mediaAdmissionScreen]]) and the inline
+    * twin ([[mediaAdmissionScreenInline]]) so the two cannot drift.
+    * Returns one row per DUPLICATE increment item:
+    * (media_id, media_dup_of = min matching base id). */
+  private def mediaAdmissionCore(incMedia: DataFrame, baseImg: DataFrame,
+      baseAud: DataFrame, baseVid: DataFrame, maxHamming: Int,
+      minFrac: Double, maxBucket: Int): DataFrame =
+    probe64(imageAHashes(incMedia), baseImg, "ahash", maxHamming,
+        maxBucket)
+      .unionByName(probe64(audioFingerprints(incMedia), baseAud, "afp",
+        maxHamming, maxBucket))
+      .unionByName(probeFrames(videoFrameHashes(incMedia), baseVid,
+        maxHamming, minFrac, maxBucket))
+      .groupBy(col("inc_id").as("media_id"))
+      .agg(min(col("base_id")).as("media_dup_of"))
+
+  /** The MEDIA screen of the nightly admission, served from the
+    * durable (base + committed deltas) fingerprint artifact: the
+    * increment is decoded once tonight; the base contributes at-rest
+    * 8-byte fingerprints — zero base decode, media bytes never
+    * shuffle. */
+  def mediaAdmissionScreen(s: SparkSession, incMedia: DataFrame,
+      dir: String, maxHamming: Int = 3, minFrac: Double = 0.9,
+      maxBucket: Int = 10000): DataFrame =
+    mediaAdmissionCore(incMedia,
+      fpTable(s, dir, "image").select(col("media_id"), col("ahash")),
+      fpTable(s, dir, "audio"),
+      fpTable(s, dir, "video_frames"), maxHamming, minFrac, maxBucket)
+
+  /** The inline twin: base fingerprints recomputed from the media
+    * frame (decode-twice) — the artifact ≡ inline pin's other half. */
+  def mediaAdmissionScreenInline(incMedia: DataFrame,
+      baseMedia: DataFrame, maxHamming: Int = 3, minFrac: Double = 0.9,
+      maxBucket: Int = 10000): DataFrame =
+    mediaAdmissionCore(incMedia,
+      imageAHashes(baseMedia), audioFingerprints(baseMedia),
+      videoFrameHashes(baseMedia), maxHamming, minFrac, maxBucket)
+
   /** The durable fingerprint home for a dataset dir — the
     * [[graft.Artifacts.durableDirFor]] convention keyed to the
     * documents table (the synthetic media is a pure function of
     * it). */
   def mediaFpDurableDir(d: String): String =
     graft.Artifacts.durableDirFor("mediafp", d, "documents.parquet")
+
+  /** Durable home for the ADMISSION-cycle media fingerprints (q350):
+    * the day-0 %10∉{3,4} base is a DIFFERENT input than the
+    * whole-corpus q331-q334 artifact — same knobs, different data
+    * must never share a durable dir. */
+  def mediaFp9DurableDir(d: String): String =
+    graft.Artifacts.durableDirFor("mediafp9", d, "documents.parquet")
 
   /** Ensure the fingerprint artifact for `d` exists; return its dir
     * (the accessor the four at-rest queries share — one build serves

@@ -1373,8 +1373,17 @@ object Dedup {
       s"compactNearDupBase needs a committed base at $canon")
     val (bands, _) = lshBandChoice(numPerms,
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
-    graft.Artifacts.durable(s, outDir,
-      s"pndbase|s=$shingleSize|p=$numPerms|b=$bands") { d =>
+    val stamp = s"pndbase|s=$shingleSize|p=$numPerms|b=$bands"
+    // the compactor copies base+delta rows VERBATIM, so the params it
+    // stamps on the fold MUST be the params the source was built with
+    // — stamping the caller's arguments unchecked would mislabel the
+    // output whenever they disagree (the r15 verdict's finding #1)
+    val src = graft.Artifacts.committedParams(canon)
+    require(src == stamp,
+      s"compactNearDupBase called with '$stamp' but the base at " +
+        s"$canon was built with '$src' — a fold never changes params; " +
+        "rebuild under the new knobs instead")
+    graft.Artifacts.durable(s, outDir, stamp) { d =>
       graft.Artifacts.committedDeltas(canon)
         .foldLeft(s.read.parquet(s"$canon/buckets"))((acc, dd) =>
           acc.unionByName(s.read.parquet(s"$dd/buckets")))
@@ -1625,6 +1634,12 @@ object Dedup {
     val canon = graft.Artifacts.canonical(dir)
     require(graft.Artifacts.isCommitted(canon),
       s"compactScreenBase needs a committed screen base at $canon")
+    // fold params must equal the source's — the fp rows copy verbatim
+    val src = graft.Artifacts.committedParams(canon)
+    require(src == s"screen|fpp=$fpp",
+      s"compactScreenBase called with 'screen|fpp=$fpp' but the base " +
+        s"at $canon was built with '$src' — a fold never changes " +
+        "params; rebuild under the new knobs instead")
     val union = graft.Artifacts.committedDeltas(canon)
       .foldLeft(s.read.parquet(s"$canon/fps"))((acc, dd) =>
         acc.unionByName(s.read.parquet(s"$dd/fps")))

@@ -133,6 +133,143 @@ object Ingest {
     assembleFor(inc.select(col("doc_id")), ex, near, sem)
   }
 
+  /** DAY-3 of the nightly loop — the r16 compaction composition: the
+    * q342 homes (day-0 base + day-1 delta) FOLDED by the three
+    * compactors into fresh durable homes
+    * ([[Dedup.compactScreenBase]], [[Dedup.compactNearDupBase]],
+    * [[Similarity.compactIvfIndex]] — artifact rows only, the corpus
+    * is never re-fingerprinted / re-shingled, the quantizer never
+    * retrains), and tonight's increment admitted ENTIRELY from the
+    * compacted homes. Registered against q342's oracle VERBATIM (the
+    * q341 convention): the driver itself checks that the fold changes
+    * no admission decision — compacted ≡ appended, hash-exact. The
+    * compactors are params-safe: each reads the source sidecar and
+    * refuses mismatched knobs before folding. */
+  def nightlyAdmissionCompacted(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String,
+      screenDir: String, nearCDir: String, semCDir: String,
+      screenCDir: String): DataFrame = {
+    val base0 =
+      docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 3)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val eBase0 = e.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 4L))
+    // days 0-2 (idempotent: homes + "m4" deltas are shared with q342)
+    Dedup.materializedScreenBaseDurable(s, base0, screenDir)
+    Dedup.appendFpsToScreenBase(s, day1, screenDir, "m4")
+    Dedup.portableNearDupBaseDurableFrom(s, base0, nearDir)
+    Dedup.appendToNearDupBase(s, day1, nearDir, "m4")
+    Similarity.ivfExactIndexDurable(s, eBase0, semDir)
+    Similarity.appendToIvfIndex(s,
+      e.filter(pmod(col("vec_id"), lit(10L)) === 4), semDir, "m4")
+    // day-3: fold (base + delta) into the compacted homes
+    Dedup.compactScreenBase(s, screenDir, screenCDir)
+    Dedup.compactNearDupBase(s, nearDir, nearCDir)
+    Similarity.compactIvfIndex(s, semDir, semCDir)
+    // serve tonight's increment from the COMPACTED homes only (the
+    // base frames are by-name on every path — never evaluated)
+    val survivors = Dedup.crossCorpusNewFromAppendedArtifact(s, inc,
+      base0, screenCDir)
+    val ex = inc.select(col("doc_id"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    val near = Dedup.portableIncNearDupsAgainstAppendedArtifact(s, inc,
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3), base0,
+      nearCDir)
+    val sem = Similarity.semDedupAgainstAppendedIndex(s,
+      e.filter(pmod(col("vec_id"), lit(10L)) === 3), eBase0, semCDir)
+    assembleFor(inc.select(col("doc_id")), ex, near, sem)
+  }
+
+  /** The manifest with the MEDIA screens composed in (the r15
+    * verdict's #3): the q342 text screens PLUS per-kind media
+    * fingerprint membership (image aHash / audio chunked-RMS / video
+    * frame-sequence) against the durable media artifact — day-0 media
+    * decoded once into the base artifact, day-1 appended as a
+    * commit-marked delta, tonight's increment decoded once and probed
+    * against at-rest 8-byte fingerprints (zero base decode, media
+    * bytes never shuffle). One row per increment doc:
+    * (doc_id, exact_dup, near_dup_of, sem_dup_of, media_dup_of,
+    * admit) with admit now requiring ALL FOUR screens clean.
+    * Rows-only BY DESIGN (codec family); the text columns equal
+    * q342's verbatim, the media column equals the screen recomputed,
+    * and artifact ≡ inline per media tier — all spec-pinned
+    * (IngestSpec component-agreement rows). Per-doc independent on
+    * every screen, so micro-batched serving unions to this manifest
+    * by construction. */
+  def nightlyAdmissionWithMedia(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String,
+      screenDir: String, mediaDir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val manifest = nightlyAdmissionAppended(s, docs, embeddings,
+      nearDir, semDir, screenDir)
+    val md = Multimodal.mediaFingerprintArtifact(s,
+      Multimodal.syntheticMediaFrom(
+        docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))),
+      mediaDir)
+    Multimodal.appendToMediaFingerprintArtifact(s,
+      Multimodal.syntheticMediaFrom(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)), md, "m4")
+    val hits = Multimodal.mediaAdmissionScreen(s,
+      Multimodal.syntheticMediaFrom(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 3)), md)
+    manifest
+      .join(hits.withColumnRenamed("media_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"), col("near_dup_of"),
+        col("sem_dup_of"), col("media_dup_of"),
+        (col("admit") && col("media_dup_of").isNull).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DELTA-PRESSURE card — q328/q339's staleness-gate discipline
+    * applied to the DELTA dimension: one row per screen artifact with
+    * its committed delta count, base rows, delta rows and the
+    * serve-side union width (rows every nightly serve must union).
+    * The compaction trigger reads THIS card: when n_deltas (or the
+    * delta/base row ratio) outgrows what serving should pay while the
+    * q328/q339 health gates still say the banding/quantizer is fine,
+    * fold ([[nightlyAdmissionCompacted]]'s day-3); when the gates
+    * fire, rebuild. HASH-EXACT: every count is a corpus-derivable
+    * fact (fps are per-doc deterministic, band keys are bands×docs,
+    * index rows are one per vector), so the oracle restates each from
+    * the tables. Reads artifact metadata + artifact-mass counts only —
+    * never corpus text. */
+  def deltaPressureCard(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame, nearDir: String, semDir: String,
+      screenDir: String): DataFrame = {
+    val base0 =
+      docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    // ensure the q342 homes + day-1 deltas (idempotent, shared)
+    Dedup.materializedScreenBaseDurable(s, base0, screenDir)
+    Dedup.appendFpsToScreenBase(s, day1, screenDir, "m4")
+    Dedup.portableNearDupBaseDurableFrom(s, base0, nearDir)
+    Dedup.appendToNearDupBase(s, day1, nearDir, "m4")
+    Similarity.ivfExactIndexDurable(s,
+      e.filter(!pmod(col("vec_id"), lit(10L)).isin(3L, 4L)), semDir)
+    Similarity.appendToIvfIndex(s,
+      e.filter(pmod(col("vec_id"), lit(10L)) === 4), semDir, "m4")
+    def card(family: String, home: String, sub: String)
+        : (String, Long, Long, Long) = {
+      val canon = graft.Artifacts.canonical(home)
+      val deltas = graft.Artifacts.committedDeltas(canon)
+      val baseRows = s.read.parquet(s"$canon/$sub").count()
+      val deltaRows = deltas
+        .map(dd => s.read.parquet(s"$dd/$sub").count()).sum
+      (family, deltas.size.toLong, baseRows, deltaRows)
+    }
+    import s.implicits._
+    Seq(card("ivfx", semDir, "t"),
+      card("neardup", nearDir, "buckets"),
+      card("screen", screenDir, "fps"))
+      .toDF("family", "n_deltas", "base_rows", "delta_rows")
+      .withColumn("serve_rows", col("base_rows") + col("delta_rows"))
+      .orderBy(col("family"))
+  }
+
   /** Per-micro-batch admission over an ARBITRARY crawl-record frame
     * (doc_id, text, lang, source, embedding) — every screen serves
     * from its durable artifact, and per-doc decisions are independent
@@ -327,6 +464,39 @@ object Ingest {
         Dedup.docsDurableDir("pnd9", d),
         Similarity.ivfExactAppendDurableDir(d),
         Dedup.docsDurableDir("screen9", d))),
+    // DAY-3 of the loop (r16): the q342 homes folded by the three
+    // params-safe compactors into fresh homes, tonight's increment
+    // admitted ENTIRELY from the compacted artifacts. Same oracle as
+    // q342 VERBATIM — the driver checks the fold changes nothing
+    "q348_nightly_admission_compacted" -> ((s, d) =>
+      nightlyAdmissionCompacted(s, Tables(s, d).documents,
+        Tables(s, d).embeddings,
+        Dedup.docsDurableDir("pnd9", d),
+        Similarity.ivfExactAppendDurableDir(d),
+        Dedup.docsDurableDir("screen9", d),
+        Dedup.docsDurableDir("pnd9c", d),
+        Similarity.ivfExactCompactDurableDir(d),
+        Dedup.docsDurableDir("screen9c", d))),
+    // the FULL manifest (r16): all three text screens + the three
+    // media fingerprint screens as admission columns. Rows-only BY
+    // DESIGN (codec family — javax.imageio/PCM bytes aren't SQL);
+    // its text columns ride q342's oracle and its media column is
+    // spec-pinned artifact ≡ inline (IngestSpec)
+    "q350_nightly_admission_media" -> ((s, d) =>
+      nightlyAdmissionWithMedia(s, Tables(s, d).documents,
+        Tables(s, d).embeddings,
+        Dedup.docsDurableDir("pnd9", d),
+        Similarity.ivfExactAppendDurableDir(d),
+        Dedup.docsDurableDir("screen9", d),
+        graft.multimodal.Multimodal.mediaFp9DurableDir(d))),
+    // the compaction TRIGGER's input: delta count + row pressure per
+    // screen artifact (hash-exact — every count is corpus-derivable)
+    "q349_delta_pressure" -> ((s, d) =>
+      deltaPressureCard(s, Tables(s, d).documents,
+        Tables(s, d).embeddings,
+        Dedup.docsDurableDir("pnd9", d),
+        Similarity.ivfExactAppendDurableDir(d),
+        Dedup.docsDurableDir("screen9", d))),
     // the nightly job's BOOKKEEPING: one row per artifact home under
     // the lake root — family, params, committed, size, delta count,
     // and fingerprint LIVENESS against this dataset's tables (a
@@ -346,9 +516,41 @@ object Ingest {
     })
   )
 
+  /** q349's DuckDB twin: every pressure number restated from the
+    * corpus — fps are per-doc deterministic (count distinct), band
+    * keys are bands×docs, index rows are one per vector; n_deltas is
+    * 1 by the chain's construction (one "m4" delta per home). */
+  private def deltaPressureOracle: String = {
+    val (bands, _) = Dedup.lshBandChoice(16, 0.3, 0.7)
+    s"""SELECT family, n_deltas, base_rows, delta_rows,
+       |  base_rows + delta_rows AS serve_rows
+       |FROM (
+       |  SELECT 'ivfx' AS family, CAST(1 AS BIGINT) AS n_deltas,
+       |    (SELECT count(*) FROM embeddings
+       |      WHERE vec_id % 10 NOT IN (3, 4)) AS base_rows,
+       |    (SELECT count(*) FROM embeddings
+       |      WHERE vec_id % 10 = 4) AS delta_rows
+       |  UNION ALL
+       |  SELECT 'neardup', CAST(1 AS BIGINT),
+       |    $bands * (SELECT count(*) FROM documents
+       |      WHERE doc_id % 10 NOT IN (3, 4)),
+       |    $bands * (SELECT count(*) FROM documents
+       |      WHERE doc_id % 10 = 4)
+       |  UNION ALL
+       |  SELECT 'screen', CAST(1 AS BIGINT),
+       |    (SELECT count(DISTINCT $contentFpSql) FROM documents
+       |      WHERE doc_id % 10 NOT IN (3, 4)),
+       |    (SELECT count(DISTINCT $contentFpSql) FROM documents
+       |      WHERE doc_id % 10 = 4)
+       |)
+       |ORDER BY family""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q340_nightly_admission" -> admissionOracle,
     "q341_nightly_admission_atrest" -> admissionOracle,
-    "q342_nightly_admission_appended" -> admissionAppendedOracle
+    "q342_nightly_admission_appended" -> admissionAppendedOracle,
+    "q348_nightly_admission_compacted" -> admissionAppendedOracle,
+    "q349_delta_pressure" -> deltaPressureOracle
   )
 }

@@ -1076,6 +1076,13 @@ object Similarity {
     val canon = graft.Artifacts.canonical(dir)
     require(graft.Artifacts.isCommitted(canon),
       s"compactIvfIndex needs a committed index at $canon")
+    // the centroid sidecar copies VERBATIM — the fold's stamped params
+    // must be the params the source quantizer was trained with
+    val src = graft.Artifacts.committedParams(canon)
+    require(src == s"ivfx|c=$cells|i=$iters",
+      s"compactIvfIndex called with 'ivfx|c=$cells|i=$iters' but the " +
+        s"index at $canon was built with '$src' — a fold never " +
+        "retrains; rebuild under the new knobs instead")
     graft.Artifacts.durable(s, outDir, s"ivfx|c=$cells|i=$iters") { d =>
       s.read.parquet(s"$canon/cents")
         .write.mode("overwrite").parquet(s"$d/cents")
@@ -1137,6 +1144,11 @@ object Similarity {
     * same knobs, different data must never share a durable dir. */
   def ivfExactAppendDurableDir(d: String): String =
     graft.Artifacts.durableDirFor("ivfx9", d, "embeddings.parquet")
+
+  /** Durable home for the COMPACTED fold of the append-cycle index
+    * (q348's day-3): convention-named so GC liveness parses it. */
+  def ivfExactCompactDurableDir(d: String): String =
+    graft.Artifacts.durableDirFor("ivfx9c", d, "embeddings.parquet")
 
   /** The assign + prune + best-match decision core over EXPLICIT
     * index frames — shared by the catalog and durable tiers.

@@ -128,4 +128,84 @@ class IngestSpec extends AnyFunSuite {
       key = "ingest-spec-parity").collect().map(_.toSeq)
     assert(atRest.toSeq == session.toSeq)
   }
+
+  test("media-composed manifest (q350): text columns equal q342's " +
+      "verbatim, the media column equals the screen recomputed, admit " +
+      "is the four-way conjunction, and the media screen is " +
+      "artifact == inline bit-for-bit with per-doc independence " +
+      "(split union == whole)") {
+    import graft.multimodal.Multimodal
+    val docs = Tables(spark, sf).documents
+    val emb = Tables(spark, sf).embeddings
+    def fresh(tag: String): String = java.nio.file.Files
+      .createTempDirectory("graft_ingest_media_").resolve(tag).toString
+    val (dirN, dirS, dirE, dirM) =
+      (fresh("n"), fresh("s"), fresh("e"), fresh("m"))
+    val full = Ingest.nightlyAdmissionWithMedia(spark, docs, emb,
+      dirN, dirS, dirE, dirM).collect()
+    // text columns + the base manifest ride q342's composition
+    val text = Ingest.nightlyAdmissionAppended(spark, docs, emb,
+      dirN, dirS, dirE).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(full.length == text.size, "row coverage drifted")
+    full.foreach { r =>
+      val t = text(r.getLong(0))
+      assert(r.toSeq.take(4) == t.take(4),
+        s"text columns drifted for doc ${r.getLong(0)}")
+    }
+    // the media column equals the screen recomputed; admit is the
+    // conjunction of the text admit and media-clean
+    val incMedia = Multimodal.syntheticMediaFrom(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3))
+    val hits = Multimodal.mediaAdmissionScreen(spark, incMedia, dirM)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach { r =>
+      val id = r.getLong(0)
+      val mediaDup = Option(r.get(4)).map(_.asInstanceOf[Long])
+      assert(mediaDup == hits.get(id),
+        s"media column drifted for doc $id")
+      val textAdmit = text(id)(4).asInstanceOf[Boolean]
+      assert(r.getBoolean(5) == (textAdmit && mediaDup.isEmpty),
+        s"admit is not the four-way conjunction for doc $id")
+    }
+    assert(full.exists(_.getBoolean(5)), "nothing admitted — vacuous")
+    // PLANTED duplicates, one per KIND: media content is a pure
+    // function of doc_id (no natural inc-vs-base media dups), so
+    // copy three base items' exact bytes under fresh increment ids —
+    // each must surface through its kind's tier
+    def kindOf(id: Long): String = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val baseIds = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val plantSrc = Seq("image", "audio", "video")
+      .map(k => baseIds.find(kindOf(_) == k).get)
+    val planted = Multimodal.syntheticMediaFrom(
+      docs.filter(col("doc_id").isin(plantSrc.map(Long.box): _*)))
+      .withColumn("media_id", col("media_id") + lit(1000000L))
+    val plantedHits =
+      Multimodal.mediaAdmissionScreen(spark, planted, dirM)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plantSrc.foreach { b =>
+      assert(plantedHits.contains(b + 1000000L),
+        s"planted ${kindOf(b)} duplicate of base $b not caught")
+    }
+    // artifact == inline bit-for-bit (the codec-family pin), on the
+    // NON-VACUOUS increment (natural + planted): the at-rest probe
+    // against (base + delta) fingerprints equals the screen
+    // recomputed from decoded base media
+    val incAll = incMedia.unionByName(planted)
+    val hitsAll = Multimodal.mediaAdmissionScreen(spark, incAll, dirM)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseMedia = Multimodal.syntheticMediaFrom(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3))
+    val inline = Multimodal.mediaAdmissionScreenInline(incAll,
+      baseMedia).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hitsAll == inline, "media screen: artifact != inline")
+    // per-doc independence: screening the planted and natural slices
+    // separately unions to the whole screen (the stream-twin argument)
+    val unioned = plantedHits ++ hits
+    assert(unioned == hitsAll,
+      "micro-batched media screening != whole-batch screening")
+  }
 }

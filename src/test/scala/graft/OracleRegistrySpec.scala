@@ -40,6 +40,11 @@ class OracleRegistrySpec extends AnyFunSuite {
     // like the whole codec family; appended ≡ rebuilt ≡ inline
     // spec-pinned in ArtifactMaintenanceSpec
     "q347_image_dedup_appended",
+    // q350 (r16) composes the media screens into the admission
+    // manifest — rows-only like the whole codec family; its text
+    // columns ride q342's oracle verbatim and its media column is
+    // pinned artifact ≡ inline + component-agreement in IngestSpec
+    "q350_nightly_admission_media",
     "q331_image_dedup_atrest", "q332_image_phash_atrest",
     "q333_audio_dedup_atrest", "q334_video_dedup_atrest",
     "q28_minhash_dedup", "q29_simhash_dedup", "q33_ann_rp_lsh",
