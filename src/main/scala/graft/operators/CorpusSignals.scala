@@ -337,11 +337,21 @@ object CorpusSignals {
     * consume the shared boundary and silently skip every second
     * occurrence — `"a a a a"` must merge to `"aa aa"`, not
     * `"aa a a"`). Symbols never contain spaces, so no false matches. */
-  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeTrainMergesFromUnits(
+      docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1),
+      nMerges)
+
+  /** The merge loop over an EXPLICIT unit stream (one row per unit
+    * occurrence, column `word`) — shared by the word tier
+    * ([[bpeTrainMerges]]) and the byte tier ([[byteBpeTrainMerges]])
+    * so the training algebra cannot drift between them. */
+  private def bpeTrainMergesFromUnits(units: DataFrame,
+      nMerges: Int): DataFrame = {
+    val spark = units.sparkSession
     import spark.implicits._
-    val wf0 = docs.select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1)
+    val wf0 = units
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(lit("  "),
         array_join(expr(
@@ -427,23 +437,30 @@ object CorpusSignals {
     * encode-from-trained bit-exactly). The merge list compiles to the
     * same codegen'd replace chain either way. */
   def bpeEncodeWith(merges: Seq[(String, String)], docs: DataFrame)
-      : DataFrame = {
-    def encodeWord(w: Column): Column = {
-      val s0 = concat(lit("  "),
-        array_join(transform(sequence(lit(1), length(w)),
-          i => w.substr(i, lit(1))), "  "), lit("  "))
-      val enc = merges.foldLeft(s0) { case (c, (a, b)) =>
-        call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
-      }
-      call_function("replace", trim(enc), lit("  "), lit(" "))
+      : DataFrame =
+    encodeUnitsWith(merges, docs, split(col("text"), " "))
+
+  /** One unit through the rank-ordered replace chain — the encoder
+    * core both tiers compile. */
+  private def pieceEncode(merges: Seq[(String, String)])(w: Column)
+      : Column = {
+    val s0 = concat(lit("  "),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "  "), lit("  "))
+    val enc = merges.foldLeft(s0) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a  $b "), lit(s" $a$b "))
     }
+    call_function("replace", trim(enc), lit("  "), lit(" "))
+  }
+
+  private def encodeUnitsWith(merges: Seq[(String, String)],
+      docs: DataFrame, unitsOf: Column): DataFrame =
     docs.select(col("doc_id"),
-        array_join(transform(split(col("text"), " "), encodeWord(_)), " ")
+        array_join(transform(unitsOf, pieceEncode(merges)(_)), " ")
           .as("pieces"))
       .select(col("doc_id"),
         size(split(col("pieces"), " ")).as("n_pieces"), col("pieces"))
       .orderBy(col("doc_id"))
-  }
 
   /** Vocabulary UTILIZATION audit — the SentencePiece prune-step
     * diagnostic (Kudo 2018 §3.2 keeps the pieces the segmentation
@@ -535,7 +552,13 @@ object CorpusSignals {
     * divisions of exact integer sums — so the full train→encode→audit
     * chain replays hash-exact in the oracle. */
   def bpeFertility(docs: DataFrame, nMerges: Int = 10): DataFrame =
-    bpeEncode(docs, nMerges)
+    fertilityRollup(bpeEncode(docs, nMerges), docs)
+
+  /** The per-source fertility/compression rollup over an encoded
+    * frame — shared by the word (q219) and byte (q354) audits. */
+  private def fertilityRollup(encoded: DataFrame, docs: DataFrame)
+      : DataFrame =
+    encoded
       .join(docs.select(col("doc_id"), col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_words")),
         Seq("doc_id"))
@@ -551,6 +574,73 @@ object CorpusSignals {
         (col("n_chars").cast("double") / col("n_pieces").cast("double"))
           .as("chars_per_piece"))
       .orderBy(col("source"))
+
+  // ---------------------------------------------------------------
+  // q352-q354: BYTE-LEVEL BPE — the GPT-2-family tokenizer shape
+  // (Radford et al. 2019 §2.2; the reference tokenizers are
+  // byte-level with a regex pre-tokenizer, where q157/q177 are
+  // word-internal)
+  // ---------------------------------------------------------------
+
+  /** The documented pre-tokenizer: the GPT-2 pattern's ASCII core —
+    * ` ?letters | ?digits | ?other | spaces`, each unit optionally
+    * carrying its LEADING space (so "the cat" pre-tokenizes to
+    * ["the", " cat"] and merges can learn space-prefixed pieces like
+    * "Ġthe", which is what makes byte-level vocabularies
+    * whitespace-faithful). Plain ordered alternation with greedy
+    * quantifiers — identical leftmost-match semantics in Java regex
+    * and RE2, so the oracle replays it verbatim; GPT-2's trailing
+    * `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead): a
+    * multi-space run keeps its spaces in one ` +` unit instead of
+    * donating the last one forward — a deterministic, documented
+    * simplification. */
+  val BytePretokenPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** The byte-to-symbol map on an ASCII corpus: every byte IS its
+    * character, except space — which must be a real symbol inside a
+    * unit but is the SEPARATOR of the double-space sym encoding — so
+    * it maps to Ġ (U+0120), exactly the image of 0x20 under GPT-2's
+    * bytes-to-unicode table. */
+  private def byteMapped(u: Column): Column = translate(u, " ", "Ġ")
+
+  private def byteUnitsOf(text: Column): Column =
+    regexp_extract_all(text, lit(BytePretokenPattern), lit(0))
+
+  /** BYTE-LEVEL BPE training (q352): [[bpeTrainMerges]]'s exact merge
+    * loop over pre-tokenizer units instead of whitespace words — the
+    * trained table contains space-crossing pieces (Ġ-prefixed), which
+    * the word tier structurally cannot learn. Same scale shape: the
+    * corpus collapses once to a Zipf-bounded unit-type table. */
+  def byteBpeTrainMerges(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeTrainMergesFromUnits(
+      docs.select(explode(byteUnitsOf(col("text"))).as("u"))
+        .filter(length(col("u")) >= 1)
+        .select(byteMapped(col("u")).as("word")),
+      nMerges)
+
+  /** Encode with an explicit byte-tier merge table — pre-tokenize,
+    * Ġ-map, then the same rank-ordered replace chain (one codegen'd
+    * projection, scan-speed at any corpus size). */
+  def byteBpeEncodeWith(merges: Seq[(String, String)],
+      docs: DataFrame): DataFrame =
+    encodeUnitsWith(merges, docs,
+      transform(byteUnitsOf(col("text")), byteMapped(_)))
+
+  /** Train→encode composition for the byte tier (q353) — the q177
+    * convention: re-training keeps the operator a pure function of
+    * its input, which is what lets the oracle replay the whole chain;
+    * deployment writes the q352 table to the lake and uses
+    * [[byteBpeEncodeWith]]. */
+  def byteBpeEncode(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    byteBpeEncodeWith(mergeTable(byteBpeTrainMerges(docs, nMerges)),
+      docs)
+
+  /** The q219 fertility audit RE-POINTED at the byte tier (q354):
+    * pieces-per-WORD stays the denominator (fertility must be
+    * comparable across tiers), pieces now come from the byte
+    * encoder. */
+  def byteBpeFertility(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    fertilityRollup(byteBpeEncode(docs, nMerges), docs)
 
   /** Viterbi OPTIMAL segmentation fertility — the dynamic-programming
     * LOWER BOUND a greedy subword encoder is judged against
@@ -636,8 +726,15 @@ object CorpusSignals {
     * chr(1) guards the scalar subqueries if a round ran dry (cannot
     * happen on corpora where training emitted all rounds — q157
     * proves it does here). */
-  private[operators] def bpeEncodeOracle(nMerges: Int): String = {
-    val trainStages = bpeMergesOracle(nMerges)
+  private[operators] def bpeEncodeOracle(nMerges: Int): String =
+    bpeEncodeOracleOver(nMerges, wordUnitsSql, wordDocListSql)
+
+  private[operators] def byteBpeEncodeOracle(nMerges: Int): String =
+    bpeEncodeOracleOver(nMerges, byteUnitsSql, byteDocListSql)
+
+  private def bpeEncodeOracleOver(nMerges: Int, unitsSql: String,
+      docListSql: String): String = {
+    val trainStages = bpeMergesOracleOver(nMerges, unitsSql)
     // reuse the training CTE block verbatim: strip its WITH and the
     // final SELECT (everything from the last "SELECT * FROM (")
     val body = trainStages.stripPrefix("WITH ")
@@ -656,13 +753,12 @@ object CorpusSignals {
        |  SELECT DISTINCT word,
        |    '  ' || array_to_string(string_split(word, ''), '  ') || '  '
        |      AS sym
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-       |        FROM documents)
+       |  FROM ($unitsSql)
        |  WHERE len(word) >= 1),
        |${vocab.mkString(",\n")},
        |d AS (
        |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+       |  FROM (SELECT doc_id, $docListSql AS l
        |        FROM documents)),
        |enc AS (
        |  SELECT doc_id, pos,
@@ -682,15 +778,35 @@ object CorpusSignals {
     * default, and each round references its predecessor several times
     * (the scalar subqueries), so inlining would re-expand the whole
     * chain exponentially. */
-  private[operators] def bpeMergesOracle(nMerges: Int): String = {
+  /** The word tier's SQL unit stream + per-doc unit list. */
+  private val wordUnitsSql =
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+  private val wordDocListSql = "string_split(text, ' ')"
+
+  /** The byte tier's: the documented pre-tokenizer + the space→Ġ
+    * map, verbatim in RE2. */
+  private def byteUnitsSql =
+    "SELECT replace(unnest(regexp_extract_all(text, " +
+      s"'$BytePretokenPattern')), ' ', 'Ġ') AS word FROM documents"
+  private def byteDocListSql =
+    s"list_transform(regexp_extract_all(text, '$BytePretokenPattern')," +
+      " u -> replace(u, ' ', 'Ġ'))"
+
+  private[operators] def bpeMergesOracle(nMerges: Int): String =
+    bpeMergesOracleOver(nMerges, wordUnitsSql)
+
+  private[operators] def byteBpeMergesOracle(nMerges: Int): String =
+    bpeMergesOracleOver(nMerges, byteUnitsSql)
+
+  private def bpeMergesOracleOver(nMerges: Int,
+      unitsSql: String): String = {
     val w0 =
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         |  SELECT freq,
         |    '  ' || array_to_string(string_split(word, ''), '  ') || '  '
         |      AS sym
         |  FROM (SELECT word, count(*) AS freq
-        |        FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |              FROM documents)
+        |        FROM ($unitsSql)
         |        WHERE len(word) >= 1 GROUP BY word))""".stripMargin
     val stages = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
@@ -2289,6 +2405,14 @@ object CorpusSignals {
       bpeEncode(Tables(s, d).documents)),
     "q219_bpe_fertility" -> ((s, d) =>
       bpeFertility(Tables(s, d).documents)),
+    // BYTE-LEVEL tier (r16): the GPT-2-family tokenizer shape — regex
+    // pre-tokenizer + byte alphabet (space ↦ Ġ), same merge loop
+    "q352_byte_bpe_merges" -> ((s, d) =>
+      byteBpeTrainMerges(Tables(s, d).documents)),
+    "q353_byte_bpe_encode" -> ((s, d) =>
+      byteBpeEncode(Tables(s, d).documents)),
+    "q354_byte_fertility" -> ((s, d) =>
+      byteBpeFertility(Tables(s, d).documents)),
     "q165_bm25_topk" -> ((s, d) =>
       bm25TopK(Tables(s, d).documents)),
     "q159_source_overlap" -> ((s, d) =>
@@ -2603,6 +2727,26 @@ object CorpusSignals {
         |FROM sp, t ORDER BY min_count DESC""".stripMargin,
     "q157_bpe_merges" -> bpeMergesOracle(10),
     "q177_bpe_encode" -> bpeEncodeOracle(10),
+    // the byte tier replays the SAME unrolled chains over the
+    // pre-tokenizer unit stream (shared generators — the tiers
+    // cannot drift)
+    "q352_byte_bpe_merges" -> byteBpeMergesOracle(10),
+    "q353_byte_bpe_encode" -> byteBpeEncodeOracle(10),
+    "q354_byte_fertility" ->
+      s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |    AS n_words,
+         |  CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(CAST(sum(e.n_pieces) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |        AS DOUBLE) AS pieces_per_word,
+         |  CAST(CAST(sum(d.n_chars) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(e.n_pieces) AS BIGINT) AS DOUBLE)
+         |    AS chars_per_piece
+         |FROM (${byteBpeEncodeOracle(10)}) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q177's full train+encode oracle as the inner query, rolled up
     // per source with the same integer sums and IEEE divisions
     "q219_bpe_fertility" ->

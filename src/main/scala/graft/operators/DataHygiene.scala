@@ -342,14 +342,7 @@ object DataHygiene {
     * higher-order array functions inside one codegen stage; zero
     * shuffle at any corpus size. */
   def paragraphGate(docs: DataFrame): DataFrame = {
-    val stats = transform(plantedParas(), p => {
-      val ws = split(p, " ")
-      val n = size(ws)
-      val links = size(filter(ws, w => w === "href"))
-      struct(n.as("n"),
-        when(links.cast("double") / n.cast("double") >= 0.2, "bad")
-          .when(n < 5, "short").otherwise("good").as("cls"))
-    })
+    val stats = paraStats(plantedParas())
     def cnt(cls: String) =
       size(filter(col("st"), s => s.getField("cls") === cls)).cast("long")
     def mass(cls: String) = aggregate(
@@ -367,6 +360,118 @@ object DataHygiene {
           .as("keep_frac"))
     // no presentation sort: the pure projection also runs as an
     // append-mode stream (q197/q218 convention — registration orders)
+  }
+
+  // ---------------------------------------------------------------
+  // q351: the FULL jusText tier — context-sensitive neighbor
+  // smoothing (Pomikálek 2011 §3.3) over the paragraph classes
+  // ---------------------------------------------------------------
+
+  /** The q260 paragraph classifier as a reusable lambda body:
+    * (words) → struct(n, cls) with cls ∈ {bad, short, good}. ONE
+    * definition shared by the lite and full tiers so the class rules
+    * cannot drift. */
+  private def paraStats(paras: Column): Column =
+    transform(paras, p => {
+      val ws = split(p, " ")
+      val n = size(ws)
+      val links = size(filter(ws, w => w === "href"))
+      struct(n.as("n"),
+        when(links.cast("double") / n.cast("double") >= 0.2, "bad")
+          .when(n < 5, "short").otherwise("good").as("cls"))
+    })
+
+  /** [[plantedParas]] plus an INTERIOR short plant: a 4-word
+    * pull-quote inserted after the first paragraph on every 10th doc.
+    * The lite derivation cannot produce an interior short (every
+    * interior paragraph is exactly m ≥ 8 words), so without this the
+    * full tier's PROMOTION branch (short between good neighbors →
+    * good) would be structurally dead; the %12 footer remains the
+    * demotion case (short against the trailing edge). Markers
+    * verified absent from the organic corpus (the q244/q245 plant
+    * convention). */
+  private def plantedParasFull(): Column = {
+    val base = plantedParas()
+    when(pmod(col("doc_id"), lit(10)) === 0,
+      concat(slice(base, lit(1), lit(1)),
+        array(lit("key point summary here")),
+        slice(base, lit(2), size(base) - 1)))
+      .otherwise(base)
+  }
+
+  /** The FULL jusText paragraph gate (q351) — Pomikálek 2011 §3.3's
+    * context-sensitive classification on top of q260's context-free
+    * classes: every SHORT block is resolved by its nearest non-short
+    * neighbors (document edges count as bad) — promoted to good
+    * between two good neighbors, demoted to bad otherwise (the
+    * no-stopword-tier simplification of the paper's neargood rules);
+    * good and bad blocks never change. The smoothing is row-local
+    * array algebra (slice + filter + element access per position —
+    * no window, no shuffle: a document's paragraphs live in its own
+    * row), so the gate keeps q260's zero-shuffle scale shape and the
+    * whole chain replays in SQL (hash-exact at 3 SFs). Per doc:
+    * class counts post-smoothing, promoted/demoted counts, extracted
+    * token mass and keep fraction. */
+  def paragraphGateFull(docs: DataFrame): DataFrame = {
+    val st = paraStats(plantedParasFull())
+    def nonShort(arr: Column): Column =
+      filter(arr, y => y.getField("cls") =!= "short")
+    def clsOf(elem: Column): Column =
+      coalesce(elem.getField("cls"), lit("bad"))
+    val smoothed = transform(col("st"), (x, i) => {
+      val before = nonShort(slice(col("st"), lit(1), i))
+      val after = nonShort(slice(col("st"), i + lit(2),
+        size(col("st"))))
+      val prevCls = clsOf(get(before, size(before) - 1))
+      val nextCls = clsOf(get(after, lit(0)))
+      struct(x.getField("n").as("n"),
+        when(x.getField("cls") =!= "short", x.getField("cls"))
+          .when(prevCls === "good" && nextCls === "good", lit("good"))
+          .otherwise(lit("bad")).as("cls"))
+    })
+    def cnt(arr: Column, cls: String): Column =
+      size(filter(arr, s => s.getField("cls") === cls)).cast("long")
+    def mass(arr: Column, cls: String): Column = aggregate(
+      filter(arr, s => s.getField("cls") === cls),
+      lit(0L), (acc, s) => acc + s.getField("n").cast("long"))
+    def moved(to: String): Column = aggregate(
+      zip_with(col("st"), col("sm"), (a, b) =>
+        when(a.getField("cls") === "short" &&
+          b.getField("cls") === to, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col("doc_id"), col("source"), st.as("st"))
+      .withColumn("sm", smoothed)
+      .select(col("doc_id"), col("source"),
+        size(col("sm")).cast("long").as("n_paras"),
+        cnt(col("sm"), "good").as("n_good"),
+        cnt(col("sm"), "bad").as("n_bad"),
+        moved("good").as("n_promoted"),
+        moved("bad").as("n_demoted"),
+        mass(col("sm"), "good").as("kept_words"),
+        (mass(col("sm"), "good").cast("double") /
+          aggregate(col("sm"), lit(0L),
+            (acc, s) => acc + s.getField("n").cast("long"))
+            .cast("double")).as("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LITE classifier on the FULL derivation — the spec's
+    * subset-comparison twin: same paragraphs, no smoothing. */
+  private[graft] def paragraphGateLiteOnFull(docs: DataFrame)
+      : DataFrame = {
+    val st = paraStats(plantedParasFull())
+    def cnt(cls: String): Column =
+      size(filter(col("st"), s => s.getField("cls") === cls))
+        .cast("long")
+    def mass(cls: String): Column = aggregate(
+      filter(col("st"), s => s.getField("cls") === cls),
+      lit(0L), (acc, s) => acc + s.getField("n").cast("long"))
+    docs.select(col("doc_id"), col("source"), st.as("st"))
+      .select(col("doc_id"), col("source"),
+        size(col("st")).cast("long").as("n_paras"),
+        cnt("good").as("n_good"), cnt("bad").as("n_bad"),
+        cnt("short").as("n_short"), mass("good").as("kept_words"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------
@@ -581,6 +686,11 @@ object DataHygiene {
     "q260_paragraph_gate" ->
       ((s, d) => paragraphGate(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
+    // the FULL jusText tier (r16): neighbor smoothing over the
+    // paragraph classes — promotion AND demotion branches exercised
+    // by the interior pull-quote / trailing footer plants
+    "q351_paragraph_gate_full" ->
+      ((s, d) => paragraphGateFull(Tables(s, d).documents)),
     "q244_code_shape_gate" ->
       ((s, d) => codeShapeGate(Tables(s, d).documents)
         .orderBy(col("doc_id"))),
@@ -797,6 +907,73 @@ object DataHygiene {
         |    / CAST(CAST(list_sum(list_transform(s, x -> x.n))
         |        AS BIGINT) AS DOUBLE) AS keep_frac
         |FROM st
+        |ORDER BY doc_id""".stripMargin,
+    // same derivation + plant + classes as q260, the %10 pull-quote
+    // insertion, then the §3.3 smoothing as list algebra: per
+    // position, nearest non-short class before/after (edges 'bad'),
+    // short → good iff both good
+    "q351_paragraph_gate_full" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, source,
+        |    list_concat(list_concat(
+        |      list_transform(range(0, (len(toks) + m - 1) // m),
+        |        i -> array_to_string(toks[i * m + 1 : (i + 1) * m], ' ')),
+        |      CASE WHEN doc_id % 9 = 0
+        |        THEN ['href nav menu href login href'] ELSE [] END),
+        |      CASE WHEN doc_id % 12 = 0
+        |        THEN ['copyright all rights reserved'] ELSE [] END)
+        |      AS paras
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |          CAST(8 + doc_id % 5 AS BIGINT) AS m FROM documents)),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN
+        |      list_concat(list_concat(paras[1:1],
+        |        ['key point summary here']), paras[2:])
+        |    ELSE paras END AS paras
+        |  FROM p0),
+        |st AS (
+        |  SELECT doc_id, source,
+        |    list_transform(paras, q -> struct_pack(
+        |      n := len(string_split(q, ' ')),
+        |      cls := CASE
+        |        WHEN CAST(len(list_filter(string_split(q, ' '),
+        |            w -> w = 'href')) AS DOUBLE)
+        |          / len(string_split(q, ' ')) >= 0.2 THEN 'bad'
+        |        WHEN len(string_split(q, ' ')) < 5 THEN 'short'
+        |        ELSE 'good' END)) AS s
+        |  FROM p),
+        |sm AS (
+        |  SELECT doc_id, source, s,
+        |    list_transform(range(1, len(s) + 1), i ->
+        |      CASE WHEN s[i].cls <> 'short' THEN s[i].cls
+        |        WHEN coalesce((list_filter(s[1:i-1],
+        |            x -> x.cls <> 'short')[-1]).cls, 'bad') = 'good'
+        |          AND coalesce((list_filter(s[i+1:],
+        |            x -> x.cls <> 'short')[1]).cls, 'bad') = 'good'
+        |        THEN 'good' ELSE 'bad' END) AS t
+        |  FROM st)
+        |SELECT doc_id, source,
+        |  CAST(len(s) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(t, c -> c = 'good')) AS BIGINT)
+        |    AS n_good,
+        |  CAST(len(list_filter(t, c -> c = 'bad')) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(len(list_filter(range(1, len(s) + 1),
+        |    i -> s[i].cls = 'short' AND t[i] = 'good')) AS BIGINT)
+        |    AS n_promoted,
+        |  CAST(len(list_filter(range(1, len(s) + 1),
+        |    i -> s[i].cls = 'short' AND t[i] = 'bad')) AS BIGINT)
+        |    AS n_demoted,
+        |  CAST(COALESCE(list_sum(list_transform(list_filter(
+        |      range(1, len(s) + 1), i -> t[i] = 'good'),
+        |      i -> s[i].n)), 0) AS BIGINT) AS kept_words,
+        |  CAST(CAST(COALESCE(list_sum(list_transform(list_filter(
+        |      range(1, len(s) + 1), i -> t[i] = 'good'),
+        |      i -> s[i].n)), 0) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(list_sum(list_transform(s, x -> x.n))
+        |        AS BIGINT) AS DOUBLE) AS keep_frac
+        |FROM sm
         |ORDER BY doc_id""".stripMargin,
     "q244_code_shape_gate" ->
       (codeShapeStatsSql + "\nORDER BY doc_id"),

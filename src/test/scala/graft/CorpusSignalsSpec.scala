@@ -754,6 +754,53 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(encOdd.head == ((3L, 2, "abab ab")))
   }
 
+  test("byte-level BPE (q352/q353): reference segmentation by hand — " +
+      "space-crossing pieces learned (Ġ-prefixed), merges and encode " +
+      "match the hand-computed GPT-2-style run, encode-from-loaded ≡ " +
+      "encode-from-trained, and pieces round-trip to the original " +
+      "text on the real corpus") {
+    import spark.implicits._
+    // "aa aa aa b": pre-tokens [aa, Ġaa, Ġaa, Ġb] (unit freqs aa:1,
+    // Ġaa:2, Ġb:1). round1 pairs: (a,a) 1+2=3 top; round2: (Ġ,aa) 2;
+    // round3: (Ġ,b) 1; then the pair table is empty -> training stops
+    val hand = Seq((1L, "aa aa aa b")).toDF("doc_id", "text")
+    val merges = CorpusSignals.byteBpeTrainMerges(hand, nMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges.map(m => (m._2, m._3, m._4)) ==
+      Seq(("a", "a", 3L), ("Ġ", "aa", 2L), ("Ġ", "b", 1L)),
+      merges.toString)
+    // the word tier structurally CANNOT learn these space-crossing
+    // pieces — that is the byte tier's point
+    assert(merges.exists(_._2 == "Ġ"))
+    val enc = CorpusSignals.byteBpeEncode(hand, nMerges = 10)
+      .as[(Long, Int, String)].collect().head
+    assert(enc == ((1L, 4, "aa Ġaa Ġaa Ġb")), enc.toString)
+    // encode-from-loaded ≡ encode-from-trained (the lake round trip)
+    val dir = java.nio.file.Files
+      .createTempDirectory("byte_bpe_merges").toString
+    CorpusSignals.byteBpeTrainMerges(docs, nMerges = 10)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val fromLoaded = CorpusSignals
+      .byteBpeEncodeWith(CorpusSignals.mergeTable(loaded), docs)
+      .collect().map(_.toSeq)
+    val fromTrained = CorpusSignals.byteBpeEncode(docs).collect()
+      .map(_.toSeq)
+    assert(fromLoaded.toSeq == fromTrained.toSeq)
+    // WHITESPACE FAITHFULNESS on the real corpus: concatenating a
+    // doc's pieces (drop the separators, map Ġ back to space)
+    // reproduces the original text byte-for-byte — the property the
+    // GPT-2 byte tier has and a word tokenizer does not
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    fromTrained.foreach { r =>
+      val id = r(0).asInstanceOf[Long]
+      val pieces = r(2).asInstanceOf[String]
+      val rebuilt = pieces.split(" ").mkString("").replace('Ġ', ' ')
+      assert(rebuilt == texts(id), s"doc $id does not round-trip")
+    }
+  }
+
   test("epoch build: dedup and decontamination precede the mixture") {
     import spark.implicits._
     // per-doc pads (clear minChars without sharing 5-grams across docs)

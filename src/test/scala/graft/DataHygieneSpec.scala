@@ -115,6 +115,49 @@ class DataHygieneSpec extends AnyFunSuite {
       && r.getDouble(7) == 1.0))
   }
 
+  test("full jusText tier (q351): hand-corpus smoothing, " +
+      "promotion/demotion both live on the real corpus, and the " +
+      "lite tier is a per-doc SUBSET (goods never demoted, smoothing " +
+      "only resolves shorts)") {
+    def words(n: Int) = (1 to n).map(i => s"x$i").mkString(" ")
+    // doc 10 (m=8, %10 plant): paras = [good(8), PULL(4 short),
+    // good(8), short tail(1)] → pull promoted (good/good), tail
+    // demoted (good/edge)
+    val hand = Seq((10L, words(17), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r10 = DataHygiene.paragraphGateFull(hand).head()
+    // (n_paras, n_good, n_bad, n_promoted, n_demoted, kept_words)
+    assert((r10.getLong(2), r10.getLong(3), r10.getLong(4),
+      r10.getLong(5), r10.getLong(6), r10.getLong(7)) ==
+      ((4L, 3L, 1L, 1L, 1L, 20L)), r10.toString)
+    assert(r10.getDouble(8) == 20.0 / 21.0)
+
+    // real corpus: both smoothing branches live
+    val full = DataHygiene.paragraphGateFull(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(full.values.exists(_.getLong(5) > 0), "no promotion fired")
+    assert(full.values.exists(_.getLong(6) > 0), "no demotion fired")
+    // lite-tier subset on the SAME derivation: smoothing only
+    // resolves shorts — goods and bads never flip, mass only grows
+    val lite = DataHygiene.paragraphGateLiteOnFull(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(full.keySet == lite.keySet)
+    full.foreach { case (id, f) =>
+      val l = lite(id)
+      assert(f.getLong(2) == l.getLong(2), s"doc $id n_paras drifted")
+      // n_good_full = n_good_lite + promoted; n_bad_full = n_bad_lite
+      // + demoted; promoted + demoted = n_short_lite
+      assert(f.getLong(3) == l.getLong(3) + f.getLong(5),
+        s"doc $id: a good paragraph flipped")
+      assert(f.getLong(4) == l.getLong(4) + f.getLong(6),
+        s"doc $id: a bad paragraph flipped")
+      assert(f.getLong(5) + f.getLong(6) == l.getLong(5),
+        s"doc $id: shorts not fully resolved")
+      assert(f.getLong(7) >= l.getLong(6),
+        s"doc $id: kept mass shrank below the lite tier")
+    }
+  }
+
   test("code-shape gate: line algebra matches a hand computation") {
     // doc_id 3: m = 5 + 3%7 = 8 words per line, no plants (3 not
     // divisible by 11 or 13)
