@@ -274,7 +274,16 @@ object Artifacts {
           s"artifact at $canon was built with params '$onDisk', " +
             s"caller expects '$params' — refusing to serve it")
       }
-      if (committed()) checkParams()
+      if (committed()) {
+        checkParams()
+        // opt-in serve-side integrity check: with
+        // -Dgraft.artifacts.verifyOnServe=<md5 fraction> (or the env
+        // twin), a tree served from an EXISTING commit is verified
+        // against its manifest once per memo cell — existence+size
+        // for every listed file, content hashes for the sampled
+        // fraction. Off by default: the check costs artifact reads.
+        verifyOnServeSample.foreach(f => verifyArtifact(canon, f))
+      }
       else if (commitMode(fs) == "rename")
         publishByRename(fs, target, canon, params, build, checkParams _)
       else
@@ -469,6 +478,11 @@ object Artifacts {
       checkParams()
     }
   }
+
+  private def verifyOnServeSample: Option[Double] =
+    sys.props.get("graft.artifacts.verifyOnServe")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS_VERIFY_ON_SERVE"))
+      .map(_.toDouble)
 
   private def lockWaitMs: Long =
     sys.props.get("graft.artifacts.lockWaitMs").map(_.toLong)

@@ -492,6 +492,25 @@ class DurableArtifactsSpec extends AnyFunSuite {
       assert(Artifacts.verifyArtifact(Artifacts.deltaDir(dir, "d1"))
         == ((1, 1)))
     }
+    // the OPT-IN serve-side check: with verifyOnServe set, a fresh
+    // owner serving a committed-but-corrupted tree fails loudly
+    // instead of silently reading torn payload
+    withProp("graft.artifacts.verifyOnServe", "1.0") {
+      val vDir = freshDir()
+      Artifacts.durable("serveVerifyBuild", vDir, "p=1") { d =>
+        Files.writeString(Paths.get(d, "data"), "good bytes")
+      }
+      // clean serve passes
+      Artifacts.durable("serveVerifyOk", vDir, "p=1")(_ =>
+        fail("rebuilt a committed artifact"))
+      Files.writeString(Paths.get(vDir, "data"), "evil bytes!")
+      val e6 = intercept[Exception] {
+        Artifacts.durable("serveVerifyCorrupt", vDir, "p=1")(_ =>
+          fail("rebuilt a committed artifact"))
+      }
+      assert(e6.getMessage.contains("checksum") ||
+        e6.getMessage.contains("bytes"), e6.getMessage)
+    }
     // a pre-manifest artifact fails loudly with a rebuild instruction
     val old = freshDir()
     Files.createDirectories(Paths.get(old))

@@ -156,7 +156,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q344 is q330's decision against the APPENDED index (frozen
     // centroids; base ∪ delta scan) — the same increment-vs-
     // broadcast-sidecar assignment crossJoin; q342 composes it
-    "q344_sem_appended", "q342_nightly_admission_appended")
+    "q344_sem_appended", "q342_nightly_admission_appended",
+    // q348 serves q342's composition from the COMPACTED homes and
+    // q350 composes the media screens on top of q342 — both inherit
+    // the same single broadcast-sidecar assignment crossJoin
+    "q348_nightly_admission_compacted", "q350_nightly_admission_media")
 
   /** Every BNLJ operator line, classified: `true` = carries a join
     * condition (non-equi candidate shape), `false` = bare Cross
