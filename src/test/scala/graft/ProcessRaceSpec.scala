@@ -105,4 +105,39 @@ class ProcessRaceSpec extends AnyFunSuite {
       "under the lock and commits, the other serves the marker") {
     race("marker", "preCall")
   }
+
+  test("two REAL JVMs racing one DELTA append under a committed home " +
+      "(the nightly loop's hottest write): one delta commits, the " +
+      "home and its marker are untouched, the delta verifies clean") {
+    // the SURVEY claim on trial: "appends are durable() dirs
+    // themselves — marker-last, race-safe, idempotent per delta name"
+    // — raced across processes, not threads
+    val root = Files.createTempDirectory("graft_procrace_delta")
+    val home = root.resolve("artifact").toString
+    Artifacts.durable("deltaRaceBase", home, "p=1") { d =>
+      Files.writeString(Paths.get(d, "base_payload"), "base")
+    }
+    val delta = Artifacts.deltaDir(home, "day1")
+    val barrier = Files.createDirectories(root.resolve("barrier"))
+      .toString
+    val pA = fork("rename", delta, "d=1", "procA", barrier, 2, "inBuild")
+    val pB = fork("rename", delta, "d=1", "procB", barrier, 2, "inBuild")
+    val a = harvest("procA", pA)
+    val b = harvest("procB", pB)
+    assert(a.exit == 0, s"procA failed:\n${a.log}")
+    assert(b.exit == 0, s"procB failed:\n${b.log}")
+    assert(a.commits + b.commits == 1,
+      s"delta commits: procA=${a.commits} procB=${b.commits}")
+    // the delta is committed and serving-visible; the HOME's own
+    // commit and payload are untouched by the race
+    assert(Artifacts.committedDeltas(home) ==
+      Seq(Artifacts.canonical(delta)))
+    assert(Artifacts.isCommitted(home))
+    assert(Files.readString(Paths.get(home, "base_payload")) == "base")
+    assert(Artifacts.verifyArtifact(home)._2 == 1)
+    assert(Artifacts.verifyArtifact(delta) == ((1, 1)))
+    val payload = Files.readString(
+      Paths.get(Artifacts.canonical(delta), "payload"))
+    assert(payload == (if (a.commits == 1) "procA" else "procB"))
+  }
 }
