@@ -709,6 +709,25 @@ object Multimodal {
       imageAHashes(baseMedia), audioFingerprints(baseMedia),
       videoFrameHashes(baseMedia), maxHamming, minFrac, maxBucket)
 
+  /** The media screen run CONTINUOUSLY — a media-record stream
+    * (media_id, kind, bytes) screened per micro-batch against the
+    * static durable fingerprint artifact, into idempotent per-batch
+    * parquet (the q83/q145 stream-twin convention:
+    * [[mediaAdmissionScreen]] IS the batch transform, so stream ==
+    * batch by construction — per-doc decisions are independent, no
+    * inc×inc pair ever forms, so micro-batched serving unions to the
+    * whole-batch screen; StreamingSpec pins the union against the
+    * batch tier). Stateless — the artifact is the static side Spark
+    * re-plans per batch; each batch decodes ONCE, the base never. */
+  def mediaAdmissionStream(s: SparkSession, mediaStream: DataFrame,
+      dir: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.writeBatchIdempotent(
+          mediaAdmissionScreen(s, batch, dir), batchId, path))
+
   /** The durable fingerprint home for a dataset dir — the
     * [[graft.Artifacts.durableDirFor]] convention keyed to the
     * documents table (the synthetic media is a pure function of

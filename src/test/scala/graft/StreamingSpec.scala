@@ -840,6 +840,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("media-admission stream: micro-batched media records union to " +
+      "the whole-batch screen against the static durable fingerprint " +
+      "artifact (per-doc independence made an engine fact)") {
+    import graft.multimodal.Multimodal
+    implicit val sc = spark.sqlContext
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).resolve("d").toString
+    val mediaDir = tmp("graft_madm")
+    // the q350 artifact shape: day-0 base + day-1 delta at rest
+    val md = Multimodal.mediaFingerprintArtifact(spark,
+      Multimodal.syntheticMediaFrom(
+        docs.filter(!pmod(col("doc_id"), lit(10L)).isin(3L, 4L))),
+      mediaDir)
+    Multimodal.appendToMediaFingerprintArtifact(spark,
+      Multimodal.syntheticMediaFrom(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 4)), md, "m4")
+    // tonight's records: the natural increment plus planted per-kind
+    // duplicates of base items (guaranteed hits)
+    val baseIds = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val plantSrc = Seq(0L, 1L, 2L).map(k =>
+      baseIds.find(_ % 3 == k).get)
+    val incMedia = Multimodal.syntheticMediaFrom(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3))
+    val planted = Multimodal.syntheticMediaFrom(
+      docs.filter(col("doc_id").isin(plantSrc.map(Long.box): _*)))
+      .withColumn("media_id", col("media_id") + lit(1000000L))
+    val records = incMedia.unionByName(planted)
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])].collect().sortBy(_._1)
+    assert(records.length > 10)
+    val mem = MemoryStream[(Long, String, Array[Byte])]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_madmout").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_madmckpt").toString
+    val q = Multimodal.mediaAdmissionStream(spark,
+      mem.toDF().toDF("media_id", "kind", "bytes"), md, outDir, ckpt)
+      .start()
+    mem.addData(records.take(9).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(records.drop(9).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("media_id", "media_dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Multimodal.mediaAdmissionScreen(spark,
+      incMedia.unionByName(planted), md)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // all three planted kinds surfaced through the stream
+    plantSrc.foreach { b =>
+      assert(streamed.contains(b + 1000000L),
+        s"planted duplicate of base $b missed by the stream")
+    }
+  }
+
   test("ANN serving stream (IVF-PQ artifact): micro-batched queries " +
       "reproduce q311's batch ranking") {
     implicit val sc = spark.sqlContext
