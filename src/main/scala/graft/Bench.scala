@@ -10,6 +10,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor (guide §2.2): with parallelismFirst on,
+      // the post-shuffle target is max(bytes/parallelism,
+      // minPartitionSize) — at production shuffle sizes the first
+      // term dominates and this floor is unread; in the small-shuffle
+      // regime the 1 MB default serializes CPU-dense stages (shingle
+      // arrays, signature/verify passes decompress far wider than
+      // their shuffle bytes). Parameterised, local default 64k.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
+      // let AQE apply the same byte-based sizing to persisted plans
+      // (off by default only to keep cached output partitioning
+      // stable for reuse, which nothing here relies on)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -358,8 +358,16 @@ object CorpusSignals {
           "transform(sequence(1, length(word)), " +
             "i -> substring(word, i, 1))"), "  "),
         lit("  ")).as("sym"))
+    // double-buffered persists: each round's ONLY action is the
+    // argmax collect, which fills the current round's cache while
+    // reading the previous round's — the explicit count() job per
+    // round was pure scheduling overhead (guide §1.2: fewer passes),
+    // and the previous frame unpersists as soon as the round that
+    // read it finishes, so at most two vocab-sized tables stay cached
     var cur = wf0.persist()
-    cur.count()
+    var prev: DataFrame = null
+    def retire(): Unit =
+      if (prev != null) { prev.unpersist(false); prev = null }
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -378,6 +386,7 @@ object CorpusSignals {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      retire()
       if (top.isEmpty) done = true
       else {
         val a = top(0).getString(0)
@@ -388,13 +397,13 @@ object CorpusSignals {
           .withColumn("rrep", lit(s" $a$b "))
           .select(col("freq"), expr("replace(sym, rpat, rrep)").as("sym"))
           .persist()
-        next.count()
-        cur.unpersist(false)
+        prev = cur
         cur = next
       }
       r += 1
     }
     cur.unpersist(false)
+    retire()
     spark.createDataFrame(merges.toSeq)
       .toDF("merge_round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("merge_round"))

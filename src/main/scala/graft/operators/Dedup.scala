@@ -31,7 +31,11 @@ object Dedup {
     * over the doc's shingle set. Single explode + single groupBy. */
   def minhashSignatures(docs: DataFrame, shingleSize: Int, numPerms: Int)
       : DataFrame = {
-    docs
+    // numPerms·|shingles| xxhash64 calls per doc, all before the first
+    // exchange: fan the scan out when it arrived under-partitioned
+    // (Par.fanOut — no-op at scale; min() aggregation is
+    // order-independent)
+    Par.fanOut(docs)
       .select(col("doc_id"),
         explode(sortedShingles(col("text"), shingleSize)).as("sh"))
       .select(col("doc_id"), permutedHashes(col("sh"), numPerms).as("hs"))
@@ -120,8 +124,10 @@ object Dedup {
       numPerms: Int = 16, minJaccard: Double = 0.25,
       maxDf: Long = 20): DataFrame = {
     // feeds the posting explode AND both pair sides — materialize the
-    // shingle arrays once (the q151/q202 localCheckpoint device)
-    val based = docs
+    // shingle arrays once (the q151/q202 localCheckpoint device);
+    // fanned out first so the shingling pass isn't serialized by an
+    // under-partitioned scan (Par.fanOut — no-op at scale)
+    val based = Par.fanOut(docs)
       .select(col("doc_id"), sortedShingles(col("text"), shingleSize).as("sh"))
       .localCheckpoint()
     // candidate tier: docs sharing a RARE shingle (df-capped posting
@@ -211,7 +217,7 @@ object Dedup {
   def portableMinhashPairs(docs: DataFrame, shingleSize: Int = 3,
       numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
-    val based = docs
+    val based = Par.fanOut(docs)
       .select(col("doc_id"),
         sortedShingles(col("text"), shingleSize).as("sh"))
       .localCheckpoint() // feeds signatures AND both verify sides
@@ -1796,7 +1802,9 @@ object Dedup {
     // md5 calls per doc, measured 40x slower at sf0.1
     val toks = split(col("text"), " ")
     val positions = greatest(size(toks) - (k - 1), lit(0))
-    val based = documents.select(col("doc_id"), col("text"),
+    // one md5 per position, all scan-side: fan out an
+    // under-partitioned scan (no-op at scale)
+    val based = Par.fanOut(documents).select(col("doc_id"), col("text"),
       toks.as("t"), positions.as("np"))
     val hashed = based.filter(col("np") >= 1)
       .select(col("doc_id"), col("np"), posexplode(expr(

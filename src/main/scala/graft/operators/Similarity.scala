@@ -1451,7 +1451,7 @@ object Similarity {
       .groupBy(col("label").as("c_label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, centroid)))," +
         " x -> x.centroid)").as("cvec"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dist2 = aggregate(
       zip_with(col("embedding"), col("cvec"), (x, y) => {
         val d = x.cast("double") - y
@@ -1782,9 +1782,10 @@ object Similarity {
     * nodes and mass is conserved by construction.
     *
     * Each round is one equi-join (edges ⨝ ranks on src) + one
-    * dst-keyed aggregate; rounds `localCheckpoint` eagerly, so
-    * lineage stays one round deep (the [[Dedup.dupClusters]] round
-    * discipline). The neighbor sum is a 0.0-seeded fold over the
+    * dst-keyed aggregate; rounds `localCheckpoint` LAZILY — lineage
+    * still truncates to one round deep (the [[Dedup.dupClusters]]
+    * round discipline), but the rounds materialize inside the final
+    * action instead of one scheduled job each. The neighbor sum is a 0.0-seeded fold over the
     * src-SORTED contribution list — float addition is order-dependent,
     * and pinning the order is what makes the result bit-identical to
     * the DuckDB oracle's identical fold (the q127/q140 determinism
@@ -1799,13 +1800,17 @@ object Similarity {
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst")
+    // lazy checkpoints: lineage still truncates to a LogicalRDD per
+    // round, but the rounds materialize inside the ONE final action
+    // instead of one scheduled job each (the n-count below pins the
+    // shared withDeg frame first, so rounds read its cache)
     val withDeg = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .persist()
+      .localCheckpoint(false)
     val n = withDeg.select(col("src")).distinct().count()
     var pr = withDeg.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
     while (it < iters) {
       pr = withDeg.join(pr, withDeg("src") === pr("id"))
@@ -1817,10 +1822,9 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
         .select(col("dst").as("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("s")).as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       it += 1
     }
-    withDeg.unpersist(false)
     pr.select(col("id").as("vec_id"), col("pr").as("pagerank"))
       .orderBy(col("vec_id"))
   }
@@ -1847,17 +1851,17 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     var dist = embeddings.filter(col("vec_id") < nSources)
       .select(col("vec_id").as("id"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = 0
     while (r < maxHops) {
       dist = dist.join(edges, dist("id") === edges("src"))
         .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
         .union(dist)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       r += 1
     }
     dist.select(col("id").as("vec_id"), col("hops"))
@@ -1881,14 +1885,15 @@ object Similarity {
     *
     * Scale: each round is one degree aggregate + two semi joins, all
     * keyed on node id — edge-sized shuffles, no global state, and the
-    * edge set only shrinks. Rounds localCheckpoint eagerly so lineage
-    * stays one round deep (the [[pageRank]] round discipline). */
+    * edge set only shrinks. Rounds localCheckpoint lazily — lineage
+    * truncates one round deep, rounds materialize inside the final
+    * action (the [[pageRank]] round discipline). */
   def kCore(embeddings: DataFrame, threshold: Double = 0.3,
       k: Int = 2, rounds: Int = 4): DataFrame = {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     var edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     var r = 0
     while (r < rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1896,7 +1901,7 @@ object Similarity {
       edges = edges
         .join(keep, edges("src") === keep("id"), "left_semi")
         .join(keep, edges("dst") === keep("id"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       r += 1
     }
     edges.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
@@ -1927,10 +1932,20 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
+    lpaLabels(edges, rounds)
+      .select(col("id").as("vec_id"), col("label").as("community"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The LPA recurrence over an ALREADY-materializable edge frame —
+    * shared by [[labelPropagation]] and [[communityModularity]] so
+    * the quality card reuses the detector's edge checkpoint instead
+    * of paying the similarity pair join twice. */
+  private def lpaLabels(edges: DataFrame, rounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = 0
     while (r < rounds) {
       labels = edges.join(labels, edges("dst") === labels("id"))
@@ -1940,11 +1955,10 @@ object Similarity {
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .as("b"))
         .select(col("src").as("id"), col("b.l").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       r += 1
     }
-    labels.select(col("id").as("vec_id"), col("label").as("community"))
-      .orderBy(col("vec_id"))
+    labels
   }
 
   // -------- convergence-adaptive tiers of the iterative graph family
@@ -1968,7 +1982,7 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     var edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     var nEdges = edges.count()
     var r = 0
     var converged = false
@@ -1978,7 +1992,7 @@ object Similarity {
       edges = edges
         .join(keep, edges("src") === keep("id"), "left_semi")
         .join(keep, edges("dst") === keep("id"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val n2 = edges.count()
       converged = n2 == nEdges
       nEdges = n2
@@ -2006,10 +2020,10 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevPrev: DataFrame = null
     var r = 0
     var stop = false
@@ -2021,7 +2035,7 @@ object Similarity {
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .as("b"))
         .select(col("src").as("id"), col("b.l").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       def changedVs(old: DataFrame): Long =
         next.alias("n").join(old.alias("p"), col("n.id") === col("p.id"))
           .filter(col("n.label") =!= col("p.label")).count()
@@ -2052,7 +2066,7 @@ object Similarity {
     val n = withDeg.select(col("src")).distinct().count()
     var pr = withDeg.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var r = 0
     var converged = false
     while (!converged && r < maxRounds) {
@@ -2065,7 +2079,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
         .select(col("dst").as("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("s")).as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // max over an EMPTY graph's zero rows is NULL — an empty frame
       // is its own fixed point (the fixed-round tier returns it
       // gracefully; the converged tier must too, not NPE)
@@ -2091,10 +2105,10 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     var dist = embeddings.filter(col("vec_id") < nSources)
       .select(col("vec_id").as("id"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def scalar(d: DataFrame): (Long, Long) = {
       val row = d.agg(count(lit(1)), coalesce(sum(col("hops")), lit(0L)))
         .head
@@ -2108,7 +2122,7 @@ object Similarity {
         .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
         .union(dist)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = scalar(dist)
       converged = cur == prev
       prev = cur
@@ -2169,12 +2183,15 @@ object Similarity {
     * edge total. No window, no driver state beyond the card. */
   def communityModularity(embeddings: DataFrame, threshold: Double = 0.3,
       rounds: Int = 3): DataFrame = {
-    val comm = labelPropagation(embeddings, threshold, rounds)
-      .select(col("vec_id").as("id"), col("community"))
+    // ONE similarity pair join feeds both the detector and the card
+    // (the detector used to run its own — two O(n²) passes for one
+    // query); same edge set, same recurrence, identical labels
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
+    val comm = lpaLabels(edges, rounds)
+      .select(col("id"), col("label").as("community"))
     val eTotal = edges.agg(count(lit(1)).as("e_total"))
     // plain node-keyed equi-joins (comm is node-sized — never
     // broadcast at scale); both rollups are map-side combinable
@@ -2227,8 +2244,14 @@ object Similarity {
     * deep). At very large corpora the same card runs on a hash-slice
     * (the q193 sampling knob pattern) — the statistic concentrates. */
   def anisotropyCard(emb: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
     val n = emb.count() // model-sized driver scalar (pageRank precedent)
-    val mu = emb.select(posexplode(col("embedding")))
+    // the Gram explode is the one corpus-pass of this card — fan the
+    // scan out if it arrived under-partitioned (Par.fanOut is a no-op
+    // at scale); both rollups below are decimal-exact, so the
+    // repartition cannot move a bit
+    val fanned = Par.fanOut(emb)
+    val mu = fanned.select(posexplode(col("embedding")))
       .select(col("pos").as("i"),
         col("col").cast("string").cast("decimal(18,12)").as("v"))
       .groupBy(col("i"))
@@ -2237,18 +2260,33 @@ object Similarity {
       .localCheckpoint(true)
     // upper triangle only (S is symmetric): halves the decimal
     // multiplies; the mirror below restores the full kernel with the
-    // IDENTICAL sums, so the oracle's full-matrix statement matches
+    // IDENTICAL sums, so the oracle's full-matrix statement matches.
+    // The string->decimal element cast is HOISTED out of the pair
+    // lambda (guide §1.2 "per-task work"): dim casts per row instead
+    // of dim(dim+1) — the products and sums are the same decimals.
     val pairs = expr(
-      """flatten(transform(embedding, (xi, i) ->
-        |  transform(slice(embedding, i + 1, size(embedding) - i),
-        |    (xj, j) -> struct(i AS i, i + j AS j,
-        |      CAST(CAST(xi AS STRING) AS DECIMAL(18,12)) *
-        |      CAST(CAST(xj AS STRING) AS DECIMAL(18,12)) AS p))))
+      """flatten(transform(dec, (xi, i) ->
+        |  transform(slice(dec, i + 1, size(dec) - i),
+        |    (xj, j) -> struct(i AS i, i + j AS j, xi * xj AS p))))
         |""".stripMargin)
-    val upper = emb.select(explode(pairs).as("e"))
+    val upper = fanned.select(expr(
+        "transform(embedding, x -> CAST(CAST(x AS STRING) AS DECIMAL(18,12)))")
+        .as("dec"))
+      .select(explode(pairs).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
-    val m = upper
+    // the dim²-row kernel is MODEL-sized state (dim is fixed by the
+    // embedding family, never the corpus), so it collects to the
+    // driver — the centroid/codebook precedent — and the power
+    // iteration runs there: the distributed plan keeps exactly the
+    // passes that touch data (count, mu, Gram rollup) and drops the
+    // 5 rounds × (matvec shuffle + norm job + checkpoint) that were
+    // pure fixed overhead per round (guide §1.2: the distributed
+    // algorithm first). Every fold below replays the old in-engine
+    // sorted fold order (ascending key, left fold from 0.0) and the
+    // old null algebra (Spark's x/0 = NULL), so the card is
+    // bit-identical — oracle-checked at three SFs.
+    val kernel = upper
       .unionAll(upper.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("s")))
       .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")
@@ -2257,37 +2295,68 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("s").cast("string").cast("double") / lit(n).cast("double") -
           col("mi") * col("mj")).as("m"))
-      .localCheckpoint(true)
-    def fold(c: Column, key: Column) = aggregate(
-      array_sort(collect_list(struct(key.as("k"), c.as("c")))),
-      lit(0.0), (a, x) => a + x.getField("c"))
-    var v = m.select(col("i").as("vi")).distinct()
-      .select(col("vi"), lit(1.0).as("v"))
-    def matvec(vec: DataFrame) = m.join(vec, m("j") === vec("vi"))
-      .select(col("i"), col("j"), (col("m") * col("v")).as("c"))
-      .groupBy(col("i")).agg(fold(col("c"), col("j")).as("mv"))
+      .collect()
+    type D = java.lang.Double
+    def jd(x: Double): D = java.lang.Double.valueOf(x)
+    def add(a: D, b: D): D =
+      if (a == null || b == null) null else jd(a + b)
+    def mul(a: D, b: D): D =
+      if (a == null || b == null) null else jd(a * b)
+    // Spark Divide: NULL when the divisor is NULL or == 0 (the old
+    // plan's semantics for a degenerate zero-norm kernel)
+    def div(a: D, b: D): D =
+      if (a == null || b == null || b.doubleValue == 0.0) null
+      else jd(a / b)
+    val m: Array[(Int, Int, D)] = kernel.map(r => (r.getInt(0),
+      r.getInt(1), if (r.isNullAt(2)) null else jd(r.getDouble(2))))
+    val is: Array[Int] = m.map(_._1).distinct.sorted
+    val byI: Map[Int, Array[(Int, D)]] =
+      m.groupBy(_._1).map { case (i, rs) =>
+        i -> rs.map(t => (t._2, t._3): (Int, D)).sortBy(_._1)
+      }
+    val zero = jd(0.0)
+    def matvec(v: Map[Int, D]): Map[Int, D] =
+      is.map { i =>
+        i -> byI(i).foldLeft(zero) { case (acc, (j, mij)) =>
+          add(acc, mul(mij, v(j)))
+        }
+      }.toMap
+    var v: Map[Int, D] = is.map(_ -> jd(1.0)).toMap
     var it = 0
     while (it < iters) {
       val mv = matvec(v)
-      val nrm = mv.agg(
-        sqrt(fold(col("mv") * col("mv"), col("i"))).as("nrm"))
-      v = mv.crossJoin(broadcast(nrm))
-        .select(col("i").as("vi"), (col("mv") / col("nrm")).as("v"))
-        .localCheckpoint(true)
+      val s2 = is.foldLeft(zero)((acc, i) => add(acc, mul(mv(i), mv(i))))
+      val nrm: D = if (s2 == null) null else jd(math.sqrt(s2))
+      v = is.map(i => i -> div(mv(i), nrm)).toMap
       it += 1
     }
-    val ray = matvec(v)
-      .join(v, col("i") === col("vi"))
-      .agg(fold(col("v") * col("mv"), col("i")).as("num"),
-        fold(col("v") * col("v"), col("i")).as("den"))
-    val trace = m.filter(col("i") === col("j"))
-      .agg(fold(col("m"), col("i")).as("trace"), count(lit(1)).as("dim"))
-    trace.crossJoin(broadcast(ray))
-      .select(lit(n).as("n_vecs"), col("dim"), col("trace"),
+    val mvF = matvec(v)
+    val num = is.foldLeft(zero)((acc, i) => add(acc, mul(v(i), mvF(i))))
+    val den = is.foldLeft(zero)((acc, i) => add(acc, mul(v(i), v(i))))
+    val diag = m.filter(t => t._1 == t._2).sortBy(_._1)
+    val trace = diag.foldLeft(zero)((acc, t) => add(acc, t._3))
+    val dim = diag.length.toLong
+    // final divisions stay IN SPARK so top_eig/var_share keep the
+    // engine's division semantics verbatim
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("trace",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("num",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("den",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val card = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(dim, trace, num, den)),
+      schema)
+    card.select(lit(n).as("n_vecs"), col("dim"), col("trace"),
         (col("num") / col("den")).as("top_eig"),
         ((col("num") / col("den")) / col("trace")).as("var_share"))
       .orderBy(col("n_vecs"))
   }
+
 
   /** Embedding-level SPLIT-LEAKAGE audit — the SEMANTIC twin of
     * q224's lexical leak list: a val/test item whose embedding sits
@@ -2608,7 +2677,7 @@ object Similarity {
     val pairs = similarPairs(embeddings, threshold)
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(false)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     edges
       .join(deg.select(col("src"), col("dg").as("dx")), "src")

@@ -153,7 +153,7 @@ object TextAnalysis {
     // sorted once per doc -> each pair evaluation is a single
     // zero-allocation merge pass (SortedIntersectSizeExpr)
     val docs = Dedup.capBlocks(
-      documents.select(
+      Par.fanOut(documents).select(
         col("doc_id"), col("lang"), col("source"),
         sortedShingles(col("text"), 3).as("sh"))
         .withColumn("n", size(col("sh"))), // once per doc, not per pair
@@ -198,7 +198,7 @@ object TextAnalysis {
     * bound. Exact integers + the codegen merge pass; one division. */
   def prefixFilterJaccardPairs(documents: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val docs = documents.select(col("doc_id"),
+    val docs = Par.fanOut(documents).select(col("doc_id"),
       sortedShingles(col("text"), 3).as("sh"))
       .withColumn("n", size(col("sh")))
       .localCheckpoint() // feeds the df build + both verify sides
@@ -255,7 +255,7 @@ object TextAnalysis {
   def containmentPairs(documents: DataFrame, minContainment: Double = 0.5,
       nearDupJaccard: Double = 0.5, maxBlock: Int = 10000): DataFrame = {
     val docs = Dedup.capBlocks(
-      documents.select(
+      Par.fanOut(documents).select(
         col("doc_id"), col("lang"), col("source"),
         sortedShingles(col("text"), 3).as("sh"))
         .withColumn("n", size(col("sh"))),
@@ -360,7 +360,8 @@ object TextAnalysis {
     * unblocked tier you run when no blocking key exists. */
   def sparseCosinePairs(docs: DataFrame, threshold: Double = 0.5,
       maxDf: Long = 20): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val toks = Par.fanOut(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
     val grams = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t)-2), i -> concat(" +
