@@ -1231,7 +1231,7 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val (bands, _) = lshBandChoice(numPerms,
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
-    val based = docs
+    val based = Par.fanOut(docs)
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(10L)) === 3).as("is_inc"),
         sortedShingles(col("text"), shingleSize).as("sh"))
@@ -1283,7 +1283,7 @@ object Dedup {
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
     graft.Artifacts.durable(s, dir,
       s"pndbase|s=$shingleSize|p=$numPerms|b=$bands") { d =>
-      val based = base
+      val based = Par.fanOut(base)
         .select(col("doc_id"),
           sortedShingles(col("text"), shingleSize).as("sh"))
       portableBandedBuckets(based, numPerms, bands)
@@ -1350,7 +1350,7 @@ object Dedup {
     graft.Artifacts.durable(s, graft.Artifacts.deltaDir(dir, deltaName),
       s"pnddelta|s=$shingleSize|p=$numPerms|b=$bands") { d =>
       portableBandedBuckets(
-        newDocs.select(col("doc_id"),
+        Par.fanOut(newDocs).select(col("doc_id"),
           sortedShingles(col("text"), shingleSize).as("sh")),
         numPerms, bands)
         .write.mode("overwrite").parquet(s"$d/buckets")
@@ -1447,7 +1447,7 @@ object Dedup {
       math.max(0.05, threshold - 0.2), math.min(0.95, threshold + 0.2))
     val baseB = capBuckets(baseBuckets,
       Seq("band", "bh"), maxBucket)
-    val incBased = inc
+    val incBased = Par.fanOut(inc)
       .select(col("doc_id"),
         sortedShingles(col("text"), shingleSize).as("sh"))
       .localCheckpoint() // feeds the inc buckets AND the verify side

@@ -118,7 +118,10 @@ object Quality {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // counts / NDV / min / max are order-independent: fan out an
+    // under-partitioned scan so the (possibly Expand-heavy) aggregate
+    // parallelizes (Par.fanOut — no-op at scale)
+    val one = Par.fanOut(df).agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
       s"'$c', ${c}__nnull, ${c}__ndv, ${c}__min, ${c}__max")
       .mkString(", ") +
