@@ -905,7 +905,11 @@ object Dedup {
     * Shared by [[exactSubstrDedup]] and [[spanDecontaminate]]. */
   private def kGramSpans(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"span length k must be >= 1 (got $k)")
-    docs.filter(size(col("toks")) >= k)
+    // the span transform+posexplode is the CPU-dense row-local pass
+    // of the decontamination family — fan out an under-partitioned
+    // scan so it parallelizes (Par.fanOut — no-op at scale; spans are
+    // row-local, downstream aggregates order-independent)
+    Par.fanOut(docs).filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $k), " +
           s"i -> array_join(slice(toks, i + 1, $k), ' '))"))

@@ -264,17 +264,23 @@ object ScalePatterns {
   def equiDepthHistogram(df: DataFrame, c: String,
       buckets: Int = 20, sumScale: Int = 2): DataFrame = {
     val spark = df.sparkSession
+    // domain-sized counts feed TWO driver actions (min/max/sum head,
+    // offsets collect) AND the returned plan. A persist released in
+    // `finally` served only the actions and made execution RECOMPUTE
+    // the whole upstream (for q154 that upstream is the full fluency
+    // scoring pass); an eager localCheckpoint computes it ONCE and
+    // serves all three readers, with the ContextCleaner releasing the
+    // blocks when the frame goes unreachable (the q148/q151 device).
     val counts = df
       .select(col(c).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .persist()
-    try {
-      val m = counts.agg(min(col("v")), max(col("v")),
-        sum(col("cnt"))).head()
-      if (m.isNullAt(2)) return counts.select(
-        lit(0L).as("bucket"), col("cnt").as("n"), col("v").as("lo"),
-        col("v").as("hi"), lit(0.0).as("s")).limit(0)
+      .localCheckpoint()
+    val m = counts.agg(min(col("v")), max(col("v")),
+      sum(col("cnt"))).head()
+    if (m.isNullAt(2)) return counts.select(
+      lit(0L).as("bucket"), col("cnt").as("n"), col("v").as("lo"),
+      col("v").as("hi"), lit(0.0).as("s")).limit(0)
       val (mn, mx, n) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
       // deterministic range buckets for the distributed running rank
       val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
@@ -320,15 +326,6 @@ object ScalePatterns {
           sum(col("v").cast(s"decimal(18,$sumScale)") *
             col("overlap").cast("decimal(18,0)")).cast("double").as("s"))
         .orderBy(col("bucket"))
-      // NOTE: unpersisting here releases the cache BEFORE the returned
-      // lazy plan executes, so execution recomputes the domain-sized
-      // groupBy; the cache only serves the two driver-side actions
-      // above (min/max/sum and the offsets collect). Deliberate: the
-      // alternative — leaking a cached frame into the session for the
-      // caller to forget — is the same trade-off
-      // [[RuntimeFilters.bloomPrunedOrderRevenue]] documents. Callers
-      // that execute the result many times should cache it themselves.
-    } finally counts.unpersist(false)
   }
 
   /** CDF / quantile normalization of a column: every DISTINCT value
@@ -344,17 +341,20 @@ object ScalePatterns {
     * single LONG/LONG double division — identical cross-engine. */
   def quantileNormalize(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
+    // eager localCheckpoint for the same reason as
+    // [[equiDepthHistogram]]: one upstream compute serves the two
+    // driver actions AND the returned plan (ContextCleaner releases
+    // the blocks once the frame is unreachable)
     val counts = df
       .select(col(c).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .persist()
-    try {
-      val m = counts.agg(min(col("v")), max(col("v")),
-        sum(col("cnt"))).head()
-      if (m.isNullAt(2)) return counts
-        .select(col("v").as("value"), col("cnt").as("n"),
-          lit(0.0).as("cdf")).limit(0)
+      .localCheckpoint()
+    val m = counts.agg(min(col("v")), max(col("v")),
+      sum(col("cnt"))).head()
+    if (m.isNullAt(2)) return counts
+      .select(col("v").as("value"), col("cnt").as("n"),
+        lit(0.0).as("cdf")).limit(0)
       val (mn, mx, n) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
       val parts = math.max(32, 2 * spark.sparkContext.defaultParallelism)
       val w = (mx - mn) / parts
@@ -381,9 +381,6 @@ object ScalePatterns {
         .select(col("v").as("value"), col("cnt").as("n"),
           (col("cum").cast("double") / lit(n.toDouble)).as("cdf"))
         .orderBy(col("value"))
-      // same cache note as equiDepthHistogram: the persist serves the
-      // two driver actions; execution recomputes the domain groupBy
-    } finally counts.unpersist(false)
   }
 
   /** CCNet-style fluency BANDS (Wenzek et al. 2019, arXiv:1911.00359

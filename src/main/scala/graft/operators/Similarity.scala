@@ -60,7 +60,11 @@ object Similarity {
     * at bench scale; the LSH/IVF paths below are the candidate pruners
     * you switch to when n² stops fitting. */
   def similarPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val emb = withNorm(embeddings)
+    // the non-equi pair join is a broadcast nested loop whose probe
+    // side carries the O(n²) dot products: an under-partitioned scan
+    // serializes them on one core (Par.fanOut — no-op at scale; the
+    // per-pair cosine is row-local, so placement never changes values)
+    val emb = withNorm(Par.fanOut(embeddings))
     val a = emb.select(col("vec_id").as("d1"), col("embedding").as("va"),
       col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("d2"), col("embedding").as("vb"),
