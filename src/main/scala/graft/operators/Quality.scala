@@ -119,9 +119,15 @@ object Quality {
         max(col(c)).cast("string").as(s"${c}__max"))
     }
     // counts / NDV / min / max are order-independent: fan out an
-    // under-partitioned scan so the (possibly Expand-heavy) aggregate
-    // parallelizes (Par.fanOut — no-op at scale)
-    val one = Par.fanOut(df).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // under-partitioned scan so the Expand-heavy EXACT tier
+    // parallelizes (Par.fanOut — no-op at scale). The approx tier
+    // stays unfanned: its per-partition partial state is |cols|
+    // rsd-0.01 HLL sketches (~mega-register), so fanning a small scan
+    // multiplies sketch merges for no CPU win (measured: q188
+    // 2.5 → 5.4 s fanned, q153 6.7 → 3.3 s fanned — opposite signs,
+    // hence the tier-specific gate).
+    val one = (if (exactNdv) Par.fanOut(df) else df)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
       s"'$c', ${c}__nnull, ${c}__ndv, ${c}__min, ${c}__max")
       .mkString(", ") +
